@@ -1,0 +1,250 @@
+"""SIFTS XML reader → canonical per-residue cross-DB mapping table.
+
+Spark-first design: ``spark.read.text(paths, wholetext=True)`` yields one row
+per XML file, and an Arrow-batched ``mapInPandas`` parser (stdlib
+ElementTree) emits residue rows — so a directory of thousands of SIFTS
+entries parses with one task per file and no driver bottleneck. Region
+containment is resolved during the same pass (the region list per entity is
+tiny), mirroring the reference.
+
+Parity targets:
+- parse_sifts_residues          proteofav/sifts.py:141-350
+- _parse_sifts_regions_from_file proteofav/sifts.py:64-138
+- _parse_sifts_dbs_from_file    proteofav/sifts.py:22-61
+- filter_sifts                  proteofav/sifts.py:378-421
+
+Reference semantics reproduced:
+- default excluded dbSources: InterPro, GO, EC, NCBI (sifts.py:202-203)
+- only PDB/UniProt keep dbResNum/dbResName/dbChainId; other sources keep
+  only dbAccessionId (sifts.py:259-264)
+- repeated values per residue de-dup; multiple distinct values collapse to a
+  ','-joined string (the reference keeps Python lists in object cells)
+- residueDetail properties → PDB_codeSecondaryStructure /
+  PDB_nameSecondaryStructure / PDB_Annotation (default 'Observed')
+- region enrichment: {src}_regionId ('-' when absent), {src}_regionStart/End
+  (0 when absent), {src}_regionResNum
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from collections import OrderedDict
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from proteofav_spark.core import EmptyTableError, exclude_columns, row_selector
+
+DEFAULT_EXCLUDED_SOURCES = ("InterPro", "GO", "EC", "NCBI")
+REGION_SOURCES = ("PDB", "UniProt", "CATH", "SCOP", "Pfam")
+
+_STR_COLS = [
+    "PDB_dbAccessionId", "PDB_dbResNum", "PDB_dbResName", "PDB_dbChainId",
+    "UniProt_dbAccessionId", "UniProt_dbResNum", "UniProt_dbResName",
+    "CATH_dbAccessionId", "SCOP_dbAccessionId", "Pfam_dbAccessionId",
+    "PDB_entityId", "PDB_Annotation",
+    "PDB_codeSecondaryStructure", "PDB_nameSecondaryStructure",
+]
+
+
+def sifts_schema() -> T.StructType:
+    fields = [T.StructField(c, T.StringType()) for c in _STR_COLS]
+    for src in REGION_SOURCES:
+        fields.append(T.StructField(f"{src}_regionId", T.StringType()))
+        fields.append(T.StructField(f"{src}_regionStart", T.LongType()))
+        fields.append(T.StructField(f"{src}_regionEnd", T.LongType()))
+        fields.append(T.StructField(f"{src}_regionResNum", T.StringType()))
+    fields.append(T.StructField("line_no", T.LongType()))
+    fields.append(T.StructField("source_file", T.StringType()))
+    return T.StructType(fields)
+
+
+def _local_name(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _parse_regions(root) -> dict:
+    """entity_id → source → ordinal(str) → {acc, start, end}."""
+    out: dict = {}
+    for entity in root.iter():
+        if _local_name(entity.tag) != "entity" or entity.get("type") != "protein":
+            continue
+        entity_id = entity.get("entityId")
+        per_source: dict = OrderedDict()
+        for region in entity.iter():
+            if _local_name(region.tag) != "mapRegion":
+                continue
+            start = region.get("start")
+            end = region.get("end")
+            for db in region.iter():
+                if _local_name(db.tag) != "db":
+                    continue
+                source = db.get("dbSource")
+                if source is None:
+                    continue
+                slot = per_source.setdefault(source, OrderedDict())
+                slot[str(len(slot) + 1)] = {
+                    "acc": db.get("dbAccessionId"),
+                    "start": int(start) if start else 0,
+                    "end": int(end) if end else 0,
+                }
+        out[entity_id] = per_source
+    return out
+
+
+def parse_sifts_xml(
+    xml_text: str,
+    source_file: str,
+    excluded_sources: tuple[str, ...] = DEFAULT_EXCLUDED_SOURCES,
+    add_regions: bool = True,
+) -> list[dict]:
+    """Pure-Python single-document parser (runs inside executor tasks)."""
+    root = ET.fromstring(xml_text)
+    regions = _parse_regions(root) if add_regions else {}
+    rows: list[dict] = []
+    line_no = 0
+    for entity in root.iter():
+        if _local_name(entity.tag) != "entity" or entity.get("type") != "protein":
+            continue
+        entity_id = entity.get("entityId")
+        ent_regions = regions.get(entity_id, {})
+        for residue in entity.iter():
+            if _local_name(residue.tag) != "residue":
+                continue
+            resnum_s = residue.get("dbResNum")
+            try:
+                resnum = int(resnum_s)
+            except (TypeError, ValueError):
+                resnum = None
+            rec: dict = {"PDB_entityId": entity_id}
+            multi: dict[str, list[str]] = {}
+
+            def put(key: str, val: str) -> None:
+                vals = multi.setdefault(key, [])
+                if val not in vals:
+                    vals.append(val)
+
+            for child in residue:
+                tag = _local_name(child.tag)
+                if tag == "crossRefDb":
+                    source = child.get("dbSource")
+                    if source in excluded_sources:
+                        continue
+                    for k, v in child.attrib.items():
+                        if k in ("dbSource", "dbCoordSys"):
+                            continue
+                        if source not in ("PDB", "UniProt") and k in (
+                            "dbResName", "dbResNum", "dbChainId"
+                        ):
+                            continue
+                        if k == "dbAccessionId" and add_regions and resnum is not None:
+                            src_regions = ent_regions.get(source, {})
+                            for ordinal, entry in src_regions.items():
+                                if entry["acc"] == v and entry["start"] <= resnum <= entry["end"]:
+                                    rec[f"{source}_regionId"] = ordinal
+                                    rec[f"{source}_regionStart"] = entry["start"]
+                                    rec[f"{source}_regionEnd"] = entry["end"]
+                                    rec[f"{source}_regionResNum"] = resnum_s
+                                    break
+                        put(f"{source}_{k}", v)
+                elif tag == "residueDetail":
+                    prop = child.get("property")
+                    if prop:
+                        rec[f"PDB_{prop}"] = child.text
+            if "PDB_Annotation" not in rec:
+                rec["PDB_Annotation"] = "Observed"
+            for k, vals in multi.items():
+                rec[k] = ",".join(vals)
+            rec["line_no"] = line_no
+            rec["source_file"] = source_file
+            line_no += 1
+            rows.append(rec)
+    return rows
+
+
+def parse_sifts_residues(
+    spark: SparkSession,
+    path: str,
+    excluded_sources: tuple[str, ...] = DEFAULT_EXCLUDED_SOURCES,
+    add_regions: bool = True,
+    excluded_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Distributed SIFTS scan: one executor task per XML file; ``path`` may
+    be a single file, directory, or glob."""
+    schema = sifts_schema()
+    names = schema.fieldNames()
+
+    def parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for xml_text, fname in zip(pdf["value"], pdf["source_file"]):
+                out.extend(
+                    parse_sifts_xml(
+                        xml_text, fname,
+                        excluded_sources=excluded_sources,
+                        add_regions=add_regions,
+                    )
+                )
+            frame = pd.DataFrame(out)
+            for c in names:
+                if c not in frame.columns:
+                    frame[c] = None
+            yield frame[names]
+
+    files = spark.read.text(path, wholetext=True).withColumn(
+        "source_file", F.input_file_name()
+    )
+    table = files.mapInPandas(parse_batch, schema=schema)
+
+    # region fill conventions (sifts.py:333-338)
+    for src in REGION_SOURCES:
+        table = table.withColumn(
+            f"{src}_regionId", F.coalesce(F.col(f"{src}_regionId"), F.lit("-"))
+        )
+        for suffix in ("regionStart", "regionEnd"):
+            table = table.withColumn(
+                f"{src}_{suffix}", F.coalesce(F.col(f"{src}_{suffix}"), F.lit(0))
+            )
+    table = exclude_columns(table, excluded_cols)
+    return table
+
+
+def filter_sifts(
+    table: DataFrame,
+    excluded_cols: tuple[str, ...] | None = None,
+    chains: tuple[str, ...] | None = None,
+    chain_auth: tuple[str, ...] | None = None,
+    res: tuple[str, ...] | None = None,
+    uniprot: tuple[str, ...] | None = None,
+    site: tuple[str, ...] | None = None,
+    check_empty: bool = True,
+) -> DataFrame:
+    """Parity: filter_sifts proteofav/sifts.py:378-421."""
+    table = exclude_columns(table, excluded_cols)
+    for key, vals in (
+        ("PDB_entityId", chains),
+        ("PDB_dbChainId", chain_auth),
+        ("PDB_dbResNum", res),
+        ("UniProt_dbAccessionId", uniprot),
+        ("UniProt_dbResNum", site),
+    ):
+        if vals is not None:
+            table = row_selector(table, key, vals, check_empty=False)
+    if check_empty and table.isEmpty():
+        raise EmptyTableError("SIFTS filters produced an empty table")
+    return table
+
+
+def select_sifts(
+    spark: SparkSession,
+    path: str,
+    excluded_sources: tuple[str, ...] = DEFAULT_EXCLUDED_SOURCES,
+    add_regions: bool = True,
+    **filter_kwargs,
+) -> DataFrame:
+    """read → parse → filter (parity: select_sifts proteofav/sifts.py:353-375)."""
+    table = parse_sifts_residues(
+        spark, path, excluded_sources=excluded_sources, add_regions=add_regions
+    )
+    return filter_sifts(table, **filter_kwargs)
