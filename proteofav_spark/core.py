@@ -130,14 +130,16 @@ def merging_down_by_key(df: DataFrame, key: str = "xrefs_id") -> DataFrame:
     others = [c for c in df.columns if c != key]
     aggs = [F.array_sort(F.collect_set(c)).alias(c) for c in others]
     collapsed = df.groupBy(key).agg(*aggs)
+    # A Spark column has one type, so the reference's mixed scalar/tuple cells
+    # become: unwrap a column to its element type when no group is
+    # multi-valued, else keep the whole column as an array. One probe pass.
+    sizes = collapsed.agg(*[F.max(F.size(c)).alias(c) for c in others]).first()
     final_cols: list[Column] = [F.col(key)]
     for c in others:
-        final_cols.append(
-            F.when(F.size(c) == 0, F.lit(None))
-            .when(F.size(c) == 1, F.element_at(c, 1))
-            .otherwise(F.col(c).cast("string"))
-            .alias(c)
-        )
+        if sizes[c] is not None and sizes[c] <= 1:
+            final_cols.append(F.try_element_at(F.col(c), F.lit(1)).alias(c))
+        else:
+            final_cols.append(F.col(c).alias(c))
     return collapsed.select(*final_cols)
 
 

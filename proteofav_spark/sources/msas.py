@@ -1,0 +1,198 @@
+"""Multiple-sequence-alignment reader (FASTA / Stockholm) + description
+field extraction.
+
+Spark-first: no Biopython. Records are reassembled with distributed
+primitives — a running ``sum(is_header)`` window assigns record ids to FASTA
+lines, and Stockholm sequence chunks group-concatenate by sequence name —
+then the description fields parse with a JVM-side ``regexp_extract`` chain
+mirroring the reference's regex hierarchy.
+
+Parity targets:
+- read_alignments / read_msas            proteofav/msas.py:32-64, :67-109
+- parse_uniprot_fasta_seq_description    proteofav/msas.py:163-204
+- parse_pfam_sth_seq_description         proteofav/msas.py:207-231
+- parse_cath_sth_seq_description         proteofav/msas.py:234-253
+- parse_cath_fasta_seq_description       proteofav/msas.py:256-311
+- parse_generic_seq_description          proteofav/msas.py:314-390
+  (network-backed UniProt id resolution is out of scope offline —
+   get_uniprot_id fetches are a staging concern, not a table op)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from proteofav_spark.core import EmptyTableError, with_line_no
+
+# <Accession-or-Name>/<Start>-<End>
+_GENERIC = r"([A-Z0-9]+_?[a-zA-Z0-9]+)/(-?[0-9]+)-(-?[0-9]+)"
+_UNIPROT_FASTA = r"([a-zA-Z]+)\|([a-zA-Z0-9]+)\|([A-Z0-9]+_[A-Z0-9]+)"
+_CATH_FASTA = r"([a-zA-Z]+)\|([0-9](?:.|-)[0-9](?:.|-)[0-9])\|([a-zA-Z0-9]+/-?[0-9]+--?[0-9]+)"
+_CATH_DOMAIN = r"^([a-zA-Z0-9]{4})([a-zA-Z0-9])([0-9][0-9])/"
+
+
+def _file_w():
+    return W.partitionBy("source_file").orderBy("line_no")
+
+
+def read_fasta_records(spark: SparkSession, path: str) -> DataFrame:
+    """FASTA → one row per record: (description, Sequence). Record
+    reassembly = running count of '>' headers, then one groupBy."""
+    text = with_line_no(spark.read.text(path)).withColumn(
+        "source_file", F.input_file_name()
+    )
+    is_header = F.col("value").startswith(">").cast("int")
+    rec = F.sum(is_header).over(_file_w().rowsBetween(W.unboundedPreceding, 0))
+    df = text.withColumn("rec_id", rec).filter(F.col("rec_id") > 0)
+    return (
+        df.groupBy("source_file", "rec_id")
+        .agg(
+            F.min("line_no").alias("line_no"),
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "line_no",
+                            F.when(
+                                ~F.col("value").startswith(">"), F.trim(F.col("value"))
+                            )
+                            .otherwise(F.lit(""))
+                            .alias("chunk"),
+                        )
+                    )
+                ).getField("chunk"),
+            ).alias("Sequence"),
+            F.max(
+                F.when(
+                    F.col("value").startswith(">"),
+                    F.regexp_replace(F.col("value"), "^>", ""),
+                )
+            ).alias("description"),
+        )
+        .drop("rec_id")
+    )
+
+
+def read_stockholm_records(spark: SparkSession, path: str) -> DataFrame:
+    """Stockholm → one row per sequence name; chunks from interleaved blocks
+    concatenate in line order. Markup (#…) and terminator (//) lines drop."""
+    text = with_line_no(spark.read.text(path)).withColumn(
+        "source_file", F.input_file_name()
+    )
+    v = F.trim(F.col("value"))
+    seq_lines = text.filter(
+        (F.length(v) > 0) & ~v.startswith("#") & ~v.startswith("//")
+    )
+    parts = F.split(v, r"\s+")
+    df = seq_lines.select(
+        "source_file",
+        "line_no",
+        parts.getItem(0).alias("description"),
+        parts.getItem(1).alias("chunk"),
+    ).filter(F.col("chunk").isNotNull())
+    return df.groupBy("source_file", "description").agg(
+        F.min("line_no").alias("line_no"),
+        F.concat_ws(
+            "",
+            F.array_sort(F.collect_list(F.struct("line_no", "chunk"))).getField(
+                "chunk"
+            ),
+        ).alias("Sequence"),
+    )
+
+
+def _parse_description(df: DataFrame, seq_format: str) -> DataFrame:
+    """Regex hierarchy over the record description → Source / Collection /
+    Accession / Name / Start / End / pdb_id / chain_id / domain_id."""
+    df = df.withColumnRenamed("description", "raw_description")
+    d = F.col("raw_description")
+    uni = F.regexp_extract(d, _UNIPROT_FASTA, 0)
+    cath_f = F.regexp_extract(d, _CATH_FASTA, 0)
+    gen = F.regexp_extract(d, _GENERIC, 0)
+
+    if seq_format == "fasta":
+        source = (
+            F.when(uni != "", F.lit("UniProt"))
+            .when(cath_f != "", F.lit("CATH"))
+            .when(gen != "", F.lit("GenericParser"))
+        )
+        collection = (
+            F.when(uni != "", F.regexp_extract(d, _UNIPROT_FASTA, 1))
+            .when(cath_f != "", F.regexp_extract(d, _CATH_FASTA, 1))
+        )
+        version = F.when(cath_f != "", F.regexp_extract(d, _CATH_FASTA, 2))
+        accession = F.when(uni != "", F.regexp_extract(d, _UNIPROT_FASTA, 2))
+        name = F.when(uni != "", F.regexp_extract(d, _UNIPROT_FASTA, 3))
+        matched = F.when(uni != "", uni).when(cath_f != "", cath_f).otherwise(gen)
+    else:  # stockholm / generic
+        source = (
+            F.when(F.regexp_extract(d, _GENERIC, 1).rlike("^[A-Z0-9]+_"), F.lit("Pfam"))
+            .when(gen != "", F.lit("CATH"))
+        )
+        collection = F.lit(None).cast("string")
+        version = F.lit(None).cast("string")
+        accession = F.lit(None).cast("string")
+        name = F.lit(None).cast("string")
+        matched = gen
+
+    # generic <acc>/<start>-<end> pieces (apply when present)
+    g_name = F.regexp_extract(d, r"([A-Z0-9]+_[a-zA-Z0-9]+)/", 1)
+    g_acc = F.regexp_extract(d, _GENERIC, 1)
+    g_start = F.regexp_extract(d, _GENERIC, 2)
+    g_end = F.regexp_extract(d, _GENERIC, 3)
+    # the domain pattern anchors on the *generic match* (e.g. '1hm3A01/27-338'),
+    # not the whole description (reference: proteofav/msas.py:344-352)
+    dom = F.regexp_extract(gen, _CATH_DOMAIN, 0)
+
+    out = df.withColumn("Seq_Format", F.lit(seq_format))
+    out = out.withColumn("Source", source)
+    out = out.withColumn(
+        "Collection",
+        F.when(dom != "", F.lit("cath")).otherwise(collection),
+    )
+    out = out.withColumn("Version", version)
+    out = out.withColumn(
+        "Accession",
+        F.coalesce(accession, F.when(g_name == "", F.nullif(g_acc, F.lit("")))),
+    )
+    out = out.withColumn("Name", F.coalesce(name, F.nullif(g_name, F.lit(""))))
+    out = out.withColumn("Start", F.nullif(g_start, F.lit("")).cast("bigint"))
+    out = out.withColumn("End", F.nullif(g_end, F.lit("")).cast("bigint"))
+    out = out.withColumn("pdb_id", F.when(dom != "", F.regexp_extract(gen, _CATH_DOMAIN, 1)))
+    out = out.withColumn("chain_id", F.when(dom != "", F.regexp_extract(gen, _CATH_DOMAIN, 2)))
+    out = out.withColumn(
+        "domain_id",
+        F.when(dom != "", F.concat(
+            F.regexp_extract(gen, _CATH_DOMAIN, 1),
+            F.regexp_extract(gen, _CATH_DOMAIN, 2),
+            F.regexp_extract(gen, _CATH_DOMAIN, 3),
+        )),
+    )
+    out = out.withColumn(
+        "Description",
+        F.when(matched != "", F.trim(F.replace(d, matched, F.lit("")))).otherwise(d),
+    )
+    return out
+
+
+def read_msas(
+    spark: SparkSession,
+    filename: str,
+    seq_format: str = "fasta",
+) -> DataFrame:
+    """Scan an MSA file → one row per aligned sequence with parsed fields.
+
+    Parity: read_msas proteofav/msas.py:67-109.
+    """
+    if seq_format == "fasta":
+        recs = read_fasta_records(spark, filename)
+    elif seq_format in ("stockholm", "sth"):
+        recs = read_stockholm_records(spark, filename)
+        seq_format = "stockholm"
+    else:
+        raise ValueError(f"unsupported MSA format: {seq_format}")
+    out = _parse_description(recs, seq_format)
+    if out.isEmpty():
+        raise EmptyTableError(f"MSA file {filename} produced no records")
+    return out

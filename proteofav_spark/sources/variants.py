@@ -1,0 +1,165 @@
+"""Genetic-variant tables: JSON flattening, normalization, union and the
+UniProt⟗Ensembl outer merge.
+
+Spark-first: API payloads (UniProt Proteins API / Ensembl REST shapes) load
+via ``spark.read.json`` (or ``createDataFrame`` on an in-memory payload);
+nested structs flatten schema-driven into underscore-joined columns
+(arrays stay ``ArrayType`` — the Spark-native answer to the reference's
+object-dtype tuples); the per-key collapse is one hash aggregation.
+
+Parity targets:
+- flatten_nested_structure      proteofav/utils.py:310-336 (schema-driven here)
+- flatten_uniprot_variants_ebi  proteofav/variants.py:622-661
+- flatten_ensembl_variants      proteofav/variants.py:664-700
+- uniprot_vars_ensembl_vars_merger proteofav/mergers.py:193-219
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from proteofav_spark.core import (
+    constrain_column_types,
+    exclude_columns,
+    merging_down_by_key,
+    row_selector,
+    splitting_up_by_key,
+)
+from proteofav_spark.library import ENSEMBL_TO_UNIPROT_RENAMES, VARIANT_TYPES
+
+VARS_MERGE_KEYS = [
+    "begin", "end", "xrefs_id", "frequency",
+    "consequenceType", "siftScore", "polyphenScore",
+]
+
+
+def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
+    """Recursively flatten struct columns into ``parent_child`` columns and
+    project ``array<struct>`` columns into per-subfield arrays
+    (``xrefs: array<struct<id,name>>`` → ``xrefs_id``, ``xrefs_name``).
+
+    Schema-driven equivalent of the reference's recursive dict flattener
+    (proteofav/utils.py:310-336); runs entirely in the JVM.
+    """
+    while True:
+        flat_cols: list[Column] = []
+        changed = False
+        for field in df.schema.fields:
+            name, dtype = field.name, field.dataType
+            if isinstance(dtype, T.StructType):
+                changed = True
+                for sub in dtype.fields:
+                    flat_cols.append(
+                        F.col(f"`{name}`.`{sub.name}`").alias(f"{name}{sep}{sub.name}")
+                    )
+            elif isinstance(dtype, T.ArrayType) and isinstance(
+                dtype.elementType, T.StructType
+            ):
+                changed = True
+                for sub in dtype.elementType.fields:
+                    def _getter(s):
+                        return lambda x: x.getField(s)
+                    flat_cols.append(
+                        F.transform(F.col(f"`{name}`"), _getter(sub.name)).alias(
+                            f"{name}{sep}{sub.name}"
+                        )
+                    )
+            else:
+                flat_cols.append(F.col(f"`{name}`"))
+        if not changed:
+            return df
+        df = df.select(*flat_cols)
+
+
+def unwrap_singleton_arrays(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """The reference unwraps 1-element lists to scalars per cell
+    (refactor_key_val_singletons, proteofav/utils.py:339-353); a Spark column
+    has one type, so the equivalent is: unwrap an ``array<primitive>`` column
+    only when *no* row holds more than one element (single max-size probe)."""
+    arr_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in keep
+        and isinstance(f.dataType, T.ArrayType)
+        and not isinstance(f.dataType.elementType, (T.ArrayType, T.StructType))
+    ]
+    if not arr_cols:
+        return df
+    sizes = df.agg(*[F.max(F.size(c)).alias(c) for c in arr_cols]).first()
+    for c in arr_cols:
+        if sizes[c] is not None and sizes[c] <= 1:
+            df = df.withColumn(c, F.element_at(c, 1))
+    return df
+
+
+def flatten_uniprot_variants(
+    df: DataFrame,
+    excluded: tuple[str, ...] = (),
+    collapse: bool = True,
+) -> DataFrame:
+    """UniProt Proteins-API variants payload → canonical variants table.
+
+    Input: one row per accession with a ``features`` array (the raw
+    ``spark.read.json`` shape). Steps: explode features (keeping top-level
+    accession columns), flatten structs, type-constrain, explode multi-id
+    cells, collapse rows sharing ``xrefs_id``.
+    """
+    top_cols = [c for c in df.columns if c != "features"]
+    df = df.select(*top_cols, F.explode("features").alias("feature"))
+    df = flatten_structs(df)
+    # feature_* prefix is an artifact of the explode alias; strip it to match
+    # the reference's flat key naming
+    renames = {c: c.replace("feature_", "", 1) for c in df.columns if c.startswith("feature_")}
+    for old, new in renames.items():
+        df = df.withColumnRenamed(old, new)
+    df = exclude_columns(df, excluded)
+    df = constrain_column_types(df, VARIANT_TYPES)
+    if collapse and "xrefs_id" in df.columns:
+        df = splitting_up_by_key(df, key="xrefs_id")
+        df = merging_down_by_key(df, key="xrefs_id")
+    return df
+
+
+def flatten_ensembl_variants(
+    df: DataFrame,
+    excluded: tuple[str, ...] = (),
+    synonymous: bool = True,
+    collapse: bool = True,
+) -> DataFrame:
+    """Ensembl REST variants payload → canonical table with UniProt-style
+    column names (rename map proteofav/library.py:569-577)."""
+    for old, new in ENSEMBL_TO_UNIPROT_RENAMES.items():
+        if old in df.columns and old != new:
+            df = df.withColumnRenamed(old, new)
+    df = exclude_columns(df, excluded)
+    df = constrain_column_types(df, VARIANT_TYPES)
+    if collapse and "xrefs_id" in df.columns:
+        df = splitting_up_by_key(df, key="xrefs_id")
+        df = merging_down_by_key(df, key="xrefs_id")
+    if not synonymous and "consequenceType" in df.columns:
+        df = row_selector(
+            df, "consequenceType", "synonymous_variant", reverse=True, check_empty=False
+        )
+    return df
+
+
+def uniprot_vars_ensembl_vars_merger(
+    uniprot_vars: DataFrame, ensembl_vars: DataFrame
+) -> DataFrame:
+    """FULL OUTER join of the two variant tables on the canonical 7-column
+    key, then collapse duplicates by ``xrefs_id``.
+    Parity: proteofav/mergers.py:193-219."""
+    missing_u = [k for k in VARS_MERGE_KEYS if k not in uniprot_vars.columns]
+    missing_e = [k for k in VARS_MERGE_KEYS if k not in ensembl_vars.columns]
+    for k in missing_u:
+        uniprot_vars = uniprot_vars.withColumn(k, F.lit(None).cast("string"))
+    for k in missing_e:
+        ensembl_vars = ensembl_vars.withColumn(k, F.lit(None).cast("string"))
+    u = uniprot_vars.withColumn("begin", F.col("begin").cast("string")).withColumn(
+        "end", F.col("end").cast("string")
+    )
+    e = ensembl_vars.withColumn("begin", F.col("begin").cast("string")).withColumn(
+        "end", F.col("end").cast("string")
+    )
+    merged = u.join(e, on=VARS_MERGE_KEYS, how="outer")
+    return merging_down_by_key(merged, key="xrefs_id")
