@@ -1,0 +1,258 @@
+"""The fixed merge tree: (mmcif ⟕ dssp ⟕ validation) ⟕ (sifts ⟕ annotation ⟕
+variants) — lazy Catalyst plans with broadcast-friendly sides.
+
+All join keys are cast to STRING on both sides (reference convention:
+proteofav/mergers.py:179,280-281,311 — '118' joins '118', never int 118).
+The per-protein side tables (DSSP/SIFTS/validation/annotation/variants) are
+tiny relative to the atom table, so they get explicit ``broadcast`` hints;
+at 100 TB the atom table partitioning (by structure id) is untouched and no
+shuffle happens on any enrichment join.
+
+Parity targets:
+- mmcif_sifts_table_merger       proteofav/mergers.py:29-62
+- mmcif_dssp_table_merger        proteofav/mergers.py:65-100 (data-dependent
+  key choice via chain-set probes :82-84)
+- mmcif_validation_table_merger  proteofav/mergers.py:103-138
+- sifts_annotation_table_merger  proteofav/mergers.py:141-164
+- sifts_variants_table_merger    proteofav/mergers.py:167-190
+- table_merger                   proteofav/mergers.py:403-446
+- Tables facade                  proteofav/mergers.py:576-632
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class TableMergerError(ValueError):
+    pass
+
+
+_META_COLS = ("line_no", "source_file")
+
+
+def _prep_right(right: DataFrame) -> DataFrame:
+    """Drop reader-metadata columns from the broadcast side so the joined
+    table keeps exactly one (left) ordering column."""
+    return right.drop(*_META_COLS)
+
+
+def _str(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("string"))
+    return df
+
+
+def _left_join_on(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str],
+) -> DataFrame:
+    left = _str(left, *left_keys)
+    right = _str(_prep_right(right), *right_keys)
+    cond = None
+    for lk, rk in zip(left_keys, right_keys):
+        clause = left[lk] == right[rk]
+        cond = clause if cond is None else (cond & clause)
+    return left.join(F.broadcast(right), on=cond, how="left")
+
+
+def mmcif_sifts_table_merger(
+    mmcif_table: DataFrame, sifts_table: DataFrame, category: str = "auth"
+) -> DataFrame:
+    seq, asym, orig = (
+        f"{category}_seq_id_full", f"{category}_asym_id", f"orig_{category}_asym_id"
+    )
+    if not (
+        seq in mmcif_table.columns
+        and asym in mmcif_table.columns
+        and "PDB_dbResNum" in sifts_table.columns
+        and "PDB_dbChainId" in sifts_table.columns
+    ):
+        raise TableMergerError(
+            "Not possible to merge mmCIF and SIFTS table! "
+            "Some of the necessary columns are missing..."
+        )
+    chain_key = orig if orig in mmcif_table.columns else asym
+    return _left_join_on(
+        mmcif_table, sifts_table, [seq, chain_key], ["PDB_dbResNum", "PDB_dbChainId"]
+    )
+
+
+def mmcif_dssp_table_merger(
+    mmcif_table: DataFrame, dssp_table: DataFrame, category: str = "auth"
+) -> DataFrame:
+    seq, asym, orig = (
+        f"{category}_seq_id_full", f"{category}_asym_id", f"orig_{category}_asym_id"
+    )
+    if not (
+        seq in mmcif_table.columns
+        and asym in mmcif_table.columns
+        and "RES_FULL" in dssp_table.columns
+        and "CHAIN_FULL" in dssp_table.columns
+    ):
+        raise TableMergerError(
+            "Not possible to merge mmCIF and DSSP table! "
+            "Some of the necessary columns are missing..."
+        )
+    chain_key = asym
+    if orig in mmcif_table.columns:
+        # data-dependent key selection: use the original (pre-BioUnit) chain
+        # id only when the two tables' chain-id sets differ — two cheap
+        # collect_set probes before plan construction (mergers.py:82-84)
+        mm_chains = {
+            r[0] for r in mmcif_table.select(asym).distinct().collect()
+        }
+        dssp_chains = {
+            r[0] for r in dssp_table.select("CHAIN_FULL").distinct().collect()
+        }
+        if mm_chains != dssp_chains:
+            chain_key = orig
+    return _left_join_on(
+        mmcif_table, dssp_table, [seq, chain_key], ["RES_FULL", "CHAIN_FULL"]
+    )
+
+
+def mmcif_validation_table_merger(
+    mmcif_table: DataFrame, validation_table: DataFrame, category: str = "auth"
+) -> DataFrame:
+    seq, asym, orig = (
+        f"{category}_seq_id_full", f"{category}_asym_id", f"orig_{category}_asym_id"
+    )
+    if not (
+        seq in mmcif_table.columns
+        and asym in mmcif_table.columns
+        and "validation_resnum_full" in validation_table.columns
+        and "validation_chain" in validation_table.columns
+    ):
+        raise TableMergerError(
+            "Not possible to merge mmCIF and Validation table! "
+            "Some of the necessary columns are missing..."
+        )
+    chain_key = orig if orig in mmcif_table.columns else asym
+    return _left_join_on(
+        mmcif_table,
+        validation_table,
+        [seq, chain_key],
+        ["validation_resnum_full", "validation_chain"],
+    )
+
+
+def sifts_annotation_table_merger(
+    sifts_table: DataFrame, annotation_table: DataFrame
+) -> DataFrame:
+    if not (
+        "UniProt_dbAccessionId" in sifts_table.columns
+        and "UniProt_dbResNum" in sifts_table.columns
+        and "accession" in annotation_table.columns
+        and "site" in annotation_table.columns
+    ):
+        raise TableMergerError(
+            "Not possible to merge SIFTS and Annotation table! "
+            "Some of the necessary columns are missing..."
+        )
+    return _left_join_on(
+        sifts_table,
+        annotation_table,
+        ["UniProt_dbAccessionId", "UniProt_dbResNum"],
+        ["accession", "site"],
+    )
+
+
+def sifts_variants_table_merger(
+    sifts_table: DataFrame, variants_table: DataFrame
+) -> DataFrame:
+    if not (
+        "UniProt_dbAccessionId" in sifts_table.columns
+        and "UniProt_dbResNum" in sifts_table.columns
+        and "accession" in variants_table.columns
+        and "begin" in variants_table.columns
+    ):
+        raise TableMergerError(
+            "Not possible to merge SIFTS and Variants table! "
+            "Some of the necessary columns are missing..."
+        )
+    return _left_join_on(
+        sifts_table,
+        variants_table,
+        ["UniProt_dbAccessionId", "UniProt_dbResNum"],
+        ["accession", "begin"],
+    )
+
+
+def table_merger(
+    mmcif_table: DataFrame | None = None,
+    dssp_table: DataFrame | None = None,
+    sifts_table: DataFrame | None = None,
+    validation_table: DataFrame | None = None,
+    annotation_table: DataFrame | None = None,
+    variants_table: DataFrame | None = None,
+) -> DataFrame:
+    """Fixed merge tree (parity: proteofav/mergers.py:403-446). The largest
+    table (atoms) stays on the left of every join; residue-level sides merge
+    among themselves first, then one final left join — Catalyst broadcasts
+    every right side."""
+    available = [
+        t
+        for t in (
+            mmcif_table, dssp_table, sifts_table,
+            validation_table, annotation_table, variants_table,
+        )
+        if t is not None
+    ]
+    if len(available) < 2 and (mmcif_table is not None or sifts_table is not None):
+        raise TableMergerError("At least two Tables are needed in order to merge...")
+
+    table = None
+    if mmcif_table is not None:
+        if dssp_table is not None:
+            mmcif_table = mmcif_dssp_table_merger(mmcif_table, dssp_table)
+        if validation_table is not None:
+            mmcif_table = mmcif_validation_table_merger(mmcif_table, validation_table)
+        table = mmcif_table
+    if sifts_table is not None:
+        if annotation_table is not None:
+            sifts_table = sifts_annotation_table_merger(sifts_table, annotation_table)
+        if variants_table is not None:
+            sifts_table = sifts_variants_table_merger(sifts_table, variants_table)
+        table = sifts_table
+    if mmcif_table is not None and sifts_table is not None:
+        table = mmcif_sifts_table_merger(mmcif_table, sifts_table)
+    return table
+
+
+class Tables:
+    """Composite facade over the six source tables (parity: _Tables,
+    proteofav/mergers.py:576-632). ``merge`` composes the lazy join tree;
+    callers supply already-selected DataFrames (the network download stage of
+    the reference is a lake-staging concern here)."""
+
+    def __init__(self) -> None:
+        self.mmcif = None
+        self.dssp = None
+        self.sifts = None
+        self.validation = None
+        self.annotation = None
+        self.variants = None
+        self.table = None
+
+    def merge(self, mmcif=None, dssp=None, sifts=None, validation=None,
+              annotation=None, variants=None) -> DataFrame:
+        if mmcif is not None:
+            self.mmcif = mmcif
+        if dssp is not None:
+            self.dssp = dssp
+        if sifts is not None:
+            self.sifts = sifts
+        if validation is not None:
+            self.validation = validation
+        if annotation is not None:
+            self.annotation = annotation
+        if variants is not None:
+            self.variants = variants
+        self.table = table_merger(
+            self.mmcif, self.dssp, self.sifts,
+            self.validation, self.annotation, self.variants,
+        )
+        return self.table

@@ -63,8 +63,11 @@ _PDB_HEADER_WIDTHS: list[tuple[str, tuple[int, int]]] = [
 def _read_ordered_text(spark: SparkSession, filename: str) -> DataFrame:
     """Read a text file with a monotone ``line_no``. Partition ordering of a
     single file follows byte offsets, so monotonically_increasing_id sorts to
-    file order while remaining fully distributed."""
-    return with_line_no(spark.read.text(filename))
+    file order while remaining fully distributed. ``source_file`` scopes all
+    order-dependent windows so a glob of many files processes per-file."""
+    return with_line_no(spark.read.text(filename)).withColumn(
+        "source_file", F.input_file_name()
+    )
 
 
 def parse_mmcif_atoms(
@@ -94,7 +97,7 @@ def parse_mmcif_atoms(
     )
     arr = F.split(F.trim(F.col("value")), r"\s+")
     cols = [arr.getItem(i).alias(name) for i, name in enumerate(header)]
-    table = body.select(*cols, "line_no")
+    table = body.select(*cols, "line_no", "source_file")
 
     table = exclude_columns(table, excluded_cols if excluded_cols is not None else DEFAULT_EXCLUDED_COLS)
     table = constrain_column_types(table, PDBX_TYPES)
@@ -139,7 +142,7 @@ def parse_pdb_atoms(
         F.trim(F.substring(clipped, a + 1, b - a)).alias(name)
         for name, (a, b) in _PDB_HEADER_WIDTHS
     ]
-    table = body.select(*cols, "pdbx_PDB_model_num", "line_no")
+    table = body.select(*cols, "pdbx_PDB_model_num", "line_no", "source_file")
 
     if fix_ins:
         table = fix_pdb_ins_code(table)

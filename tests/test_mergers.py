@@ -1,0 +1,80 @@
+"""End-to-end merge tests — the P0 flagship query.
+
+Mirror of the reference's tests/test_mergers.py:174-190: 2w4o chain A,
+CA atoms only, mmCIF ⟕ DSSP ⟕ SIFTS = 278 rows; plus the BioUnit
+(2pah_bio) suffixed-chain merge path.
+"""
+
+from pyspark.sql import functions as F
+
+from proteofav_spark.operators.structures import select_structures
+from proteofav_spark.plans.mergers import (
+    Tables,
+    mmcif_dssp_table_merger,
+    table_merger,
+)
+from proteofav_spark.sources.dssp import select_dssp
+from proteofav_spark.sources.sifts import select_sifts
+from proteofav_spark.sources.validation import select_validation
+
+
+def test_merge_2w4o_chain_a_ca(spark, refdata):
+    mmcif = select_structures(
+        spark, f"{refdata}/mmcif/2w4o.cif",
+        models="first", chains=("A",), atoms=("CA",), lines=("ATOM",),
+    )
+    dssp = select_dssp(
+        spark, f"{refdata}/dssp/2w4o.dssp", chains=("A",), add_rsa_class=True
+    )
+    sifts = select_sifts(spark, f"{refdata}/sifts/2w4o.xml", chain_auth=("A",))
+
+    merged = table_merger(mmcif_table=mmcif, dssp_table=dssp, sifts_table=sifts)
+    rows = merged.orderBy("id").collect()
+    assert len(rows) == 278  # reference tests/test_mergers.py:187-190
+    first = rows[0]
+    assert first["label_atom_id"] == "CA"
+    assert first["CHAIN"] == "A"
+    assert first["PDB_dbChainId"] == "A"
+    assert first["UniProt_dbAccessionId"] is not None
+    # joined DSSP and SIFTS residue numbers agree with the atom table
+    assert first["RES_FULL"] == first["auth_seq_id_full"]
+    assert first["PDB_dbResNum"] == first["auth_seq_id_full"]
+
+
+def test_merge_full_six_table_shape(spark, refdata):
+    mmcif = select_structures(
+        spark, f"{refdata}/mmcif/2pah.cif",
+        models="first", atoms=("CA",), lines=("ATOM",),
+    )
+    dssp = select_dssp(spark, f"{refdata}/dssp/2pah.dssp")
+    sifts = select_sifts(spark, f"{refdata}/sifts/2pah.xml")
+    validation = select_validation(
+        spark, f"{refdata}/validation/2pah_validation.xml"
+    )
+
+    t = Tables()
+    merged = t.merge(mmcif=mmcif, dssp=dssp, sifts=sifts, validation=validation)
+    assert merged.count() > 0
+    row = merged.orderBy("id").first()
+    # chain level
+    assert "label_asym_id" in merged.columns
+    assert "CHAIN_FULL" in merged.columns
+    assert "PDB_entityId" in merged.columns
+    # residue level
+    assert row["label_seq_id_full"] is not None
+    assert row["RES"] == "118"
+    assert row["PDB_dbResNum"] == "118"
+    assert row["validation_resnum_full"] == "118"
+    assert abs(row["validation_rsr"] - 0.242) < 1e-9
+    assert row["UniProt_dbResName"] == "V"
+
+
+def test_merge_left_join_nulls_preserved(spark, refdata):
+    """Residues missing from DSSP keep their atom rows (left-join nulls)."""
+    mmcif = select_structures(
+        spark, f"{refdata}/mmcif/2pah.cif",
+        models="first", chains=("A",), atoms=("CA",), lines=("ATOM",),
+    )
+    dssp = select_dssp(spark, f"{refdata}/dssp/2pah.dssp", chains=("A",))
+    merged = mmcif_dssp_table_merger(mmcif, dssp)
+    assert merged.count() == mmcif.count()

@@ -1,0 +1,110 @@
+"""Structure-operator tests: altloc removal (4ibw), residue aggregation,
+contacts, composite pipeline (2pah)."""
+
+from pyspark.sql import functions as F
+
+from proteofav_spark.operators.structures import (
+    add_contacts,
+    filter_structures,
+    remove_multiple_altlocs,
+    remove_partial_residues,
+    residues_aggregation,
+    select_structures,
+)
+from proteofav_spark.sources.structures import parse_mmcif_atoms
+
+
+def test_remove_altlocs_4ibw(spark, refdata):
+    df = parse_mmcif_atoms(spark, f"{refdata}/mmcif/4ibw.cif")
+    n_before = df.count()
+    out = remove_multiple_altlocs(df)
+    n_after = out.count()
+    assert n_after < n_before
+    # all altlocs rewritten to '.'
+    assert out.filter(F.col("label_alt_id") != ".").count() == 0
+    # no duplicated (model, chain, seq, atom) among ATOM records
+    dup = (
+        out.filter(F.col("group_PDB") == "ATOM")
+        .groupBy("pdbx_PDB_model_num", "label_asym_id", "label_seq_id",
+                 "label_atom_id", "auth_seq_id")
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    assert dup.count() == 0
+
+
+def test_residues_aggregation_centroid(spark, refdata):
+    df = parse_mmcif_atoms(spark, f"{refdata}/mmcif/2pah.cif")
+    df = filter_structures(df, models="first", chains=("A",),
+                           reset_atom_id_flag=True)
+    agg = residues_aggregation(df, agg_method="centroid")
+    # one row per residue
+    n_res = df.select("auth_asym_id", "auth_seq_id").distinct().count()
+    assert agg.count() == n_res
+    # centroid of first residue = mean of its atom coords
+    atoms = df.filter(F.col("auth_seq_id") == "118")
+    expect = atoms.agg(F.avg("Cartn_x")).first()[0]
+    got = agg.filter(F.col("auth_seq_id") == "118").first()["Cartn_x"]
+    assert abs(got - expect) < 1e-9
+
+
+def test_residues_aggregation_first(spark, refdata):
+    df = parse_mmcif_atoms(spark, f"{refdata}/mmcif/2pah.cif")
+    df = filter_structures(df, models="first", chains=("A",))
+    agg = residues_aggregation(df, agg_method="first")
+    first = agg.orderBy("id").first()
+    # first atom of residue 118 is N
+    assert first["auth_seq_id"] == "118"
+    assert first["label_atom_id"] == "N"
+
+
+def test_filter_structures_ca_chain_a(spark, refdata):
+    df = select_structures(
+        spark, f"{refdata}/mmcif/2pah.cif",
+        models="first", chains=("A",), atoms=("CA",), lines=("ATOM",),
+    )
+    rows = df.orderBy("id").collect()
+    assert all(r["label_atom_id"] == "CA" for r in rows)
+    assert all(r["auth_asym_id"] == "A" for r in rows)
+    # 2pah chain A has 329 observed CA atoms (ATOM records)
+    assert len(rows) == 329
+    # id reset happens BEFORE the atom filter (reference order), so the first
+    # CA carries the post-reset serial of the chain's second atom
+    assert rows[0]["id"] == 2
+    assert rows[0]["auth_seq_id_full"] == "118"
+
+
+def test_remove_partial_residues(spark, refdata):
+    df = parse_mmcif_atoms(spark, f"{refdata}/mmcif/2pah.cif")
+    df = filter_structures(df, models="first", remove_partial_res=False)
+    out = remove_partial_residues(df)
+    assert out.count() <= df.count()
+    # every surviving ATOM residue has a complete heavy-atom set
+    from proteofav_spark.library import AA_DEFAULT_ATOMS
+    rows = out.filter(F.col("group_PDB") == "ATOM").collect()
+    by_res = {}
+    for r in rows:
+        key = (r["auth_asym_id"], r["auth_seq_id"], r["auth_comp_id"])
+        by_res.setdefault(key, set()).add(r["auth_atom_id"])
+    incomplete = [
+        k for k, atoms in by_res.items()
+        if k[2] in AA_DEFAULT_ATOMS and set(AA_DEFAULT_ATOMS[k[2]]) - atoms
+    ]
+    # the reference's last-residue quirk allows at most the final residue
+    # of the file to be incomplete
+    assert len(incomplete) <= 2
+
+
+def test_add_contacts_small(spark):
+    rows = [
+        ("f", 0, 1, 0.0, 0.0, 0.0),
+        ("f", 1, 2, 3.0, 0.0, 0.0),
+        ("f", 2, 3, 20.0, 0.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["source_file", "line_no", "id", "Cartn_x", "Cartn_y", "Cartn_z"]
+    )
+    out = add_contacts(df, dist=5.0).orderBy("line_no").collect()
+    assert out[0]["contact_indexes"] == "0,1"
+    assert out[1]["contact_indexes"] == "0,1"
+    assert out[2]["contact_indexes"] == "2"
