@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: the heavy representatives of each operator family
+HEADLINE = [
+    "join_merge_tree",        # multiway broadcast join + agg
+    "agg_pricing_summary",    # wide multi-aggregate groupBy
+    "agg_residue_rollup",     # groupBy with ordered-first semantics
+    "window_reset_id",        # global window renumbering
+    "window_dedup_adjacent",  # lag-based sequence dedup
+    "events_tumbling_window", # stream-table windowed rollup
+    "dedup_exact_hash",       # content-hash dedup
+    "dedup_ngram_jaccard",    # shingle inverted-index pair join
+    "dedup_minhash_lsh",      # minhash + banded LSH
+    "dedup_simhash",          # per-token hash bit votes
+    "text_token_stats",       # tokenizer statistics
+    "text_fingerprint",       # polynomial rolling hash
+    "knn_cosine_topk",        # brute-force cosine top-k
+]
+
+
+def main() -> None:
+    from proteofav_spark.queries import all_queries
+    from proteofav_spark.session import get_spark
+
+    spark = get_spark("proteofav_spark_bench")
+    qs = all_queries()
+
+    # warm the JVM + parquet footers with one cheap action
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

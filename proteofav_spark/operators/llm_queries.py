@@ -1,0 +1,557 @@
+"""LLM-data-pipeline operators over the ``documents`` and ``embeddings``
+tables: deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash), text
+analysis (tokens, quality, language-ID, fingerprints), and embedding
+similarity search (brute-force cosine top-k, per-label centroids).
+
+Every operator is a pure DataFrame plan (no Python UDFs) and carries a
+DuckDB oracle computing the *identical* deterministic function — hash
+functions are polynomial-mod constructions expressible in both engines.
+
+Scale notes (100 TB design):
+- shingle/minhash pipelines shuffle once on the shingle/bucket key; band
+  buckets bound candidate pairs, so the join never goes N².
+- the brute-force k-NN broadcasts the (tiny) query set against the corpus —
+  a map-only pass plus one top-k aggregation; the LSH variant buckets first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from proteofav_spark.queries import load, register
+
+P_MOD = 1_000_003  # prime modulus for polynomial hashes
+N_HASHES = 12      # minhash signature length
+N_BANDS = 4        # LSH bands (3 rows per band)
+ROWS_PER_BAND = N_HASHES // N_BANDS
+# fixed affine hash parameters (a, b) for minhash permutations
+HASH_AB = [(17 * i + 3, 101 * i + 7) for i in range(1, N_HASHES + 1)]
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+# ---------------------------------------------------------------------------
+# shared deterministic building blocks (Spark side)
+# ---------------------------------------------------------------------------
+
+def tokens_col(text: str | Column = "text") -> Column:
+    """Whitespace tokens with empties dropped — identical to the oracle's
+    regexp_split + filter."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def poly_hash_col(s: Column) -> Column:
+    """Polynomial string hash: fold (h*31 + codepoint) mod P over the
+    characters. Matches the DuckDB oracle's list_reduce construction."""
+    chars = F.filter(F.split(s, ""), lambda ch: ch != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % P_MOD,
+    )
+
+
+def shingles_col(text: str = "text", k: int = 3) -> Column:
+    """k-token shingles joined by single spaces."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )).otherwise(F.array())
+
+
+def _sql_tokens(expr: str = "text") -> str:
+    return f"list_filter(regexp_split_to_array({expr}, '\\s+'), t -> t <> '')"
+
+
+def _sql_poly_hash(expr: str) -> str:
+    """DuckDB polynomial hash of a string expression (same fold as
+    poly_hash_col)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(list_filter(regexp_split_to_array({expr}, ''), c -> c <> ''), "
+        f"c -> CAST(unicode(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) % {P_MOD})"
+    )
+
+
+def _sql_shingles(expr: str = "text", k: int = 3) -> str:
+    toks = _sql_tokens(expr)
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {k - 1}), "
+        f"i -> array_to_string({toks}[i:i+{k - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_hash",
+    """
+    SELECT md5(text) AS text_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the lowest doc_id per
+    group. One shuffle on the 128-bit content hash at any scale."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+_JACCARD_SQL = f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST(list_distinct({_sql_shingles('text')})) AS shingle
+      FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(CAST(p.n_shared AS DOUBLE) /
+                 (sa.n_sh + sb.n_sh - p.n_shared), 4) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_shared) >= 0.08
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_SQL)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates by 3-token-shingle Jaccard ≥ τ. The pair join is
+    keyed on the shingle (inverted index), so only documents sharing a
+    shingle ever meet — no N² comparison."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles_col())).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.08)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+SHINGLE_B = 10007  # token-hash combination base for 3-token shingle hashes
+
+
+def _sql_shingle_hashes() -> str:
+    """DuckDB: token polynomial hashes, combined 3-at-a-time into shingle
+    hashes — sh_i = ((th_i*B + th_{i+1}) % P * B + th_{i+2}) % P."""
+    th = f"list_transform({_sql_tokens('text')}, t -> {_sql_poly_hash('t')})"
+    return (
+        f"CASE WHEN len({th}) >= 3 THEN "
+        f"list_distinct(list_transform(generate_series(1, len({th}) - 2), "
+        f"i -> (({th}[i] * {SHINGLE_B} + {th}[i+1]) % {P_MOD} * {SHINGLE_B} "
+        f"+ {th}[i+2]) % {P_MOD})) ELSE [] END"
+    )
+
+
+def shingle_hashes_from(th: Column) -> Column:
+    """Combine an already-materialized token-hash array column into 3-token
+    shingle hashes. ``th`` MUST be a plain column reference — passing the
+    hash expression inline would re-evaluate it per array element (no CSE
+    inside lambda bodies)."""
+    n = F.size(th)
+    combined = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: (
+            (F.element_at(th, i) * SHINGLE_B + F.element_at(th, i + 1))
+            % P_MOD * SHINGLE_B + F.element_at(th, i + 2)
+        ) % P_MOD,
+    )
+    return F.when(n >= 3, F.array_distinct(combined)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def _minhash_sig_sql() -> str:
+    hashes = ", ".join(
+        f"CASE WHEN len(sh) = 0 THEN {P_MOD} ELSE "
+        f"list_min(list_transform(sh, h -> ({a} * h + {b}) % {P_MOD})) END AS mh{j}"
+        for j, (a, b) in enumerate(HASH_AB)
+    )
+    return f"""
+      SELECT doc_id, {hashes} FROM (
+        SELECT doc_id, {_sql_shingle_hashes()} AS sh
+        FROM documents)
+    """
+
+
+_MINHASH_SQL = f"""
+    WITH sig AS ({_minhash_sig_sql()}),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh{band * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        )
+        + " AS bucket FROM sig"
+        for band in range(N_BANDS)
+      )}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(DISTINCT a.band) AS BIGINT) AS n_bands_shared
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_SQL)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH candidate pairs: shingle → polynomial hash →
+    12 affine min-hashes → 4 bands of 3 → bucket equi-join. The only wide
+    exchange is the band-bucket shuffle; signature computation is map-only."""
+    d = load(spark, sf_dir, "documents")
+    # materialize token hashes once per doc, then combine into shingle
+    # hashes — two projection steps so nothing re-evaluates per element
+    th = d.select(
+        "doc_id",
+        F.transform(tokens_col(), lambda t: poly_hash_col(t)).alias("th"),
+    )
+    sh = th.select("doc_id", shingle_hashes_from(F.col("th")).alias("sh"))
+    sig_cols = [
+        F.when(F.size("sh") == 0, F.lit(P_MOD).cast("long"))
+        .otherwise(
+            F.array_min(F.transform("sh", lambda h: (F.lit(a) * h + F.lit(b)) % P_MOD))
+        )
+        .alias(f"mh{j}")
+        for j, (a, b) in enumerate(HASH_AB)
+    ]
+    sig = sh.select("doc_id", *sig_cols)
+    band_frames = []
+    for band in range(N_BANDS):
+        bucket = F.concat_ws(
+            "_",
+            *[
+                F.col(f"mh{band * ROWS_PER_BAND + r}").cast("string")
+                for r in range(ROWS_PER_BAND)
+            ],
+        )
+        band_frames.append(
+            sig.select(
+                "doc_id", F.lit(band).alias("band"), bucket.alias("bucket")
+            )
+        )
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.countDistinct("a.band").alias("n_bands_shared"))
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+      WITH tok AS (
+        SELECT doc_id, UNNEST(list_transform({_sql_tokens('text')},
+                              t -> {_sql_poly_hash('t')})) AS th
+        FROM documents),
+      bitsums AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id)
+      SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bitsums
+    """
+
+
+@register("dedup_simhash", _simhash_sql())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: token polynomial hashes vote ±1 per bit;
+    the signature packs the sign bits. Map-only + one per-doc aggregation."""
+    bits = 16
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(tokens_col(), lambda t: poly_hash_col(t))
+        ).alias("th"),
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    combine = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        combine = term if combine is None else (combine + term)
+    return sums.select("doc_id", combine.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_sql_tokens('text')}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           CAST(len(list_distinct({_sql_tokens('text')})) AS BIGINT) AS n_distinct_tokens,
+           round(CAST(len(list_distinct({_sql_tokens('text')})) AS DOUBLE) /
+                 len({_sql_tokens('text')}), 6) AS distinct_ratio
+    FROM documents
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + type/token ratio — all JVM expressions."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("distinct_ratio"),
+    )
+
+
+_SW_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "text_quality_score",
+    f"""
+    SELECT doc_id,
+           round(CAST(len(list_filter({_sql_tokens('text')},
+                 t -> list_contains({_SW_LIST_SQL}, t))) AS DOUBLE)
+                 / len({_sql_tokens('text')}), 6) AS stopword_ratio,
+           round(CAST(length(text) AS DOUBLE) / len({_sql_tokens('text')}), 6)
+                 AS avg_token_span,
+           CASE WHEN len({_sql_tokens('text')}) BETWEEN 20 AND 120
+                 AND CAST(len(list_filter({_sql_tokens('text')},
+                     t -> list_contains({_SW_LIST_SQL}, t))) AS DOUBLE)
+                     / len({_sql_tokens('text')}) >= 0.05
+                THEN 'keep' ELSE 'flag' END AS quality_bucket
+    FROM documents
+    """,
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + length gates → keep/flag buckets
+    (the classic pretraining-corpus filter shape)."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    ratio = n_sw.cast("double") / F.size(toks)
+    span = F.length("text").cast("double") / F.size(toks)
+    keep = (F.size(toks) >= 20) & (F.size(toks) <= 120) & (ratio >= 0.05)
+    return d.select(
+        "doc_id",
+        F.round(ratio, 6).alias("stopword_ratio"),
+        F.round(span, 6).alias("avg_token_span"),
+        F.when(keep, "keep").otherwise("flag").alias("quality_bucket"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "is"),
+    "es": ("el", "la", "es"),
+    "fr": ("le", "la", "est"),
+    "de": ("der", "die", "ist"),
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = "[" + ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang]) + "]"
+    return (
+        f"CAST(len(list_filter({_sql_tokens('text')}, "
+        f"t -> list_contains({words}, t))) AS BIGINT)"
+    )
+
+
+@register(
+    "text_lang_id",
+    f"""
+    SELECT doc_id,
+           {_lang_score_sql('en')} AS score_en,
+           {_lang_score_sql('es')} AS score_es,
+           CASE WHEN {_lang_score_sql('en')} >= {_lang_score_sql('es')}
+                THEN 'en' ELSE 'es' END AS lang_guess
+    FROM documents
+    """,
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (deterministic argmax over marker
+    counts; the oracle checks the computation, not ground truth)."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+
+    def score(lang: str) -> Column:
+        words = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(words, t))).cast(
+            "bigint"
+        )
+
+    return d.select(
+        "doc_id",
+        score("en").alias("score_en"),
+        score("es").alias("score_es"),
+        F.when(score("en") >= score("es"), "en").otherwise("es").alias("lang_guess"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, {_sql_poly_hash('text')} AS fingerprint,
+           {_sql_poly_hash("lower(text)")} AS fingerprint_normalized
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: rolling polynomial hash of the raw and
+    case-normalized text."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        poly_hash_col(F.col("text")).alias("fingerprint"),
+        poly_hash_col(F.lower(F.col("text"))).alias("fingerprint_normalized"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "knn_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round(list_cosine_similarity(q.qv, e.embedding), 4) AS cosine
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored)
+    SELECT qid, vec_id, cosine, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (tiny) query set, map-side
+    dot products via zip_with/aggregate, one top-k window per query.
+    This is the exact baseline the IVF/LSH variant approximates."""
+    e = load(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    )
+    joined = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+
+    def dot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def norm(a: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    cosine = F.round(
+        dot(F.col("embedding"), F.col("qv"))
+        / (norm(F.col("embedding")) * norm(F.col("qv"))),
+        4,
+    )
+    scored = joined.select("qid", "vec_id", cosine.alias("cosine"))
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "vec_id", "cosine", "rk")
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    """
+    WITH expl AS (
+      SELECT label, UNNEST(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings)
+    SELECT label, CAST(dim AS INT) AS dim, round(AVG(v), 6) AS centroid
+    FROM expl WHERE dim <= 8 GROUP BY label, dim
+    """,
+)
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors via positional explode + groupBy — the
+    k-means-style reduction over array columns."""
+    e = load(spark, sf_dir, "embeddings")
+    expl = e.select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    ).withColumn("dim", (F.col("dim0") + 1).cast("int"))
+    return (
+        expl.filter(F.col("dim") <= 8)
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+    )

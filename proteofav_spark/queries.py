@@ -1,0 +1,706 @@
+"""Driver-facing query catalog: one entry per operator family from
+SURVEY.md §2, each expressed on the driver's synthetic tables
+(region nation customer supplier part orders lineitem events documents
+embeddings) with a matching ANSI-SQL oracle runnable by DuckDB.
+
+Conventions:
+- every computed column is aliased identically in Spark and SQL;
+- money sums round to 2 decimals, averages/ratios to 6, similarity scores
+  to 4 — keeps double value-hashes stable across engines;
+- integer SUMs cast to BIGINT in SQL (DuckDB SUM(int) yields HUGEINT);
+- every top-N has a total deterministic ORDER BY (unique tie-break key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def all_queries() -> dict[str, QueryFn]:
+    # import side-effect modules that register extension queries
+    from proteofav_spark.operators import llm_queries  # noqa: F401
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    from proteofav_spark.operators import llm_queries  # noqa: F401
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters / projections (SURVEY §2.1, §2.3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_isin",
+    """
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           round(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE o_orderstatus IN ('F','O') AND o_orderpriority <> '3-MEDIUM'
+          AND o_totalprice > 50000
+    """,
+)
+def q_filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_selector isin/equality/negation pipeline
+    (parity: proteofav/utils.py:97-133)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus").isin("F", "O"))
+        .filter(F.col("o_orderpriority") != "3-MEDIUM")
+        .filter(F.col("o_totalprice") > 50000)
+        .select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+@register(
+    "filter_first_value",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag = (
+        SELECT l_returnflag FROM lineitem
+        ORDER BY l_orderkey, l_linenumber LIMIT 1)
+    """,
+)
+def q_filter_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_selector 'first' sentinel: keep rows equal to the column's first
+    value under explicit order (parity: proteofav/utils.py:112-114)."""
+    li = load(spark, sf_dir, "lineitem")
+    first_val = (
+        li.orderBy("l_orderkey", "l_linenumber").select("l_returnflag").first()[0]
+    )
+    return li.filter(F.col("l_returnflag") == first_val).select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+
+
+@register(
+    "project_exclude_columns",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    """,
+)
+def q_project_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exclude_columns → lenient drop + column pruning reaching the scan
+    (parity: proteofav/utils.py:203-220)."""
+    c = load(spark, sf_dir, "customer")
+    return c.drop("c_nationkey", "c_acctbal", "no_such_column")
+
+
+@register(
+    "type_constrain_try_cast",
+    """
+    SELECT o_orderkey,
+           TRY_CAST(o_orderstatus AS BIGINT) AS status_int,
+           TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS price_double
+    FROM orders
+    """,
+)
+def q_type_constrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """constrain_column_types try-cast semantics: failed casts → NULL,
+    clean casts round-trip (parity: proteofav/utils.py:136-200)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").try_cast("bigint").alias("status_int"),
+        F.col("o_totalprice").cast("string").try_cast("double").alias("price_double"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_left_string_keys",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+    FROM orders o
+    LEFT JOIN customer c
+      ON CAST(o.o_custkey AS VARCHAR) = CAST(c.c_custkey AS VARCHAR)
+    """,
+)
+def q_join_left_string_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left equi-join on string-cast composite keys — every reference merge
+    joins on strings (parity: proteofav/mergers.py:179,280-281,311).
+    The dimension side broadcasts."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.withColumn("_k", F.col("o_custkey").cast("string"))
+        .join(
+            F.broadcast(c.withColumn("_k", F.col("c_custkey").cast("string"))),
+            on="_k", how="left",
+        )
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "join_merge_tree",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_join_merge_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed multiway merge tree shape (parity:
+    proteofav/mergers.py:403-446): fact table stays left, dimensions
+    broadcast, one shuffle for the final aggregation."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_semi_anti",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+      AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_discount > 0.09)
+    """,
+)
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join — the reference's ~isin filters as real joins
+    (SURVEY §2.4 'not present' gap filled Spark-side)."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    hi_qty = li.filter(F.col("l_quantity") > 45).select("l_partkey")
+    hi_disc = li.filter(F.col("l_discount") > 0.09).select("l_partkey")
+    return (
+        p.join(hi_qty, p.p_partkey == hi_qty.l_partkey, "left_semi")
+        .join(hi_disc, p.p_partkey == hi_disc.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+    )
+
+
+@register(
+    "join_outer_collapse",
+    """
+    WITH u AS (
+      SELECT l_partkey AS xrefs_id, round(SUM(l_quantity), 2) AS qty_a
+      FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_partkey
+    ), e AS (
+      SELECT l_partkey AS xrefs_id, round(SUM(l_quantity), 2) AS qty_r
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey
+    )
+    SELECT COALESCE(u.xrefs_id, e.xrefs_id) AS xrefs_id, u.qty_a, e.qty_r
+    FROM u FULL OUTER JOIN e ON u.xrefs_id = e.xrefs_id
+    """,
+)
+def q_join_outer_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER merge of two variant-style tables on a shared id
+    (parity: uniprot_vars_ensembl_vars_merger proteofav/mergers.py:193-219)."""
+    li = load(spark, sf_dir, "lineitem")
+    u = (
+        li.filter(F.col("l_returnflag") == "A")
+        .groupBy(F.col("l_partkey").alias("xrefs_id"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty_a"))
+    )
+    e = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_partkey").alias("xrefs_id"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty_r"))
+    )
+    return (
+        u.join(e, on="xrefs_id", how="outer")
+        .select("xrefs_id", "qty_a", "qty_r")
+    )
+
+
+@register(
+    "join_range_interval",
+    """
+    SELECT s.s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_parts_in_range
+    FROM supplier s
+    JOIN part p ON p.p_size BETWEEN s.s_nationkey AND s.s_nationkey + 10
+    GROUP BY s.s_suppkey
+    """,
+)
+def q_join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join — region-containment semantics (SIFTS regions,
+    proteofav/sifts.py:274-284) as an explicit range join."""
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part")
+    cond = (p.p_size >= s.s_nationkey) & (p.p_size <= s.s_nationkey + 10)
+    return (
+        s.join(F.broadcast(p), cond)
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts_in_range"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(SUM(l_quantity), 2) AS sum_qty,
+           round(SUM(l_extendedprice), 2) AS sum_base_price,
+           round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(AVG(l_quantity), 6) AS avg_qty,
+           round(AVG(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-aggregate groupBy with map-side partial agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_residue_rollup",
+    """
+    SELECT g.l_orderkey, g.centroid_price, g.centroid_qty,
+           first_flag,
+           CAST(id AS INT) AS id
+    FROM (
+      SELECT l_orderkey,
+             round(AVG(l_extendedprice), 6) AS centroid_price,
+             round(AVG(l_quantity), 6) AS centroid_qty,
+             MIN(l_linenumber) AS id
+      FROM lineitem GROUP BY l_orderkey) g
+    JOIN (
+      SELECT l_orderkey AS k, l_returnflag AS first_flag,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_returnflag) AS rn
+      FROM lineitem) f
+      ON g.l_orderkey = f.k AND f.rn = 1
+    """,
+)
+def q_agg_residue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """residues_aggregation shape: mean for numerics + ordered-first for
+    object columns (parity: proteofav/structures.py:483-512)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.round(F.avg("l_extendedprice"), 6).alias("centroid_price"),
+        F.round(F.avg("l_quantity"), 6).alias("centroid_qty"),
+        F.min_by(
+            "l_returnflag", F.struct("l_linenumber", "l_returnflag")
+        ).alias("first_flag"),
+        F.min("l_linenumber").alias("id"),
+    )
+
+
+@register(
+    "agg_collapse_by_key",
+    """
+    SELECT c_mktsegment,
+           string_agg(DISTINCT c_name, ',' ORDER BY c_name) AS names,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+    FROM customer
+    WHERE c_custkey <= 200
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_collapse_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merging_down_by_key shape: distinct non-null values per group as a
+    deterministic joined list (parity: proteofav/utils.py:250-307 — the
+    O(n²) pandas loop is one hash aggregation here)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_custkey") <= 200)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("c_name"))).alias("names"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "agg_duplicate_check",
+    """
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_agg_duplicate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness/duplication probe (parity:
+    proteofav/structures.py:770-772, proteofav/dssp.py:337-338)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@register(
+    "agg_preferred_argmax",
+    """
+    SELECT g.o_custkey, f.best_order, g.best_price
+    FROM (
+      SELECT o_custkey, round(MAX(o_totalprice), 2) AS best_price
+      FROM orders GROUP BY o_custkey) g
+    JOIN (
+      SELECT o_custkey AS k, o_orderkey AS best_order,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) f
+      ON g.o_custkey = f.k AND f.rn = 1
+    """,
+)
+def q_agg_preferred_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preferred-id argmax with deterministic tie-break (parity:
+    get_preferred_uniprot_id_from_mapping proteofav/variants.py:290-319)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by(
+            "o_orderkey", F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")))
+        ).alias("best_order"),
+        F.round(F.max("o_totalprice"), 2).alias("best_price"),
+    )
+
+
+@register(
+    "agg_single_value_probe",
+    """
+    SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+    FROM orders
+    """,
+)
+def q_agg_single_value_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_empty_cols single-pass countDistinct probe (parity:
+    proteofav/mergers.py:385-399)."""
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_orderstatus").alias("n_status"),
+        F.countDistinct("o_orderpriority").alias("n_priority"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-shaped operators (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_reset_id",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey ORDER BY l_linenumber) AS BIGINT) AS new_id
+    FROM lineitem
+    """,
+)
+def q_window_reset_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reset_atom_id / reset_res_id renumbering (parity:
+    proteofav/structures.py:860-864)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.row_number().over(w).cast("bigint").alias("new_id"),
+    )
+
+
+@register(
+    "window_dedup_adjacent",
+    """
+    SELECT l_orderkey, l_linenumber, l_suppkey FROM (
+      SELECT l_orderkey, l_linenumber, l_suppkey,
+             LAG(l_suppkey) OVER (
+                 PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_suppkey, l_partkey) AS prev_supp
+      FROM lineitem)
+    WHERE prev_supp IS NULL OR prev_supp <> l_suppkey
+    """,
+)
+def q_window_dedup_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Altloc-removal shape: drop rows repeating the previous row's key in
+    sequence order (parity: _remove_multiple_altlocs
+    proteofav/structures.py:399-427)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_suppkey", "l_partkey"
+    )
+    prev = F.lag("l_suppkey").over(w)
+    return (
+        li.withColumn("prev_supp", prev)
+        .filter(F.col("prev_supp").isNull() | (F.col("prev_supp") != F.col("l_suppkey")))
+        .select("l_orderkey", "l_linenumber", "l_suppkey")
+    )
+
+
+@register(
+    "window_segment_counter",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CASE WHEN event_type = 'login' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_no
+    FROM events
+    """,
+)
+def q_window_segment_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-suffix counter shape: conditional running count segments a
+    sequence (parity: _add_dssp_full_chain proteofav/dssp.py:153-194)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id", "user_id",
+        F.sum(F.when(F.col("event_type") == "login", 1).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("session_no"),
+    )
+
+
+@register(
+    "window_carry_forward",
+    """
+    SELECT event_id, user_id,
+           round(LAST_VALUE(CASE WHEN value > 0.5 THEN value END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS last_big_value
+    FROM events
+    """,
+)
+def q_window_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-number carry-forward shape: last non-null over a running window
+    (parity: proteofav/structures.py:149-158)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    marked = F.when(F.col("value") > 0.5, F.col("value"))
+    return e.select(
+        "event_id", "user_id",
+        F.round(F.last(marked, ignorenulls=True).over(w), 6).alias("last_big_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / explode (SURVEY §2.8, §2.5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_union_by_name",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def q_set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName of two selections (parity: pd.concat unions,
+    proteofav/variants.py:538-545)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderstatus")
+    b = o.filter(F.col("o_totalprice") > 200000).select("o_orderkey", "o_orderstatus")
+    return a.unionByName(b)
+
+
+@register(
+    "explode_interval_rollup",
+    """
+    WITH exploded AS (
+      SELECT o_orderkey, UNNEST(generate_series(1, CAST(o_orderkey % 5 AS BIGINT) + 1)) AS site
+      FROM orders WHERE o_orderkey <= 1000
+    )
+    SELECT site, CAST(COUNT(*) AS BIGINT) AS n_features,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS members
+    FROM exploded GROUP BY site
+    """,
+)
+def q_explode_interval_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """annotation_aggregation shape: explode an interval to per-position
+    rows then collapse per position with ordered joined labels (parity:
+    proteofav/annotation.py:67-103)."""
+    o = load(spark, sf_dir, "orders")
+    exploded = (
+        o.filter(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            F.explode(
+                F.sequence(F.lit(1), (F.col("o_orderkey") % 5 + 1))
+            ).alias("site"),
+        )
+    )
+    return exploded.groupBy("site").agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("members"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar / string functions (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_string_kit",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_uc,
+           regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+           concat(p_brand, '.', CAST(p_size AS VARCHAR)) AS brand_size,
+           CASE WHEN p_size >= 25 THEN 'Surface'
+                WHEN p_size >= 5 THEN 'Part. Exposed'
+                ELSE 'Core' END AS size_class,
+           round(p_retailprice / 100.0 * 100, 3) AS rsa_like
+    FROM part
+    """,
+)
+def q_scalar_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived-column kit: regexp_replace, concat, when/otherwise
+    bucketing, rounded ratio (parity: §2.7 —
+    res_full/altloc/RSA-class expressions)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.concat_ws(".", F.col("p_brand"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.when(F.col("p_size") >= 25, "Surface")
+        .when(F.col("p_size") >= 5, "Part. Exposed")
+        .otherwise("Core")
+        .alias("size_class"),
+        F.round(F.col("p_retailprice") / 100.0 * 100, 3).alias("rsa_like"),
+    )
+
+
+@register(
+    "scalar_map_lookup",
+    """
+    SELECT n_nationkey, n_name,
+           CASE n_regionkey WHEN 0 THEN 'AFRICA' WHEN 1 THEN 'AMERICA'
+                WHEN 2 THEN 'ASIA' WHEN 3 THEN 'EUROPE' WHEN 4 THEN 'MIDDLE EAST'
+                ELSE 'X' END AS region_code
+    FROM nation
+    """,
+)
+def q_scalar_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast constant-map lookup with unknown→sentinel (parity:
+    scop_3to1 / ASA create_map lookups, proteofav/structures.py:689-713)."""
+    n = load(spark, sf_dir, "nation")
+    m = F.create_map(
+        *[
+            F.lit(x)
+            for kv in [
+                (0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"),
+                (3, "EUROPE"), (4, "MIDDLE EAST"),
+            ]
+            for x in kv
+        ]
+    )
+    return n.select(
+        "n_nationkey", "n_name",
+        F.coalesce(m[F.col("n_regionkey")], F.lit("X")).alias("region_code"),
+    )
+
+
+@register(
+    "events_tumbling_window",
+    """
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the event stream table — the batch
+    equivalent of the Structured Streaming ingest path
+    (proteofav_spark/streaming)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.withColumn(
+            # ts arrives as bigint nanoseconds (nanosAsLong); bucket by hour
+            "hour_bucket",
+            F.floor(F.col("ts") / (3600 * 1_000_000_000)).cast("bigint"),
+        )
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
