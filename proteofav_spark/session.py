@@ -29,6 +29,15 @@ def get_spark(app_name: str = "proteofav_spark", cpus: str | None = None) -> Spa
       pruning reach the scans.
     """
     n = cpus or DEFAULT_CPUS
+    # executor Python workers unpickle mapInPandas closures by re-importing
+    # this package — make sure the repo root is importable regardless of the
+    # driver process's cwd/sys.path
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
