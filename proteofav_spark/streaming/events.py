@@ -1,0 +1,165 @@
+"""Structured Streaming over the ``events`` table.
+
+The reference has no streaming surface (SURVEY §2.10); this extension
+defines the streaming ingest path the 100 TB deployment needs:
+``readStream`` over the event-log directory → watermarked windowed
+aggregations (tumbling / sliding / session) → stream-static enrichment
+joins against the dimension lake → an ``applyInPandasWithState`` custom
+stateful operator for per-key running state.
+
+The batch twins of these plans live in queries.py
+(events_tumbling_window), so the streaming results are checkable against
+the DuckDB oracle through the same column contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+# events.parquet physical schema (ts is TIMESTAMP(NANOS) → bigint under
+# nanosAsLong; EVENT_TS is the converted timestamp column)
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def with_event_time(df: DataFrame) -> DataFrame:
+    """bigint nanoseconds → proper timestamp column ``event_ts``."""
+    return df.withColumn(
+        "event_ts", F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000.0))
+    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file per micro-batch
+    in tests; on a cluster this is the landing directory / Kafka topic)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        # the file source wants a directory; scope it to the events file(s)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    return with_event_time(raw)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type. Late rows beyond
+    the watermark drop; state is bounded."""
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Sliding-window mean value per user."""
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window, slide).alias("win"), "user_id")
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.col("win.start").alias("window_start"), "user_id", "avg_value"
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity."""
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id", "n_events",
+        )
+    )
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static broadcast join — the streaming twin of the reference's
+    enrichment joins (new structures vs static SIFTS lake, SURVEY §2.10)."""
+    return events.join(F.broadcast(dim), on=key, how="left")
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count + value sum
+    via ``applyInPandasWithState`` (the escape hatch for semantics windows
+    can't express)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Test helper: drain the stream into an in-memory table and block until
+    every available file is processed."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

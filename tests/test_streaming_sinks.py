@@ -1,0 +1,127 @@
+"""Streaming (events) + sink (mmCIF/PDB writers) tests."""
+
+from pyspark.sql import functions as F
+
+from proteofav_spark.operators.structures import select_structures
+from proteofav_spark.sinks.writers import (
+    make_chimera_attribute_file,
+    make_chimera_command_file,
+    write_mmcif_from_table,
+    write_pdb_from_table,
+)
+from proteofav_spark.sources.structures import parse_mmcif_atoms, parse_pdb_atoms
+from proteofav_spark.streaming.events import (
+    read_events_stream,
+    run_to_memory,
+    session_windows,
+    sliding_avg,
+    stream_static_enrich,
+    tumbling_counts,
+    with_event_time,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_tumbling_matches_batch(spark):
+    stream = read_events_stream(spark, SF)
+    run_to_memory(tumbling_counts(stream), "tumbling_test", output_mode="complete")
+    got = spark.sql(
+        "SELECT sum(n_events) AS n FROM tumbling_test"
+    ).first()["n"]
+    batch_n = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert got == batch_n
+
+
+def test_stream_sliding_and_session(spark):
+    stream = read_events_stream(spark, SF)
+    run_to_memory(sliding_avg(stream), "sliding_test", output_mode="complete")
+    assert spark.table("sliding_test").count() > 0
+    stream2 = read_events_stream(spark, SF)
+    run_to_memory(session_windows(stream2), "session_test", output_mode="complete")
+    s = spark.table("session_test")
+    assert s.count() > 0
+    assert s.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_stream_static_enrich(spark):
+    stream = read_events_stream(spark, SF)
+    dim = spark.range(0, 10000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 5).alias("cohort")
+    )
+    enriched = stream_static_enrich(stream, dim, "user_id")
+    run_to_memory(enriched.select("event_id", "user_id", "cohort"), "enrich_test")
+    t = spark.table("enrich_test")
+    assert t.filter(F.col("cohort").isNull()).count() == 0
+
+
+def test_event_time_conversion(spark):
+    df = with_event_time(spark.read.parquet(f"{SF}/events.parquet"))
+    row = df.select("ts", "event_ts").first()
+    assert abs(row["ts"] / 1e9 - row["event_ts"].timestamp()) < 1.0
+
+
+def test_write_mmcif_roundtrip(spark, refdata, tmp_path):
+    df = select_structures(
+        spark, f"{refdata}/mmcif/2pah.cif",
+        models="first", chains=("A",), atoms=("CA",), lines=("ATOM",),
+    )
+    out = str(tmp_path / "out.cif")
+    write_mmcif_from_table(df, out, overwrite=True)
+    back = parse_mmcif_atoms(spark, out, excluded_cols=())
+    assert back.count() == df.count()
+    a = df.select("Cartn_x", "auth_seq_id").orderBy("id").collect()
+    b = back.select("Cartn_x", "auth_seq_id").orderBy("id").collect()
+    assert a == b
+
+
+def test_write_pdb_roundtrip(spark, refdata, tmp_path):
+    df = select_structures(
+        spark, f"{refdata}/mmcif/2pah.cif",
+        models="first", chains=("A",), atoms=("CA",), lines=("ATOM",),
+    )
+    out = str(tmp_path / "out.pdb")
+    write_pdb_from_table(df, out, overwrite=True)
+    back = parse_pdb_atoms(spark, out)
+    assert back.count() == df.count()
+    row = back.orderBy("id").first()
+    assert row["label_atom_id"] == "CA"
+    assert row["auth_asym_id"] == "A"
+    assert row["auth_seq_id"] == "118"
+
+
+def test_chimera_files(spark, refdata):
+    from proteofav_spark.sources.dssp import select_dssp
+
+    dssp = select_dssp(spark, f"{refdata}/dssp/2pah.dssp", chains=("A",))
+    attr = make_chimera_attribute_file(dssp, "RSA", "RES")
+    assert attr.startswith("# Generated with proteofav_spark")
+    assert "attribute: RSA" in attr
+    assert "\t:118\t" in attr
+    cmd = make_chimera_command_file("2pah.cif", content="defattr RSA.attr")
+    assert cmd.startswith("open 2pah.cif")
+    assert "color green,r helix" in cmd
+
+
+def test_running_user_totals_stateful(spark):
+    from proteofav_spark.streaming.events import running_user_totals
+
+    stream = read_events_stream(spark, SF)
+    run_to_memory(
+        running_user_totals(stream), "stateful_test", output_mode="update"
+    )
+    t = spark.table("stateful_test")
+    assert t.count() > 0
+    # final state per user matches the batch rollup
+    final = (
+        t.groupBy("user_id").agg(F.max("n_events").alias("n")).orderBy("user_id")
+    )
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .count()
+        .orderBy("user_id")
+    )
+    got = {r["user_id"]: r["n"] for r in final.collect()}
+    expect = {r["user_id"]: r["count"] for r in batch.collect()}
+    assert got == expect
