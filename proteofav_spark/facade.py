@@ -1,0 +1,216 @@
+"""Per-source singleton facades with the uniform read / write / select /
+download protocol (parity: GenericInputs proteofav/utils.py:457-482 and the
+per-source singletons — PDB/mmCIF structures.py:1030-1053, SIFTS
+sifts.py:456-474, DSSP dssp.py:432-449, Validation validation.py:195-212,
+Annotation annotation.py:178-195, Variants variants.py:703-715, MSA
+msas.py:530-546).
+
+``select(identifier)`` = download-if-missing (driver-side staging) →
+``read`` (lazy Spark plan) → filter pipeline → canonical DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from proteofav_spark import fetchers
+from proteofav_spark.config import defaults
+
+
+class GenericSource:
+    """Shared identifier/filename/table memoization."""
+
+    #: subclasses set: name, db_attr, ext, url_builder
+    name = "generic"
+    db_attr = "db_lake"
+    ext = ""
+
+    def __init__(self, spark: SparkSession | None = None) -> None:
+        self._spark = spark
+        self._identifier: str | None = None
+        self._filename: str | None = None
+        self._table: DataFrame | None = None
+
+    # -- protocol ----------------------------------------------------------
+    def spark(self, spark: SparkSession | None = None) -> SparkSession:
+        if spark is not None:
+            self._spark = spark
+        if self._spark is None:
+            from proteofav_spark.session import get_spark
+
+            self._spark = get_spark()
+        return self._spark
+
+    def identifier(self, identifier: str | None = None) -> str:
+        if identifier is not None:
+            self._identifier = identifier
+        if self._identifier is None:
+            raise ValueError("An Identifier is needed!")
+        return self._identifier
+
+    def filename(self, filename: str | None = None) -> str:
+        if filename is not None:
+            self._filename = filename
+        if self._filename is None and self._identifier is not None:
+            cache_dir = getattr(defaults, self.db_attr)
+            self._filename = os.path.join(
+                cache_dir, f"{self._identifier}{self.ext}"
+            )
+        if self._filename is None:
+            raise ValueError("A filename is needed!")
+        return self._filename
+
+    def table(self, table: DataFrame | None = None) -> DataFrame:
+        if table is not None:
+            self._table = table
+        if self._table is None:
+            raise ValueError("A Spark DataFrame is needed!")
+        return self._table
+
+    def download(self, identifier: str | None = None, filename: str | None = None,
+                 overwrite: bool = False, **kwargs) -> str:
+        ident = self.identifier(identifier)
+        fname = self.filename(filename)
+        fetchers.Downloader(
+            self.url(ident, **kwargs), fname,
+            decompress=self.url(ident, **kwargs).endswith(".gz"),
+            overwrite=overwrite,
+        )
+        return fname
+
+    def url(self, identifier: str, **kwargs) -> str:
+        raise NotImplementedError
+
+    def read(self, filename: str | None = None, **kwargs) -> DataFrame:
+        raise NotImplementedError
+
+    def select(self, identifier: str | None = None, overwrite: bool = False,
+               **kwargs) -> DataFrame:
+        ident = self.identifier(identifier)
+        fname = self.filename()
+        if not os.path.exists(fname):
+            self.download(ident, fname, overwrite=overwrite)
+        self._table = self.read(fname, **kwargs)
+        return self._table
+
+
+class _MMCIF(GenericSource):
+    name, db_attr, ext = "mmcif", "db_mmcif", ".cif"
+
+    def url(self, identifier, bio_unit=False):
+        return fetchers.url_mmcif(identifier, bio_unit=bio_unit)
+
+    def read(self, filename=None, **kwargs):
+        from proteofav_spark.operators.structures import select_structures
+
+        return select_structures(self.spark(), self.filename(filename), **kwargs)
+
+    def write(self, table=None, filename=None, overwrite=False):
+        from proteofav_spark.sinks.writers import write_mmcif_from_table
+
+        write_mmcif_from_table(self.table(table), self.filename(filename), overwrite)
+
+
+class _PDB(_MMCIF):
+    name, db_attr, ext = "pdb", "db_pdb", ".pdb"
+
+    def url(self, identifier, **kwargs):
+        return fetchers.url_pdb(identifier)
+
+    def write(self, table=None, filename=None, overwrite=False):
+        from proteofav_spark.sinks.writers import write_pdb_from_table
+
+        write_pdb_from_table(self.table(table), self.filename(filename), overwrite)
+
+
+class _SIFTS(GenericSource):
+    name, db_attr, ext = "sifts", "db_sifts", ".xml"
+
+    def url(self, identifier, **kwargs):
+        return fetchers.url_sifts(identifier)
+
+    def read(self, filename=None, **kwargs):
+        from proteofav_spark.sources.sifts import select_sifts
+
+        return select_sifts(self.spark(), self.filename(filename), **kwargs)
+
+
+class _DSSP(GenericSource):
+    name, db_attr, ext = "dssp", "db_dssp", ".dssp"
+
+    def url(self, identifier, **kwargs):
+        raise NotImplementedError(
+            "public DSSP mirrors are gone; generate DSSP locally or stage "
+            "files into defaults.db_dssp"
+        )
+
+    def read(self, filename=None, **kwargs):
+        from proteofav_spark.sources.dssp import select_dssp
+
+        return select_dssp(self.spark(), self.filename(filename), **kwargs)
+
+
+class _Validation(GenericSource):
+    name, db_attr, ext = "validation", "db_validation", "_validation.xml"
+
+    def url(self, identifier, **kwargs):
+        return fetchers.url_validation(identifier)
+
+    def read(self, filename=None, **kwargs):
+        from proteofav_spark.sources.validation import select_validation
+
+        return select_validation(self.spark(), self.filename(filename), **kwargs)
+
+
+class _Annotation(GenericSource):
+    name, db_attr, ext = "annotation", "db_annotation", ".gff"
+
+    def url(self, identifier, **kwargs):
+        return fetchers.url_annotation(identifier)
+
+    def read(self, filename=None, **kwargs):
+        from proteofav_spark.sources.annotation import select_annotation
+
+        return select_annotation(self.spark(), self.filename(filename), **kwargs)
+
+
+class _Variants(GenericSource):
+    name, db_attr, ext = "variants", "db_lake", ".json"
+
+    def url(self, identifier, **kwargs):
+        return fetchers.url_uniprot_variants(identifier)
+
+    def read(self, filename=None, **kwargs):
+        from proteofav_spark.sources.variants import flatten_uniprot_variants
+
+        raw = self.spark().read.option("multiLine", True).json(
+            self.filename(filename)
+        )
+        return flatten_uniprot_variants(raw, **kwargs)
+
+
+class _MSA(GenericSource):
+    name, db_attr, ext = "msa", "db_msas", ".fasta"
+
+    def url(self, identifier, seq_format="fasta", **kwargs):
+        raise NotImplementedError(
+            "MSA sources (Pfam/CATH) need dataset-specific URLs; stage files "
+            "into defaults.db_msas"
+        )
+
+    def read(self, filename=None, seq_format="fasta", **kwargs):
+        from proteofav_spark.sources.msas import read_msas
+
+        return read_msas(self.spark(), self.filename(filename), seq_format=seq_format)
+
+
+mmCIF = _MMCIF()
+PDB = _PDB()
+SIFTS = _SIFTS()
+DSSP = _DSSP()
+Validation = _Validation()
+Annotation = _Annotation()
+Variants = _Variants()
+MSA = _MSA()
