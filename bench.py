@@ -30,6 +30,8 @@ HEADLINE = [
     "text_token_stats",       # tokenizer statistics
     "text_fingerprint",       # polynomial rolling hash
     "knn_cosine_topk",        # brute-force cosine top-k
+    "ann_lsh_bucketed",       # hyperplane-LSH bucketed ANN
+    "sessionize_events_gap",  # gap-based sessionization
 ]
 
 

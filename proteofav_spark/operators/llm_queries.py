@@ -555,3 +555,144 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN: random-hyperplane LSH buckets (the scale path over brute force)
+# ---------------------------------------------------------------------------
+
+N_TABLES = 6   # independent LSH tables (multi-probe recall)
+PLANES_PER_TABLE = 4
+DIM = 64
+
+
+def _plane_coef(j: int, d: int) -> int:
+    """Deterministic integer hyperplane coefficients shared with the
+    oracle: ((j*31 + d*17) % 7) - 3 ∈ [-3, 3]."""
+    return ((j * 31 + d * 17) % 7) - 3
+
+
+def _sql_bucket(table_no: int, col: str = "embedding") -> str:
+    base = table_no * PLANES_PER_TABLE
+    bits = " + ".join(
+        "(CASE WHEN round("
+        + " + ".join(
+            f"{col}[{d}] * ({_plane_coef(base + j, d)})" for d in range(1, DIM + 1)
+        )
+        + f", 6) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(PLANES_PER_TABLE)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+def _plane_array(table_no: int, j: int) -> Column:
+    base = table_no * PLANES_PER_TABLE
+    return F.array(
+        *[F.lit(float(_plane_coef(base + j, d))) for d in range(1, DIM + 1)]
+    )
+
+
+def bucket_col(table_no: int, col: str = "embedding") -> Column:
+    """Spark twin of :func:`_sql_bucket`: sign bits of the hyperplane
+    projections packed into a per-table bucket id. Projections run as
+    ``zip_with``+``aggregate`` loops over coefficient array literals —
+    loop-based codegen instead of a 64-term unrolled expression tree."""
+    emb = F.col(col)
+    total = None
+    for j in range(PLANES_PER_TABLE):
+        dot = F.aggregate(
+            F.zip_with(emb, _plane_array(table_no, j), lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(F.round(dot, 6) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        total = bit if total is None else total + bit
+    return total.cast("bigint")
+
+
+_ANN_SQL = f"""
+    WITH b AS (
+      {" UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, {_sql_bucket(t)} AS bucket "
+        f"FROM embeddings"
+        for t in range(N_TABLES)
+      )}
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv, tbl, bucket
+          FROM b WHERE vec_id < 3),
+    cand AS (
+      SELECT DISTINCT q.qid, b.vec_id, q.qv, b.embedding
+      FROM q JOIN b ON q.tbl = b.tbl AND q.bucket = b.bucket
+                   AND b.vec_id <> q.qid),
+    scored AS (
+      SELECT qid, vec_id,
+             round(list_cosine_similarity(qv, embedding), 4) AS cosine
+      FROM cand),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored)
+    SELECT qid, vec_id, cosine, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+"""
+
+
+@register("ann_lsh_bucketed", _ANN_SQL)
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via multi-table hyperplane LSH: 3 independent tables
+    of 4 deterministic hyperplanes each; candidates = union of same-bucket
+    vectors across tables, then exact cosine re-rank. Multiple small tables
+    trade a few extra candidates for recall a single deep table cannot
+    reach. At 100 TB the bucket equi-join replaces the brute-force cross
+    join; table count / plane depth tune the recall-cost point."""
+    e = load(spark, sf_dir, "embeddings")
+    bands = None
+    for t in range(N_TABLES):
+        bt = e.select(
+            "vec_id", "embedding",
+            F.lit(t).alias("tbl"), bucket_col(t).alias("bucket"),
+        )
+        bands = bt if bands is None else bands.unionByName(bt)
+    q = (
+        bands.filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+            "tbl", "bucket",
+        )
+    )
+    cand = (
+        bands.join(F.broadcast(q), on=["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "qv", "embedding")
+        .distinct()
+    )
+
+    def dot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def norm(a: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    cosine = F.round(
+        dot(F.col("embedding"), F.col("qv"))
+        / (norm(F.col("embedding")) * norm(F.col("qv"))),
+        4,
+    )
+    scored = cand.select("qid", "vec_id", cosine.alias("cosine"))
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "vec_id", "cosine", "rk")
+    )

@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata structs, processed via Arrow-batched
+``mapInPandas``.
+
+The container has no codec libraries, so the decode kernels are STUBS
+(deterministic fakes clearly marked); everything Spark-side — schemas,
+batch iteration, partitioning, UDF signatures — is real and tested. On a
+real deployment only `_decode_image_stub` / `_extract_audio_features_stub`
+change.
+
+Design for 100 TB: blobs stay in the lake (parquet binary columns or
+object-store URIs); decode runs once per Arrow batch, per partition, with
+no driver involvement; frame-sampling emits multiple rows per input via
+the mapInPandas iterator contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test/dev helper: derive a deterministic opaque binary payload +
+    metadata from an existing column (stands in for real image bytes)."""
+    payload = F.encode(F.col(text_col), "UTF-8").cast("binary")
+    meta = F.struct(
+        (F.length(payload) % 640 + 16).cast("int").alias("width"),
+        (F.length(payload) % 480 + 16).cast("int").alias("height"),
+        F.lit(3).alias("channels"),
+        F.lit("fake/raw").alias("format"),
+    )
+    return df.withColumn("payload", payload).withColumn("meta", meta)
+
+
+def _decode_image_stub(blob: bytes, width: int, height: int) -> np.ndarray:
+    """STUB decode: deterministic fake pixel array derived from the bytes.
+    Replace with a real codec (PIL/cv2) in deployment — signature and batch
+    shape are the contract."""
+    rng = np.frombuffer(blob, dtype=np.uint8)
+    size = max(1, width * height % 1024)
+    reps = int(np.ceil(size / max(1, len(rng)))) if len(rng) else 1
+    return np.tile(rng, reps)[:size] if len(rng) else np.zeros(size, np.uint8)
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """Decode → feature-extract over binary payloads: one Arrow batch at a
+    time, emitting (doc_id, n_bytes, mean_pixel, histogram8)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("mean_pixel", T.DoubleType()),
+            T.StructField("histogram8", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                arr = _decode_image_stub(blob, meta["width"], meta["height"])
+                hist = np.histogram(arr, bins=8, range=(0, 256))[0]
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_bytes": len(blob),
+                        "mean_pixel": round(float(arr.mean()), 6),
+                        "histogram8": hist.astype("int64").tolist(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload", "meta").mapInPandas(extract, schema)
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame-sampling shape: one input blob → many frame rows (video
+    decode-and-sample contract). The stub emits one 'frame' marker per
+    ``every_n_bytes`` window of the payload."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame_checksum", T.LongType()),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(0, max(1, len(blob) // every_n_bytes)):
+                    chunk = blob[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_no": i,
+                            "frame_checksum": int(sum(chunk) % 1_000_003),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(sample, schema)
+
+
+def extract_audio_features_stub(*_args, **_kwargs):
+    """Audio decode requires codec libraries not present in this container."""
+    raise NotImplementedError(
+        "audio decode needs soundfile/librosa; the Spark plumbing "
+        "(binary column + mapInPandas batch contract) is image_features()"
+    )

@@ -704,3 +704,205 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended coverage: JSON, binary/multimodal, grouping sets, sessionization
+# ---------------------------------------------------------------------------
+
+@register(
+    "json_flatten_props",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def q_json_flatten_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON flattening (parity: flatten_nested_structure
+    proteofav/utils.py:310-336 via from_json + struct expansion)."""
+    from pyspark.sql import types as T
+
+    e = load(spark, sf_dir, "events")
+    parsed = e.withColumn(
+        "props_s",
+        F.from_json("props", T.StructType([T.StructField("k", T.LongType())])),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("props_s.k").alias("k"),
+        (F.col("props_s.k") % 10).alias("k_bucket"),
+    )
+
+
+@register(
+    "binary_payload_ops",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def q_binary_payload_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: byte length + content digest over an
+    encoded payload (the multimodal column contract; decode kernels live in
+    operators/multimodal.py)."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    )
+
+
+@register(
+    "distinct_scan",
+    """
+    SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    """,
+)
+def q_distinct_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct scan driving fan-out loops (parity:
+    proteofav/mergers.py:350,375 unique() loops)."""
+    return load(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey"
+    ).distinct()
+
+
+@register(
+    "agg_rollup_hierarchy",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           round(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — free in Spark SQL, absent in the reference
+    (SURVEY §2.5 'not present'); exposed as a first-class operator."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "sessionize_events_gap",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_id,
+             CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+      FROM ordered),
+    sessions AS (
+      SELECT user_id, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize_events_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 30-min inactivity gap starts a new session —
+    the same segmented-running-sum shape as the DSSP chain-suffix counter
+    (proteofav/dssp.py:153-194), on event time."""
+    e = load(spark, sf_dir, "events")
+    # ts is bigint nanoseconds under nanosAsLong
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull() | ((F.col("ts") - prev_ts) / 1e9 > 1800), 1
+    ).otherwise(0)
+    run = W.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    flagged = e.withColumn("new_sess", new_sess)
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_sess").over(run).cast("bigint")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "array_zip_mismatch",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(len(list_filter(
+               list_zip(a.embedding, b.embedding),
+               p -> (p[1] > 0) <> (p[2] > 0))) AS BIGINT) AS sign_mismatches
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id + 1 = b.vec_id AND a.vec_id < 20
+    """,
+)
+def q_array_zip_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional sequence comparison via zip_with (parity:
+    _count_mismatches proteofav/variants.py:430-439 — here counting sign
+    disagreements between consecutive embedding vectors)."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    joined = a.join(b, F.col("vec_a") + 1 == F.col("vec_b"))
+    mism = F.aggregate(
+        F.zip_with(
+            "emb_a", "emb_b",
+            lambda x, y: F.when((x > 0) != (y > 0), 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return joined.select(
+        "vec_a", "vec_b", mism.cast("bigint").alias("sign_mismatches")
+    )
+
+
+@register(
+    "set_intersect_except",
+    """
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT
+    SELECT l_partkey FROM lineitem WHERE l_quantity > 49
+    """,
+)
+def q_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT table operators (absent in the reference —
+    SURVEY §2.8 'no intersect/except'; first-class here)."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    hi = li.filter(F.col("l_quantity") > 49).select("l_partkey")
+    return a.intersect(r).exceptAll(hi).distinct()
+
+
+@register("approx_distinct_parts")
+def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) — sketch aggregates have no cross-engine
+    oracle (DuckDB's approx uses a different sketch), so the driver records
+    the rows-only check; the companion exact count is in
+    agg_single_value_probe."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )

@@ -1,0 +1,76 @@
+"""Multimodal binary-column plumbing + LLM operator unit tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from proteofav_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_audio_features_stub,
+    frame_sample,
+    image_features,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_attach_and_image_features(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    with_bin = attach_binary_payload(d)
+    assert dict(with_bin.dtypes)["payload"] == "binary"
+    feats = image_features(with_bin)
+    rows = feats.collect()
+    assert len(rows) == 50
+    r = rows[0]
+    assert r["n_bytes"] > 0
+    assert 0 <= r["mean_pixel"] <= 255
+    assert len(r["histogram8"]) == 8
+    assert sum(r["histogram8"]) > 0
+
+
+def test_frame_sample_multiplies_rows(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    with_bin = attach_binary_payload(d)
+    frames = frame_sample(with_bin, every_n_bytes=32)
+    assert frames.count() > 20
+    per_doc = frames.groupBy("doc_id").count()
+    assert per_doc.filter(F.col("count") > 1).count() > 0
+    # frame numbering starts at 0 per doc
+    assert frames.groupBy("doc_id").agg(F.min("frame_no").alias("m")) \
+        .filter(F.col("m") != 0).count() == 0
+
+
+def test_audio_stub_raises():
+    with pytest.raises(NotImplementedError):
+        extract_audio_features_stub(b"xx")
+
+
+def test_minhash_similar_docs_share_bands(spark):
+    """Two near-identical texts must collide in at least one LSH band."""
+    from proteofav_spark.operators.llm_queries import q_dedup_minhash_lsh
+    import os, tempfile
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 3
+    rows = [
+        (0, base, "en", "s", len(base)),
+        (1, base + "phi chi", "en", "s", len(base) + 8),
+        (2, "completely different words " * 10, "en", "s", 270),
+    ]
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = q_dedup_minhash_lsh(spark, tmp).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_bands_shared"] for r in out}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_knn_self_similarity_excluded(spark):
+    from proteofav_spark.operators.llm_queries import q_knn_cosine_topk
+
+    out = q_knn_cosine_topk(spark, SF)
+    assert out.filter(F.col("qid") == F.col("vec_id")).count() == 0
+    ranks = out.filter(F.col("qid") == 0).orderBy("rk").collect()
+    cosines = [r["cosine"] for r in ranks]
+    assert cosines == sorted(cosines, reverse=True)
