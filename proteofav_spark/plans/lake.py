@@ -1,0 +1,121 @@
+"""The canonical Parquet lake: bulk ingest of many structure files and the
+partitioning/bucketing layout that keeps 100 TB queryable.
+
+Layout rules:
+- every source table lands as Parquet partitioned by ``entry_id`` (the
+  structure / protein accession) so per-protein pipelines prune to one
+  partition and the enrichment joins co-locate;
+- dimension-like tables (SIFTS mapping, annotation) are additionally
+  bucketable by their join key (``saveAsTable`` + ``bucketBy``) so the
+  atom⟕sifts join is shuffle-free on a cluster;
+- the interactive readers (sources/*) parse one file per call; the bulk
+  path here parses *many* files in one job — one task per file via
+  wholetext + Arrow batches, emitting a single canonical-schema DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from proteofav_spark.library import PDBX_TYPES
+
+_SPARK_T = {"string": T.StringType(), "bigint": T.LongType(), "double": T.DoubleType()}
+
+
+def atoms_canonical_schema() -> T.StructType:
+    fields = [T.StructField(c, _SPARK_T[t]) for c, t in PDBX_TYPES.items()]
+    fields += [
+        T.StructField("line_no", T.LongType()),
+        T.StructField("source_file", T.StringType()),
+        T.StructField("entry_id", T.StringType()),
+    ]
+    return T.StructType(fields)
+
+
+def _parse_mmcif_text(text: str, fname: str) -> list[dict]:
+    """Single-document mmCIF _atom_site parse (executor-side, one file per
+    row of the wholetext scan). Same record semantics as
+    sources/structures.parse_mmcif_atoms."""
+    header: list[str] = []
+    rows: list[dict] = []
+    entry_id = re.sub(r"\.(cif|mmcif)(\.gz)?$", "", os.path.basename(fname))
+    line_no = 0
+    for raw in text.splitlines():
+        if raw.startswith("_atom_site."):
+            header.append(raw.split(".", 1)[1].strip())
+        elif raw.startswith(("ATOM", "HETATM")):
+            toks = raw.split()
+            rec = dict(zip(header, toks))
+            rec["line_no"] = line_no
+            rec["source_file"] = fname
+            rec["entry_id"] = entry_id
+            rows.append(rec)
+        line_no += 1
+    return rows
+
+
+def parse_mmcif_atoms_many(spark: SparkSession, path: str) -> DataFrame:
+    """Bulk mmCIF ingest: ``path`` is a directory/glob of .cif files; one
+    executor task per file; output is one DataFrame in the canonical atom
+    schema with ``entry_id`` for partitioning. This is the 100 TB ingest
+    path — per-file schema drift is absorbed into the canonical column set
+    (missing → null, extras dropped)."""
+    schema = atoms_canonical_schema()
+    names = schema.fieldNames()
+    numeric = {c: t for c, t in PDBX_TYPES.items() if t != "string"}
+
+    def parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for text, fname in zip(pdf["value"], pdf["source_file"]):
+                out.extend(_parse_mmcif_text(text, fname))
+            frame = pd.DataFrame(out)
+            for c in names:
+                if c not in frame.columns:
+                    frame[c] = None
+            for c, t in numeric.items():
+                frame[c] = pd.to_numeric(frame[c], errors="coerce")
+                if t == "bigint":
+                    frame[c] = frame[c].astype("Int64")
+            yield frame[names]
+
+    files = spark.read.text(path, wholetext=True).withColumn(
+        "source_file", F.input_file_name()
+    )
+    return files.mapInPandas(parse_batch, schema=schema)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: tuple[str, ...] = ("entry_id",)
+) -> None:
+    """Land a canonical table partitioned by entry id — partition pruning
+    makes per-protein reads O(1 partition) regardless of lake size."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 32,
+    sort_cols: tuple[str, ...] = (),
+) -> None:
+    """Persist as a bucketed managed table: joins/aggregations on the
+    bucket key skip the exchange entirely (co-located join at any scale)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name, format="parquet")
+
+
+def read_lake(spark: SparkSession, path: str, entry_id: str | None = None) -> DataFrame:
+    """Read the lake; passing ``entry_id`` prunes to one partition."""
+    df = spark.read.parquet(path)
+    if entry_id is not None:
+        df = df.filter(F.col("entry_id") == entry_id)
+    return df
