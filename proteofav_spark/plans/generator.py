@@ -1,0 +1,160 @@
+"""table_generator / Tables.generate: produce the six source tables from
+staged files and optionally merge them, with sequence-consistency checks.
+
+Parity targets:
+- table_generator   proteofav/mergers.py:449-573 (the network fetch stage of
+  the reference becomes lake staging — callers point at local files; see
+  facade.GenericSource.download for the staging step)
+- Tables.generate   proteofav/mergers.py:606-629
+- sequence checks   proteofav/mergers.py:286-307, :324-339 — re-expressed
+  as mismatch-count probes over the joined table (one filter+count each).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from proteofav_spark.functions.derived import aa3to1_expr
+from proteofav_spark.plans.mergers import table_merger
+
+
+class SequenceCheckError(ValueError):
+    pass
+
+
+@dataclass
+class SourcePaths:
+    """Local staged file paths for one entry (the post-download state)."""
+
+    mmcif: str | None = None
+    dssp: str | None = None
+    sifts: str | None = None
+    validation: str | None = None
+    annotation: str | None = None
+    variants: str | None = None
+
+
+def table_generator(
+    spark: SparkSession,
+    paths: SourcePaths,
+    chains: tuple[str, ...] | None = None,
+    res: tuple[str, ...] | None = None,
+    sites: tuple[str, ...] | None = None,
+    atoms: tuple[str, ...] | None = None,
+    lines: tuple[str, ...] | None = None,
+    residue_agg: bool = False,
+) -> tuple:
+    """Select all available source tables with consistent filters.
+    Returns the 6-tuple (mmcif, dssp, sifts, validation, annotation,
+    variants) with None for absent sources."""
+    mmcif = dssp = sifts = validation = annotation = variants = None
+    if paths.mmcif:
+        from proteofav_spark.operators.structures import select_structures
+
+        mmcif = select_structures(
+            spark, paths.mmcif,
+            models="first", chains=chains, res=res, atoms=atoms, lines=lines,
+            residue_agg=residue_agg,
+        )
+    if paths.dssp:
+        from proteofav_spark.sources.dssp import select_dssp
+
+        dssp = select_dssp(spark, paths.dssp, chains=chains)
+    if paths.sifts:
+        from proteofav_spark.sources.sifts import select_sifts
+
+        sifts = select_sifts(spark, paths.sifts, chain_auth=chains, res=res)
+    if paths.validation:
+        from proteofav_spark.sources.validation import select_validation
+
+        validation = select_validation(spark, paths.validation, chains=chains)
+    if paths.annotation:
+        from proteofav_spark.sources.annotation import select_annotation
+
+        annotation = select_annotation(
+            spark, paths.annotation, annotation_agg=True
+        )
+    if paths.variants:
+        from proteofav_spark.sources.variants import flatten_uniprot_variants
+
+        raw = spark.read.option("multiLine", True).json(paths.variants)
+        variants = flatten_uniprot_variants(raw)
+    return mmcif, dssp, sifts, validation, annotation, variants
+
+
+def check_sequence_consistency(
+    merged: DataFrame,
+    pair: str = "dssp",
+    mode: str = "warn",
+    label: str = "",
+) -> int:
+    """Compare the residue letters contributed by two sources in the merged
+    table; returns the mismatch count and raises/warns per ``mode``.
+
+    dssp pair:  label_comp_id (3-letter → 1) vs AA (lowercase Cys → 'C')
+    sifts pair: auth_comp_id (→1) vs PDB_dbResName (→1)
+    Null / 'X' positions are ignored, like the reference masks.
+    """
+    if pair == "dssp":
+        left = aa3to1_expr("label_comp_id")
+        aa = F.col("AA")
+        right = F.when(
+            (aa == F.lower(aa)) & (aa != F.upper(aa)), F.lit("C")
+        ).otherwise(aa)
+        mask = F.col("label_comp_id").isNotNull() & aa.isNotNull() & (right != "X")
+    elif pair == "sifts":
+        left = aa3to1_expr("auth_comp_id")
+        right = aa3to1_expr("PDB_dbResName")
+        mask = (
+            F.col("auth_comp_id").isNotNull()
+            & F.col("PDB_dbResName").isNotNull()
+        )
+    else:
+        raise ValueError(f"unknown sequence-check pair: {pair}")
+    n = merged.filter(mask & (left != right)).count()
+    if n:
+        message = f"{label} Cif and {pair.upper()} files have different sequences."
+        if mode == "raise":
+            raise SequenceCheckError(message)
+        import logging
+
+        logging.getLogger(__name__).warning(message)
+    return n
+
+
+class TablesGenerator:
+    """generate() + merge() in one facade (parity: Tables
+    proteofav/mergers.py:576-632)."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self.tables: tuple = (None,) * 6
+        self.table: DataFrame | None = None
+
+    def generate(
+        self,
+        paths: SourcePaths,
+        merge_tables: bool = False,
+        sequence_check: str = "ignore",
+        **kwargs,
+    ):
+        self.tables = table_generator(self.spark, paths, **kwargs)
+        if not merge_tables:
+            return self.tables
+        mmcif, dssp, sifts, validation, annotation, variants = self.tables
+        self.table = table_merger(
+            mmcif, dssp, sifts, validation, annotation, variants
+        )
+        if sequence_check in ("raise", "warn"):
+            if dssp is not None and mmcif is not None:
+                check_sequence_consistency(self.table, "dssp", sequence_check)
+            if sifts is not None and mmcif is not None:
+                check_sequence_consistency(self.table, "sifts", sequence_check)
+        elif sequence_check != "ignore":
+            raise ValueError(
+                f"Sequence check method '{sequence_check}' not implemented."
+            )
+        return self.table

@@ -55,6 +55,7 @@ def sifts_schema() -> T.StructType:
         fields.append(T.StructField(f"{src}_regionStart", T.LongType()))
         fields.append(T.StructField(f"{src}_regionEnd", T.LongType()))
         fields.append(T.StructField(f"{src}_regionResNum", T.StringType()))
+        fields.append(T.StructField(f"{src}_dbVersion", T.StringType()))
     fields.append(T.StructField("line_no", T.LongType()))
     fields.append(T.StructField("source_file", T.StringType()))
     return T.StructType(fields)
@@ -93,15 +94,29 @@ def _parse_regions(root) -> dict:
     return out
 
 
+def _parse_dbs(root) -> dict:
+    """listDB versions per dbSource (parity: _parse_sifts_dbs_from_file
+    proteofav/sifts.py:22-61)."""
+    out: dict = {}
+    for el in root.iter():
+        if _local_name(el.tag) == "db" and el.get("dbSource"):
+            parent_ok = el.get("dbVersion") is not None
+            if parent_ok:
+                out.setdefault(el.get("dbSource"), el.get("dbVersion"))
+    return out
+
+
 def parse_sifts_xml(
     xml_text: str,
     source_file: str,
     excluded_sources: tuple[str, ...] = DEFAULT_EXCLUDED_SOURCES,
     add_regions: bool = True,
+    add_dbs: bool = False,
 ) -> list[dict]:
     """Pure-Python single-document parser (runs inside executor tasks)."""
     root = ET.fromstring(xml_text)
     regions = _parse_regions(root) if add_regions else {}
+    dbs = _parse_dbs(root) if add_dbs else {}
     rows: list[dict] = []
     line_no = 0
     for entity in root.iter():
@@ -138,6 +153,8 @@ def parse_sifts_xml(
                             "dbResName", "dbResNum", "dbChainId"
                         ):
                             continue
+                        if k == "dbAccessionId" and add_dbs and source in dbs:
+                            rec[f"{source}_dbVersion"] = dbs[source]
                         if k == "dbAccessionId" and add_regions and resnum is not None:
                             src_regions = ent_regions.get(source, {})
                             for ordinal, entry in src_regions.items():
@@ -168,6 +185,7 @@ def parse_sifts_residues(
     path: str,
     excluded_sources: tuple[str, ...] = DEFAULT_EXCLUDED_SOURCES,
     add_regions: bool = True,
+    add_dbs: bool = False,
     excluded_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Distributed SIFTS scan: one executor task per XML file; ``path`` may
@@ -184,6 +202,7 @@ def parse_sifts_residues(
                         xml_text, fname,
                         excluded_sources=excluded_sources,
                         add_regions=add_regions,
+                        add_dbs=add_dbs,
                     )
                 )
             frame = pd.DataFrame(out)
@@ -241,10 +260,12 @@ def select_sifts(
     path: str,
     excluded_sources: tuple[str, ...] = DEFAULT_EXCLUDED_SOURCES,
     add_regions: bool = True,
+    add_dbs: bool = False,
     **filter_kwargs,
 ) -> DataFrame:
     """read → parse → filter (parity: select_sifts proteofav/sifts.py:353-375)."""
     table = parse_sifts_residues(
-        spark, path, excluded_sources=excluded_sources, add_regions=add_regions
+        spark, path, excluded_sources=excluded_sources, add_regions=add_regions,
+        add_dbs=add_dbs,
     )
     return filter_sifts(table, **filter_kwargs)

@@ -1,0 +1,69 @@
+"""Tables.generate orchestration + sequence checks + SIFTS add_dbs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from proteofav_spark.plans.generator import (
+    SequenceCheckError,
+    SourcePaths,
+    TablesGenerator,
+    check_sequence_consistency,
+)
+from proteofav_spark.sources.sifts import parse_sifts_residues
+
+
+def test_generate_and_merge(spark, refdata):
+    gen = TablesGenerator(spark)
+    merged = gen.generate(
+        SourcePaths(
+            mmcif=f"{refdata}/mmcif/2w4o.cif",
+            dssp=f"{refdata}/dssp/2w4o.dssp",
+            sifts=f"{refdata}/sifts/2w4o.xml",
+        ),
+        chains=("A",), atoms=("CA",), lines=("ATOM",),
+        merge_tables=True, sequence_check="raise",
+    )
+    assert merged.count() == 278
+    # sequence check passed without raising → sequences agree
+    assert check_sequence_consistency(merged, "dssp", "warn") == 0
+    assert check_sequence_consistency(merged, "sifts", "warn") == 0
+
+
+def test_generate_unmerged_tuple(spark, refdata):
+    gen = TablesGenerator(spark)
+    tables = gen.generate(
+        SourcePaths(
+            mmcif=f"{refdata}/mmcif/2pah.cif",
+            dssp=f"{refdata}/dssp/2pah.dssp",
+        ),
+        chains=("A",),
+    )
+    mmcif, dssp, sifts, validation, annotation, variants = tables
+    assert mmcif is not None and dssp is not None
+    assert sifts is None and validation is None
+    assert mmcif.count() > 0 and dssp.count() > 0
+
+
+def test_sequence_check_detects_corruption(spark, refdata):
+    """2w4o_with_error.cif carries a deliberately corrupted sequence
+    (reference edge case tests/test_mergers.py:293-303)."""
+    gen = TablesGenerator(spark)
+    with pytest.raises(SequenceCheckError):
+        gen.generate(
+            SourcePaths(
+                mmcif=f"{refdata}/mmcif/2w4o_with_error.cif",
+                dssp=f"{refdata}/dssp/2w4o.dssp",
+            ),
+            chains=("A",), atoms=("CA",), lines=("ATOM",),
+            merge_tables=True, sequence_check="raise",
+        )
+
+
+def test_sifts_add_dbs_versions(spark, refdata):
+    df = parse_sifts_residues(spark, f"{refdata}/sifts/2pah.xml", add_dbs=True)
+    first = df.orderBy("line_no").first()
+    assert first["UniProt_dbVersion"] is not None
+    assert first["CATH_dbVersion"] is not None
+    # without add_dbs the columns stay null
+    df2 = parse_sifts_residues(spark, f"{refdata}/sifts/2pah.xml")
+    assert df2.filter(F.col("UniProt_dbVersion").isNotNull()).count() == 0
