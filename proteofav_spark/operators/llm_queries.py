@@ -610,6 +610,87 @@ def bucket_col(table_no: int, col: str = "embedding") -> Column:
     return total.cast("bigint")
 
 
+COSINE_DUP_TAU = 0.35  # synthetic embeddings top out ~0.51; production ~0.9
+
+_EMB_DUP_SQL = f"""
+    WITH b AS (
+      {" UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, {_sql_bucket(t)} AS bucket "
+        f"FROM embeddings"
+        for t in range(N_TABLES)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             x.embedding AS ea, y.embedding AS eb
+      FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+                        AND x.vec_id < y.vec_id),
+    scored AS (
+      SELECT vec_a, vec_b,
+             round(list_cosine_similarity(ea, eb), 4) AS cosine
+      FROM cand)
+    SELECT vec_a, vec_b, cosine
+    FROM scored WHERE cosine >= {COSINE_DUP_TAU}
+"""
+
+
+@register("dedup_embedding_cosine", _EMB_DUP_SQL)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: candidate pairs = vectors sharing a
+    random-hyperplane LSH bucket in any of the 6 tables (same deterministic
+    planes as the ANN query), then exact cosine ≥ τ on candidates only.
+    At 100 TB the bucket equi-join bounds the pair count — the N² cross
+    join never materializes; bucket skew is handled by AQE skew-join since
+    each (tbl, bucket) cell is an independent unit of work."""
+    e = load(spark, sf_dir, "embeddings")
+    bands = None
+    for t in range(N_TABLES):
+        bt = e.select(
+            "vec_id", "embedding",
+            F.lit(t).alias("tbl"), bucket_col(t).alias("bucket"),
+        )
+        bands = bt if bands is None else bands.unionByName(bt)
+    left = bands.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        "tbl", "bucket",
+    )
+    right = bands.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        "tbl", "bucket",
+    )
+    cand = (
+        left.join(right, on=["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "ea", "eb")
+        .distinct()
+    )
+
+    def _dot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _norm(a: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    cosine = F.round(
+        _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+        4,
+    )
+    return (
+        cand.select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_TAU)
+    )
+
+
 _ANN_SQL = f"""
     WITH b AS (
       {" UNION ALL ".join(

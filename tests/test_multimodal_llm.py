@@ -66,6 +66,28 @@ def test_minhash_similar_docs_share_bands(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_embedding_cosine_near_dup_pairs(spark):
+    """Identical vectors must surface as a cosine-1.0 near-dup pair, and
+    every reported pair must be ordered (vec_a < vec_b) above threshold."""
+    from proteofav_spark.operators.llm_queries import (
+        COSINE_DUP_TAU, q_dedup_embedding_cosine,
+    )
+    import os, tempfile
+
+    base = [float((i * 7) % 13 - 6) for i in range(64)]
+    other = [float((i * 11) % 17 - 8) for i in range(64)]
+    rows = [(0, base, 1), (1, list(base), 1), (2, other, 2)]
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+    out = q_dedup_embedding_cosine(spark, tmp).collect()
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in out}
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert all(a < b for a, b in pairs)
+    assert all(c >= COSINE_DUP_TAU for c in pairs.values())
+
+
 def test_knn_self_similarity_excluded(spark):
     from proteofav_spark.operators.llm_queries import q_knn_cosine_topk
 
