@@ -610,6 +610,20 @@ def bucket_col(table_no: int, col: str = "embedding") -> Column:
     return total.cast("bigint")
 
 
+def banded_embeddings(e: DataFrame) -> DataFrame:
+    """One row per (vector, LSH table): all N_TABLES bucket ids computed in
+    a single projection, then ``posexplode`` into (tbl, bucket) rows. One
+    scan and one generated stage instead of an N_TABLES-way union — the
+    union form re-compiles the (large) bucket expressions once per branch,
+    which dominates wall-clock at small scale and wastes codegen cache at
+    any scale."""
+    return e.select(
+        "vec_id", "embedding",
+        F.posexplode(F.array(*[bucket_col(t) for t in range(N_TABLES)]))
+        .alias("tbl", "bucket"),
+    )
+
+
 COSINE_DUP_TAU = 0.35  # synthetic embeddings top out ~0.51; production ~0.9
 
 _EMB_DUP_SQL = f"""
@@ -641,27 +655,22 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes as the ANN query), then exact cosine ≥ τ on candidates only.
     At 100 TB the bucket equi-join bounds the pair count — the N² cross
     join never materializes; bucket skew is handled by AQE skew-join since
-    each (tbl, bucket) cell is an independent unit of work."""
+    each (tbl, bucket) cell is an independent unit of work.
+
+    Execution shape: the bucket self-join and the pair ``distinct`` carry
+    only (vec_id, vec_id) — never the 64-float arrays — so the dedup
+    shuffle moves 16-byte rows. Vectors and their (precomputed, once per
+    vector) norms are joined back onto the surviving distinct pairs; the
+    cosine then needs a single dot product per pair."""
     e = load(spark, sf_dir, "embeddings")
-    bands = None
-    for t in range(N_TABLES):
-        bt = e.select(
-            "vec_id", "embedding",
-            F.lit(t).alias("tbl"), bucket_col(t).alias("bucket"),
-        )
-        bands = bt if bands is None else bands.unionByName(bt)
-    left = bands.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        "tbl", "bucket",
-    )
-    right = bands.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        "tbl", "bucket",
-    )
+    bands = banded_embeddings(e).select("vec_id", "tbl", "bucket")
     cand = (
-        left.join(right, on=["tbl", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "ea", "eb")
+        bands.join(
+            bands.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket"),
+            on=["tbl", "bucket"],
+        )
+        .filter(F.col("vec_id") < F.col("vec_b"))
+        .select(F.col("vec_id").alias("vec_a"), "vec_b")
         .distinct()
     )
 
@@ -672,21 +681,30 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    def _norm(a: Column) -> Column:
-        return F.sqrt(
+    norms = e.select(
+        "vec_id", "embedding",
+        F.sqrt(
             F.aggregate(
-                F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-        )
-
+        ).alias("nrm"),
+    )
+    a = norms.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = norms.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     cosine = F.round(
-        _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))),
-        4,
+        _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
     )
     return (
-        cand.select("vec_a", "vec_b", cosine.alias("cosine"))
+        cand.join(a, on="vec_a").join(b, on="vec_b")
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_TAU)
     )
 
@@ -727,14 +745,7 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade a few extra candidates for recall a single deep table cannot
     reach. At 100 TB the bucket equi-join replaces the brute-force cross
     join; table count / plane depth tune the recall-cost point."""
-    e = load(spark, sf_dir, "embeddings")
-    bands = None
-    for t in range(N_TABLES):
-        bt = e.select(
-            "vec_id", "embedding",
-            F.lit(t).alias("tbl"), bucket_col(t).alias("bucket"),
-        )
-        bands = bt if bands is None else bands.unionByName(bt)
+    bands = banded_embeddings(load(spark, sf_dir, "embeddings"))
     q = (
         bands.filter(F.col("vec_id") < 3)
         .select(

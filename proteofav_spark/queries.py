@@ -176,16 +176,19 @@ def q_join_left_string_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_merge_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fixed multiway merge tree shape (parity:
-    proteofav/mergers.py:403-446): fact table stays left, dimensions
-    broadcast, one shuffle for the final aggregation."""
+    proteofav/mergers.py:403-446). Scale design: ``orders`` and
+    ``customer`` grow with the data, so they are NOT broadcast-hinted —
+    AQE broadcasts them while they fit and falls back to shuffle joins at
+    cluster scale; only the constant-size ``nation``/``region`` dims carry
+    explicit broadcast hints. One shuffle for the final aggregation."""
     l = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
