@@ -909,3 +909,87 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
     )
+
+
+CONTACT_R = 0.5  # contact radius; grid cell edge == radius
+
+
+@register(
+    "spatial_contacts_grid",
+    f"""
+    WITH pts AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) * 10.0 AS x,
+             CAST(embedding[2] AS DOUBLE) * 10.0 AS y,
+             CAST(embedding[3] AS DOUBLE) * 10.0 AS z
+      FROM embeddings
+    )
+    SELECT a.vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_contacts,
+           array_to_string(list_sort(list(b.vec_id)), ',') AS contact_ids
+    FROM pts a JOIN pts b
+      ON a.vec_id <> b.vec_id
+     AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z)
+         <= {CONTACT_R * CONTACT_R}
+    GROUP BY a.vec_id
+    """,
+)
+def q_spatial_contacts_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance self-join via grid bucketing — the driver-data twin of the
+    atom-contacts operator (add_contacts, parity:
+    proteofav/structures.py:366-396). Points = first three embedding dims
+    scaled ×10; neighbors within CONTACT_R.
+
+    Spark-first strategy: each point lands in one ⌈coord/r⌉³ grid cell;
+    the probe side explodes to its 27 neighbor cells; an equi-join on the
+    cell key + exact distance filter finds every in-radius pair with no N²
+    cross join. The oracle is the brute-force theta-join, so the
+    correctness gate proves the grid join loses no pairs. At 100 TB the
+    cell key makes the join shuffle-partitionable and AQE-skew-splittable.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        (F.element_at("embedding", 1).cast("double") * 10.0).alias("x"),
+        (F.element_at("embedding", 2).cast("double") * 10.0).alias("y"),
+        (F.element_at("embedding", 3).cast("double") * 10.0).alias("z"),
+    )
+    cell = [
+        F.floor(F.col(c) / F.lit(CONTACT_R)).alias(f"_c{c}") for c in ("x", "y", "z")
+    ]
+    left = pts.select("vec_id", "x", "y", "z", *cell)
+    offsets = F.expr(
+        "flatten(transform(sequence(-1,1), dx -> "
+        "flatten(transform(sequence(-1,1), dy -> "
+        "transform(sequence(-1,1), dz -> struct(dx, dy, dz))))))"
+    )
+    probe = (
+        pts.select(
+            F.col("vec_id").alias("_rid"),
+            F.col("x").alias("_rx"), F.col("y").alias("_ry"),
+            F.col("z").alias("_rz"), *cell,
+        )
+        .withColumn("_off", F.explode(offsets))
+        .select(
+            "_rid", "_rx", "_ry", "_rz",
+            (F.col("_cx") + F.col("_off.dx")).alias("_cx"),
+            (F.col("_cy") + F.col("_off.dy")).alias("_cy"),
+            (F.col("_cz") + F.col("_off.dz")).alias("_cz"),
+        )
+    )
+    dd = (
+        (F.col("x") - F.col("_rx")) * (F.col("x") - F.col("_rx"))
+        + (F.col("y") - F.col("_ry")) * (F.col("y") - F.col("_ry"))
+        + (F.col("z") - F.col("_rz")) * (F.col("z") - F.col("_rz"))
+    )
+    return (
+        left.join(probe, on=["_cx", "_cy", "_cz"])
+        .filter((F.col("vec_id") != F.col("_rid")) & (dd <= CONTACT_R * CONTACT_R))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_contacts"),
+            F.concat_ws(",", F.array_sort(F.collect_list("_rid"))).alias(
+                "contact_ids"
+            ),
+        )
+    )
