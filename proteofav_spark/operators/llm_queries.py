@@ -788,3 +788,145 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("qid", "vec_id", "cosine", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN: IVF (inverted-file) coarse quantizer — the second scale path
+# ---------------------------------------------------------------------------
+
+NPROBE = 8  # coarse cells probed per query
+
+
+_IVF_SQL = f"""
+    WITH expl AS (
+      SELECT label, UNNEST(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings),
+    cd AS (SELECT label, dim, round(AVG(v), 6) AS c
+           FROM expl GROUP BY label, dim),
+    cent AS (SELECT label, list(c ORDER BY dim) AS cvec FROM cd GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, c.label,
+             round(list_cosine_similarity(e.embedding, c.cvec), 6) AS cc
+      FROM embeddings e CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, label FROM (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY cc DESC, label) AS rn
+        FROM scored) WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS qid, label FROM (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY cc DESC, label) AS rn
+        FROM scored WHERE vec_id < 3) WHERE rn <= {NPROBE}),
+    cand AS (
+      SELECT DISTINCT p.qid, a.vec_id
+      FROM probe p JOIN assign a USING (label)
+      WHERE a.vec_id <> p.qid),
+    rer AS (
+      SELECT c.qid, c.vec_id,
+             round(list_cosine_similarity(q.embedding, v.embedding), 4) AS cosine
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.qid
+      JOIN embeddings v ON v.vec_id = c.vec_id),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY cosine DESC, vec_id) AS rk
+      FROM rer)
+    SELECT qid, vec_id, cosine, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+"""
+
+
+def _dot_cols(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+@register("ann_ivf_coarse", _IVF_SQL)
+def q_ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer (per-label centroids, the
+    deterministic stand-in for k-means training) partitions the corpus
+    into inverted lists; each query probes its NPROBE nearest centroids
+    and re-ranks only those lists by exact cosine.
+
+    Scale shape: centroid construction is one partial-agg shuffle over
+    (label, dim); the centroid table is tiny and broadcasts; assignment
+    is a map-only pass; the probe→list candidate join is an equi-join on
+    the centroid id, so the search cost is corpus_fraction ≈ NPROBE/K
+    instead of a full scan. This is the textbook IVF layout — at 100 TB
+    the inverted lists would live as centroid-partitioned Parquet so a
+    probe prunes partitions at the scan."""
+    e = load(spark, sf_dir, "embeddings")
+    # centroids: positional explode → per-(label, dim) mean → re-assemble
+    cd = (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+    )
+    cents = cd.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+    cents = cents.withColumn("cnorm", _norm_col(F.col("cvec")))
+    ev = e.select("vec_id", "embedding", F.col("label").alias("true_label"))
+    ev = ev.withColumn("enorm", _norm_col(F.col("embedding")))
+    scored = ev.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "label",
+        F.round(
+            _dot_cols(F.col("embedding"), F.col("cvec"))
+            / (F.col("enorm") * F.col("cnorm")),
+            6,
+        ).alias("cc"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("label"))
+    ranked_cells = scored.withColumn("rn", F.row_number().over(w))
+    assign = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "label")
+    probe = (
+        ranked_cells.filter(F.col("vec_id") < 3)
+        .filter(F.col("rn") <= NPROBE)
+        .select(F.col("vec_id").alias("qid"), "label")
+    )
+    cand = (
+        probe.join(assign, on="label")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    qv = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    vv = e.select("vec_id", F.col("embedding").alias("vvec"))
+    rer = (
+        cand.join(F.broadcast(qv), on="qid")
+        .join(vv, on="vec_id")
+        .select(
+            "qid", "vec_id",
+            F.round(
+                _dot_cols(F.col("qvec"), F.col("vvec"))
+                / (_norm_col(F.col("qvec")) * _norm_col(F.col("vvec"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    wr = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "vec_id", "cosine", "rk")
+    )

@@ -88,6 +88,21 @@ def test_embedding_cosine_near_dup_pairs(spark):
     assert all(c >= COSINE_DUP_TAU for c in pairs.values())
 
 
+def test_ivf_results_within_brute_force(spark):
+    """Every IVF hit must be a genuine brute-force neighbor (exact re-rank
+    ⇒ 100% precision), with 5 ranked results per query."""
+    from proteofav_spark.operators.llm_queries import (
+        q_ann_ivf_coarse, q_knn_cosine_topk,
+    )
+
+    bf = {(r["qid"], r["vec_id"]) for r in q_knn_cosine_topk(spark, SF).collect()}
+    ivf = q_ann_ivf_coarse(spark, SF).collect()
+    assert len(ivf) == 15
+    for r in ivf:
+        assert 1 <= r["rk"] <= 5
+    assert {(r["qid"], r["vec_id"]) for r in ivf} <= bf
+
+
 def test_knn_self_similarity_excluded(spark):
     from proteofav_spark.operators.llm_queries import q_knn_cosine_topk
 
