@@ -1,7 +1,8 @@
 """LLM-data-pipeline operators over the ``documents`` and ``embeddings``
-tables: deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash), text
-analysis (tokens, quality, language-ID, fingerprints), and embedding
-similarity search (brute-force cosine top-k, per-label centroids).
+tables: deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup), text analysis (tokens, quality, language-ID,
+fingerprints), and embedding similarity search (brute-force cosine top-k,
+per-label centroids, hyperplane-LSH ANN, IVF coarse-quantizer ANN).
 
 Every operator is a pure DataFrame plan (no Python UDFs) and carries a
 DuckDB oracle computing the *identical* deterministic function — hash
@@ -143,14 +144,26 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(shingles_col())).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    # inverted index: groupBy(shingle) + in-array pair combination — one
+    # shuffle on the shingle key and the shingle expressions evaluate once,
+    # where a self-join would re-derive them on both sides.
+    grouped = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
+    )
+    pairs = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -255,34 +268,48 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j, (a, b) in enumerate(HASH_AB)
     ]
     sig = sh.select("doc_id", *sig_cols)
-    band_frames = []
-    for band in range(N_BANDS):
-        bucket = F.concat_ws(
-            "_",
-            *[
-                F.col(f"mh{band * ROWS_PER_BAND + r}").cast("string")
-                for r in range(ROWS_PER_BAND)
-            ],
-        )
-        band_frames.append(
-            sig.select(
-                "doc_id", F.lit(band).alias("band"), bucket.alias("bucket")
+    # all band buckets in ONE projection + posexplode: the signature
+    # pipeline (token hash → shingle hash → 12 min-hashes) evaluates once
+    # per document — a band-wise union would re-evaluate it per branch.
+    bucket_arr = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"mh{band * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
             )
+            for band in range(N_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(bucket_arr).alias("band", "bucket")
+    )
+    # pairs via groupBy(bucket) + in-array combination instead of a
+    # self-join: one shuffle, and the signatures never compute twice.
+    # A pathological mega-bucket would k²-blow-up inside one task — at
+    # scale that is the standard LSH skew case, handled by capping bucket
+    # size upstream or AQE skew splitting of the final pair aggregation.
+    grouped = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.countDistinct("a.band").alias("n_bands_shared"))
+        grouped.select("band", F.explode(pair_structs).alias("p"))
+        .select("band", "p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("band").alias("n_bands_shared"))
     )
 
 
