@@ -11,6 +11,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,6 +48,17 @@ def main() -> None:
 
     # warm the JVM + parquet footers with one cheap action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    # warm the Python worker pool (one-time per-session daemon spawn +
+    # numpy/pandas import, otherwise billed to the first Arrow-UDF query)
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(v: pd.Series) -> pd.Series:
+        import numpy as np
+        return pd.Series(np.asarray(v) * 1)
+
+    n_cpu = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(n_cpu * 4, numPartitions=n_cpu).select(_warm(col("id"))).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
