@@ -993,3 +993,36 @@ def q_spatial_contacts_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_sliding_window",
+    """
+    WITH ex AS (
+      SELECT event_type, value,
+             UNNEST([CAST(floor(epoch(ts)/3600) AS BIGINT) - 1,
+                     CAST(floor(epoch(ts)/3600) AS BIGINT)]) AS win_start_hour
+      FROM events)
+    SELECT win_start_hour, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(SUM(value), 2) AS total_value
+    FROM ex GROUP BY win_start_hour, event_type
+    """,
+)
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (2h window, 1h slide) over the event
+    table — the batch twin of streaming.sliding_avg. Each event explodes
+    to its two overlapping window starts, then one partial-agg shuffle on
+    (window, type); this is exactly how Spark's own F.window implements
+    sliding windows, written out so the DuckDB oracle can mirror it on
+    integer hour buckets (events.ts arrives as bigint nanos)."""
+    e = load(spark, sf_dir, "events")
+    hb = F.floor(F.col("ts") / (3600 * 1_000_000_000)).cast("bigint")
+    return (
+        e.withColumn("win_start_hour", F.explode(F.array(hb - 1, hb)))
+        .groupBy("win_start_hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
