@@ -46,8 +46,17 @@ def main() -> None:
     spark = get_spark("proteofav_spark_bench")
     qs = all_queries()
 
-    # warm the JVM + parquet footers with one cheap action
+    # warm the JVM + one exchange + every table's parquet footer, so
+    # one-time session costs aren't billed to whichever query runs first
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    from pyspark.sql.functions import col as _col
+
+    spark.range(10_000).groupBy((_col("id") % 7).alias("k")).count().count()
+    for t in (
+        "nation", "customer", "supplier", "part", "orders", "lineitem",
+        "events", "documents", "embeddings",
+    ):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").schema
     # warm the Python worker pool (one-time per-session daemon spawn +
     # numpy/pandas import, otherwise billed to the first Arrow-UDF query)
     from pyspark.sql.functions import col, pandas_udf
