@@ -971,3 +971,36 @@ def q_ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("qid", "vec_id", "cosine", "rk")
     )
+
+
+BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+@register(
+    "text_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_PAT}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len({_sql_tokens('text')}) AS BIGINT) AS n_ws_tokens,
+           round(CAST(len(regexp_extract_all(text, '{BPE_PAT}')) AS DOUBLE)
+                 / len({_sql_tokens('text')}), 6) AS bpe_per_ws
+    FROM documents
+    """,
+)
+def q_text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token counting: a GPT-2-like pre-tokenizer regex (letter
+    runs / digit runs / punctuation runs, each absorbing one leading
+    space) approximates subword token counts without a vocab — the
+    standard cheap cost estimator for LLM training data. The pattern stays
+    in the Java∩RE2 common dialect so Spark and the oracle tokenize
+    identically. Map-only at any scale."""
+    d = load(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(BPE_PAT), 0)
+    ws = tokens_col()
+    return d.select(
+        "doc_id",
+        F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
+        F.size(ws).cast("bigint").alias("n_ws_tokens"),
+        F.round(F.size(bpe).cast("double") / F.size(ws), 6).alias("bpe_per_ws"),
+    )
