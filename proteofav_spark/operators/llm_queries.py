@@ -702,13 +702,26 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     bands = banded_embeddings(e).select("vec_id", "tbl", "bucket")
-    cand = (
-        bands.join(
-            bands.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket"),
-            on=["tbl", "bucket"],
+    # candidate pairs via groupBy(cell) + in-array combination (same
+    # pattern as the minhash pipeline): buckets compute once — a self-join
+    # would re-derive all 24 hyperplane projections on both sides
+    grouped = (
+        bands.groupBy("tbl", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
+            ),
         )
-        .filter(F.col("vec_id") < F.col("vec_b"))
-        .select(F.col("vec_id").alias("vec_a"), "vec_b")
+    )
+    cand = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.vec_a", "p.vec_b")
         .distinct()
     )
 
