@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) for the generic core ops and the
+deterministic hash kernels — coverage beyond the reference's example-based
+suite (SURVEY §5 notes the reference has no property testing).
+
+Strategy sizes are kept small: each example pays a Spark job, so we cap
+example counts and let hypothesis shrink within that budget.
+"""
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+ids = st.integers(min_value=0, max_value=50)
+words = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=12
+)
+
+
+@given(rows=st.lists(st.tuples(ids, st.lists(words, max_size=4)), max_size=12))
+@settings(**SETTINGS)
+def test_split_then_merge_roundtrips_value_sets(spark, rows):
+    """splitting_up_by_key then merging_down_by_key_arrays preserves each
+    row's multi-value set (as a set — order/duplicates collapse, matching
+    the reference's distinct-gathering merging_down semantics)."""
+    from proteofav_spark.core import (
+        merging_down_by_key_arrays, splitting_up_by_key,
+    )
+
+    rows = [(i, vals) for i, (_, vals) in enumerate(rows)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"row_id": [r[0] for r in rows],
+                      "xrefs_id": [r[1] for r in rows]}),
+        schema="row_id: long, xrefs_id: array<string>",
+    )
+    split = splitting_up_by_key(df, "xrefs_id")
+    # explode_outer keeps empty-array rows as a null entry, which
+    # collect_set then collapses to an empty array
+    expected = {r[0]: sorted(set(r[1])) for r in rows}
+    merged = merging_down_by_key_arrays(split.withColumn(
+        "xrefs_id", F.col("xrefs_id")), key="row_id")
+    got = {
+        r["row_id"]: sorted(r["xrefs_id"])
+        for r in merged.select("row_id", "xrefs_id").collect()
+    }
+    assert got == expected
+
+
+@given(vals=st.lists(st.one_of(st.none(), words), min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_drop_empty_cols_single_value_hoisting(spark, vals):
+    """A column is dropped iff its non-null distinct count is exactly 1,
+    and the hoisted attribute carries that value (parity:
+    drop_empty_cols proteofav/mergers.py:385-399)."""
+    from proteofav_spark.core import drop_empty_cols
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"probe": pd.Series(vals, dtype="object"),
+                      "keep_me": [str(i) for i in range(len(vals))]}),
+        schema="probe: string, keep_me: string",
+    )
+    out, hoisted = drop_empty_cols(df)
+    distinct = {v for v in vals if v is not None}
+    if len(distinct) <= 1:  # all-null columns (0 distinct) drop too
+        assert "probe" not in out.columns
+        assert hoisted["probe"] == (next(iter(distinct)) if distinct else None)
+    else:
+        assert "probe" in out.columns
+
+
+@given(s=words)
+@settings(**SETTINGS)
+def test_poly_hash_matches_python_fold(spark, s):
+    """The JVM polynomial hash equals the plain-Python fold for any
+    printable-ASCII string (the cross-engine determinism contract the
+    DuckDB oracles rely on)."""
+    from proteofav_spark.operators.llm_queries import P_MOD, poly_hash_col
+
+    expected = 0
+    for ch in s:
+        expected = (expected * 31 + ord(ch)) % P_MOD
+    got = (
+        spark.createDataFrame([(s,)], "s: string")
+        .select(poly_hash_col(F.col("s")).alias("h"))
+        .first()["h"]
+    )
+    assert got == expected
+
+
+@given(
+    nums=st.lists(
+        st.one_of(st.none(), st.text(alphabet="0123456789", min_size=1, max_size=6),
+                  words),
+        min_size=1, max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_constrain_types_try_cast_never_loses_rows(spark, nums):
+    """constrain_column_types keeps every row; numeric strings cast, and
+    non-castable values become NULL without failing the column (parity:
+    the silent-fallback semantics of proteofav/utils.py:136-200)."""
+    from proteofav_spark.core import constrain_column_types
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": pd.Series(nums, dtype="object")}),
+        schema="v: string",
+    )
+    out = constrain_column_types(df, {"v": "bigint"})
+    assert out.count() == len(nums)
+    got = [r["v"] for r in out.collect()]
+    for orig, res in zip(nums, got):
+        if orig is not None and orig.isdigit() and len(orig) <= 18:
+            assert res == int(orig)
