@@ -510,7 +510,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
     scored AS (
       SELECT q.qid, e.vec_id,
-             round(list_cosine_similarity(q.qv, e.embedding), 4) AS cosine
+             round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cosine
       FROM q CROSS JOIN embeddings e
       WHERE e.vec_id <> q.qid
     ),
@@ -609,7 +609,7 @@ def _sql_bucket(table_no: int, col: str = "embedding") -> str:
     bits = " + ".join(
         "(CASE WHEN round("
         + " + ".join(
-            f"{col}[{d}] * ({_plane_coef(base + j, d)})" for d in range(1, DIM + 1)
+            f"CAST({col}[{d}] AS DOUBLE) * ({_plane_coef(base + j, d)})" for d in range(1, DIM + 1)
         )
         + f", 6) > 0 THEN {1 << j} ELSE 0 END)"
         for j in range(PLANES_PER_TABLE)
@@ -673,7 +673,7 @@ _EMB_DUP_SQL = f"""
                         AND x.vec_id < y.vec_id),
     scored AS (
       SELECT vec_a, vec_b,
-             round(list_cosine_similarity(ea, eb), 4) AS cosine
+             round(list_cosine_similarity(CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[])), 4) AS cosine
       FROM cand)
     SELECT vec_a, vec_b, cosine
     FROM scored WHERE cosine >= {COSINE_DUP_TAU}
@@ -779,7 +779,7 @@ _ANN_SQL = f"""
                    AND b.vec_id <> q.qid),
     scored AS (
       SELECT qid, vec_id,
-             round(list_cosine_similarity(qv, embedding), 4) AS cosine
+             round(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(embedding AS DOUBLE[])), 4) AS cosine
       FROM cand),
     ranked AS (
       SELECT qid, vec_id, cosine,
@@ -861,7 +861,7 @@ _IVF_SQL = f"""
     cent AS (SELECT label, list(c ORDER BY dim) AS cvec FROM cd GROUP BY label),
     scored AS (
       SELECT e.vec_id, c.label,
-             round(list_cosine_similarity(e.embedding, c.cvec), 6) AS cc
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS cc
       FROM embeddings e CROSS JOIN cent c),
     assign AS (
       SELECT vec_id, label FROM (
@@ -881,7 +881,7 @@ _IVF_SQL = f"""
       WHERE a.vec_id <> p.qid),
     rer AS (
       SELECT c.qid, c.vec_id,
-             round(list_cosine_similarity(q.embedding, v.embedding), 4) AS cosine
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])), 4) AS cosine
       FROM cand c
       JOIN embeddings q ON q.vec_id = c.qid
       JOIN embeddings v ON v.vec_id = c.vec_id),

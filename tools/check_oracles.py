@@ -30,7 +30,11 @@ def normalize(rows, cols):
                 if math.isnan(v):
                     v = "NaN"
                 else:
-                    v = round(v, 6)
+                    # 9 dp: catches float32-precision bugs (~1e-8, e.g.
+                    # DuckDB list_cosine_similarity on FLOAT[] computes in
+                    # float32 — oracles must CAST to DOUBLE[]) while
+                    # tolerating last-ulp distributed-sum-order noise
+                    v = round(v, 9)
             vals.append(v)
         out.append(tuple(vals))
     out.sort(key=lambda t: tuple(str(x) for x in t))
