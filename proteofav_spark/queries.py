@@ -1026,3 +1026,46 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+N_SALTS = 16  # fan-out factor for hot-key aggregation
+
+
+@register(
+    "agg_salted_two_stage",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           round(SUM(l_quantity), 2) AS sum_qty,
+           CAST(SUM(l_orderkey % 1000) AS BIGINT) AS checksum
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation: ``l_returnflag`` has only 3 values, so a
+    naive groupBy funnels the whole table through 3 reducers. Salting fans
+    each hot key across N_SALTS sub-keys for the first (parallel) partial
+    aggregation, then a second cheap aggregation over ≤ 3×N_SALTS rows
+    merges the partials. The result is exactly the plain GROUP BY — the
+    oracle proves it. The salt is derived deterministically from the row
+    (orderkey+linenumber), never from random(). At 100 TB this is the
+    standard recipe when one key dominates a shuffle; for sums/counts
+    Spark's own partial aggregation usually suffices, but salting also
+    covers aggregates without partial forms (e.g. exact distinct lists)."""
+    li = load(spark, sf_dir, "lineitem")
+    salt = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % N_SALTS
+    partial = (
+        li.withColumn("_salt", salt)
+        .groupBy("l_returnflag", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("l_quantity").alias("_q"),
+            F.sum(F.col("l_orderkey") % 1000).alias("_c"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("_n").alias("n_rows"),
+        F.round(F.sum("_q"), 2).alias("sum_qty"),
+        F.sum("_c").cast("bigint").alias("checksum"),
+    )
