@@ -1069,3 +1069,36 @@ def q_agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("_q"), 2).alias("sum_qty"),
         F.sum("_c").cast("bigint").alias("checksum"),
     )
+
+
+@register(
+    "agg_cube_all_margins",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube_all_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: every margin of (status, priority) in one pass —
+    free in Spark SQL, absent in the reference (SURVEY §2.5 'not
+    present'). Spark expands the cube before the shuffle, so it stays one
+    exchange with partial aggregation at any scale."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias(
+                "orderpriority"
+            ),
+            "n_orders", "total_price",
+        )
+    )
