@@ -125,3 +125,60 @@ def test_running_user_totals_stateful(spark):
     got = {r["user_id"]: r["n"] for r in final.collect()}
     expect = {r["user_id"]: r["count"] for r in batch.collect()}
     assert got == expect
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode watermark semantics: a window emits once the watermark
+    passes its end, and rows arriving after the watermark has moved past
+    them are dropped — the late-data policy of SURVEY §2.10."""
+    import datetime as dt
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    chk = str(tmp_path / "chk")
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows, "user_id: long, event_type: string, value: double, event_ts: timestamp"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # batch 1: three rows in the 10:00 window + one far-future row that
+    # advances the watermark (2h behind max event time → 12:30) past 11:00
+    write_batch([
+        (1, "click", 1.0, at(5)), (2, "click", 1.0, at(20)),
+        (3, "click", 1.0, at(40)), (9, "click", 1.0, at(270)),
+    ])
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, value double, event_ts timestamp"
+        ).parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("event_ts", "2 hours")
+        .groupBy(F.window("event_ts", "1 hour").alias("win"))
+        .count()
+        .select(F.col("win.start").alias("ws"), "count")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("wm_test")
+        .outputMode("append").option("checkpointLocation", chk).start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE row for the already-finalized 10:00 window
+        write_batch([(4, "late", 1.0, at(10))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["ws"].strftime("%H:%M"): r["count"]
+        for r in spark.table("wm_test").collect()
+    }
+    # the 10:00 window emitted with exactly the 3 on-time rows; the late
+    # row never reappears (no second emission for 10:00)
+    assert got.get("10:00") == 3
