@@ -20,6 +20,9 @@ TABLES = (
 ).split()
 
 
+EXACT = False  # --exact: byte-identical float compare (no rounding)
+
+
 def normalize(rows, cols):
     out = []
     for row in rows:
@@ -29,7 +32,7 @@ def normalize(rows, cols):
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
-                else:
+                elif not EXACT:
                     # 9 dp: catches float32-precision bugs (~1e-8, e.g.
                     # DuckDB list_cosine_similarity on FLOAT[] computes in
                     # float32 — oracles must CAST to DOUBLE[]) while
@@ -42,8 +45,11 @@ def normalize(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global EXACT
+    args = [a for a in sys.argv[1:] if a != "--exact"]
+    EXACT = "--exact" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from __spark_entry__ import oracle_sql, queries
     from proteofav_spark.session import get_spark
