@@ -33,6 +33,7 @@ HEADLINE = [
     "text_fingerprint",       # polynomial rolling hash
     "knn_cosine_topk",        # brute-force cosine top-k
     "ann_lsh_bucketed",       # hyperplane-LSH bucketed ANN
+    "ann_ivf_coarse",         # IVF coarse-quantizer ANN
     "dedup_embedding_cosine", # LSH-candidate cosine near-dup pairs
     "spatial_contacts_grid",  # grid-bucketed distance self-join
     "sessionize_events_gap",  # gap-based sessionization
