@@ -47,3 +47,37 @@ def test_partitioned_lake_roundtrip(spark, refdata, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "PartitionFilters" in explained
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """write_bucketed_table's claim: a join on the bucket key between two
+    tables bucketed the same way needs NO exchange — the executed plan
+    must contain no Exchange operator (broadcast disabled to force the
+    sort-merge path that would otherwise shuffle both sides)."""
+    import shutil
+
+    from proteofav_spark.plans.lake import write_bucketed_table
+
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("a")
+    )
+    right = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("b")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed_table(left, "bkt_left", ("k",), n_buckets=8,
+                             sort_cols=("k",))
+        write_bucketed_table(right, "bkt_right", ("k",), n_buckets=8,
+                             sort_cols=("k",))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        assert joined.count() == 10_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
