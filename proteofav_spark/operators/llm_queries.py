@@ -735,6 +735,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         dots = np.cumsum(A * B, axis=1)[:, -1]
         return pd.Series(np.round(dots / (na.values * nb.values), 4))
 
+    # the value IS deterministic, but marking it so lets Catalyst substitute
+    # the aliased column into the pushed-down filter and evaluate the Arrow
+    # kernel twice per pair (two ArrowEvalPython nodes); nondeterministic
+    # pins one evaluation feeding both the filter and the output
+    cos_udf = cos_udf.asNondeterministic()
+
     norms = e.select(
         "vec_id", "embedding",
         F.sqrt(
@@ -940,8 +946,9 @@ def q_ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cvec")
     )
     cents = cents.withColumn("cnorm", _norm_col(F.col("cvec")))
-    ev = e.select("vec_id", "embedding", F.col("label").alias("true_label"))
-    ev = ev.withColumn("enorm", _norm_col(F.col("embedding")))
+    ev = e.select(
+        "vec_id", "embedding", _norm_col(F.col("embedding")).alias("enorm")
+    )
     scored = ev.crossJoin(F.broadcast(cents)).select(
         "vec_id", "embedding", "label",
         F.round(
@@ -964,8 +971,16 @@ def q_ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
         .distinct()
     )
-    qv = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-    vv = e.select("vec_id", F.col("embedding").alias("vvec"))
+    # re-rank: only the (tiny) query vectors broadcast — never the corpus —
+    # and each side's norm is the one already computed per vector in ev
+    qv = ev.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
+        F.col("enorm").alias("qnorm"),
+    )
+    vv = ev.select(
+        "vec_id", F.col("embedding").alias("vvec"),
+        F.col("enorm").alias("vnorm"),
+    )
     rer = (
         cand.join(F.broadcast(qv), on="qid")
         .join(vv, on="vec_id")
@@ -973,7 +988,7 @@ def q_ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid", "vec_id",
             F.round(
                 _dot_cols(F.col("qvec"), F.col("vvec"))
-                / (_norm_col(F.col("qvec")) * _norm_col(F.col("vvec"))),
+                / (F.col("qnorm") * F.col("vnorm")),
                 4,
             ).alias("cosine"),
         )

@@ -104,7 +104,7 @@ def check_sequence_consistency(
         right = F.when(
             (aa == F.lower(aa)) & (aa != F.upper(aa)), F.lit("C")
         ).otherwise(aa)
-        mask = F.col("label_comp_id").isNotNull() & aa.isNotNull() & (right != "X")
+        mask = F.col("label_comp_id").isNotNull() & aa.isNotNull()
     elif pair == "sifts":
         left = aa3to1_expr("auth_comp_id")
         right = aa3to1_expr("PDB_dbResName")
@@ -114,6 +114,11 @@ def check_sequence_consistency(
         )
     else:
         raise ValueError(f"unknown sequence-check pair: {pair}")
+    # 'X' on EITHER side is unknown/modified (our 1-letter map covers the
+    # canonical subset, not the reference's full 587-entry scop_3to1), so
+    # such positions are masked like the reference masks 'X' — otherwise
+    # a modified residue (M3L, OCS, ...) would spuriously abort the merge
+    mask = mask & (left != "X") & (right != "X")
     n = merged.filter(mask & (left != right)).count()
     if n:
         message = f"{label} Cif and {pair.upper()} files have different sequences."
@@ -141,6 +146,10 @@ class TablesGenerator:
         sequence_check: str = "ignore",
         **kwargs,
     ):
+        if sequence_check not in ("raise", "warn", "ignore"):
+            raise ValueError(
+                f"Sequence check method '{sequence_check}' not implemented."
+            )
         self.tables = table_generator(self.spark, paths, **kwargs)
         if not merge_tables:
             return self.tables
@@ -148,13 +157,13 @@ class TablesGenerator:
         self.table = table_merger(
             mmcif, dssp, sifts, validation, annotation, variants
         )
-        if sequence_check in ("raise", "warn"):
+        # the reference only sequence-checks single-atom (e.g. CA-only)
+        # tables — per-atom row multiplicity would inflate mismatch counts
+        # (parity: proteofav/mergers.py:286 'not supported for multiple
+        # atoms')
+        if sequence_check in ("raise", "warn") and kwargs.get("atoms"):
             if dssp is not None and mmcif is not None:
                 check_sequence_consistency(self.table, "dssp", sequence_check)
             if sifts is not None and mmcif is not None:
                 check_sequence_consistency(self.table, "sifts", sequence_check)
-        elif sequence_check != "ignore":
-            raise ValueError(
-                f"Sequence check method '{sequence_check}' not implemented."
-            )
         return self.table

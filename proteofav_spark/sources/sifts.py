@@ -96,13 +96,20 @@ def _parse_regions(root) -> dict:
 
 def _parse_dbs(root) -> dict:
     """listDB versions per dbSource (parity: _parse_sifts_dbs_from_file
-    proteofav/sifts.py:22-61)."""
+    proteofav/sifts.py:22-61). Only ``<db>`` children of ``<listDB>``
+    count — region-level ``<db>`` elements elsewhere in the document carry
+    mapping-specific versions, not the source's global one."""
     out: dict = {}
     for el in root.iter():
-        if _local_name(el.tag) == "db" and el.get("dbSource"):
-            parent_ok = el.get("dbVersion") is not None
-            if parent_ok:
-                out.setdefault(el.get("dbSource"), el.get("dbVersion"))
+        if _local_name(el.tag) != "listDB":
+            continue
+        for child in el:
+            if (
+                _local_name(child.tag) == "db"
+                and child.get("dbSource")
+                and child.get("dbVersion") is not None
+            ):
+                out.setdefault(child.get("dbSource"), child.get("dbVersion"))
     return out
 
 
