@@ -67,3 +67,38 @@ def test_sifts_add_dbs_versions(spark, refdata):
     # without add_dbs the columns stay null
     df2 = parse_sifts_residues(spark, f"{refdata}/sifts/2pah.xml")
     assert df2.filter(F.col("UniProt_dbVersion").isNotNull()).count() == 0
+
+
+def test_sequence_check_skipped_for_multi_atom(spark, refdata):
+    """Reference parity (proteofav/mergers.py:286): sequence checks only
+    run on single-atom tables — the corrupted entry must NOT raise when no
+    atom filter is applied (per-atom multiplicity would distort counts)."""
+    gen = TablesGenerator(spark)
+    merged = gen.generate(
+        SourcePaths(
+            mmcif=f"{refdata}/mmcif/2w4o_with_error.cif",
+            dssp=f"{refdata}/dssp/2w4o.dssp",
+        ),
+        chains=("A",), lines=("ATOM",),  # all atoms → check skipped
+        merge_tables=True, sequence_check="raise",
+    )
+    assert merged.count() > 0
+
+
+def test_sequence_check_rejects_bad_mode_without_merge(spark, refdata):
+    gen = TablesGenerator(spark)
+    with pytest.raises(ValueError):
+        gen.generate(
+            SourcePaths(mmcif=f"{refdata}/mmcif/2pah.cif"),
+            merge_tables=False, sequence_check="riase",
+        )
+
+
+def test_sequence_check_masks_unknown_residues(spark):
+    """Modified residues our 1-letter map renders as 'X' are masked on
+    BOTH sides — an 'X' position must never count as a mismatch."""
+    merged = spark.createDataFrame(
+        [("M3L", "K"), ("ALA", "A"), ("GLY", "G")],
+        "label_comp_id: string, AA: string",
+    )
+    assert check_sequence_consistency(merged, "dssp", "raise") == 0
