@@ -37,6 +37,10 @@ HEADLINE = [
     "dedup_embedding_cosine", # LSH-candidate cosine near-dup pairs
     "spatial_contacts_grid",  # grid-bucketed distance self-join
     "sessionize_events_gap",  # gap-based sessionization
+    "events_asof_join",       # union + carry-forward as-of join
+    "events_range_join_bucketed",  # time-banded interval join
+    "dedup_cc_clusters",      # iterative connected-components resolution
+    "shard_concat_digest",    # token-budget packing + ordered concat
 ]
 
 

@@ -1,0 +1,480 @@
+"""Training-data pipeline operators, part 2: temporal joins (as-of,
+banded range join), duplicate-cluster resolution (distributed connected
+components), corpus sharding (token-budget packing + ordered shard
+concatenation), deterministic stratified sampling / train-val-test
+splitting, and per-group exact quantiles.
+
+These extend the LLM-pipeline family in ``operators/llm_queries.py``
+(BASELINE.json "north_star": operations a 100 TB training-data pipeline
+needs beyond the reference's own operator set). Every operator is a
+declarative DataFrame plan with a DuckDB oracle; the connected-components
+oracle is a recursive CTE, giving an algorithm-independent check of the
+iterative Spark implementation.
+
+Timestamp precision contract: ``events.ts`` is parquet TIMESTAMP(NANOS) —
+Spark reads it as bigint nanoseconds (``nanosAsLong``), DuckDB truncates
+to microsecond TIMESTAMP. All temporal comparisons here therefore run at
+MICROSECOND resolution on both engines (`ts div 1000` vs ``epoch_us``),
+using integer division only — `floor(ts/1000.0)` in doubles would be off
+by one ulp near integer boundaries at 1e15 magnitudes.
+
+Scale notes (100 TB design):
+- the as-of join is the union + partitioned carry-forward formulation: ONE
+  shuffle on the join key, no range explosion, no per-row binary search —
+  the standard distributed as-of shape (Flink temporal joins / kdb aj
+  re-expressed as a Spark window).
+- the range join buckets time into window-width cells and joins on
+  (key, cell±1) — candidate pairs are bounded by cell occupancy, never N².
+- connected components is iterative min-label propagation over the (tiny)
+  near-dup edge list: each round is one join + one partial-aggregated
+  groupBy, lineage cut by localCheckpoint; near-dup graphs have bounded
+  component diameter (measured ≤ 9 vertices at sf0.1), so rounds ≤ ~5.
+  For adversarial graphs swap in alternating large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce"), same join shape.
+- shard packing windows partition by ``lang`` — at 100 TB the partition
+  key widens to (lang, date_bucket) so no single ordered partition grows
+  unbounded; the cumulative sum itself is the sequential scan Spark's
+  window operator already does partition-locally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from proteofav_spark.operators.llm_queries import (
+    _MINHASH_SQL,
+    _sql_poly_hash,
+    _sql_tokens,
+    poly_hash_col,
+    tokens_col,
+)
+from proteofav_spark.queries import load, register
+
+RANGE_W_S = 7200          # range-join half-window: ±2 hours
+SHARD_CAP_TOKENS = 256    # token budget per packed training shard
+SPLIT_SALT = "#v"         # salt for train/val/test hash bucketing
+SAMPLE_SALT = "#s"        # salt for stratified sampling hash
+
+
+def _t_us(col: str = "ts") -> F.Column:
+    """Event time at microsecond resolution from bigint nanoseconds —
+    integer division (never double floor: one-ulp errors at 1e15)."""
+    return F.expr(f"{col} div 1000")
+
+
+# ---------------------------------------------------------------------------
+# As-of join (latest right row at-or-before each left row, per key)
+# ---------------------------------------------------------------------------
+
+_ASOF_SQL = """
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
+               FROM events),
+    p AS (SELECT event_id AS purchase_id, user_id, t_us AS p_t
+          FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, t_us AS c_t, MAX(event_id) AS click_id
+          FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT p.purchase_id, p.user_id, c.click_id,
+           (p.p_t - c.c_t) // 1000000 AS lag_s
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND c.c_t <= p.p_t
+"""
+
+
+@register("events_asof_join", _ASOF_SQL)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the latest click by the same user
+    at-or-before the purchase time (left join — purchases with no prior
+    click keep NULLs).
+
+    Spark has no ASOF JOIN operator; the scalable formulation is the
+    union + carry-forward window: tag both sides, union by (key, time,
+    tag) with the right side ordered first on time ties (`<=`
+    semantics), and carry the last non-null right row forward. One
+    shuffle on the key, sequential scan per key partition — against
+    DuckDB's native ASOF JOIN as an algorithm-independent oracle. Right
+    rows are pre-deduplicated to one per (key, time) (max event_id),
+    making the pick at equal timestamps deterministic in both engines."""
+    e = load(spark, sf_dir, "events").withColumn("t_us", _t_us())
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "t_us")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "t_us", F.col("event_id").alias("purchase_id")
+    )
+    tagged = clicks.select(
+        "user_id", "t_us", F.lit(0).alias("tag"), "click_id",
+        F.lit(None).cast("long").alias("purchase_id"),
+    ).unionByName(
+        purchases.select(
+            "user_id", "t_us", F.lit(1).alias("tag"),
+            F.lit(None).cast("long").alias("click_id"), "purchase_id",
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t_us", "tag", "purchase_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.select(
+        "user_id", "t_us", "tag", "purchase_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last(F.when(F.col("tag") == 0, F.col("t_us")), ignorenulls=True)
+        .over(w).alias("c_t"),
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        "purchase_id", "user_id", "click_id",
+        F.expr("(t_us - c_t) div 1000000").alias("lag_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Banded range join (all right rows within ±W of each left row, per key)
+# ---------------------------------------------------------------------------
+
+_RANGE_SQL = f"""
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
+               FROM events),
+    err AS (SELECT event_id, user_id, t_us FROM e WHERE event_type = 'error'),
+    clk AS (SELECT event_id AS click_id, user_id, t_us AS c_t
+            FROM e WHERE event_type = 'click')
+    SELECT err.event_id, err.user_id,
+           CAST(COUNT(clk.click_id) AS BIGINT) AS n_nearby_clicks
+    FROM err LEFT JOIN clk
+      ON err.user_id = clk.user_id
+     AND abs(err.t_us - clk.c_t) <= CAST({RANGE_W_S} AS BIGINT) * 1000000
+    GROUP BY err.event_id, err.user_id
+"""
+
+
+@register("events_range_join_bucketed", _RANGE_SQL)
+def q_events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join: per error event, how many clicks by the same
+    user fall within ±2 h. The naive formulation is a per-key cross join
+    with an inequality filter — quadratic in events-per-user. The banded
+    plan quantizes time into window-width cells: each error probes its
+    own cell ±1 (a 3-element explode), clicks are keyed by their own
+    cell, and the join is a plain equi-join on (user, cell) followed by
+    the exact |Δt| filter. Candidates are bounded by cell occupancy —
+    the same grid trick as the spatial contacts join
+    (operators/structures.py), in one dimension. The oracle runs the
+    naive inequality join, checking the banding logic independently."""
+    w_us = RANGE_W_S * 1_000_000
+    e = load(spark, sf_dir, "events").withColumn("t_us", _t_us())
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "t_us",
+        F.expr(f"t_us div {w_us}").alias("cell"),
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("t_us").alias("c_t"),
+        F.expr(f"t_us div {w_us}").alias("cell"),
+    )
+    probes = err.withColumn(
+        "cell", F.explode(F.array(F.col("cell") - 1, F.col("cell"), F.col("cell") + 1))
+    )
+    matches = probes.join(clk, on=["user_id", "cell"]).filter(
+        F.abs(F.col("t_us") - F.col("c_t")) <= w_us
+    )
+    counts = matches.groupBy("event_id").agg(
+        F.count("click_id").alias("n_nearby_clicks")
+    )
+    return err.select("event_id", "user_id").join(counts, "event_id", "left").select(
+        "event_id", "user_id",
+        F.coalesce("n_nearby_clicks", F.lit(0)).alias("n_nearby_clicks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution: distributed connected components
+# ---------------------------------------------------------------------------
+
+_CC_SQL = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_MINHASH_SQL})
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS v, src AS r FROM edges
+      UNION
+      SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    lab AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM lab
+"""
+
+
+@register("dedup_cc_clusters", _CC_SQL)
+def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve MinHash-LSH candidate pairs into duplicate CLUSTERS via
+    distributed connected components, and elect the min-doc_id canonical
+    per cluster — the step that turns pairwise near-dup hits into a
+    deduplicated corpus (keep canonicals, drop the rest).
+
+    Implementation: min-label propagation. Labels start as each vertex's
+    own id; each round joins labels across the symmetrized edge list and
+    takes the per-vertex min; converged when no label changes. Each round
+    is one equi-join shuffle plus a partially-aggregated groupBy, with
+    ``localCheckpoint`` cutting lineage so plans stay O(1) per round.
+    Near-dup graphs are almost-cliques with bounded diameter (largest
+    component at sf0.1: 9 vertices), so this converges in ≤ ~5 rounds;
+    a degenerate long-path graph would want the alternating
+    large-star/small-star variant (same join primitive, O(log n) rounds).
+    The oracle computes components by transitive closure in a recursive
+    CTE — a different algorithm, so agreement checks the iteration, not
+    just the arithmetic."""
+    from proteofav_spark.operators.llm_queries import q_dedup_minhash_lsh
+
+    pairs = (
+        q_dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+    labels = sym.select(F.col("src").alias("v")).distinct().withColumn(
+        "lbl", F.col("v")
+    ).localCheckpoint()
+    for _ in range(20):
+        nbr = sym.join(
+            labels.withColumnRenamed("v", "src"), "src"
+        ).select(F.col("dst").alias("v"), "lbl")
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(sizes, "lbl").select(
+        F.col("v").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
+        (F.col("v") == F.col("lbl")).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus sharding: token-budget packing + ordered shard concatenation
+# ---------------------------------------------------------------------------
+
+_PACK_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len({_sql_tokens("text")}) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT doc_id, lang, n_tokens,
+           CAST((cum - n_tokens) // {SHARD_CAP_TOKENS} AS BIGINT) AS shard_id
+    FROM c
+"""
+
+
+def packed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each document to a training shard: within each ``lang``
+    stream ordered by doc_id, a shard is a run of documents whose
+    cumulative whitespace-token count stays under SHARD_CAP_TOKENS
+    (start-offset rule: shard = floor(preceding-cumsum / cap), so a
+    document lands in the shard its first token falls into). Pure
+    window-cumsum — deterministic, one shuffle on the partition key."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", "text",
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "shard_id", F.expr(f"(cum - n_tokens) div {SHARD_CAP_TOKENS}")
+    )
+
+
+@register("pack_token_shards", _PACK_SQL)
+def q_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment (sequence packing for LLM training
+    shards): see :func:`packed_documents`. At 100 TB the window partition
+    key widens to (lang, date_bucket) so no ordered partition is
+    unbounded; packing stays a partition-local sequential scan."""
+    return packed_documents(spark, sf_dir).select(
+        "doc_id", "lang", "n_tokens", "shard_id"
+    )
+
+
+_SHARD_CONCAT_SQL = f"""
+    WITH c AS ({_PACK_SQL})
+    SELECT c.lang, c.shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(c.n_tokens) AS BIGINT) AS shard_tokens,
+           md5(string_agg(d.text, chr(30) ORDER BY c.doc_id)) AS shard_md5
+    FROM c JOIN documents d ON c.doc_id = d.doc_id
+    GROUP BY c.lang, c.shard_id
+"""
+
+
+@register("shard_concat_digest", _SHARD_CONCAT_SQL)
+def q_shard_concat_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize packed shards: per (lang, shard), concatenate member
+    documents in doc_id order with a RS (0x1e) separator and emit the
+    digest + token total — the write-side of shard packing (the digest
+    stands in for the shard payload so the oracle compares content, not
+    multi-KB strings). Order inside ``collect_list`` is not guaranteed,
+    so members collect as (doc_id, text) structs and ``array_sort``
+    imposes the order before joining — the aggregation stays a single
+    shuffle; no window re-sort."""
+    packed = packed_documents(spark, sf_dir)
+    members = F.array_sort(
+        F.collect_list(F.struct("doc_id", "text"))
+    )
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(members, lambda m: m["text"]), "\x1e"
+            )
+        ).alias("shard_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling and train/val/test splitting
+# ---------------------------------------------------------------------------
+
+def _sample_rate_pct() -> F.Column:
+    return F.when(F.col("lang") == "en", F.lit(50)).otherwise(F.lit(25))
+
+
+_SAMPLE_SQL = f"""
+    SELECT doc_id, lang,
+           {_sql_poly_hash(f"CAST(doc_id AS VARCHAR) || '{SAMPLE_SALT}'")} % 100
+               AS h_bucket
+    FROM documents
+    WHERE {_sql_poly_hash(f"CAST(doc_id AS VARCHAR) || '{SAMPLE_SALT}'")} % 100
+          < CASE WHEN lang = 'en' THEN 50 ELSE 25 END
+"""
+
+
+@register("sample_stratified_hash", _SAMPLE_SQL)
+def q_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a per-stratum rate (50%
+    of 'en', 25% of the rest) chosen by a salted polynomial hash of the
+    document id — reproducible across runs, engines, and partitionings,
+    unlike ``df.sample`` whose output depends on partition layout. This
+    is the sampling contract a training pipeline needs: membership is a
+    pure function of (id, salt), so reshuffles and retries can't change
+    the corpus. Map-only — no shuffle at any scale."""
+    d = load(spark, sf_dir, "documents")
+    h = poly_hash_col(
+        F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT))
+    ) % 100
+    return (
+        d.withColumn("h_bucket", h)
+        .filter(F.col("h_bucket") < _sample_rate_pct())
+        .select("doc_id", "lang", "h_bucket")
+    )
+
+
+_SPLIT_SQL = f"""
+    WITH b AS (
+      SELECT lang,
+             CAST(len({_sql_tokens("text")}) AS BIGINT) AS n_tokens,
+             {_sql_poly_hash(f"CAST(doc_id AS VARCHAR) || '{SPLIT_SALT}'")} % 100
+                 AS bucket
+      FROM documents)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM b GROUP BY 1, 2
+"""
+
+
+@register("split_train_val_test", _SPLIT_SQL)
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucketed 80/10/10 train/val/test assignment (salted so it is
+    independent of the sampling hash), reported as per-(split, lang) doc
+    and token counts. Assignment is a pure function of doc_id — stable
+    under re-partitioning, incremental ingest, and engine changes, which
+    is what keeps eval sets leak-free over time."""
+    d = load(spark, sf_dir, "documents")
+    bucket = poly_hash_col(
+        F.concat(F.col("doc_id").cast("string"), F.lit(SPLIT_SALT))
+    ) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(
+            split.alias("split"), "lang",
+            F.size(tokens_col()).cast("long").alias("n_tokens"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group exact quantiles
+# ---------------------------------------------------------------------------
+
+_QUANTILES_SQL = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.90), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@register("agg_quantiles_value", _QUANTILES_SQL)
+def q_agg_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group continuous quantiles of the event value (Spark
+    ``percentile`` ↔ DuckDB ``quantile_cont``, both linear-interpolation;
+    outputs round to 6 dp because the two engines' interpolation
+    arithmetic differs in the last few ulps). Exact percentile sorts
+    per group — fine for low-cardinality groups; at 100 TB with many
+    groups the approximate path is ``approx_percentile`` (t-digest
+    sketch, mergeable map-side), same call shape."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", 0.25), 6).alias("p25"),
+        F.round(F.percentile("value", 0.50), 6).alias("p50"),
+        F.round(F.percentile("value", 0.90), 6).alias("p90"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+    )

@@ -38,12 +38,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def all_queries() -> dict[str, QueryFn]:
     # import side-effect modules that register extension queries
-    from proteofav_spark.operators import llm_queries  # noqa: F401
+    from proteofav_spark.operators import llm_queries, pipeline_queries  # noqa: F401
     return dict(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
-    from proteofav_spark.operators import llm_queries  # noqa: F401
+    from proteofav_spark.operators import llm_queries, pipeline_queries  # noqa: F401
     return dict(_ORACLES)
 
 

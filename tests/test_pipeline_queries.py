@@ -1,0 +1,222 @@
+"""Semantics tests for the pipeline-extension operators
+(operators/pipeline_queries.py): as-of join, banded range join,
+connected-components dedup clustering, token-shard packing, stratified
+sampling, split assignment, and exact quantiles. The DuckDB oracles check
+value parity; these tests pin the SEMANTIC invariants each operator must
+hold regardless of data."""
+
+import pytest
+from pyspark.sql import Window as W, functions as F
+
+from proteofav_spark.operators.pipeline_queries import (
+    RANGE_W_S,
+    SHARD_CAP_TOKENS,
+    packed_documents,
+    q_dedup_cc_clusters,
+    q_events_asof_join,
+    q_events_range_join_bucketed,
+    q_pack_token_shards,
+    q_sample_stratified_hash,
+    q_shard_concat_digest,
+    q_split_train_val_test,
+    q_agg_quantiles_value,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_asof_matches_naive_per_user(spark, events):
+    """The union+carry-forward as-of equals the naive 'max click at-or-
+    before' computed independently via a windowed inequality join."""
+    res = q_events_asof_join(spark, SF)
+    e = events.withColumn("t_us", F.expr("ts div 1000"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("t_us").alias("p_t"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("nc_id"), F.col("user_id").alias("c_user"),
+        F.col("t_us").alias("c_t"),
+    )
+    naive = (
+        p.join(c, (p.user_id == c.c_user) & (c.c_t <= p.p_t), "left")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("purchase_id")
+                .orderBy(F.desc_nulls_last("c_t"), F.desc_nulls_last("nc_id"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("purchase_id", F.col("nc_id").alias("naive_click"))
+    )
+    diff = (
+        res.join(naive, "purchase_id")
+        .filter(
+            ~(
+                (F.col("click_id") == F.col("naive_click"))
+                | (F.col("click_id").isNull() & F.col("naive_click").isNull())
+            )
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_asof_lag_nonnegative_and_nulls_consistent(spark):
+    res = q_events_asof_join(spark, SF).cache()
+    assert res.filter(F.col("lag_s") < 0).count() == 0
+    # lag is NULL exactly when no click matched
+    assert res.filter(
+        F.col("click_id").isNull() != F.col("lag_s").isNull()
+    ).count() == 0
+    res.unpersist()
+
+
+def test_range_join_banding_equals_naive(spark, events):
+    """Cell±1 banding must reproduce the naive inequality join exactly."""
+    res = q_events_range_join_bucketed(spark, SF)
+    e = events.withColumn("t_us", F.expr("ts div 1000"))
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "t_us"
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"),
+        F.col("t_us").alias("c_t"),
+    )
+    naive = (
+        err.join(
+            clk,
+            (err.user_id == clk.c_user)
+            & (F.abs(err.t_us - clk.c_t) <= RANGE_W_S * 1_000_000),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.count("click_id").alias("naive_n"))
+    )
+    diffs = (
+        res.join(naive, "event_id")
+        .filter(F.col("n_nearby_clicks") != F.col("naive_n"))
+        .count()
+    )
+    assert diffs == 0
+    # zero-match errors are retained, not dropped
+    assert res.count() == err.count()
+
+
+def test_cc_clusters_are_consistent(spark):
+    """Every near-dup edge has both endpoints in the same cluster, the
+    cluster id is the minimum member id, and sizes are consistent."""
+    from proteofav_spark.operators.llm_queries import q_dedup_minhash_lsh
+
+    labels = q_dedup_cc_clusters(spark, SF).cache()
+    pairs = q_dedup_minhash_lsh(spark, SF).select("doc_a", "doc_b")
+    la = labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb")
+    )
+    split_edges = (
+        pairs.join(la, "doc_a").join(lb, "doc_b")
+        .filter(F.col("ca") != F.col("cb"))
+        .count()
+    )
+    assert split_edges == 0
+    # cluster id is the min doc_id of the cluster (one canonical each)
+    mins = labels.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("mn"), F.count(F.lit(1)).alias("n")
+    )
+    assert mins.filter(F.col("cluster_id") != F.col("mn")).count() == 0
+    bad_sizes = (
+        labels.join(mins, "cluster_id")
+        .filter(F.col("cluster_size") != F.col("n"))
+        .count()
+    )
+    assert bad_sizes == 0
+    assert labels.filter("is_canonical").count() == mins.count()
+    labels.unpersist()
+
+
+def test_packing_respects_budget_and_order(spark):
+    """Shard ids are non-decreasing in doc_id within a lang, every shard
+    except possibly the last is 'full' (its successor starts past the
+    cap), and each doc's shard is its preceding-cumsum div cap."""
+    packed = packed_documents(spark, SF).cache()
+    w = W.partitionBy("lang").orderBy("doc_id")
+    seq = packed.withColumn("prev_shard", F.lag("shard_id").over(w))
+    assert seq.filter(F.col("shard_id") < F.col("prev_shard")).count() == 0
+    recomputed = packed.filter(
+        F.col("shard_id")
+        != F.floor((F.col("cum") - F.col("n_tokens")) / SHARD_CAP_TOKENS)
+    )
+    assert recomputed.count() == 0
+    packed.unpersist()
+
+
+def test_shard_digest_covers_all_docs(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    shards = q_shard_concat_digest(spark, SF)
+    agg = shards.agg(
+        F.sum("n_docs").alias("docs"),
+        F.countDistinct("shard_md5").alias("digests"),
+    ).first()
+    assert agg["docs"] == d.count()
+    # digests are content hashes — distinct unless shards collide exactly
+    assert agg["digests"] == shards.count()
+
+
+def test_stratified_sample_is_deterministic_subset(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    s1 = q_sample_stratified_hash(spark, SF)
+    s2 = q_sample_stratified_hash(spark, SF)
+    assert s1.exceptAll(s2).count() == 0  # run-to-run identical
+    assert s1.join(d, "doc_id", "left_anti").count() == 0  # subset
+    # en keeps ~50%, others ~25% — allow wide tolerance at tiny SF
+    rates = (
+        s1.groupBy("lang").count()
+        .join(d.groupBy("lang").count().withColumnRenamed("count", "total"),
+              "lang")
+        .withColumn("rate", F.col("count") / F.col("total"))
+        .collect()
+    )
+    for r in rates:
+        expected = 0.5 if r["lang"] == "en" else 0.25
+        assert abs(r["rate"] - expected) < 0.18, (r["lang"], r["rate"])
+
+
+def test_split_partitions_corpus(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    res = q_split_train_val_test(spark, SF).collect()
+    assert sum(r["n_docs"] for r in res) == d.count()
+    by_split = {}
+    for r in res:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    assert set(by_split) == {"train", "val", "test"}
+    assert by_split["train"] > by_split["val"]
+    assert by_split["train"] > by_split["test"]
+
+
+def test_quantiles_ordered(spark):
+    for r in q_agg_quantiles_value(spark, SF).collect():
+        assert r["p25"] <= r["p50"] <= r["p90"] <= r["p99"]
+        assert r["n"] > 0
+
+
+def test_pack_shard_ids_contiguous_from_zero(spark):
+    """Per lang, shard ids used by the digest query form a contiguous
+    0..max range (no gaps — a gap would mean a shard with no documents)."""
+    shards = q_shard_concat_digest(spark, SF)
+    per_lang = shards.groupBy("lang").agg(
+        F.min("shard_id").alias("mn"), F.max("shard_id").alias("mx"),
+        F.countDistinct("shard_id").alias("n"),
+    )
+    bad = per_lang.filter(
+        (F.col("mn") != 0) | (F.col("n") != F.col("mx") + 1)
+    )
+    assert bad.count() == 0
