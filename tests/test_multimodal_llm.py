@@ -111,3 +111,27 @@ def test_knn_self_similarity_excluded(spark):
     ranks = out.filter(F.col("qid") == 0).orderBy("rk").collect()
     cosines = [r["cosine"] for r in ranks]
     assert cosines == sorted(cosines, reverse=True)
+
+
+def test_arrow_bucket_kernel_matches_jvm_fold(spark):
+    """The Arrow-batched LSH bucket kernel must be bit-identical to the
+    JVM higher-order-function fold (bucket_col): exact products + cumsum
+    preserve the sequential fold order, so every (vec, table) bucket id
+    agrees."""
+    from pyspark.sql import functions as F
+
+    from proteofav_spark.operators.llm_queries import (
+        N_TABLES,
+        banded_embeddings,
+        bucket_col,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    jvm = e.select(
+        "vec_id",
+        F.posexplode(F.array(*[bucket_col(t) for t in range(N_TABLES)]))
+        .alias("tbl", "bucket"),
+    )
+    arrow = banded_embeddings(e).select("vec_id", "tbl", "bucket")
+    assert jvm.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(jvm).count() == 0
