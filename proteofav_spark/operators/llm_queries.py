@@ -842,9 +842,15 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade a few extra candidates for recall a single deep table cannot
     reach. At 100 TB the bucket equi-join replaces the brute-force cross
     join; table count / plane depth tune the recall-cost point."""
-    bands = banded_embeddings(load(spark, sf_dir, "embeddings"))
+    e = load(spark, sf_dir, "embeddings")
+    bands = banded_embeddings(e)
+    # band the pre-filtered query rows rather than filtering the banded
+    # corpus: the Arrow bucket kernel is nondeterministic-flagged, so a
+    # filter above it cannot push below — banding e.filter(...) keeps the
+    # vec_id predicate at the parquet scan and runs the kernel on 3 rows,
+    # not a second full-corpus pass
     q = (
-        bands.filter(F.col("vec_id") < 3)
+        banded_embeddings(e.filter(F.col("vec_id") < 3))
         .select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
             "tbl", "bucket",

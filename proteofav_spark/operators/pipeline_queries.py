@@ -264,6 +264,16 @@ def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    else:
+        # a silent non-converged exit would emit one true component as
+        # several cluster_ids (several canonicals) and the downstream
+        # keep-canonicals dedup would quietly retain duplicates
+        raise RuntimeError(
+            "connected-components min-label propagation did not converge "
+            f"in 20 rounds ({changed} labels still changing); graph "
+            "diameter exceeds the round cap — switch to the "
+            "large-star/small-star variant for this input"
+        )
     sizes = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
