@@ -242,26 +242,34 @@ def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-    labels = sym.select(F.col("src").alias("v")).distinct().withColumn(
-        "lbl", F.col("v")
-    ).localCheckpoint()
+    # seed with round-1 labels directly: lbl_1(v) = min(v, min neighbors)
+    # — the same groupBy shuffle the plain distinct would cost, one full
+    # propagation round saved
+    labels = (
+        sym.groupBy(F.col("src").alias("v"))
+        .agg(F.least(F.min("dst"), F.min("src")).alias("lbl"))
+        .localCheckpoint()
+    )
     for _ in range(20):
         nbr = sym.join(
             labels.withColumnRenamed("v", "src"), "src"
-        ).select(F.col("dst").alias("v"), "lbl")
+        ).select(F.col("dst").alias("v"), "lbl", F.lit(False).alias("own"))
+        # carry each vertex's previous label through the aggregation
+        # (labels has exactly one row per v, so min-over-own is that row)
+        # — the convergence check becomes a filter over the checkpointed
+        # result instead of a labels⋈labels shuffle join every round
         new = (
-            labels.unionByName(nbr)
+            labels.withColumn("own", F.lit(True))
+            .unionByName(nbr)
             .groupBy("v")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.min(F.when(F.col("own"), F.col("lbl"))).alias("old_lbl"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("lbl") != F.col("old_lbl")).count()
+        labels = new.select("v", "lbl")
         if changed == 0:
             break
     else:
