@@ -239,6 +239,14 @@ def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
+    return min_label_components(pairs)
+
+
+def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected edge list (doc_a, doc_b)
+    → one row per vertex: (doc_id, cluster_id, cluster_size,
+    is_canonical). Raises if the graph diameter exceeds ``max_rounds``
+    rather than returning split components."""
     sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b"), F.col("doc_a")))
@@ -250,7 +258,7 @@ def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.least(F.min("dst"), F.min("src")).alias("lbl"))
         .localCheckpoint()
     )
-    for _ in range(20):
+    for _ in range(max_rounds):
         nbr = sym.join(
             labels.withColumnRenamed("v", "src"), "src"
         ).select(F.col("dst").alias("v"), "lbl", F.lit(False).alias("own"))
@@ -278,8 +286,8 @@ def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # keep-canonicals dedup would quietly retain duplicates
         raise RuntimeError(
             "connected-components min-label propagation did not converge "
-            f"in 20 rounds ({changed} labels still changing); graph "
-            "diameter exceeds the round cap — switch to the "
+            f"in {max_rounds} rounds ({changed} labels still changing); "
+            "graph diameter exceeds the round cap — switch to the "
             "large-star/small-star variant for this input"
         )
     sizes = labels.groupBy("lbl").agg(

@@ -11,6 +11,7 @@ from pyspark.sql import Window as W, functions as F
 from proteofav_spark.operators.pipeline_queries import (
     RANGE_W_S,
     SHARD_CAP_TOKENS,
+    min_label_components,
     packed_documents,
     q_dedup_cc_clusters,
     q_events_asof_join,
@@ -214,6 +215,33 @@ def test_split_partitions_corpus(spark):
     assert set(by_split) == {"train", "val", "test"}
     assert by_split["train"] > by_split["val"]
     assert by_split["train"] > by_split["test"]
+
+
+def test_cc_synthetic_components(spark):
+    """Two known components (a 4-path and a triangle) resolve to the
+    min-id canonical each, regardless of edge orientation."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (11, 12), (10, 12)],
+        "doc_a long, doc_b long",
+    )
+    rows = {r["doc_id"]: r for r in min_label_components(pairs).collect()}
+    assert {v: r["cluster_id"] for v, r in rows.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+    }
+    assert {v for v, r in rows.items() if r["is_canonical"]} == {1, 10}
+    assert rows[4]["cluster_size"] == 4 and rows[12]["cluster_size"] == 3
+
+
+def test_cc_raises_past_round_cap(spark):
+    """A path graph whose diameter exceeds max_rounds must raise loudly,
+    not silently emit a split component."""
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(path, max_rounds=2)
+    out = min_label_components(path)  # default cap is plenty for d=12
+    assert out.filter(F.col("cluster_id") != 0).count() == 0
 
 
 def test_pack_query_projection(spark):
