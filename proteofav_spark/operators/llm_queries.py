@@ -599,9 +599,22 @@ DIM = 64
 
 
 def _plane_coef(j: int, d: int) -> int:
-    """Deterministic integer hyperplane coefficients shared with the
-    oracle: ((j*31 + d*17) % 7) - 3 ∈ [-3, 3]."""
-    return ((j * 31 + d * 17) % 7) - 3
+    """Deterministic integer hyperplane coefficients in [-3, 3], shared
+    with the oracle (the values are inlined as literals on both sides,
+    so any Python-computable hash works). Mixed with an avalanche hash:
+    a LINEAR form like ``(j*31 + d*17) % 7`` makes plane j's coefficient
+    row depend only on ``j mod 7`` — 24 nominal planes collapse to 7
+    distinct hyperplanes and the "independent" LSH tables correlate,
+    which measured out at ~0.45 near-dup recall vs brute force. The
+    hashed planes restore the (1-θ/π)^k per-table collision model
+    (~0.97 measured recall at the same τ). |coef| ≤ 3 keeps every
+    float32-embedding × coef product exact in double (the Arrow kernel's
+    bit-identity argument)."""
+    x = (j * 2654435761 + d * 40503) & 0xFFFFFFFF
+    x ^= x >> 16
+    x = (x * 2246822519) & 0xFFFFFFFF
+    x ^= x >> 13
+    return (x % 7) - 3
 
 
 def _sql_bucket(table_no: int, col: str = "embedding") -> str:
