@@ -135,3 +135,64 @@ def test_arrow_bucket_kernel_matches_jvm_fold(spark):
     arrow = banded_embeddings(e).select("vec_id", "tbl", "bucket")
     assert jvm.exceptAll(arrow).count() == 0
     assert arrow.exceptAll(jvm).count() == 0
+
+
+def test_lsh_planes_pairwise_distinct():
+    """Regression for the linear coefficient hash: ((j*31 + d*17) % 7)
+    makes plane j's row depend only on j mod 7, so the 24 nominal planes
+    collapsed to 7 distinct hyperplanes and the LSH tables correlated."""
+    from proteofav_spark.operators.llm_queries import (
+        DIM, N_TABLES, PLANES_PER_TABLE, _plane_coef,
+    )
+
+    rows = {
+        tuple(_plane_coef(j, d) for d in range(1, DIM + 1))
+        for j in range(N_TABLES * PLANES_PER_TABLE)
+    }
+    assert len(rows) == N_TABLES * PLANES_PER_TABLE
+
+
+def test_lsh_recall_matches_collision_model():
+    """Bucket-join candidate recall over true cosine-≥τ pairs must track
+    the (1-θ/π)^k per-table model (~0.60 for pairs exactly at τ=0.35).
+    The correlated-plane bug measured 0.45 — assert comfortably above it
+    using the same numpy bucket math the Arrow kernel runs (pinned
+    bit-identical to the JVM fold by test_arrow_bucket_kernel_matches)."""
+    from collections import defaultdict
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from proteofav_spark.operators.llm_queries import (
+        COSINE_DUP_TAU, DIM, N_TABLES, PLANES_PER_TABLE, _plane_coef,
+    )
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
+    E = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    n = len(E)
+    nrm = np.linalg.norm(E, axis=1)
+    C = (E @ E.T) / np.outer(nrm, nrm)
+    coef = np.array(
+        [
+            [float(_plane_coef(j, d)) for d in range(1, DIM + 1)]
+            for j in range(N_TABLES * PLANES_PER_TABLE)
+        ]
+    )
+    bits = (np.round(E @ coef.T, 6) > 0).astype(np.int64)
+    w = np.array([1 << j for j in range(PLANES_PER_TABLE)])
+    buckets = bits.reshape(n, N_TABLES, PLANES_PER_TABLE) @ w
+    cand = set()
+    for tbl in range(N_TABLES):
+        cells = defaultdict(list)
+        for i in range(n):
+            cells[buckets[i, tbl]].append(i)
+        for cell in cells.values():
+            for a in range(len(cell)):
+                for b in range(a + 1, len(cell)):
+                    cand.add((cell[a], cell[b]))
+    iu = np.triu_indices(n, 1)
+    true_pairs = [
+        (i, j) for i, j in zip(*iu) if round(C[i, j], 4) >= COSINE_DUP_TAU
+    ]
+    recall = sum(p in cand for p in true_pairs) / len(true_pairs)
+    assert recall >= 0.55
