@@ -41,6 +41,8 @@ HEADLINE = [
     "events_range_join_bucketed",  # time-banded interval join
     "dedup_cc_clusters",      # iterative connected-components resolution
     "shard_concat_digest",    # token-budget packing + ordered concat
+    "text_repetition_metrics",     # Gopher repetition filters (two-level n-gram agg)
+    "contamination_ngram_overlap", # broadcast benchmark-decontamination join
 ]
 
 

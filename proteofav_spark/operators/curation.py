@@ -1,0 +1,290 @@
+"""Training-data pipeline operators, part 3: corpus curation.
+
+Quality filtering and sampling operators a 100 TB pretraining pipeline
+runs after dedup (extends ``operators/llm_queries.py`` /
+``operators/pipeline_queries.py``; BASELINE.json "north_star"):
+
+- ``text_repetition_metrics`` — Gopher-style intra-document repetition
+  filters (Rae et al. 2021, §A1.1): fraction of tokens covered by the
+  most frequent word bigram and fraction of trigram occurrences that are
+  duplicates, plus the keep/drop verdict.
+- ``contamination_ngram_overlap`` — GPT-3-style benchmark decontamination
+  (Brown et al. 2020, App. C): flag corpus documents sharing any word
+  8-gram with a held-out eval set.
+- ``sample_weighted_hash`` — deterministic per-document importance
+  sampling: acceptance probability proportional to a quality proxy,
+  decided by an arithmetic hash so reruns and retries keep the same rows.
+- ``source_mixture_rebalance`` — quality-proportional source mixing
+  (DoReMi-lite): per-source acceptance rates from relative mean document
+  quality, applied with a second independent hash.
+
+Scale notes (100 TB design):
+- Repetition metrics are the canonical two-level aggregation: explode
+  n-grams → partial-aggregated count per (doc, k, gram) → per-doc stats.
+  Both shuffles key on doc_id(+gram) — no global state, no skew beyond
+  document length, and a sentinel gram keeps token-poor documents in the
+  output without a second scan of the corpus.
+- Decontamination NEVER shuffles the corpus: the eval n-gram set is tiny
+  (benchmarks are MBs against a 100 TB corpus) and is broadcast; only
+  matching (doc_id, gram) hits — a vanishing fraction — reach the final
+  aggregate. Here the eval set is carved from ``documents`` by
+  ``doc_id % 10`` for the oracle's benefit; production passes a separate
+  benchmark table into :func:`contamination_hits`.
+- Both sampling operators are stateless map-side filters: the decision is
+  pure arithmetic on (doc_id, per-source rate), so they pipeline into the
+  scan with zero shuffle; the per-source rate table is a broadcast of
+  O(#sources) rows. Hash-based acceptance (vs ``rand()``) makes the
+  sample reproducible under retries and incremental reruns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from proteofav_spark.operators.llm_queries import (
+    _sql_shingles,
+    _sql_tokens,
+    shingles_col,
+    tokens_col,
+)
+from proteofav_spark.queries import fan_out, load, register
+
+REP_TOP_BIGRAM_MAX = 0.20   # Gopher-ish: drop if top bigram covers >20% of tokens
+REP_DUP_TRIGRAM_MAX = 0.30  # drop if >30% of trigram occurrences are duplicates
+CONTAM_K = 8                # word n-gram order for decontamination
+EVAL_EVERY = 10             # synthetic eval split: doc_id % EVAL_EVERY == 0
+HASH_MOD = 1000003          # prime modulus for acceptance hashes
+
+
+def _accept_u(mult: int, offset: int) -> F.Column:
+    """Uniform-ish acceptance value in [0, 1) from integer arithmetic on
+    doc_id — exact and identical in Spark and DuckDB (no float hash, no
+    rand()), so sampling decisions survive retries and reruns."""
+    return (
+        (F.col("doc_id") * F.lit(mult) + F.lit(offset)) % F.lit(HASH_MOD)
+    ) / F.lit(float(HASH_MOD))
+
+
+def _sql_accept_u(mult: int, offset: int) -> str:
+    return f"((doc_id * {mult} + {offset}) % {HASH_MOD}) / {HASH_MOD}.0"
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters
+# ---------------------------------------------------------------------------
+
+_REP_SQL = f"""
+    WITH g AS (
+      SELECT doc_id,
+             len({_sql_tokens("text")}) AS n_tokens,
+             UNNEST(list_concat(list_concat(
+                 list_transform({_sql_shingles("text", 2)},
+                                x -> {{'k': 2, 'gram': x}}),
+                 list_transform({_sql_shingles("text", 3)},
+                                x -> {{'k': 3, 'gram': x}})),
+                 [{{'k': 0, 'gram': ''}}])) AS s
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens, s.k AS k, s.gram AS gram, count(*) AS c
+      FROM g GROUP BY ALL),
+    p AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(MAX(CASE WHEN k = 2 THEN c END), 0) AS max2,
+             COALESCE(CAST(SUM(CASE WHEN k = 3 THEN c END) AS BIGINT), 0) AS n3,
+             COALESCE(CAST(SUM(CASE WHEN k = 3 AND c > 1 THEN c END) AS BIGINT), 0) AS dup3
+      FROM c GROUP BY doc_id, n_tokens)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(least(1.0, max2 * 2.0 / greatest(n_tokens, 1)), 6) AS top_bigram_frac,
+           round(dup3 / greatest(n3, 1), 6) AS dup_trigram_frac,
+           CAST((round(least(1.0, max2 * 2.0 / greatest(n_tokens, 1)), 6) <= {REP_TOP_BIGRAM_MAX}
+                 AND round(dup3 / greatest(n3, 1), 6) <= {REP_DUP_TRIGRAM_MAX}) AS INT) AS keep
+    FROM p
+"""
+
+
+@register("text_repetition_metrics", _REP_SQL)
+def q_text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics and keep/drop verdict: fraction of
+    tokens covered by the most frequent word bigram, and fraction of
+    trigram occurrences that are duplicates (Gopher repetition filters).
+
+    One corpus scan: bigram and trigram structs concatenate into a single
+    exploded column (tagged by ``k``), plus a ``k=0`` sentinel per
+    document so token-poor docs keep a row without a second scan or a
+    left join. Both aggregations partial-combine map-side; the gram-count
+    shuffle keys on (doc_id, k, gram) so hot grams in one document never
+    skew another's partition."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    b2 = F.transform(
+        shingles_col("text", 2),
+        lambda g: F.struct(F.lit(2).alias("k"), g.alias("gram")),
+    )
+    b3 = F.transform(
+        shingles_col("text", 3),
+        lambda g: F.struct(F.lit(3).alias("k"), g.alias("gram")),
+    )
+    sentinel = F.array(F.struct(F.lit(0).alias("k"), F.lit("").alias("gram")))
+    expl = d.select(
+        "doc_id",
+        F.size(tokens_col("text")).cast("bigint").alias("n_tokens"),
+        F.explode(F.concat(b2, b3, sentinel)).alias("s"),
+    ).select("doc_id", "n_tokens", F.col("s.k").alias("k"), F.col("s.gram").alias("gram"))
+    cnt = expl.groupBy("doc_id", "n_tokens", "k", "gram").agg(
+        F.count("*").alias("c")
+    )
+    per = cnt.groupBy("doc_id", "n_tokens").agg(
+        F.coalesce(F.max(F.when(F.col("k") == 2, F.col("c"))), F.lit(0)).alias("max2"),
+        F.coalesce(F.sum(F.when(F.col("k") == 3, F.col("c"))), F.lit(0)).alias("n3"),
+        F.coalesce(
+            F.sum(F.when((F.col("k") == 3) & (F.col("c") > 1), F.col("c"))), F.lit(0)
+        ).alias("dup3"),
+    )
+    # count*2/n over-counts overlapping occurrences ("x x x x": 3 bigram
+    # hits × 2 > 4 tokens) — cap so the metric stays a fraction
+    top = F.round(
+        F.least(
+            F.lit(1.0), F.col("max2") * 2.0 / F.greatest(F.col("n_tokens"), F.lit(1))
+        ),
+        6,
+    )
+    dup = F.round(F.col("dup3") / F.greatest(F.col("n3"), F.lit(1)), 6)
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        top.alias("top_bigram_frac"),
+        dup.alias("dup_trigram_frac"),
+        ((top <= REP_TOP_BIGRAM_MAX) & (dup <= REP_DUP_TRIGRAM_MAX))
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def contamination_hits(corpus_grams: DataFrame, eval_grams: DataFrame) -> DataFrame:
+    """Corpus documents sharing ≥1 n-gram with the (broadcast) eval set.
+
+    ``corpus_grams``: (doc_id, gram); ``eval_grams``: (eval_id, gram).
+    The eval side is benchmarks — MBs against a 100 TB corpus — so it
+    broadcasts and the corpus never shuffles; only matching hits reach
+    the countDistinct aggregate."""
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_ngrams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+_CONTAM_SQL = f"""
+    WITH g AS (
+      SELECT doc_id, UNNEST(list_distinct({_sql_shingles("text", CONTAM_K)})) AS gram
+      FROM documents),
+    e AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % {EVAL_EVERY} = 0),
+    c AS (SELECT doc_id, gram FROM g WHERE doc_id % {EVAL_EVERY} <> 0)
+    SELECT c.doc_id,
+           CAST(count(DISTINCT c.gram) AS BIGINT) AS n_shared_ngrams,
+           CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+    FROM c JOIN e USING (gram)
+    GROUP BY c.doc_id
+"""
+
+
+@register("contamination_ngram_overlap", _CONTAM_SQL)
+def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style decontamination: corpus documents that share any word
+    8-gram with the eval split (here ``doc_id % 10 == 0`` stands in for a
+    benchmark table so DuckDB can oracle the whole flow; production calls
+    :func:`contamination_hits` with real benchmark grams)."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    g = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col("text", CONTAM_K))).alias("gram"),
+    )
+    ev = g.filter(F.col("doc_id") % EVAL_EVERY == 0).select(
+        F.col("doc_id").alias("eval_id"), "gram"
+    )
+    corpus = g.filter(F.col("doc_id") % EVAL_EVERY != 0)
+    return contamination_hits(corpus, ev)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted / mixture sampling
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_SQL = f"""
+    SELECT doc_id, source,
+           round(least(1.0, n_chars / 500.0), 6) AS weight
+    FROM documents
+    WHERE {_sql_accept_u(2654435761, 12345)} < least(1.0, n_chars / 500.0)
+"""
+
+
+@register("sample_weighted_hash", _WSAMPLE_SQL)
+def q_sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling: accept each document with probability equal
+    to a quality proxy (length-capped weight), decided by a deterministic
+    arithmetic hash. Pipelines into the scan — no shuffle, no state; the
+    weight column doubles as the loss/mixture reweight downstream."""
+    d = load(spark, sf_dir, "documents")
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))
+    return (
+        d.filter(_accept_u(2654435761, 12345) < w)
+        .select("doc_id", "source", F.round(w, 6).alias("weight"))
+    )
+
+
+_MIX_SQL = f"""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_orig, avg(n_chars) AS a
+      FROM documents GROUP BY source),
+    r AS (
+      SELECT source, n_orig,
+             round(least(1.0, a / (SELECT max(a) FROM s)), 6) AS rate
+      FROM s),
+    k AS (
+      SELECT d.source, count(*) AS c
+      FROM documents d JOIN r USING (source)
+      WHERE {_sql_accept_u(40503, 99991)} < r.rate
+      GROUP BY d.source)
+    SELECT source, n_orig, rate, CAST(COALESCE(k.c, 0) AS BIGINT) AS n_sampled
+    FROM r LEFT JOIN k USING (source)
+"""
+
+
+@register("source_mixture_rebalance", _MIX_SQL)
+def q_source_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional source mixing: each source's acceptance rate
+    is its mean document quality (mean n_chars as the proxy) relative to
+    the best source, applied per-row with a hash independent of the
+    weighted-sampling hash. The rate table is O(#sources) rows → computed
+    in one tiny aggregate, broadcast back onto the scan; the per-row
+    decision is again a shuffle-free map-side filter. Mean-of-int is an
+    exact integer sum over an exact count on both engines, so the rates
+    are bit-identical without rounding tricks."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_orig"), F.avg("n_chars").alias("a")
+    )
+    mx = s.agg(F.max("a").alias("ma"))
+    rates = s.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "n_orig",
+        F.round(F.least(F.lit(1.0), F.col("a") / F.col("ma")), 6).alias("rate"),
+    )
+    kept = (
+        d.join(F.broadcast(rates.select("source", "rate")), "source")
+        .filter(_accept_u(40503, 99991) < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_orig",
+        "rate",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+    )

@@ -36,14 +36,30 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread CPU-bound per-row work across the cluster when the scan
+    under-partitions it: repartition to defaultParallelism only if the
+    plan currently has fewer partitions. A well-split 100 TB scan
+    (thousands of input splits) passes through untouched — the shuffle
+    only fires for the few-files case (one small parquet locally;
+    gzip/jsonl dumps in production), where moving the raw bytes once is
+    far cheaper than running an expensive projection on a handful of
+    cores. Use UNDER the heavy projection, i.e. fan_out(scan).select(
+    expensive...), never above it."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def all_queries() -> dict[str, QueryFn]:
     # import side-effect modules that register extension queries
-    from proteofav_spark.operators import llm_queries, pipeline_queries  # noqa: F401
+    from proteofav_spark.operators import curation, llm_queries, pipeline_queries  # noqa: F401
     return dict(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
-    from proteofav_spark.operators import llm_queries, pipeline_queries  # noqa: F401
+    from proteofav_spark.operators import curation, llm_queries, pipeline_queries  # noqa: F401
     return dict(_ORACLES)
 
 

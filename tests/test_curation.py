@@ -1,0 +1,108 @@
+"""Edge-case semantics for the corpus-curation operators (part 3):
+repetition filters, decontamination, deterministic weighted / mixture
+sampling. Driver-table parity is covered by the oracle gate; these pin
+behavior on crafted corpora."""
+
+import os
+import tempfile
+
+import pytest
+
+from proteofav_spark.operators.curation import (
+    q_contamination_ngram_overlap,
+    q_sample_weighted_hash,
+    q_source_mixture_rebalance,
+    q_text_repetition_metrics,
+)
+
+
+def _write_docs(spark, rows):
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    return tmp
+
+
+def test_repetition_metrics_flag_degenerate_docs(spark):
+    """'a b a b a' is dominated by one bigram and duplicate trigrams →
+    dropped; an all-distinct doc sits exactly at the 0.2 bigram bound →
+    kept; a one-token doc has no grams → zero fractions, kept."""
+    rows = [
+        (1, "a b a b a", "en", "s", 9),
+        (2, " ".join(f"w{i}" for i in range(10)), "en", "s", 30),
+        (3, "x", "en", "s", 1),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in q_text_repetition_metrics(spark, _write_docs(spark, rows)).collect()
+    }
+    assert len(out) == 3
+    r1 = out[1]
+    assert r1["n_tokens"] == 5
+    assert r1["top_bigram_frac"] == pytest.approx(0.8)   # "a b" ×2 → 4/5
+    assert r1["dup_trigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r1["keep"] == 0
+    r2 = out[2]
+    assert r2["top_bigram_frac"] == pytest.approx(0.2)   # max count 1 → 2/10
+    assert r2["dup_trigram_frac"] == 0.0
+    assert r2["keep"] == 1
+    r3 = out[3]
+    assert (r3["top_bigram_frac"], r3["dup_trigram_frac"], r3["keep"]) == (0.0, 0.0, 1)
+
+
+def test_repetition_top_frac_capped_at_one(spark):
+    """Overlapping occurrences ('x x x x': 3 hits × 2 tokens > 4 tokens)
+    must not push the fraction past 1."""
+    out = q_text_repetition_metrics(
+        spark, _write_docs(spark, [(1, "x x x x", "en", "s", 7)])
+    ).collect()[0]
+    assert out["top_bigram_frac"] == 1.0
+    assert out["keep"] == 0
+
+
+def test_contamination_flags_only_sharing_corpus_docs(spark):
+    """doc 0 is the eval split (0 % 10 == 0); doc 5 embeds one of its
+    8-grams → flagged with that one eval doc; doc 7 is disjoint → absent;
+    eval docs themselves never appear."""
+    shared = " ".join(f"g{i}" for i in range(8))
+    rows = [
+        (0, shared + " tail0 tail1", "en", "s", 50),
+        (5, "pre0 pre1 " + shared, "en", "s", 50),
+        (7, " ".join(f"z{i}" for i in range(12)), "en", "s", 40),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in q_contamination_ngram_overlap(spark, _write_docs(spark, rows)).collect()
+    }
+    assert set(out) == {5}
+    assert out[5]["n_shared_ngrams"] == 1
+    assert out[5]["n_eval_docs"] == 1
+
+
+def test_weighted_sample_respects_weight_extremes(spark):
+    """weight 1 (n_chars ≥ 500) docs always survive; weight 0 docs never
+    do; the hash decision is deterministic across runs."""
+    rows = [(i, "t", "en", "s", 500 if i % 2 == 0 else 0) for i in range(40)]
+    tmp = _write_docs(spark, rows)
+    kept = {r["doc_id"] for r in q_sample_weighted_hash(spark, tmp).collect()}
+    assert kept == {i for i in range(40) if i % 2 == 0}
+    assert kept == {r["doc_id"] for r in q_sample_weighted_hash(spark, tmp).collect()}
+    weights = {r["weight"] for r in q_sample_weighted_hash(spark, tmp).collect()}
+    assert weights == {1.0}
+
+
+def test_mixture_rebalance_rates_track_relative_quality(spark):
+    """The best source gets rate 1.0 and keeps every doc; a source at half
+    its mean quality gets rate 0.5 and a subsample; counts add up."""
+    rows = [(i, "t", "en", "good", 400) for i in range(30)] + [
+        (100 + i, "t", "en", "weak", 200) for i in range(30)
+    ]
+    out = {
+        r["source"]: r
+        for r in q_source_mixture_rebalance(spark, _write_docs(spark, rows)).collect()
+    }
+    assert out["good"]["rate"] == 1.0
+    assert out["good"]["n_sampled"] == out["good"]["n_orig"] == 30
+    assert out["weak"]["rate"] == pytest.approx(0.5)
+    assert 0 < out["weak"]["n_sampled"] < 30
