@@ -54,19 +54,40 @@ REP_DUP_TRIGRAM_MAX = 0.30  # drop if >30% of trigram occurrences are duplicates
 CONTAM_K = 8                # word n-gram order for decontamination
 EVAL_EVERY = 10             # synthetic eval split: doc_id % EVAL_EVERY == 0
 HASH_MOD = 1000003          # prime modulus for acceptance hashes
+_M32 = 1 << 32              # 32-bit mixing domain for the acceptance hash
 
 
-def _accept_u(mult: int, offset: int) -> F.Column:
-    """Uniform-ish acceptance value in [0, 1) from integer arithmetic on
+def _accept_u(m1: int, offset: int, m2: int) -> F.Column:
+    """Uniform acceptance value in [0, 1) from integer arithmetic on
     doc_id — exact and identical in Spark and DuckDB (no float hash, no
-    rand()), so sampling decisions survive retries and reruns."""
-    return (
-        (F.col("doc_id") * F.lit(mult) + F.lit(offset)) % F.lit(HASH_MOD)
-    ) / F.lit(float(HASH_MOD))
+    rand()), so sampling decisions survive retries and reruns.
+
+    Two multiply-xorshift rounds in a 32-bit domain, NOT a bare linear
+    congruence ``(doc_id*a + b) % P``: the linear form (a) overflows
+    int64 for doc_id ≥ 2^63/a ≈ 3.5e9 — a crash under Spark's default
+    ANSI mode at exactly the corpus sizes this module targets — and
+    (b) is affine in doc_id, so ids in an arithmetic progression get
+    consecutive acceptance values (a stride near a multiple of
+    a^-1 mod P accepts ~100% of docs regardless of weight), and any two
+    such "independent" hashes are bijections of each other. The mixer
+    keeps every intermediate < 2^48 (mod-2^32 after 16-bit-scale
+    multiplies) and measures uniform on consecutive, strided, and >2^32
+    id sets with cross-hash correlation ~0 (see tests)."""
+    x = F.col("doc_id") % F.lit(_M32)
+    x = (x * F.lit(m1) + F.lit(offset)) % F.lit(_M32)
+    x = x.bitwiseXOR(F.shiftright(x, 16))
+    x = (x * F.lit(m2)) % F.lit(_M32)
+    x = x.bitwiseXOR(F.shiftright(x, 16))
+    return (x % F.lit(HASH_MOD)) / F.lit(float(HASH_MOD))
 
 
-def _sql_accept_u(mult: int, offset: int) -> str:
-    return f"((doc_id * {mult} + {offset}) % {HASH_MOD}) / {HASH_MOD}.0"
+def _sql_accept_u(m1: int, offset: int, m2: int) -> str:
+    x0 = f"(doc_id % {_M32})"
+    x1 = f"((({x0} * {m1}) + {offset}) % {_M32})"
+    x2 = f"xor({x1}, ({x1} >> 16))"
+    x3 = f"(({x2} * {m2}) % {_M32})"
+    x4 = f"xor({x3}, ({x3} >> 16))"
+    return f"(({x4} % {HASH_MOD}) / {HASH_MOD}.0)"
 
 
 # ---------------------------------------------------------------------------
@@ -220,7 +241,7 @@ _WSAMPLE_SQL = f"""
     SELECT doc_id, source,
            round(least(1.0, n_chars / 500.0), 6) AS weight
     FROM documents
-    WHERE {_sql_accept_u(2654435761, 12345)} < least(1.0, n_chars / 500.0)
+    WHERE {_sql_accept_u(40503, 12345, 65539)} < least(1.0, n_chars / 500.0)
 """
 
 
@@ -233,7 +254,7 @@ def q_sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))
     return (
-        d.filter(_accept_u(2654435761, 12345) < w)
+        d.filter(_accept_u(40503, 12345, 65539) < w)
         .select("doc_id", "source", F.round(w, 6).alias("weight"))
     )
 
@@ -249,7 +270,7 @@ _MIX_SQL = f"""
     k AS (
       SELECT d.source, count(*) AS c
       FROM documents d JOIN r USING (source)
-      WHERE {_sql_accept_u(40503, 99991)} < r.rate
+      WHERE {_sql_accept_u(48271, 99991, 69621)} < r.rate
       GROUP BY d.source)
     SELECT source, n_orig, rate, CAST(COALESCE(k.c, 0) AS BIGINT) AS n_sampled
     FROM r LEFT JOIN k USING (source)
@@ -278,7 +299,7 @@ def q_source_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = (
         d.join(F.broadcast(rates.select("source", "rate")), "source")
-        .filter(_accept_u(40503, 99991) < F.col("rate"))
+        .filter(_accept_u(48271, 99991, 69621) < F.col("rate"))
         .groupBy("source")
         .agg(F.count("*").alias("n_sampled"))
     )

@@ -106,3 +106,33 @@ def test_mixture_rebalance_rates_track_relative_quality(spark):
     assert out["good"]["n_sampled"] == out["good"]["n_orig"] == 30
     assert out["weak"]["rate"] == pytest.approx(0.5)
     assert 0 < out["weak"]["n_sampled"] < 30
+
+
+def test_accept_hash_uniform_independent_overflow_safe(spark):
+    """The acceptance hash must (a) not overflow int64 on doc_ids past
+    2^32 (the bare linear congruence crashed under ANSI mode at
+    doc_id ≈ 3.5e9), (b) accept ≈ w of an arithmetic-progression id set
+    for any weight (the linear form accepted ~100% of stride-430762
+    progressions), and (c) be independent across the two samplers'
+    constants (the linear hashes were bijections of each other)."""
+    from pyspark.sql import functions as F
+
+    from proteofav_spark.operators.curation import _accept_u
+
+    base = 3_474_528_292  # past the old linear-hash overflow threshold
+    ids = spark.range(100_000).select(
+        (F.col("id") * 430762 + base).alias("doc_id")
+    )
+    rows = ids.select(
+        _accept_u(40503, 12345, 65539).alias("u1"),
+        _accept_u(48271, 99991, 69621).alias("u2"),
+    ).agg(
+        F.avg((F.col("u1") < 0.3).cast("double")).alias("rate1"),
+        F.avg((F.col("u2") < 0.3).cast("double")).alias("rate2"),
+        F.avg(((F.col("u1") < 0.3) & (F.col("u2") < 0.3)).cast("double")).alias("joint"),
+        F.corr("u1", "u2").alias("corr"),
+    ).collect()[0]
+    assert rows["rate1"] == pytest.approx(0.3, abs=0.02)
+    assert rows["rate2"] == pytest.approx(0.3, abs=0.02)
+    assert rows["joint"] == pytest.approx(0.09, abs=0.01)
+    assert abs(rows["corr"]) < 0.02

@@ -178,7 +178,10 @@ def test_lsh_recall_matches_collision_model():
             for j in range(N_TABLES * PLANES_PER_TABLE)
         ]
     )
-    bits = (np.round(E @ coef.T, 6) > 0).astype(np.int64)
+    # same sequential left-fold as the Arrow kernel (np.cumsum, not
+    # matmul's pairwise order) so this test measures the production path
+    prod = E[:, None, :] * coef[None, :, :]
+    bits = (np.round(np.cumsum(prod, axis=2)[:, :, -1], 6) > 0).astype(np.int64)
     w = np.array([1 << j for j in range(PLANES_PER_TABLE)])
     buckets = bits.reshape(n, N_TABLES, PLANES_PER_TABLE) @ w
     cand = set()
@@ -194,5 +197,6 @@ def test_lsh_recall_matches_collision_model():
     true_pairs = [
         (i, j) for i, j in zip(*iu) if round(C[i, j], 4) >= COSINE_DUP_TAU
     ]
+    assert true_pairs, "fixture has no cosine-dup pairs — recall unmeasurable"
     recall = sum(p in cand for p in true_pairs) / len(true_pairs)
     assert recall >= 0.55
