@@ -234,6 +234,73 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# patterns stay in the Java ∩ RE2 common dialect (classes, \d, \b, {m,n})
+# so Spark and the DuckDB oracle match identically
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\d[\d\- ]{7,14}\d", "[PHONE]"),
+)
+
+
+def scrub_pii(text: F.Column) -> F.Column:
+    """Text with emails → [EMAIL], IPv4s → [IP], phone-like digit runs →
+    [PHONE], scrubbed in that order (emails first — they contain digits
+    and dots the later patterns could bite into). Map-only at any scale."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: F.Column) -> list[F.Column]:
+    """One count column per PII class, measured independently on the
+    original text (aliased n_<class>)."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        .cast("bigint")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def _pii_sql_scrub(expr: str) -> str:
+    for _, pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+_PII_SQL = f"""
+    SELECT doc_id,
+           {", ".join(
+               f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+               for name, pat, _ in PII_PATTERNS
+           )},
+           md5({_pii_sql_scrub("text")}) AS clean_hash
+    FROM documents
+"""
+
+
+@register("text_pii_scrub", _PII_SQL)
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: per-document counts of each PII class plus the
+    hash of the scrubbed text (the hash oracles the full replacement
+    output without shipping the text twice). Pure regexp projection —
+    pipelines into the scan, shuffle-free at any scale. The synthetic
+    corpus contains no PII, so driver counts are 0 and the hash equals
+    the raw text's — crafted-document tests exercise the hits."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        *pii_counts(F.col("text")),
+        F.md5(scrub_pii(F.col("text")).cast("binary")).alias("clean_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic weighted / mixture sampling
 # ---------------------------------------------------------------------------
 

@@ -136,3 +136,44 @@ def test_accept_hash_uniform_independent_overflow_safe(spark):
     assert rows["rate2"] == pytest.approx(0.3, abs=0.02)
     assert rows["joint"] == pytest.approx(0.09, abs=0.01)
     assert abs(rows["corr"]) < 0.02
+
+
+def test_pii_scrub_redacts_and_counts_with_oracle_parity(spark):
+    """Crafted PII must be counted and redacted — and because the driver
+    corpus contains no PII (its gate run exercises only the zero-hit
+    path), Spark and the DuckDB oracle are compared here on documents
+    with real hits, pinning the Java↔RE2 regex common dialect."""
+    import duckdb
+
+    from proteofav_spark.operators.curation import q_text_pii_scrub, scrub_pii
+    from proteofav_spark.queries import all_oracles
+    from pyspark.sql import functions as F
+
+    pii = (
+        "mail alice@example.com or bob.smith+x@sub.domain.org "
+        "ip 192.168.0.1 call +1 555-123-4567 done"
+    )
+    rows = [(1, pii, "en", "s", len(pii)), (2, "no pii here", "en", "s", 11)]
+    tmp = _write_docs(spark, rows)
+
+    clean = (
+        spark.createDataFrame([(pii,)], "text: string")
+        .select(scrub_pii(F.col("text")).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert clean == "mail [EMAIL] or [EMAIL] ip [IP] call [PHONE] done"
+
+    got = {r["doc_id"]: r for r in q_text_pii_scrub(spark, tmp).collect()}
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (2, 1, 1)
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 0, 0)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp}/documents.parquet/*.parquet'"
+    )
+    for doc_id, n_email, n_ipv4, n_phone, clean_hash in con.execute(
+        all_oracles()["text_pii_scrub"]
+    ).fetchall():
+        r = got[doc_id]
+        assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (n_email, n_ipv4, n_phone)
+        assert r["clean_hash"] == clean_hash
