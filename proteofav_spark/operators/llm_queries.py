@@ -251,12 +251,12 @@ _MINHASH_SQL = f"""
 """
 
 
-@register("dedup_minhash_lsh", _MINHASH_SQL)
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH candidate pairs: shingle → polynomial hash →
-    12 affine min-hashes → 4 bands of 3 → bucket equi-join. The only wide
-    exchange is the band-bucket shuffle; signature computation is map-only."""
-    d = load(spark, sf_dir, "documents")
+def minhash_band_buckets(d: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) rows for a frame with (doc_id, text):
+    token polynomial hashes → 3-token shingle hashes → 12 affine
+    min-hashes → 4 banded bucket keys, posexploded. Every step is a
+    map-only projection, so this works identically on batch frames and
+    Structured-Streaming frames (see streaming/corpus.py)."""
     # materialize token hashes once per doc, then combine into shingle
     # hashes — two projection steps so nothing re-evaluates per element
     th = d.select(
@@ -288,9 +288,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(N_BANDS)
         ]
     )
-    bands = sig.select(
-        "doc_id", F.posexplode(bucket_arr).alias("band", "bucket")
-    )
+    return sig.select("doc_id", F.posexplode(bucket_arr).alias("band", "bucket"))
+
+
+@register("dedup_minhash_lsh", _MINHASH_SQL)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH candidate pairs: shingle → polynomial hash →
+    12 affine min-hashes → 4 bands of 3 → bucket equi-join. The only wide
+    exchange is the band-bucket shuffle; signature computation is map-only."""
+    d = load(spark, sf_dir, "documents")
+    bands = minhash_band_buckets(d)
     # pairs via groupBy(bucket) + in-array combination instead of a
     # self-join: one shuffle, and the signatures never compute twice.
     # A pathological mega-bucket would k²-blow-up inside one task — at

@@ -1,0 +1,71 @@
+"""Structured-Streaming corpus ingestion: incremental dedup for a
+continuously-arriving document stream (the streaming face of the batch
+dedup family in ``operators/llm_queries.py``).
+
+Scale notes (100 TB design):
+- Exact dedup keys state on a 128-bit content hash and bounds it with
+  ``dropDuplicatesWithinWatermark`` — plain ``dropDuplicates`` on an
+  unbounded stream grows state forever, which is exactly the failure
+  mode a production ingest hits first. The watermark horizon is the
+  dedup window; beyond it, re-ingested bytes defer to the batch pass.
+- Near-dup flagging reuses the batch MinHash banding
+  (:func:`...llm_queries.minhash_band_buckets` — map-only, so the same
+  plan runs on the stream) and joins against a static band-bucket index
+  of the existing corpus. A stream-static equi-join needs no stream
+  state at all; the static side broadcasts when it fits and is
+  refreshed by re-deploying, the standard pattern for slowly-growing
+  reference indexes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the documents table file-by-file (schema from a batch
+    peek; pathGlobFilter keeps sibling tables out of the stream)."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .load(f"{sf_dir}/documents.parquet")
+    )
+
+
+def stream_exact_dedup(docs: DataFrame, horizon: str = "10 minutes") -> DataFrame:
+    """First-seen rows per distinct text within the watermark horizon.
+
+    Content-hash keyed so state rows are 16 bytes of key, not the text;
+    ``dropDuplicatesWithinWatermark`` lets the engine evict state older
+    than the horizon (unbounded ``dropDuplicates`` state is the classic
+    streaming-dedup OOM)."""
+    return (
+        docs.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+        .withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", horizon)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
+def stream_collision_candidates(
+    stream_docs: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """Incoming documents whose MinHash band bucket collides with the
+    existing corpus index: (doc_id, band, bucket, known_doc_id) rows —
+    near-dup *candidates* against the already-ingested corpus, to be
+    confirmed by an exact-similarity pass downstream.
+
+    ``corpus_bands`` is a static (doc_id, band, bucket) frame (batch
+    :func:`minhash_band_buckets` output, or its persisted parquet).
+    Row-level append output: the stream-static join keeps NO stream
+    state, so this scales to an arbitrary-rate ingest."""
+    from proteofav_spark.operators.llm_queries import minhash_band_buckets
+
+    known = corpus_bands.select(
+        F.col("doc_id").alias("known_doc_id"), "band", "bucket"
+    )
+    return minhash_band_buckets(stream_docs).join(
+        F.broadcast(known), ["band", "bucket"]
+    )

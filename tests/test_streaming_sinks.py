@@ -182,3 +182,62 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the 10:00 window emitted with exactly the 3 on-time rows; the late
     # row never reappears (no second emission for 10:00)
     assert got.get("10:00") == 3
+
+
+def test_stream_exact_dedup_first_seen(spark, tmp_path):
+    """Duplicate texts across stream files collapse to one surviving row
+    within the watermark horizon."""
+    import os
+
+    from proteofav_spark.streaming.corpus import (
+        read_documents_stream, stream_exact_dedup,
+    )
+
+    d = str(tmp_path / "documents.parquet")
+    os.makedirs(d)
+    rows1 = [(1, "alpha beta gamma", "en", "s", 16), (2, "delta epsilon", "en", "s", 13)]
+    rows2 = [(3, "alpha beta gamma", "en", "s", 16), (4, "zeta eta", "en", "s", 8)]
+    schema = "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(d)
+
+    stream = read_documents_stream(spark, str(tmp_path))
+    run_to_memory(stream_exact_dedup(stream), "exact_dedup_test")
+    out = spark.sql("SELECT text FROM exact_dedup_test").collect()
+    texts = sorted(r["text"] for r in out)
+    assert texts == ["alpha beta gamma", "delta epsilon", "zeta eta"]
+
+
+def test_stream_collision_candidates_flags_near_dups(spark, tmp_path):
+    """A streamed doc sharing shingles with a corpus doc collides in ≥1
+    band; a disjoint doc never appears. No stream state involved."""
+    import os
+
+    from proteofav_spark.operators.llm_queries import minhash_band_buckets
+    from proteofav_spark.streaming.corpus import (
+        read_documents_stream, stream_collision_candidates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(100, base, "en", "s", len(base))],
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    )
+    corpus_bands = minhash_band_buckets(corpus)
+
+    d = str(tmp_path / "documents.parquet")
+    os.makedirs(d)
+    rows = [
+        (1, base + " tail", "en", "s", 5),
+        (2, "completely different words entirely here now", "en", "s", 5),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = read_documents_stream(spark, str(tmp_path))
+    run_to_memory(
+        stream_collision_candidates(stream, corpus_bands), "collision_test"
+    )
+    hits = spark.sql("SELECT DISTINCT doc_id, known_doc_id FROM collision_test").collect()
+    assert {(r["doc_id"], r["known_doc_id"]) for r in hits} == {(1, 100)}
