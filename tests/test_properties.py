@@ -118,3 +118,41 @@ def test_constrain_types_try_cast_never_loses_rows(spark, nums):
     for orig, res in zip(nums, got):
         if orig is not None and orig.isdigit() and len(orig) <= 18:
             assert res == int(orig)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "ee", "ff"]),
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_gram_run_stats_matches_counter_reference(spark, docs):
+    """The sorted run-length fold must agree with a plain Counter over
+    the same gram multiset: maxrun == most-common count, dup == total
+    occurrences of grams seen more than once — for arbitrary token
+    streams including empties and all-identical runs."""
+    from collections import Counter
+
+    from proteofav_spark.operators.curation import _gram_run_stats
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    from proteofav_spark.operators.llm_queries import shingles_col
+
+    out = {
+        r["doc_id"]: (r["s"]["maxrun"], r["s"]["dup"])
+        for r in df.select(
+            "doc_id", _gram_run_stats(shingles_col("text", 2)).alias("s")
+        ).collect()
+    }
+    for i, toks in enumerate(docs):
+        grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        c = Counter(grams)
+        maxrun = max(c.values(), default=0)
+        dup = sum(v for v in c.values() if v > 1)
+        assert out[i] == (maxrun, dup), (i, toks)
