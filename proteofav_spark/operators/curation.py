@@ -250,6 +250,40 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Corpus vocabulary
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_N = 100
+
+_VOCAB_SQL = f"""
+    SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM (SELECT UNNEST({_sql_shingles("text", 2)}) AS gram FROM documents)
+    GROUP BY gram
+    ORDER BY n_occurrences DESC, gram
+    LIMIT {VOCAB_TOP_N}
+"""
+
+
+@register("vocab_top_ngrams", _VOCAB_SQL)
+def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-N word bigrams — the frequency pass behind
+    vocabulary/BPE-merge construction and corpus drift monitoring.
+    Map-side partial counts shrink the shuffle to distinct grams per
+    partition, and the ordered LIMIT compiles to TakeOrderedAndProject:
+    each partition keeps a 100-row heap and the driver merges heaps —
+    no global sort materializes at any scale. (count DESC, gram) is a
+    total order, so the cut is deterministic on both engines."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(shingles_col("text", 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "gram")
+        .limit(VOCAB_TOP_N)
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing
 # ---------------------------------------------------------------------------
 

@@ -177,3 +177,18 @@ def test_pii_scrub_redacts_and_counts_with_oracle_parity(spark):
         r = got[doc_id]
         assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (n_email, n_ipv4, n_phone)
         assert r["clean_hash"] == clean_hash
+
+
+def test_vocab_top_ngrams_ordered_and_tie_broken(spark):
+    """Counts are exact, ordering is (count DESC, gram ASC), and the
+    LIMIT cut is deterministic across equal counts."""
+    from proteofav_spark.operators.curation import q_vocab_top_ngrams
+
+    rows = [
+        (1, "x y x y x y", "en", "s", 11),   # "x y"×3, "y x"×2
+        (2, "a b", "en", "s", 3),            # "a b"×1
+        (3, "a c", "en", "s", 3),            # "a c"×1
+    ]
+    out = q_vocab_top_ngrams(spark, _write_docs(spark, rows)).collect()
+    got = [(r["gram"], r["n_occurrences"]) for r in out]
+    assert got == [("x y", 3), ("y x", 2), ("a b", 1), ("a c", 1)]
