@@ -37,12 +37,13 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_exact_dedup(docs: DataFrame, horizon: str = "10 minutes") -> DataFrame:
     """First-seen rows per distinct text within the watermark horizon.
 
-    Content-hash keyed so state rows are 16 bytes of key, not the text;
+    Content-hash keyed so state rows carry a true 16-byte binary key
+    (``unhex(md5)``, not md5's 32-char hex string) instead of the text;
     ``dropDuplicatesWithinWatermark`` lets the engine evict state older
     than the horizon (unbounded ``dropDuplicates`` state is the classic
     streaming-dedup OOM)."""
     return (
-        docs.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+        docs.withColumn("text_hash", F.unhex(F.md5(F.col("text").cast("binary"))))
         .withColumn("ingest_ts", F.current_timestamp())
         .withWatermark("ingest_ts", horizon)
         .dropDuplicatesWithinWatermark(["text_hash"])
@@ -60,12 +61,26 @@ def stream_collision_candidates(
     ``corpus_bands`` is a static (doc_id, band, bucket) frame (batch
     :func:`minhash_band_buckets` output, or its persisted parquet).
     Row-level append output: the stream-static join keeps NO stream
-    state, so this scales to an arbitrary-rate ingest."""
-    from proteofav_spark.operators.llm_queries import minhash_band_buckets
+    state, so this scales to an arbitrary-rate ingest. No broadcast
+    hint: a corpus index is ~N_BANDS rows per known document and soon
+    outgrows the driver — the broadcast-vs-shuffle choice stays with
+    the autoBroadcastJoinThreshold / the caller's hint.
 
-    known = corpus_bands.select(
+    Shingle-less documents (< 3 tokens) all share the sentinel
+    signature (every min-hash = P_MOD), which would mark every short
+    streamed doc a candidate dup of every short corpus doc — the
+    sentinel bucket is dropped on both sides; short docs defer to the
+    exact-hash dedup path."""
+    from proteofav_spark.operators.llm_queries import (
+        P_MOD, ROWS_PER_BAND, minhash_band_buckets,
+    )
+
+    sentinel = "_".join([str(P_MOD)] * ROWS_PER_BAND)
+    known = corpus_bands.filter(F.col("bucket") != sentinel).select(
         F.col("doc_id").alias("known_doc_id"), "band", "bucket"
     )
-    return minhash_band_buckets(stream_docs).join(
-        F.broadcast(known), ["band", "bucket"]
+    return (
+        minhash_band_buckets(stream_docs)
+        .filter(F.col("bucket") != sentinel)
+        .join(known, ["band", "bucket"])
     )

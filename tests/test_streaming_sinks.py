@@ -241,3 +241,29 @@ def test_stream_collision_candidates_flags_near_dups(spark, tmp_path):
     )
     hits = spark.sql("SELECT DISTINCT doc_id, known_doc_id FROM collision_test").collect()
     assert {(r["doc_id"], r["known_doc_id"]) for r in hits} == {(1, 100)}
+
+
+def test_stream_collision_ignores_shingleless_docs(spark, tmp_path):
+    """Docs under 3 tokens share the sentinel MinHash signature; they
+    must NOT collide with each other through it."""
+    import os
+
+    from proteofav_spark.operators.llm_queries import minhash_band_buckets
+    from proteofav_spark.streaming.corpus import (
+        read_documents_stream, stream_collision_candidates,
+    )
+
+    schema = "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    corpus = spark.createDataFrame([(100, "ok bye", "en", "s", 6)], schema)
+    d = str(tmp_path / "documents.parquet")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(1, "hi there", "en", "s", 8)], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = read_documents_stream(spark, str(tmp_path))
+    run_to_memory(
+        stream_collision_candidates(stream, minhash_band_buckets(corpus)),
+        "sentinel_test",
+    )
+    assert spark.sql("SELECT * FROM sentinel_test").count() == 0
