@@ -44,6 +44,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from proteofav_spark.operators.llm_queries import (
     _sql_shingles,
     _sql_tokens,
+    q_dedup_embedding_cosine as q_dedup_embedding_cosine_ref,
+    q_dedup_minhash_lsh as q_dedup_minhash_lsh_ref,
     shingles_col,
     tokens_col,
 )
@@ -247,6 +249,63 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     corpus = g.filter(F.col("doc_id") % EVAL_EVERY != 0)
     return contamination_hits(corpus, ev)
+
+
+# ---------------------------------------------------------------------------
+# Multi-signal dedup consensus
+# ---------------------------------------------------------------------------
+
+def _consensus_sql() -> str:
+    from proteofav_spark.operators.llm_queries import _EMB_DUP_SQL, _MINHASH_SQL
+
+    return f"""
+    WITH mh AS ({_MINHASH_SQL}),
+    emb AS (
+      SELECT vec_a AS doc_a, vec_b AS doc_b, cosine FROM ({_EMB_DUP_SQL})
+    )
+    SELECT doc_a AS id_a, doc_b AS id_b,
+           CAST(COALESCE(mh.n_bands_shared, 0) AS BIGINT) AS n_bands_shared,
+           emb.cosine AS cosine,
+           (CASE WHEN mh.n_bands_shared IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN emb.cosine IS NOT NULL THEN 1 ELSE 0 END) AS n_signals
+    FROM mh FULL JOIN emb USING (doc_a, doc_b)
+    """
+
+
+@register("dedup_consensus", _consensus_sql())
+def q_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal near-dup consensus: the full-outer union of the
+    MinHash-LSH (text) and embedding-cosine candidate pair sets, with
+    per-signal provenance and an agreement count — the production shape
+    where several cheap detectors vote before an expensive adjudication
+    or human review. doc_id and vec_id coincide by construction in the
+    driver tables.
+
+    Scale: both inputs are bucket-bounded candidate sets (never N²), so
+    the full-outer equi-join on pair ids shuffles only candidate pairs —
+    a vanishing fraction of the corpus; at 100 TB both sides would be
+    persisted bucketed by (id_a, id_b) making this join co-located."""
+    mh = q_dedup_minhash_lsh_ref(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        "n_bands_shared",
+    )
+    emb = q_dedup_embedding_cosine_ref(spark, sf_dir).select(
+        F.col("vec_a").alias("id_a"), F.col("vec_b").alias("id_b"), "cosine"
+    )
+    joined = mh.join(emb, ["id_a", "id_b"], "full")
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.coalesce(F.col("n_bands_shared"), F.lit(0)).cast("bigint").alias(
+            "n_bands_shared"
+        ),
+        "cosine",
+        (
+            F.when(F.col("n_bands_shared").isNotNull(), 1).otherwise(0)
+            + F.when(F.col("cosine").isNotNull(), 1).otherwise(0)
+        ).alias("n_signals"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -192,3 +192,25 @@ def test_vocab_top_ngrams_ordered_and_tie_broken(spark):
     out = q_vocab_top_ngrams(spark, _write_docs(spark, rows)).collect()
     got = [(r["gram"], r["n_occurrences"]) for r in out]
     assert got == [("x y", 3), ("y x", 2), ("a b", 1), ("a c", 1)]
+
+
+def test_dedup_consensus_merges_signal_provenance(spark):
+    """Every consensus row carries ≥1 signal; two-signal rows must
+    appear in both underlying candidate sets; one-signal rows in exactly
+    the one they claim."""
+    from proteofav_spark.operators.curation import q_dedup_consensus
+    from proteofav_spark.operators.llm_queries import (
+        q_dedup_embedding_cosine, q_dedup_minhash_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    mh = {(r["doc_a"], r["doc_b"]) for r in q_dedup_minhash_lsh(spark, sf).collect()}
+    em = {(r["vec_a"], r["vec_b"]) for r in q_dedup_embedding_cosine(spark, sf).collect()}
+    out = q_dedup_consensus(spark, sf).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == mh | em
+    for r in out:
+        pair = (r["id_a"], r["id_b"])
+        assert r["n_signals"] in (1, 2)
+        assert (r["n_signals"] == 2) == (pair in mh and pair in em)
+        assert (r["n_bands_shared"] > 0) == (pair in mh)
+        assert (r["cosine"] is not None) == (pair in em)
