@@ -39,7 +39,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from proteofav_spark.operators.llm_queries import (
     _sql_shingles,
@@ -53,6 +53,10 @@ from proteofav_spark.queries import fan_out, load, register
 
 REP_TOP_BIGRAM_MAX = 0.20   # Gopher-ish: drop if top bigram covers >20% of tokens
 REP_DUP_TRIGRAM_MAX = 0.30  # drop if >30% of trigram occurrences are duplicates
+# below this, a single unique bigram already exceeds the 0.2 threshold
+# (2/n > 0.2 for n < 10) — the metric is meaningless, so short docs pass
+# the REPETITION check and defer to a separate length/quality filter
+REP_MIN_TOKENS = 10
 CONTAM_K = 8                # word n-gram order for decontamination
 EVAL_EVERY = 10             # synthetic eval split: doc_id % EVAL_EVERY == 0
 HASH_MOD = 1000003          # prime modulus for acceptance hashes
@@ -119,8 +123,9 @@ _REP_SQL = f"""
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
            round(least(1.0, max2 * 2.0 / greatest(n_tokens, 1)), 6) AS top_bigram_frac,
            round(dup3 / greatest(n3, 1), 6) AS dup_trigram_frac,
-           CAST((round(least(1.0, max2 * 2.0 / greatest(n_tokens, 1)), 6) <= {REP_TOP_BIGRAM_MAX}
-                 AND round(dup3 / greatest(n3, 1), 6) <= {REP_DUP_TRIGRAM_MAX}) AS INT) AS keep
+           CAST((n_tokens < {REP_MIN_TOKENS}
+                 OR (round(least(1.0, max2 * 2.0 / greatest(n_tokens, 1)), 6) <= {REP_TOP_BIGRAM_MAX}
+                     AND round(dup3 / greatest(n3, 1), 6) <= {REP_DUP_TRIGRAM_MAX})) AS INT) AS keep
     FROM p
 """
 
@@ -192,7 +197,10 @@ def q_text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_tokens"),
         top.alias("top_bigram_frac"),
         dup.alias("dup_trigram_frac"),
-        ((top <= REP_TOP_BIGRAM_MAX) & (dup <= REP_DUP_TRIGRAM_MAX))
+        (
+            (n < REP_MIN_TOKENS)
+            | ((top <= REP_TOP_BIGRAM_MAX) & (dup <= REP_DUP_TRIGRAM_MAX))
+        )
         .cast("int")
         .alias("keep"),
     )
@@ -249,6 +257,42 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     corpus = g.filter(F.col("doc_id") % EVAL_EVERY != 0)
     return contamination_hits(corpus, ev)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline
+# ---------------------------------------------------------------------------
+
+def curate(docs: DataFrame) -> DataFrame:
+    """The standard curation chain as ONE composable DataFrame plan:
+    repetition filter → PII scrub → exact dedup (keep lowest doc_id per
+    content) → weighted acceptance sampling. Input needs (doc_id, text,
+    n_chars); output is the surviving rows with ``text`` scrubbed.
+
+    Everything before the dedup window is map-only and fuses into a
+    single projection over the scan; the one shuffle is the dedup
+    hash-partition. Filters run cheapest-first so each stage sees fewer
+    rows: the repetition fold prunes before the regex scrub rewrites,
+    and sampling runs last so acceptance is measured on clean, deduped
+    text."""
+    b2 = _gram_run_stats(shingles_col("text", 2))
+    t3 = _gram_run_stats(shingles_col("text", 3))
+    n = F.size(tokens_col("text")).cast("bigint")
+    n3 = F.greatest(F.size(shingles_col("text", 3)).cast("bigint"), F.lit(1))
+    top = F.round(F.least(F.lit(1.0), b2.maxrun * 2.0 / F.greatest(n, F.lit(1))), 6)
+    dup = F.round(t3.dup / n3, 6)
+    kept = docs.filter(
+        (n < REP_MIN_TOKENS)
+        | ((top <= REP_TOP_BIGRAM_MAX) & (dup <= REP_DUP_TRIGRAM_MAX))
+    ).withColumn("text", scrub_pii(F.col("text")))
+    w = W.partitionBy(F.unhex(F.md5(F.col("text").cast("binary")))).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    weight = F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))
+    return deduped.filter(_accept_u(40503, 12345, 65539) < weight)
 
 
 # ---------------------------------------------------------------------------

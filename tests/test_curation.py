@@ -25,23 +25,25 @@ def _write_docs(spark, rows):
 
 
 def test_repetition_metrics_flag_degenerate_docs(spark):
-    """'a b a b a' is dominated by one bigram and duplicate trigrams →
-    dropped; an all-distinct doc sits exactly at the 0.2 bigram bound →
-    kept; a one-token doc has no grams → zero fractions, kept."""
+    """A long 'a b a b …' doc is dominated by one bigram and duplicate
+    trigrams → dropped; an all-distinct doc sits exactly at the 0.2
+    bigram bound → kept; short docs (< REP_MIN_TOKENS) are not
+    assessable for repetition → kept regardless of their fractions."""
     rows = [
-        (1, "a b a b a", "en", "s", 9),
+        (1, "a b a b a b a b a b", "en", "s", 19),
         (2, " ".join(f"w{i}" for i in range(10)), "en", "s", 30),
         (3, "x", "en", "s", 1),
+        (4, "a b a b a", "en", "s", 9),
     ]
     out = {
         r["doc_id"]: r
         for r in q_text_repetition_metrics(spark, _write_docs(spark, rows)).collect()
     }
-    assert len(out) == 3
+    assert len(out) == 4
     r1 = out[1]
-    assert r1["n_tokens"] == 5
-    assert r1["top_bigram_frac"] == pytest.approx(0.8)   # "a b" ×2 → 4/5
-    assert r1["dup_trigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r1["n_tokens"] == 10
+    assert r1["top_bigram_frac"] == 1.0       # "a b" ×5, capped
+    assert r1["dup_trigram_frac"] == 1.0      # every trigram duplicated
     assert r1["keep"] == 0
     r2 = out[2]
     assert r2["top_bigram_frac"] == pytest.approx(0.2)   # max count 1 → 2/10
@@ -49,13 +51,16 @@ def test_repetition_metrics_flag_degenerate_docs(spark):
     assert r2["keep"] == 1
     r3 = out[3]
     assert (r3["top_bigram_frac"], r3["dup_trigram_frac"], r3["keep"]) == (0.0, 0.0, 1)
+    r4 = out[4]
+    assert r4["top_bigram_frac"] == pytest.approx(0.8)   # repetitive but short
+    assert r4["keep"] == 1
 
 
 def test_repetition_top_frac_capped_at_one(spark):
-    """Overlapping occurrences ('x x x x': 3 hits × 2 tokens > 4 tokens)
+    """Overlapping occurrences ('x x …': n-1 hits × 2 tokens > n tokens)
     must not push the fraction past 1."""
     out = q_text_repetition_metrics(
-        spark, _write_docs(spark, [(1, "x x x x", "en", "s", 7)])
+        spark, _write_docs(spark, [(1, " ".join(["x"] * 10), "en", "s", 19)])
     ).collect()[0]
     assert out["top_bigram_frac"] == 1.0
     assert out["keep"] == 0
@@ -214,3 +219,30 @@ def test_dedup_consensus_merges_signal_provenance(spark):
         assert (r["n_signals"] == 2) == (pair in mh and pair in em)
         assert (r["n_bands_shared"] > 0) == (pair in mh)
         assert (r["cosine"] is not None) == (pair in em)
+
+
+def test_curate_chains_all_stages(spark):
+    """Repetitive docs drop, PII is scrubbed in survivors, exact dups
+    keep the lowest doc_id (post-scrub content), zero-weight docs are
+    sampled out."""
+    from pyspark.sql import functions as F
+
+    from proteofav_spark.operators.curation import curate
+
+    rows = [
+        (1, "x y x y x y x y x y x y", "en", "s", 500),  # repetitive → drop
+        (2, "good clean text regarding mail alice@example.com subjects", "en", "s", 500),
+        (3, "good clean text about mail bob@other.org topics", "en", "s", 500),
+        # scrubs to the same text as 3 → dedup keeps doc 3
+        (4, "good clean text about mail carol@third.net topics", "en", "s", 500),
+        (5, "short but fine unique wording here", "en", "s", 0),  # weight 0 → drop
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    out = curate(docs).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [2, 3]
+    texts = {r["doc_id"]: r["text"] for r in out}
+    assert "[EMAIL]" in texts[2] and "@" not in texts[2]
+    assert texts[3] == "good clean text about mail [EMAIL] topics"
