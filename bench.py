@@ -20,7 +20,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # headline set: the heavy representatives of each operator family
 HEADLINE = [
     "join_merge_tree",        # multiway broadcast join + agg
+    "join_star_revenue",      # TPC-H Q5 star: broadcast dims + 2 fact shuffles
     "agg_pricing_summary",    # wide multi-aggregate groupBy
+    "window_moving_avg",      # bounded sliding frames, shared window spec
     "agg_residue_rollup",     # groupBy with ordered-first semantics
     "window_reset_id",        # global window renumbering
     "window_dedup_adjacent",  # lag-based sequence dedup

@@ -1,0 +1,263 @@
+"""Analytic query shapes missing from the first 65-query catalog: ranked
+top-k per group, pivot / conditional aggregation, a star-schema revenue
+join (TPC-H Q5 shape), bounded sliding window frames, and statistical
+moment aggregates.
+
+These are "beyond reference" in SURVEY §2 terms — the reference
+(ProteoFAV) has no ranking, pivoting, or statistics — but any analytics
+engine a reference user would migrate to must expose them, and each one
+exercises a distinct Catalyst physical shape worth pinning:
+
+- top-k per group → rank window + filter (no global sort);
+- pivot → single-pass conditional aggregation (one shuffle, no
+  per-pivot-value scan);
+- star join → broadcast dims + one fact shuffle;
+- moving average → bounded ROWS frame (running-state, no reshuffle when
+  frames share a partitioning);
+- moments → single-pass mergeable aggregates (map-side partials).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from proteofav_spark.queries import load, register
+
+
+@register(
+    "topk_per_group",
+    """
+    SELECT n_name, c_custkey, c_name, round(c_acctbal, 2) AS acctbal, rk
+    FROM (
+        SELECT n_name, c_custkey, c_name, c_acctbal,
+               row_number() OVER (
+                   PARTITION BY n_name
+                   ORDER BY c_acctbal DESC, c_custkey
+               ) AS rk
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    WHERE rk <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by account balance per nation.
+
+    Physical shape: broadcast the 25-row nation dim onto the customer
+    scan, then ONE shuffle on the window partition key and a per-group
+    sort — never a global sort. At 100 TB the rank window's partition key
+    (nation) has only 25 values, so the shuffle is skew-prone; for
+    high-skew grouped top-k prefer a two-stage scheme (per-input-partition
+    top-k via the same window on a salted key, then re-rank the ~25×k×salt
+    survivors), which this plan degenerates to automatically once AQE
+    splits the skewed reducers. Tie-break on c_custkey makes the rank
+    total, so the result is deterministic and oracle-hashable.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rk = W.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_custkey", "c_name", "c_acctbal")
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "rk",
+        )
+    )
+
+
+@register(
+    "agg_pivot_status",
+    """
+    SELECT o_orderpriority,
+           round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 2)
+               AS f_total,
+           round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 0), 2)
+               AS o_total,
+           round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 0), 2)
+               AS p_total,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_cnt,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_cnt,
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_cnt
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order value + count by status, one row per priority.
+
+    Expressed as conditional aggregation (``sum(when(...))``) rather than
+    ``.pivot()`` so the pivot values are static in the plan: Spark's
+    ``pivot`` without an explicit value list runs a separate distinct job
+    to discover them (an extra full scan at 100 TB), and even with the
+    list it lowers to exactly these conditional aggregates. Single
+    shuffle on the group key, map-side partials; zero extra cost per
+    pivot column.
+    """
+    o = load(spark, sf_dir, "orders")
+
+    def tot(status: str):
+        return F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderstatus") == status, F.col("o_totalprice"))),
+                F.lit(0.0),
+            ),
+            2,
+        )
+
+    def cnt(status: str):
+        return F.count(F.when(F.col("o_orderstatus") == status, F.lit(1)))
+
+    return o.groupBy("o_orderpriority").agg(
+        tot("F").alias("f_total"),
+        tot("O").alias("o_total"),
+        tot("P").alias("p_total"),
+        cnt("F").alias("f_cnt"),
+        cnt("O").alias("o_cnt"),
+        cnt("P").alias("p_cnt"),
+    )
+
+
+@register(
+    "join_star_revenue",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue by nation for one region.
+
+    Plan strategy for scale: region⨝nation collapses to a ≤25-row
+    broadcast dim that prunes BOTH customer and supplier to one region's
+    nations before the fact joins (the ``c_nationkey = s_nationkey``
+    condition rides along as a join-key column, not a post-filter).
+    The date filter on orders pushes to the parquet scan. The only large
+    shuffles are the two fact joins (orders⨝customer on custkey,
+    lineitem⨝(that) on orderkey); supplier broadcasts at sf-test size
+    and AQE decides at production size. Revenue agg is map-side partial.
+    """
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    oc = o.join(c, o.o_custkey == c.c_custkey)
+    ls = li.join(s, li.l_suppkey == s.s_suppkey)
+    return (
+        ls.join(
+            oc,
+            (ls.l_orderkey == oc.o_orderkey)
+            & (ls.s_nationkey == oc.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "window_moving_avg",
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ), 6) AS mavg5,
+           round(min(value) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ), 6) AS mmin5,
+           round(lead(value) OVER (
+               PARTITION BY user_id ORDER BY event_id
+           ), 6) AS next_value
+    FROM events
+    """,
+)
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sliding frame per user: 5-row moving average/min + lead.
+
+    All three windows share one (partitionBy, orderBy) spec, so Catalyst
+    computes them in a single Window operator after ONE shuffle on
+    user_id — adding frames to an existing spec is free. Bounded ROWS
+    frames stream in O(frame) memory per partition; at 100 TB the only
+    concern is per-user row count (bounded here: one user's events fit a
+    reducer), never total size. event_id is unique per user so the
+    ordering is total and lead() deterministic.
+    """
+    e = load(spark, sf_dir, "events")
+    spec = W.partitionBy("user_id").orderBy("event_id")
+    frame = spec.rowsBetween(-4, W.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(frame), 6).alias("mavg5"),
+        F.round(F.min("value").over(frame), 6).alias("mmin5"),
+        F.round(F.lead("value").over(spec), 6).alias("next_value"),
+    )
+
+
+@register(
+    "agg_stats_moments",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 6) AS mean_value,
+           round(stddev_samp(value), 6) AS sd_value,
+           round(var_samp(value), 6) AS var_value,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS covar_vu,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per event type in one pass.
+
+    stddev/var/covar/corr are all mergeable (sum, sum-of-squares,
+    cross-sum sketches), so Spark computes map-side partials and merges —
+    one narrow shuffle of ~|event_type| rows regardless of input size.
+    Sample (n-1) variants on both engines; population `skewness`/
+    `kurtosis` are deliberately excluded because DuckDB's are
+    bias-corrected sample moments and would never hash-match.
+    """
+    e = load(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+        F.round(F.covar_samp(F.col("value"), u), 6).alias("covar_vu"),
+        F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
+    )

@@ -11,12 +11,11 @@ declarative DataFrame plan with a DuckDB oracle; the connected-components
 oracle is a recursive CTE, giving an algorithm-independent check of the
 iterative Spark implementation.
 
-Timestamp precision contract: ``events.ts`` is parquet TIMESTAMP(NANOS) —
-Spark reads it as bigint nanoseconds (``nanosAsLong``), DuckDB truncates
-to microsecond TIMESTAMP. All temporal comparisons here therefore run at
-MICROSECOND resolution on both engines (`ts div 1000` vs ``epoch_us``),
-using integer division only — `floor(ts/1000.0)` in doubles would be off
-by one ulp near integer boundaries at 1e15 magnitudes.
+Timestamp precision contract: ``events.ts`` is parquet timestamp[us] —
+Spark reads it as TIMESTAMP_NTZ, DuckDB as naive TIMESTAMP. All temporal
+comparisons here run on INTEGER epoch microseconds on both engines
+(``unix_micros`` under the UTC session timezone vs ``epoch_us``) so the
+two sides compare bit-identical integers, never floats.
 
 Scale notes (100 TB design):
 - the as-of join is the union + partitioned carry-forward formulation: ONE
@@ -57,9 +56,10 @@ SAMPLE_SALT = "#s"        # salt for stratified sampling hash
 
 
 def _t_us(col: str = "ts") -> F.Column:
-    """Event time at microsecond resolution from bigint nanoseconds —
-    integer division (never double floor: one-ulp errors at 1e15)."""
-    return F.expr(f"{col} div 1000")
+    """Event time as integer epoch microseconds (see module docstring)."""
+    from proteofav_spark.queries import t_us
+
+    return t_us(col)
 
 
 # ---------------------------------------------------------------------------

@@ -36,6 +36,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def t_us(col: str = "ts") -> F.Column:
+    """Epoch microseconds from the events ``ts`` column (timestamp[us] in
+    the driver parquet; Spark reads it as TIMESTAMP_NTZ). The session
+    timezone is pinned to UTC (session.py), so casting NTZ→TIMESTAMP is
+    instant-preserving and ``unix_micros`` equals DuckDB's
+    ``epoch_us(ts)`` on the same naive value."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Spread CPU-bound per-row work across the cluster when the scan
     under-partitions it: repartition to defaultParallelism only if the
@@ -54,12 +63,22 @@ def fan_out(df: DataFrame) -> DataFrame:
 
 def all_queries() -> dict[str, QueryFn]:
     # import side-effect modules that register extension queries
-    from proteofav_spark.operators import curation, llm_queries, pipeline_queries  # noqa: F401
+    from proteofav_spark.operators import (  # noqa: F401
+        analytics_queries,
+        curation,
+        llm_queries,
+        pipeline_queries,
+    )
     return dict(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
-    from proteofav_spark.operators import curation, llm_queries, pipeline_queries  # noqa: F401
+    from proteofav_spark.operators import (  # noqa: F401
+        analytics_queries,
+        curation,
+        llm_queries,
+        pipeline_queries,
+    )
     return dict(_ORACLES)
 
 
@@ -713,9 +732,9 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return (
         e.withColumn(
-            # ts arrives as bigint nanoseconds (nanosAsLong); bucket by hour
+            # ts is timestamp[us]; bucket by epoch hour
             "hour_bucket",
-            F.floor(F.col("ts") / (3600 * 1_000_000_000)).cast("bigint"),
+            F.floor(t_us() / F.lit(3_600_000_000)).cast("bigint"),
         )
         .groupBy("hour_bucket", "event_type")
         .agg(
@@ -842,12 +861,11 @@ def q_sessionize_events_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: 30-min inactivity gap starts a new session —
     the same segmented-running-sum shape as the DSSP chain-suffix counter
     (proteofav/dssp.py:153-194), on event time."""
-    e = load(spark, sf_dir, "events")
-    # ts is bigint nanoseconds under nanosAsLong
+    e = load(spark, sf_dir, "events").withColumn("e_us", t_us())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(w)
+    prev_us = F.lag("e_us").over(w)
     new_sess = F.when(
-        prev_ts.isNull() | ((F.col("ts") - prev_ts) / 1e9 > 1800), 1
+        prev_us.isNull() | ((F.col("e_us") - prev_us) / 1e6 > 1800), 1
     ).otherwise(0)
     run = W.partitionBy("user_id").orderBy("event_id").rowsBetween(
         W.unboundedPreceding, 0
@@ -1031,9 +1049,9 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     to its two overlapping window starts, then one partial-agg shuffle on
     (window, type); this is exactly how Spark's own F.window implements
     sliding windows, written out so the DuckDB oracle can mirror it on
-    integer hour buckets (events.ts arrives as bigint nanos)."""
+    integer hour buckets (events.ts is timestamp[us])."""
     e = load(spark, sf_dir, "events")
-    hb = F.floor(F.col("ts") / (3600 * 1_000_000_000)).cast("bigint")
+    hb = F.floor(t_us() / F.lit(3_600_000_000)).cast("bigint")
     return (
         e.withColumn("win_start_hour", F.explode(F.array(hb - 1, hb)))
         .groupBy("win_start_hour", "event_type")

@@ -51,9 +51,6 @@ def get_spark(app_name: str = "proteofav_spark", cpus: str | None = None) -> Spa
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark reads
-        # nanos as raw bigint (convert with ts/1e9 where needed)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

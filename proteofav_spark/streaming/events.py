@@ -16,12 +16,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-# events.parquet physical schema (ts is TIMESTAMP(NANOS) → bigint under
-# nanosAsLong; EVENT_TS is the converted timestamp column)
+# events.parquet physical schema (ts is timestamp[us], naive → NTZ;
+# EVENT_TS is the session-timezone TIMESTAMP column watermarks run on)
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -31,10 +31,12 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def with_event_time(df: DataFrame) -> DataFrame:
-    """bigint nanoseconds → proper timestamp column ``event_ts``."""
-    return df.withColumn(
-        "event_ts", F.timestamp_seconds(F.col("ts") / F.lit(1_000_000_000.0))
-    )
+    """Naive timestamp → session-timezone (UTC) ``event_ts`` column.
+
+    Watermarks and ``F.window``/``session_window`` accept NTZ too, but a
+    zoned event-time column keeps the streaming surface identical whether
+    the source lands naive parquet (tests) or zoned Kafka ingest."""
+    return df.withColumn("event_ts", F.col("ts").cast("timestamp"))
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

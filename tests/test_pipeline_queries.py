@@ -35,7 +35,7 @@ def test_asof_matches_naive_per_user(spark, events):
     """The union+carry-forward as-of equals the naive 'max click at-or-
     before' computed independently via a windowed inequality join."""
     res = q_events_asof_join(spark, SF)
-    e = events.withColumn("t_us", F.expr("ts div 1000"))
+    e = events.withColumn("t_us", F.unix_micros(F.col("ts").cast("timestamp")))
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id",
         F.col("t_us").alias("p_t"),
@@ -82,7 +82,7 @@ def test_asof_lag_nonnegative_and_nulls_consistent(spark):
 def test_range_join_banding_equals_naive(spark, events):
     """Cell±1 banding must reproduce the naive inequality join exactly."""
     res = q_events_range_join_bucketed(spark, SF)
-    e = events.withColumn("t_us", F.expr("ts div 1000"))
+    e = events.withColumn("t_us", F.unix_micros(F.col("ts").cast("timestamp")))
     err = e.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "t_us"
     )
