@@ -261,3 +261,124 @@ def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp(F.col("value"), u), 6).alias("covar_vu"),
         F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
     )
+
+
+@register(
+    "agg_monthly_revenue",
+    """
+    SELECT CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS yyyymm,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_agg_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup of order revenue by month (+ quarter tag).
+
+    The month key is emitted as an integer yyyymm, not a truncated
+    timestamp — integer group keys hash identically across engines,
+    where timestamp rendering differs. Physical shape: one partial-agg
+    shuffle keyed by ~|months| values; at 100 TB this is also the
+    natural parquet partition key (PARTITIONED BY yyyymm), turning the
+    groupBy into a metadata-only scan per partition and enabling
+    partition pruning for any date-bounded query.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format("o_orderdate", "yyyyMM").cast("bigint").alias("yyyymm"),
+            F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_null_safe",
+    """
+    WITH l AS (SELECT c_custkey, nullif(c_nationkey % 5, 0) AS k FROM customer),
+         r AS (SELECT s_suppkey, nullif(s_nationkey % 5, 0) AS k FROM supplier)
+    SELECT l.k AS k, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT l.c_custkey) AS BIGINT) AS n_cust,
+           CAST(count(DISTINCT r.s_suppkey) AS BIGINT) AS n_supp
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY l.k
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out.
+
+    NULL join keys are endemic in enrichment pipelines (unmapped
+    residues, unresolved accessions); a plain equi-join silently drops
+    them, so the engine must offer the null-safe variant as a
+    first-class join. Spark plans ``eqNullSafe`` as a normal hash join
+    (the key hashes as a distinguished null bucket) — same single
+    shuffle as ``=``, NOT a fallback to nested-loop. Note the null
+    bucket concentrates on one reducer: at scale, count-skew on NULL is
+    the classic case for AQE skew-join splitting.
+    """
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("lk")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("rk")
+    )
+    return (
+        c.join(s, F.col("lk").eqNullSafe(F.col("rk")))
+        .groupBy(F.col("lk").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("c_custkey").alias("n_cust"),
+            F.countDistinct("s_suppkey").alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "array_hof_kit",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings WHERE vec_id < 200)
+    SELECT vec_id,
+           CAST(len(list_filter(emb, x -> x > 0)) AS BIGINT) AS n_pos,
+           round(list_sum(list_transform(emb, x -> abs(x))), 6) AS l1_norm,
+           round(list_max(list_transform(emb, x -> abs(x))), 6) AS max_abs,
+           CAST((len(list_filter(emb[1:32], x -> x > 0)) >
+                 len(list_filter(emb[33:64], x -> x > 0))) AS BOOLEAN)
+               AS front_heavy
+    FROM e
+    """,
+)
+def q_array_hof_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions: filter / transform / fold / slice on
+    the embedding column, entirely JVM-side.
+
+    This is the pattern the similarity operators build on: HOFs run
+    inside whole-stage codegen with zero Python round-trips, so
+    per-element math on array<float> costs one pass over the values —
+    the right default before reaching for a Pandas UDF. The float→double
+    cast happens FIRST on both engines (DuckDB computes float32
+    otherwise; see verify SKILL gotchas).
+    """
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    d = e.select("vec_id", emb.alias("emb"))
+    absv = F.transform("emb", lambda x: F.abs(x))
+    npos = lambda c: F.size(F.filter(c, lambda x: x > 0))  # noqa: E731
+    return d.select(
+        "vec_id",
+        npos(F.col("emb")).cast("bigint").alias("n_pos"),
+        F.round(
+            F.aggregate(absv, F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("l1_norm"),
+        F.round(F.array_max(absv), 6).alias("max_abs"),
+        (npos(F.slice("emb", 1, 32)) > npos(F.slice("emb", 33, 32))).alias(
+            "front_heavy"
+        ),
+    )

@@ -248,14 +248,23 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     benchmark table so DuckDB can oracle the whole flow; production calls
     :func:`contamination_hits` with real benchmark grams)."""
     d = fan_out(load(spark, sf_dir, "documents"))
-    g = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles_col("text", CONTAM_K))).alias("gram"),
-    )
-    ev = g.filter(F.col("doc_id") % EVAL_EVERY == 0).select(
-        F.col("doc_id").alias("eval_id"), "gram"
-    )
-    corpus = g.filter(F.col("doc_id") % EVAL_EVERY != 0)
+
+    def grams_of(docs: DataFrame, id_alias: str) -> DataFrame:
+        return docs.select(
+            F.col("doc_id").alias(id_alias),
+            F.explode(F.array_distinct(shingles_col("text", CONTAM_K))).alias(
+                "gram"
+            ),
+        )
+
+    # filter doc_ids BEFORE shingling: the split predicate references only
+    # doc_id, but Catalyst does not push it below the Generate(explode) of
+    # the shared shingle projection — writing the filter on the raw scan
+    # keeps each branch shingling only its own documents (measured ~20%
+    # at sf0.1; at 100 TB it is the difference between shingling the
+    # corpus twice and once)
+    ev = grams_of(d.filter(F.col("doc_id") % EVAL_EVERY == 0), "eval_id")
+    corpus = grams_of(d.filter(F.col("doc_id") % EVAL_EVERY != 0), "doc_id")
     return contamination_hits(corpus, ev)
 
 

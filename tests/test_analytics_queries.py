@@ -116,3 +116,47 @@ def test_stats_moments_corr_bounded_and_consistent(spark):
         if r["corr_vu"] is not None:
             assert -1.0 <= r["corr_vu"] <= 1.0
             assert not math.isnan(r["corr_vu"])
+
+
+def test_monthly_revenue_reconciles(spark):
+    from proteofav_spark.operators.analytics_queries import q_agg_monthly_revenue
+
+    res = q_agg_monthly_revenue(spark, SF)
+    tot = res.agg(F.sum("n_orders").alias("n")).first()["n"]
+    assert tot == spark.read.parquet(f"{SF}/orders.parquet").count()
+    # quarter must be consistent with the month part of yyyymm
+    bad = res.filter(
+        ((F.col("yyyymm") % 100 - 1) / 3 + 1).cast("bigint") != F.col("qtr")
+    ).count()
+    assert bad == 0
+
+
+def test_null_safe_join_keeps_null_group(spark):
+    from proteofav_spark.operators.analytics_queries import q_join_null_safe
+
+    rows = {r["k"]: r for r in q_join_null_safe(spark, SF).collect()}
+    # nationkey % 5 == 0 exists in the data → a NULL-key group must appear
+    assert None in rows
+    null_g = rows[None]
+    assert null_g["n_pairs"] == null_g["n_cust"] * null_g["n_supp"]
+
+
+def test_array_hof_matches_python(spark):
+    from proteofav_spark.operators.analytics_queries import q_array_hof_kit
+
+    res = {r["vec_id"]: r for r in q_array_hof_kit(spark, SF).collect()}
+    src = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("vec_id") < 10)
+        .collect()
+    )
+    assert res
+    for r in src:
+        emb = [float(x) for x in r["embedding"]]
+        got = res[r["vec_id"]]
+        assert got["n_pos"] == sum(1 for x in emb if x > 0)
+        assert abs(got["l1_norm"] - round(sum(abs(x) for x in emb), 6)) < 1e-5
+        assert abs(got["max_abs"] - round(max(abs(x) for x in emb), 6)) < 1e-6
+        front = sum(1 for x in emb[:32] if x > 0)
+        back = sum(1 for x in emb[32:] if x > 0)
+        assert got["front_heavy"] == (front > back)
