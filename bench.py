@@ -48,6 +48,30 @@ HEADLINE = [
 ]
 
 
+def _load_previous_bench() -> dict[str, float]:
+    """Per-query timings from the highest-numbered BENCH_r{N}.json next to
+    this script (the driver records one per round). Empty dict if none."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, dict] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                payload = json.load(fh)
+            queries = payload.get("parsed", payload).get("queries", {})
+        except (OSError, json.JSONDecodeError, AttributeError):
+            continue
+        n = int(m.group(1))
+        if queries and (best is None or n > best[0]):
+            best = (n, queries)
+    return best[1] if best else {}
+
+
 def main() -> None:
     from proteofav_spark.queries import all_queries
     from proteofav_spark.session import get_spark
@@ -96,6 +120,25 @@ def main() -> None:
         print(f"# {name}: cold {runs[0]}s warm {runs[1]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    # round-over-round regression tracking: compare against the most recent
+    # BENCH_r{N}.json at the same SF and flag >1.5× per-query slowdowns
+    prev = _load_previous_bench()
+    if prev:
+        regressions = []
+        for name, sec in timings.items():
+            base = prev.get(name)
+            if base and base > 0.05 and sec > base * 1.5:
+                regressions.append(f"{name}: {base}s -> {sec}s ({sec / base:.2f}x)")
+            if base:
+                delta = (sec - base) / base * 100
+                print(f"# delta {name}: {base}s -> {sec}s ({delta:+.0f}%)",
+                      file=sys.stderr)
+        if regressions:
+            print("# !! REGRESSIONS >1.5x vs previous round:", file=sys.stderr)
+            for r in regressions:
+                print(f"# !!   {r}", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

@@ -45,6 +45,10 @@ class GenericSource:
 
     def identifier(self, identifier: str | None = None) -> str:
         if identifier is not None:
+            if identifier != self._identifier:
+                # a new entry invalidates the memoized path and table
+                self._filename = None
+                self._table = None
             self._identifier = identifier
         if self._identifier is None:
             raise ValueError("An Identifier is needed!")
@@ -73,10 +77,13 @@ class GenericSource:
                  overwrite: bool = False, **kwargs) -> str:
         ident = self.identifier(identifier)
         fname = self.filename(filename)
+        if os.path.exists(fname) and not overwrite:
+            # already staged — don't even build the URL (sources without a
+            # public mirror, e.g. DSSP, stage files out of band)
+            return fname
+        url = self.url(ident, **kwargs)
         fetchers.Downloader(
-            self.url(ident, **kwargs), fname,
-            decompress=self.url(ident, **kwargs).endswith(".gz"),
-            overwrite=overwrite,
+            url, fname, decompress=url.endswith(".gz"), overwrite=overwrite,
         )
         return fname
 
@@ -194,11 +201,8 @@ class _Variants(GenericSource):
 class _MSA(GenericSource):
     name, db_attr, ext = "msa", "db_msas", ".fasta"
 
-    def url(self, identifier, seq_format="fasta", **kwargs):
-        raise NotImplementedError(
-            "MSA sources (Pfam/CATH) need dataset-specific URLs; stage files "
-            "into defaults.db_msas"
-        )
+    def url(self, identifier, aln_source="pfam", **kwargs):
+        return fetchers.url_msa(identifier, aln_source=aln_source, **kwargs)
 
     def read(self, filename=None, seq_format="fasta", **kwargs):
         from proteofav_spark.sources.msas import read_msas

@@ -119,3 +119,130 @@ def url_pdb_uniprot_sifts_mapping(identifier: str) -> str:
 
 def url_sifts_best(identifier: str) -> str:
     return f"{defaults.api_pdbe}mappings/best_structures/{identifier}"
+
+
+def url_ensembl_sequence(identifier: str, protein: bool = True) -> str:
+    """Ensembl sequence-by-id endpoint (parity:
+    proteofav/variants.py:101-119)."""
+    url = f"{defaults.api_ensembl}sequence/id/{identifier}"
+    if protein:
+        url += "?type=protein"
+    return url
+
+
+def url_uniprot_ensembl_xref(identifier: str, species: str = "homo_sapiens") -> str:
+    """UniProt accession → Ensembl ids via the xrefs/symbol mapping
+    (parity: proteofav/variants.py:122-141; species validated against the
+    public Ensembl registry)."""
+    from proteofav_spark.library import VALID_ENSEMBL_SPECIES
+
+    if species not in VALID_ENSEMBL_SPECIES:
+        raise ValueError(f"Provided species {species} is not valid")
+    return f"{defaults.api_ensembl}xrefs/symbol/{species}/{identifier}"
+
+
+def url_ensembl_uniprot_xref(identifier: str) -> str:
+    """Ensembl protein id → UniProt ids via xrefs/id (parity:
+    proteofav/variants.py:144-161)."""
+    return f"{defaults.api_ensembl}xrefs/id/{identifier}"
+
+
+def url_uniprot_species(identifier: str) -> str:
+    """Organism column for a UniProt id, tab format (parity:
+    proteofav/variants.py:164-177)."""
+    return f"{defaults.api_uniprot}?query={identifier}&columns=organism&format=tab"
+
+
+def url_uniprot_id_from_name(identifier: str) -> str:
+    """UniProt accession list for a protein name (parity:
+    proteofav/variants.py:180-193)."""
+    return f"{defaults.api_uniprot}?query={identifier}&columns=id&format=list"
+
+
+_UNIPROT_INFO_COLS = (
+    "id", "entry name", "reviewed", "protein names", "genes", "organism",
+    "sequence", "length",
+)
+
+
+def url_uniprot_info(identifier: str, cols: tuple[str, ...] | str | None = None) -> str:
+    """Tab-format UniProt record query (parity:
+    proteofav/variants.py:481-514: default column set, single-column
+    shorthand keeps 'id' as the first column)."""
+    from urllib.parse import quote
+
+    if not cols:
+        cols = _UNIPROT_INFO_COLS
+    elif isinstance(cols, str):
+        cols = ("id", cols)
+    return (
+        f"{defaults.api_uniprot}?query=accession:{identifier}"
+        f"&columns={quote(','.join(cols))}&format=tab"
+    )
+
+
+def url_pdbe_summary(identifier: str) -> str:
+    """PDBe entry-summary endpoint (parity:
+    proteofav/structures.py:646-657)."""
+    return f"{defaults.api_pdbe}pdb/entry/summary/{identifier}"
+
+
+def url_msa_pfam(identifier: str, aln_size: str = "seed") -> str:
+    """Pfam family alignment download, gzipped Stockholm (parity:
+    proteofav/msas.py:511-527)."""
+    if aln_size not in ("seed", "full"):
+        raise ValueError(f"Pfam alignment size must be seed/full, got {aln_size}")
+    return f"{defaults.pfam_fetch}family/{identifier}/alignment/{aln_size}/gzipped"
+
+
+def url_msa_cath(
+    identifier: str, seq_format: str = "stockholm", aln_size: int = 200
+) -> str:
+    """CATH funfam alignment download for a <Superfamily>_<Funfam> id
+    (parity: proteofav/msas.py:480-508)."""
+    if "_" not in identifier:
+        raise ValueError(
+            f"Expected a full <Superfamily>_<Family> CATH ID but got {identifier}"
+        )
+    superfamily, funfam = identifier.split("_")[0], identifier.split("_")[1]
+    out_format = "seed_alignment.fasta" if seq_format == "fasta" else seq_format
+    return (
+        f"{defaults.cath_fetch}superfamily/{superfamily}/funfam/{funfam}"
+        f"/files/{out_format}?max_sequences={aln_size}"
+    )
+
+
+def url_msa(identifier: str, aln_source: str = "pfam", **kwargs) -> str:
+    """Dispatch Pfam/CATH MSA download URL (parity:
+    proteofav/msas.py:452-477)."""
+    if aln_source == "pfam":
+        return url_msa_pfam(identifier, **kwargs)
+    if aln_source == "cath":
+        return url_msa_cath(identifier, **kwargs)
+    raise ValueError(
+        "Only able to download from CATH/Pfam in fasta/stockholm format..."
+    )
+
+
+def fetch_best_structures(identifier: str, fetch=fetch_from_url_or_retry) -> list[dict]:
+    """PDBe best-structures list for a UniProt accession, coverage-ranked
+    by the API (parity: proteofav/sifts.py:441-453 sifts_best)."""
+    import json
+
+    raw = fetch(url_sifts_best(identifier))
+    payload = json.loads(raw)
+    return payload.get(identifier) or []
+
+
+def resolve_best_structure(
+    identifier: str, fetch=fetch_from_url_or_retry
+) -> tuple[str, str]:
+    """(pdb_id, chain_id) of the top-ranked structure for a UniProt id —
+    the auto-resolution step of legacy merge_tables (parity:
+    proteofav/mergers.py:481-491: 'uses the first structure')."""
+    data = fetch_best_structures(identifier, fetch=fetch)
+    if not data:
+        raise ValueError(
+            f"Best structures not available from the PDBe API for {identifier}"
+        )
+    return data[0]["pdb_id"], data[0]["chain_id"]

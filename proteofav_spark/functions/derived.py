@@ -129,9 +129,13 @@ def ss_reduce_expr(ss_col: str) -> Column:
 
 
 def aa3to1_expr(comp_col: str) -> Column:
-    """3-letter → 1-letter amino-acid code, unknown → 'X'.
-    Parity: proteofav/structures.py:689-713 (scop_3to1 subset)."""
-    m = map_literal(AA_3TO1)
+    """3-letter → 1-letter amino-acid code, unknown → 'X'. Multi-letter
+    map values (chromophore multi-residue expansions) also emit 'X',
+    matching the reference's len(aa1) == 1 guard.
+    Parity: proteofav/structures.py:689-713 (full scop_3to1 map)."""
+    m = map_literal({
+        k: (v if len(v) == 1 else "X") for k, v in AA_3TO1.items()
+    })
     return F.coalesce(m[F.upper(F.col(comp_col))], F.lit("X"))
 
 

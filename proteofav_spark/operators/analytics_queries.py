@@ -146,12 +146,15 @@ def q_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan strategy for scale: region⨝nation collapses to a ≤25-row
     broadcast dim that prunes BOTH customer and supplier to one region's
-    nations before the fact joins (the ``c_nationkey = s_nationkey``
-    condition rides along as a join-key column, not a post-filter).
-    The date filter on orders pushes to the parquet scan. The only large
-    shuffles are the two fact joins (orders⨝customer on custkey,
-    lineitem⨝(that) on orderkey); supplier broadcasts at sf-test size
-    and AQE decides at production size. Revenue agg is map-side partial.
+    nations BEFORE the fact joins — customer via the dim join, supplier
+    via a broadcast semi-join on the same nation keys — so neither side
+    carries out-of-region rows into the lineitem join (the
+    ``c_nationkey = s_nationkey`` condition still rides along as a
+    join-key column, not a post-filter). The date filter on orders
+    pushes to the parquet scan. The only large shuffles are the two fact
+    joins (orders⨝customer on custkey, lineitem⨝(that) on orderkey);
+    supplier broadcasts at sf-test size and AQE decides at production
+    size. Revenue agg is map-side partial.
     """
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation").join(
@@ -164,7 +167,15 @@ def q_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
     ).select("o_orderkey", "o_custkey")
-    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(n.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+    )
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )

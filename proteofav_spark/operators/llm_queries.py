@@ -230,6 +230,8 @@ def _minhash_sig_sql() -> str:
     """
 
 
+BUCKET_CAP = 64  # max docs per LSH bucket before the pair stage skips it
+
 _MINHASH_SQL = f"""
     WITH sig AS ({_minhash_sig_sql()}),
     bands AS (
@@ -242,10 +244,17 @@ _MINHASH_SQL = f"""
         + " AS bucket FROM sig"
         for band in range(N_BANDS)
       )}
+    ),
+    ok AS (
+      SELECT band, bucket FROM bands
+      GROUP BY band, bucket
+      HAVING COUNT(*) BETWEEN 2 AND {BUCKET_CAP}
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(DISTINCT a.band) AS BIGINT) AS n_bands_shared
-    FROM bands a JOIN bands b
+    FROM bands a
+    JOIN ok USING (band, bucket)
+    JOIN bands b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 """
@@ -291,23 +300,40 @@ def minhash_band_buckets(d: DataFrame) -> DataFrame:
     return sig.select("doc_id", F.posexplode(bucket_arr).alias("band", "bucket"))
 
 
-@register("dedup_minhash_lsh", _MINHASH_SQL)
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH candidate pairs: shingle → polynomial hash →
-    12 affine min-hashes → 4 bands of 3 → bucket equi-join. The only wide
-    exchange is the band-bucket shuffle; signature computation is map-only."""
-    d = load(spark, sf_dir, "documents")
+def minhash_lsh_pairs(d: DataFrame, cap: int = BUCKET_CAP, observation=None) -> DataFrame:
+    """Candidate near-dup pairs for a (doc_id, text) frame via banded
+    MinHash-LSH, with the pair stage bounded by a bucket-size cap.
+
+    Buckets larger than ``cap`` are SKIPPED, not expanded: an oversized
+    bucket is the boilerplate/identical-content signature collision case
+    (empty docs, templated pages) where pair expansion is O(k²) garbage —
+    exact duplicates belong to ``dedup_exact_hash`` upstream, and anything
+    that near-dups with >cap distinct documents is dropped with accounting
+    rather than allowed to blow up a single task.  ``observation`` (a
+    pyspark ``Observation`` or a metric-name string) records how many
+    buckets/docs the cap skipped, so production runs see the overflow
+    count in the query metrics instead of silently losing recall.
+    """
     bands = minhash_band_buckets(d)
     # pairs via groupBy(bucket) + in-array combination instead of a
     # self-join: one shuffle, and the signatures never compute twice.
-    # A pathological mega-bucket would k²-blow-up inside one task — at
-    # scale that is the standard LSH skew case, handled by capping bucket
-    # size upstream or AQE skew splitting of the final pair aggregation.
     grouped = (
         bands.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if observation is not None:
+        grouped = grouped.observe(
+            observation,
+            F.coalesce(
+                F.sum((F.size("ids") > cap).cast("long")), F.lit(0).cast("long")
+            ).alias("overflow_buckets"),
+            F.coalesce(
+                F.sum(F.when(F.size("ids") > cap, F.size("ids")).otherwise(0)),
+                F.lit(0).cast("long"),
+            ).alias("overflow_docs"),
+        )
+    capped = grouped.filter(F.size("ids") <= cap)
     pair_structs = F.flatten(
         F.transform(
             F.col("ids"),
@@ -318,11 +344,22 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        grouped.select("band", F.explode(pair_structs).alias("p"))
+        capped.select("band", F.explode(pair_structs).alias("p"))
         .select("band", "p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.countDistinct("band").alias("n_bands_shared"))
     )
+
+
+@register("dedup_minhash_lsh", _MINHASH_SQL)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH candidate pairs: shingle → polynomial hash →
+    12 affine min-hashes → 4 bands of 3 → bucket equi-join. The only wide
+    exchange is the band-bucket shuffle; signature computation is map-only.
+    Mega-buckets (> BUCKET_CAP docs) are skipped with overflow accounting
+    — see minhash_lsh_pairs."""
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, observation="minhash_lsh_overflow")
 
 
 def _simhash_sql(bits: int = 16) -> str:

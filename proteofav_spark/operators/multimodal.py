@@ -117,8 +117,89 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 
 
 def extract_audio_features_stub(*_args, **_kwargs):
-    """Audio decode requires codec libraries not present in this container."""
+    """Real audio decode requires codec libraries not present in this
+    container — deployments swap this for soundfile/librosa. The
+    Spark-side contract (binary column + metadata struct + mapInPandas
+    batch shape) is fully exercised by :func:`audio_features` below with
+    a deterministic fake waveform."""
     raise NotImplementedError(
         "audio decode needs soundfile/librosa; the Spark plumbing "
-        "(binary column + mapInPandas batch contract) is image_features()"
+        "(binary column + mapInPandas batch contract) is audio_features()"
     )
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def attach_audio_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test/dev helper: deterministic opaque 'audio' payload + metadata
+    derived from an existing column (stands in for real encoded audio)."""
+    payload = F.encode(F.col(text_col), "UTF-8").cast("binary")
+    meta = F.struct(
+        F.lit(16000).alias("sample_rate"),
+        F.lit(1).alias("n_channels"),
+        (F.length(payload) % 5000 + 100).cast("int").alias("duration_ms"),
+        F.lit("fake/pcm").alias("format"),
+    )
+    return df.withColumn("payload", payload).withColumn("meta", meta)
+
+
+def _decode_audio_stub(blob: bytes, sample_rate: int, duration_ms: int) -> np.ndarray:
+    """STUB decode: deterministic fake int16 waveform derived from the
+    bytes (byte pairs → centered int16 samples, tiled to the nominal
+    sample count). Replace with a real codec in deployment — signature
+    and batch shape are the contract."""
+    n_samples = max(1, sample_rate * duration_ms // 1000 % 4096)
+    raw = np.frombuffer(blob, dtype=np.uint8)
+    if not len(raw):
+        return np.zeros(n_samples, np.int16)
+    centered = raw.astype(np.int16) * 257 - 32768
+    reps = int(np.ceil(n_samples / len(centered)))
+    return np.tile(centered, reps)[:n_samples]
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Decode → feature-extract over audio payloads, mirroring
+    :func:`image_features`: one Arrow batch at a time, emitting
+    (doc_id, n_bytes, n_samples, rms, zero_crossing_rate)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zero_crossing_rate", T.DoubleType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                wave = _decode_audio_stub(
+                    blob, meta["sample_rate"], meta["duration_ms"]
+                ).astype(np.float64)
+                zc = (
+                    float(np.mean(np.signbit(wave[1:]) != np.signbit(wave[:-1])))
+                    if len(wave) > 1
+                    else 0.0
+                )
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_bytes": len(blob),
+                        "n_samples": len(wave),
+                        "rms": round(float(np.sqrt(np.mean(wave**2))), 6),
+                        "zero_crossing_rate": round(zc, 6),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload", "meta").mapInPandas(extract, schema)

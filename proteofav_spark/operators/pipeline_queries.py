@@ -47,19 +47,13 @@ from proteofav_spark.operators.llm_queries import (
     poly_hash_col,
     tokens_col,
 )
-from proteofav_spark.queries import load, register
+from proteofav_spark.queries import load, register, t_us as _t_us
 
 RANGE_W_S = 7200          # range-join half-window: ±2 hours
 SHARD_CAP_TOKENS = 256    # token budget per packed training shard
+PACK_STREAM_STRIDE = 256  # docs per packing stream (bounds per-task sort)
 SPLIT_SALT = "#v"         # salt for train/val/test hash bucketing
 SAMPLE_SALT = "#s"        # salt for stratified sampling hash
-
-
-def _t_us(col: str = "ts") -> F.Column:
-    """Event time as integer epoch microseconds (see module docstring)."""
-    from proteofav_spark.queries import t_us
-
-    return t_us(col)
 
 
 # ---------------------------------------------------------------------------
@@ -220,18 +214,13 @@ def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per cluster — the step that turns pairwise near-dup hits into a
     deduplicated corpus (keep canonicals, drop the rest).
 
-    Implementation: min-label propagation. Labels start as each vertex's
-    own id; each round joins labels across the symmetrized edge list and
-    takes the per-vertex min; converged when no label changes. Each round
-    is one equi-join shuffle plus a partially-aggregated groupBy, with
-    ``localCheckpoint`` cutting lineage so plans stay O(1) per round.
-    Near-dup graphs are almost-cliques with bounded diameter (largest
-    component at sf0.1: 9 vertices), so this converges in ≤ ~5 rounds;
-    a degenerate long-path graph would want the alternating
-    large-star/small-star variant (same join primitive, O(log n) rounds).
-    The oracle computes components by transitive closure in a recursive
-    CTE — a different algorithm, so agreement checks the iteration, not
-    just the arithmetic."""
+    Implementation: alternating large-star/small-star (``star_components``)
+    — O(log² n) rounds regardless of graph diameter, so chain-shaped
+    duplicate components at 100 TB converge where plain min-label
+    propagation (round count = diameter) would not. The oracle computes
+    components by transitive closure in a recursive CTE — a different
+    algorithm, so agreement checks the iteration, not just the
+    arithmetic."""
     from proteofav_spark.operators.llm_queries import q_dedup_minhash_lsh
 
     pairs = (
@@ -239,7 +228,110 @@ def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
-    return min_label_components(pairs)
+    return star_components(pairs)
+
+
+def _symmetrize(pairs: DataFrame) -> DataFrame:
+    """Undirected (doc_a, doc_b) edge list → symmetric (u, v) with self
+    loops dropped."""
+    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    return (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Large-star: every node connects its strictly-LARGER neighbors to the
+    minimum of its closed neighborhood. One groupBy + one equi-join."""
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("doc_a"), F.col("m").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _small_star(pairs: DataFrame) -> DataFrame:
+    """Small-star: orient each edge large→small; every node connects its
+    smaller neighbors (and itself) to its minimum smaller neighbor."""
+    down = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .filter(F.col("v") < F.col("u"))
+        .distinct()
+    )
+    mins = down.groupBy("u").agg(F.min("v").alias("m"))
+    relinked = down.join(mins, "u").select(
+        F.col("v").alias("doc_a"), F.col("m").alias("doc_b")
+    )
+    selfed = mins.select(F.col("u").alias("doc_a"), F.col("m").alias("doc_b"))
+    return (
+        relinked.union(selfed)
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+
+
+def star_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014): each round shrinks every component toward its minimum
+    vertex, converging in O(log² n) rounds REGARDLESS of graph diameter —
+    the scale-safe replacement for plain min-label propagation, whose
+    round count is the diameter (a 100 TB dedup graph with chain-shaped
+    components never finishes there; see ``min_label_components``).
+
+    Per round: two groupBy-min shuffles + two equi-joins, all keyed on
+    vertex ids, with ``localCheckpoint`` cutting lineage. Converged when
+    the edge set is a fixed point (a star forest rooted at each
+    component's minimum). Output: one row per vertex —
+    (doc_id, cluster_id, cluster_size, is_canonical).
+    """
+    verts = _symmetrize(pairs).select(F.col("u").alias("doc_id")).distinct()
+    edges = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        new = _small_star(_large_star(_symmetrize(edges))).localCheckpoint()
+        # fixed point ⇔ same edge set (both are distinct frames)
+        if new.count() == edges.count() and new.exceptAll(edges).isEmpty():
+            edges = new
+            break
+        edges = new
+    else:
+        raise RuntimeError(
+            "large-star/small-star did not reach a fixed point in "
+            f"{max_rounds} rounds — O(log² n) convergence implies an "
+            "edge-set cycle bug, not a graph-shape limitation"
+        )
+    # converged edge set is (member → component-min); roots have no out-edge
+    labels = verts.join(
+        edges.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("lbl")),
+        "doc_id",
+        "left",
+    ).select("doc_id", F.coalesce("lbl", "doc_id").alias("cluster_id"))
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
 
 
 def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
@@ -308,47 +400,84 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
 _PACK_SQL = f"""
     WITH t AS (
       SELECT doc_id, lang,
-             CAST(len({_sql_tokens("text")}) AS BIGINT) AS n_tokens
+             CAST(len({_sql_tokens("text")}) AS BIGINT) AS n_tokens,
+             doc_id // {PACK_STREAM_STRIDE} AS stream
       FROM documents),
-    c AS (
-      SELECT doc_id, lang, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      FROM t)
-    SELECT doc_id, lang, n_tokens,
-           CAST((cum - n_tokens) // {SHARD_CAP_TOKENS} AS BIGINT) AS shard_id
-    FROM c
+    l AS (
+      SELECT doc_id, lang, n_tokens, stream,
+             CAST((SUM(n_tokens) OVER (PARTITION BY lang, stream
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) // {SHARD_CAP_TOKENS} AS BIGINT)
+                 AS local_shard
+      FROM t),
+    s AS (
+      SELECT lang, stream, MAX(local_shard) + 1 AS n_shards
+      FROM l GROUP BY lang, stream),
+    o AS (
+      SELECT lang, stream,
+             SUM(n_shards) OVER (PARTITION BY lang ORDER BY stream)
+                 - n_shards AS off
+      FROM s)
+    SELECT l.doc_id, l.lang, l.n_tokens,
+           CAST(o.off + l.local_shard AS BIGINT) AS shard_id
+    FROM l JOIN o ON l.lang = o.lang AND l.stream = o.stream
 """
 
 
 def packed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign each document to a training shard: within each ``lang``
-    stream ordered by doc_id, a shard is a run of documents whose
-    cumulative whitespace-token count stays under SHARD_CAP_TOKENS
+    """Assign each document to a training shard: within each
+    ``(lang, stream)`` packing stream (stream = doc_id div
+    PACK_STREAM_STRIDE) ordered by doc_id, a shard is a run of documents
+    whose cumulative whitespace-token count stays under SHARD_CAP_TOKENS
     (start-offset rule: shard = floor(preceding-cumsum / cap), so a
-    document lands in the shard its first token falls into). Pure
-    window-cumsum — deterministic, one shuffle on the partition key."""
+    document lands in the shard its first token falls into). Per-stream
+    shard counts then roll up into per-stream OFFSETS (one tiny row per
+    stream, broadcast back), making shard ids contiguous per lang while
+    no sort task ever sees more than STRIDE documents — the composite
+    key is what keeps packing scale-safe: with ``lang`` alone the
+    English partition of a 100 TB corpus is one task doing one giant
+    sort. Shards never span streams (a stream boundary starts a fresh
+    shard)."""
     d = load(spark, sf_dir, "documents")
     t = d.select(
         "doc_id", "lang", "text",
         F.size(tokens_col()).cast("long").alias("n_tokens"),
+        F.expr(f"doc_id div {PACK_STREAM_STRIDE}").alias("stream"),
     )
     w = (
-        W.partitionBy("lang")
+        W.partitionBy("lang", "stream")
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return t.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
-        "shard_id", F.expr(f"(cum - n_tokens) div {SHARD_CAP_TOKENS}")
+    local = t.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "local_shard", F.expr(f"(cum - n_tokens) div {SHARD_CAP_TOKENS}")
+    )
+    # one row per stream — tiny at any scale (corpus_size / STRIDE), so the
+    # offset join broadcasts; the cumulative offset window runs on that
+    # tiny frame, not the corpus
+    streams = local.groupBy("lang", "stream").agg(
+        (F.max("local_shard") + 1).alias("n_shards")
+    )
+    ow = (
+        W.partitionBy("lang")
+        .orderBy("stream")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = streams.withColumn(
+        "off", F.sum("n_shards").over(ow) - F.col("n_shards")
+    ).select("lang", "stream", "off")
+    return local.join(F.broadcast(offsets), ["lang", "stream"]).withColumn(
+        "shard_id", F.col("off") + F.col("local_shard")
     )
 
 
 @register("pack_token_shards", _PACK_SQL)
 def q_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard assignment (sequence packing for LLM training
-    shards): see :func:`packed_documents`. At 100 TB the window partition
-    key widens to (lang, date_bucket) so no ordered partition is
-    unbounded; packing stays a partition-local sequential scan."""
+    shards): see :func:`packed_documents` — composite (lang, stream)
+    packing key + per-stream offsets, so no ordered partition is
+    unbounded at 100 TB."""
     return packed_documents(spark, sf_dir).select(
         "doc_id", "lang", "n_tokens", "shard_id"
     )

@@ -114,10 +114,10 @@ def check_sequence_consistency(
         )
     else:
         raise ValueError(f"unknown sequence-check pair: {pair}")
-    # 'X' on EITHER side is unknown/modified (our 1-letter map covers the
-    # canonical subset, not the reference's full 587-entry scop_3to1), so
-    # such positions are masked like the reference masks 'X' — otherwise
-    # a modified residue (M3L, OCS, ...) would spuriously abort the merge
+    # 'X' on EITHER side is unknown/ambiguous (the full scop_3to1 map still
+    # emits 'X' for unlisted components and chromophore expansions), so such
+    # positions are masked like the reference masks 'X' — otherwise an
+    # unmapped component would spuriously abort the merge
     mask = mask & (left != "X") & (right != "X")
     n = merged.filter(mask & (left != right)).count()
     if n:
@@ -128,6 +128,62 @@ def check_sequence_consistency(
 
         logging.getLogger(__name__).warning(message)
     return n
+
+
+def merge_tables(
+    spark: SparkSession,
+    uniprot_id: str | None = None,
+    pdb_id: str | None = None,
+    chains: tuple[str, ...] | None = None,
+    res: tuple[str, ...] | None = None,
+    atoms: tuple[str, ...] | None = None,
+    lines: tuple[str, ...] | None = None,
+    dssp: bool = False,
+    sifts: bool = True,
+    validation: bool = False,
+    annotation: bool = False,
+    variants: bool = False,
+    residue_agg: bool = False,
+    overwrite: bool = False,
+    fetch=None,
+):
+    """Legacy orchestrated merge: resolve a bare UniProt accession to its
+    top-ranked PDB structure via the PDBe best-structures API, stage every
+    requested source through the facade downloaders, and return the merged
+    table (parity: proteofav/mergers.py:449-573 merge_tables — the
+    'uses the first structure' auto-resolution at :481-491).
+
+    ``fetch`` overrides the HTTP fetcher (tests inject canned JSON);
+    staged files land in the per-source ``defaults.db_*`` directories,
+    which tests point at local fixtures via file:// addresses."""
+    from proteofav_spark import facade
+    from proteofav_spark.fetchers import resolve_best_structure
+
+    if not uniprot_id and not pdb_id:
+        raise ValueError("Either a UniProt or PDB accession is needed...")
+    if uniprot_id and not pdb_id:
+        kw = {"fetch": fetch} if fetch is not None else {}
+        pdb_id, best_chain = resolve_best_structure(uniprot_id, **kw)
+        if chains is None:
+            chains = (best_chain,)
+
+    paths = SourcePaths(mmcif=facade.mmCIF.download(pdb_id, overwrite=overwrite))
+    if sifts:
+        paths.sifts = facade.SIFTS.download(pdb_id, overwrite=overwrite)
+    if dssp:
+        paths.dssp = facade.DSSP.download(pdb_id, overwrite=overwrite)
+    if validation:
+        paths.validation = facade.Validation.download(pdb_id, overwrite=overwrite)
+    if annotation and uniprot_id:
+        paths.annotation = facade.Annotation.download(uniprot_id, overwrite=overwrite)
+    if variants and uniprot_id:
+        paths.variants = facade.Variants.download(uniprot_id, overwrite=overwrite)
+    tables = table_generator(
+        spark, paths,
+        chains=chains, res=res, atoms=atoms, lines=lines,
+        residue_agg=residue_agg,
+    )
+    return table_merger(*tables)
 
 
 class TablesGenerator:

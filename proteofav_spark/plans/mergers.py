@@ -59,8 +59,24 @@ def _left_join_on(
 
 
 def mmcif_sifts_table_merger(
-    mmcif_table: DataFrame, sifts_table: DataFrame, category: str = "auth"
+    mmcif_table: DataFrame,
+    sifts_table: DataFrame,
+    category: str = "auth",
+    legacy_resnum_key: bool = False,
 ) -> DataFrame:
+    """mmCIF ⟕ SIFTS on (residue-number, chain).
+
+    Default key: ``{category}_seq_id_full`` (seq id + insertion code) vs
+    ``PDB_dbResNum`` — the modern composite key that is correct whether or
+    not insertion codes occur.
+
+    ``legacy_resnum_key=True`` reproduces the legacy ``merge_tables``
+    behavior (parity: proteofav/mergers.py:311-322): try the PLAIN
+    residue-number key first, and only when the data carries insertion
+    codes (the condition that made the reference's pandas merge raise and
+    fall into its except-branch: ins-coded mmCIF rows or non-integer
+    SIFTS resnums) fall back to the composite seq-id+ins-code key. The
+    probe is two cheap filter-counts on the (broadcast-small) inputs."""
     seq, asym, orig = (
         f"{category}_seq_id_full", f"{category}_asym_id", f"orig_{category}_asym_id"
     )
@@ -75,8 +91,26 @@ def mmcif_sifts_table_merger(
             "Some of the necessary columns are missing..."
         )
     chain_key = orig if orig in mmcif_table.columns else asym
+    left_res_key = seq
+    if legacy_resnum_key:
+        plain = f"{category}_seq_id"
+        ins_coded_mmcif = (
+            plain in mmcif_table.columns
+            and "pdbx_PDB_ins_code" in mmcif_table.columns
+            and mmcif_table.filter(
+                ~F.coalesce(F.col("pdbx_PDB_ins_code"), F.lit("?")).isin("?", "")
+            ).limit(1).count() > 0
+        )
+        ins_coded_sifts = (
+            sifts_table.filter(
+                ~F.col("PDB_dbResNum").cast("string").rlike(r"^-?[0-9]+$")
+            ).limit(1).count() > 0
+        )
+        if not (ins_coded_mmcif or ins_coded_sifts) and plain in mmcif_table.columns:
+            left_res_key = plain
     return _left_join_on(
-        mmcif_table, sifts_table, [seq, chain_key], ["PDB_dbResNum", "PDB_dbChainId"]
+        mmcif_table, sifts_table,
+        [left_res_key, chain_key], ["PDB_dbResNum", "PDB_dbChainId"],
     )
 
 
@@ -188,11 +222,13 @@ def table_merger(
     validation_table: DataFrame | None = None,
     annotation_table: DataFrame | None = None,
     variants_table: DataFrame | None = None,
+    legacy_resnum_key: bool = False,
 ) -> DataFrame:
     """Fixed merge tree (parity: proteofav/mergers.py:403-446). The largest
     table (atoms) stays on the left of every join; residue-level sides merge
     among themselves first, then one final left join — Catalyst broadcasts
-    every right side."""
+    every right side. ``legacy_resnum_key`` selects the legacy plain-resnum
+    SIFTS key with insertion-code fallback (see mmcif_sifts_table_merger)."""
     available = [
         t
         for t in (
@@ -218,7 +254,9 @@ def table_merger(
             sifts_table = sifts_variants_table_merger(sifts_table, variants_table)
         table = sifts_table
     if mmcif_table is not None and sifts_table is not None:
-        table = mmcif_sifts_table_merger(mmcif_table, sifts_table)
+        table = mmcif_sifts_table_merger(
+            mmcif_table, sifts_table, legacy_resnum_key=legacy_resnum_key
+        )
     return table
 
 

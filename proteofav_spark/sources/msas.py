@@ -102,6 +102,40 @@ def read_stockholm_records(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_clustal_records(spark: SparkSession, path: str) -> DataFrame:
+    """Clustal (.aln/.clw) → one row per sequence name. Layout: a
+    'CLUSTAL'/'MUSCLE' header line, then interleaved blocks of
+    ``name  chunk [cum_count]`` lines; conservation lines (only
+    ``* : .`` and spaces) start with whitespace and drop out with the
+    blank lines. Chunks group-concatenate by name in line order —
+    the same distributed reassembly shape as Stockholm."""
+    text = with_line_no(spark.read.text(path)).withColumn(
+        "source_file", F.input_file_name()
+    )
+    v = F.col("value")
+    seq_lines = text.filter(
+        (F.length(F.trim(v)) > 0)
+        & ~v.rlike(r"^(CLUSTAL|MUSCLE)")   # format header
+        & ~v.rlike(r"^\s")                 # conservation / markup lines
+    )
+    parts = F.split(F.trim(v), r"\s+")
+    df = seq_lines.select(
+        "source_file",
+        "line_no",
+        parts.getItem(0).alias("description"),
+        parts.getItem(1).alias("chunk"),
+    ).filter(F.col("chunk").isNotNull() & ~F.col("chunk").rlike(r"^[0-9]+$"))
+    return df.groupBy("source_file", "description").agg(
+        F.min("line_no").alias("line_no"),
+        F.concat_ws(
+            "",
+            F.array_sort(F.collect_list(F.struct("line_no", "chunk"))).getField(
+                "chunk"
+            ),
+        ).alias("Sequence"),
+    )
+
+
 def _parse_description(df: DataFrame, seq_format: str) -> DataFrame:
     """Regex hierarchy over the record description → Source / Collection /
     Accession / Name / Start / End / pdb_id / chain_id / domain_id."""
@@ -176,20 +210,42 @@ def _parse_description(df: DataFrame, seq_format: str) -> DataFrame:
     return out
 
 
+def guess_seq_format(filename: str) -> str | None:
+    """Extension-based MSA format guess (parity:
+    proteofav/msas.py:50-58: .fasta/.fa → fasta, .sto/.sth → stockholm,
+    .aln/.clw → clustal)."""
+    if filename.endswith((".fasta", ".fa")):
+        return "fasta"
+    if filename.endswith((".sto", ".sth")):
+        return "stockholm"
+    if filename.endswith((".aln", ".clw")):
+        return "clustal"
+    return None
+
+
 def read_msas(
     spark: SparkSession,
     filename: str,
-    seq_format: str = "fasta",
+    seq_format: str | None = "fasta",
 ) -> DataFrame:
     """Scan an MSA file → one row per aligned sequence with parsed fields.
+    ``seq_format=None`` guesses from the file extension.
 
-    Parity: read_msas proteofav/msas.py:67-109.
+    Parity: read_msas proteofav/msas.py:67-109 (formats: fasta,
+    stockholm, clustal — proteofav/msas.py:32-64).
     """
+    if seq_format is None:
+        seq_format = guess_seq_format(filename)
+        if seq_format is None:
+            raise ValueError(f"Alignment format unrecognised: {filename}")
     if seq_format == "fasta":
         recs = read_fasta_records(spark, filename)
     elif seq_format in ("stockholm", "sth"):
         recs = read_stockholm_records(spark, filename)
         seq_format = "stockholm"
+    elif seq_format in ("clustal", "clw"):
+        recs = read_clustal_records(spark, filename)
+        seq_format = "clustal"
     else:
         raise ValueError(f"unsupported MSA format: {seq_format}")
     out = _parse_description(recs, seq_format)

@@ -59,6 +59,40 @@ def test_get_sequence(spark, refdata):
     assert len(seq) == 329
 
 
+def test_get_sequence_modified_residues(spark, refdata):
+    """2pm7 is selenomethionine-substituted: 9 MSE residues in chain A.
+    With the full scop_3to1 map they resolve to 'M' (reference output
+    pinned by running proteofav.structures.get_sequence on this fixture),
+    not the 'X' a subset map would degrade to."""
+    from proteofav_spark.operators.structures import select_structures
+
+    df = select_structures(
+        spark, f"{refdata}/mmcif/2pm7_updated.cif",
+        models="first", chains=("A",), atoms=("CA",), lines=("ATOM",),
+    )
+    seq = get_sequence(df).first()["sequence"]
+    assert len(seq) == 345
+    assert seq.startswith("APTWYGEPSPAAHWAFGGKLVQITPDGKGVSITNPKISGLESNTTLSE")
+    assert seq.endswith("EVKTEKARVLIASG")
+    assert "X" not in seq  # every MSE resolved via the full map
+    assert df.filter(F.col("auth_comp_id") == "MSE").count() == 9
+
+
+def test_aa3to1_full_map(spark):
+    """Tail entries of the full scop_3to1 map: modified residues resolve
+    to their parent letter; multi-residue chromophore values emit 'X'
+    (reference len(aa1)==1 guard, proteofav/structures.py:700-710)."""
+    from proteofav_spark.functions.derived import aa3to1_expr
+    from proteofav_spark.library import SCOP_3TO1
+
+    assert len(SCOP_3TO1) == 1299
+    rows = spark.createDataFrame(
+        [("MSE",), ("PTR",), ("SEP",), ("AYG",), ("ZZZZ",), ("ALA",)],
+        ["comp"],
+    ).select(aa3to1_expr("comp").alias("aa1")).collect()
+    assert [r["aa1"] for r in rows] == ["M", "Y", "S", "X", "X", "A"]
+
+
 def test_sequence_compare(spark):
     df = spark.createDataFrame(
         [("ABCDEF", "ABCDEF"), ("ABCDEF", "ABCDEG"), ("ABC", "AXC")],

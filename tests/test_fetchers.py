@@ -1,0 +1,112 @@
+"""URL builders + staging downloader (network-free: file:// and injected
+fetchers only). Parity: proteofav/variants.py:52-224,481-514,
+structures.py:646-657, sifts.py:441-453, msas.py:452-527."""
+
+import gzip
+import json
+
+import pytest
+
+from proteofav_spark import fetchers
+from proteofav_spark.config import defaults
+
+
+def test_url_builders_structures():
+    assert fetchers.url_mmcif("2pah") == f"{defaults.pdbe_fetch}2pah.cif"
+    assert fetchers.url_mmcif("2pah", bio_unit=True).endswith(
+        "2pah-assembly-1.cif.gz"
+    )
+    assert fetchers.url_pdb("2pah") == f"{defaults.pdbe_fetch}pdb2pah.ent"
+    assert fetchers.url_sifts("2pah") == f"{defaults.sifts_fetch}2pah.xml.gz"
+    assert fetchers.url_pdbe_summary("2pah") == (
+        f"{defaults.api_pdbe}pdb/entry/summary/2pah"
+    )
+
+
+def test_url_builders_ensembl():
+    assert fetchers.url_ensembl_sequence("ENSP00000448059") == (
+        f"{defaults.api_ensembl}sequence/id/ENSP00000448059?type=protein"
+    )
+    assert fetchers.url_ensembl_sequence("ENSP1", protein=False).endswith(
+        "sequence/id/ENSP1"
+    )
+    assert fetchers.url_uniprot_ensembl_xref("P00439") == (
+        f"{defaults.api_ensembl}xrefs/symbol/homo_sapiens/P00439"
+    )
+    assert fetchers.url_uniprot_ensembl_xref("P00439", species="mus_musculus")
+    with pytest.raises(ValueError, match="not valid"):
+        fetchers.url_uniprot_ensembl_xref("P00439", species="homo_erectus")
+    assert fetchers.url_ensembl_uniprot_xref("ENSP1") == (
+        f"{defaults.api_ensembl}xrefs/id/ENSP1"
+    )
+
+
+def test_url_builders_uniprot():
+    assert fetchers.url_uniprot_species("P00439") == (
+        f"{defaults.api_uniprot}?query=P00439&columns=organism&format=tab"
+    )
+    assert fetchers.url_uniprot_id_from_name("PH4H_HUMAN") == (
+        f"{defaults.api_uniprot}?query=PH4H_HUMAN&columns=id&format=list"
+    )
+    url = fetchers.url_uniprot_info("P00439")
+    assert url.startswith(f"{defaults.api_uniprot}?query=accession:P00439")
+    assert "format=tab" in url and "id%2Centry%20name" in url
+    assert "columns=id%2Csequence&" in fetchers.url_uniprot_info(
+        "P00439", cols="sequence"
+    )
+
+
+def test_url_builders_msas():
+    assert fetchers.url_msa_pfam("PF00118") == (
+        f"{defaults.pfam_fetch}family/PF00118/alignment/seed/gzipped"
+    )
+    with pytest.raises(ValueError):
+        fetchers.url_msa_pfam("PF00118", aln_size="tiny")
+    cath = fetchers.url_msa_cath("1.50.10.100_1318", seq_format="fasta")
+    assert cath == (
+        f"{defaults.cath_fetch}superfamily/1.50.10.100/funfam/1318"
+        "/files/seed_alignment.fasta?max_sequences=200"
+    )
+    with pytest.raises(ValueError, match="CATH ID"):
+        fetchers.url_msa_cath("nounderscore")
+    assert fetchers.url_msa("PF00118") == fetchers.url_msa_pfam("PF00118")
+    assert fetchers.url_msa(
+        "1.50.10.100_1318", aln_source="cath"
+    ) == fetchers.url_msa_cath("1.50.10.100_1318")
+    with pytest.raises(ValueError, match="CATH/Pfam"):
+        fetchers.url_msa("x", aln_source="ebi")
+
+
+def test_fetch_and_resolve_best_structures():
+    payload = {"P00439": [
+        {"pdb_id": "2pah", "chain_id": "A", "coverage": 0.9},
+        {"pdb_id": "1j8u", "chain_id": "B", "coverage": 0.7},
+    ]}
+
+    def fake(url, **kw):
+        assert url == fetchers.url_sifts_best("P00439")
+        return json.dumps(payload).encode()
+
+    assert fetchers.fetch_best_structures("P00439", fetch=fake) == payload["P00439"]
+    assert fetchers.resolve_best_structure("P00439", fetch=fake) == ("2pah", "A")
+    empty = lambda url, **kw: b'{"P00439": null}'  # noqa: E731
+    with pytest.raises(ValueError, match="Best structures not available"):
+        fetchers.resolve_best_structure("P00439", fetch=empty)
+
+
+def test_downloader_file_scheme(tmp_path):
+    src = tmp_path / "src.txt"
+    src.write_text("payload")
+    dst = tmp_path / "dst.txt"
+    fetchers.Downloader(f"file://{src}", str(dst))
+    assert dst.read_text() == "payload"
+    # skip-if-exists: source content change must NOT propagate
+    src.write_text("changed")
+    fetchers.Downloader(f"file://{src}", str(dst))
+    assert dst.read_text() == "payload"
+    # decompress path
+    gz = tmp_path / "x.gz"
+    gz.write_bytes(gzip.compress(b"unzipped"))
+    out = tmp_path / "x.txt"
+    fetchers.Downloader(f"file://{gz}", str(out), decompress=True)
+    assert out.read_bytes() == b"unzipped"

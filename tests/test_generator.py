@@ -94,6 +94,53 @@ def test_sequence_check_rejects_bad_mode_without_merge(spark, refdata):
         )
 
 
+def test_merge_tables_from_bare_uniprot_id(spark, refdata, tmp_path, monkeypatch):
+    """Legacy merge_tables auto-resolution end to end under mocks: a bare
+    UniProt accession resolves to its top best-structure (canned PDBe
+    JSON), sources stage through the facade downloaders (file:// mmCIF +
+    SIFTS, pre-staged DSSP), and the fixed merge tree runs — 2w4o chain A
+    CA == 278 rows, the reference-pinned count."""
+    import json
+
+    from proteofav_spark.config import defaults
+    from proteofav_spark.plans.generator import merge_tables
+
+    def fake_fetch(url, **kw):
+        assert url.endswith("mappings/best_structures/P29373")
+        return json.dumps(
+            {"P29373": [
+                {"pdb_id": "2w4o", "chain_id": "A", "coverage": 0.97},
+                {"pdb_id": "2l4o", "chain_id": "B", "coverage": 0.5},
+            ]}
+        ).encode()
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    for attr in ("db_mmcif", "db_sifts", "db_dssp"):
+        monkeypatch.setattr(defaults, attr, str(stage))
+    monkeypatch.setattr(defaults, "pdbe_fetch", f"file://{refdata}/mmcif/")
+    # SIFTS xml isn't gzipped in the fixtures — serve it as a plain file
+    # under the .xml name via a sifts_fetch override that drops the .gz
+    import shutil
+
+    shutil.copyfile(f"{refdata}/sifts/2w4o.xml", stage / "2w4o.xml")
+    shutil.copyfile(f"{refdata}/dssp/2w4o.dssp", stage / "2w4o.dssp")
+    # fresh facade state so memoized identifiers from other tests can't leak
+    from proteofav_spark import facade
+
+    for src in (facade.mmCIF, facade.SIFTS, facade.DSSP):
+        src._identifier = src._filename = src._table = None
+        src._spark = spark
+
+    merged = merge_tables(
+        spark, uniprot_id="P29373",
+        atoms=("CA",), lines=("ATOM",), dssp=True, sifts=True,
+        fetch=fake_fetch,
+    )
+    assert merged.count() == 278
+    assert merged.filter(F.col("label_asym_id") != "A").count() == 0
+
+
 def test_sequence_check_masks_unknown_residues(spark):
     """Modified residues our 1-letter map renders as 'X' are masked on
     BOTH sides — an 'X' position must never count as a mismatch."""

@@ -114,3 +114,47 @@ def test_mmcif_dssp_data_dependent_key_choice(spark):
     # each merge matched every row
     assert m1.filter(F.col("SS").isNull()).count() == 0
     assert m2.filter(F.col("SS").isNull()).count() == 0
+
+
+def test_merge_3mn5_insertion_code_fallback(spark, refdata):
+    """3mn5: SIFTS carries ins-coded resnums (65A/65B/65C) — the case
+    that drove the reference's legacy merge into its insertion-code
+    except-branch (proteofav/mergers.py:316-322). With
+    legacy_resnum_key=True the probe detects the codes and falls back to
+    the composite key, so the result matches the modern composite-key
+    merge exactly."""
+    from proteofav_spark.plans.mergers import mmcif_sifts_table_merger
+
+    mmcif = select_structures(
+        spark, f"{refdata}/mmcif/3mn5.cif",
+        models="first", atoms=("CA",), lines=("ATOM",),
+    )
+    sifts = select_sifts(spark, f"{refdata}/sifts/3mn5.xml")
+    modern = mmcif_sifts_table_merger(mmcif, sifts)
+    legacy = mmcif_sifts_table_merger(mmcif, sifts, legacy_resnum_key=True)
+    assert legacy.count() == modern.count() == mmcif.count()
+    key = ["auth_asym_id", "auth_seq_id_full"]
+    assert (
+        legacy.select(*key, "PDB_dbResNum").exceptAll(
+            modern.select(*key, "PDB_dbResNum")
+        ).count() == 0
+    )
+
+
+def test_merge_2pah_legacy_plain_key(spark, refdata):
+    """2pah has no insertion codes anywhere, so the legacy option keeps
+    the reference's primary plain-resnum key — and still produces the
+    same merge as the composite key."""
+    from proteofav_spark.plans.mergers import mmcif_sifts_table_merger
+
+    mmcif = select_structures(
+        spark, f"{refdata}/mmcif/2pah.cif",
+        models="first", chains=("A",), atoms=("CA",), lines=("ATOM",),
+    )
+    sifts = select_sifts(spark, f"{refdata}/sifts/2pah.xml")
+    modern = mmcif_sifts_table_merger(mmcif, sifts)
+    legacy = mmcif_sifts_table_merger(mmcif, sifts, legacy_resnum_key=True)
+    assert legacy.count() == modern.count()
+    matched = legacy.filter(F.col("PDB_dbResNum").isNotNull()).count()
+    assert matched == modern.filter(F.col("PDB_dbResNum").isNotNull()).count()
+    assert matched > 0

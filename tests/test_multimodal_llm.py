@@ -4,7 +4,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from proteofav_spark.operators.multimodal import (
+    attach_audio_payload,
     attach_binary_payload,
+    audio_features,
     extract_audio_features_stub,
     frame_sample,
     image_features,
@@ -44,6 +46,26 @@ def test_audio_stub_raises():
         extract_audio_features_stub(b"xx")
 
 
+def test_audio_features_batch_contract(spark):
+    """The audio path exercises the same mapInPandas contract as image:
+    binary payload + metadata struct in, one deterministic feature row
+    per doc out."""
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    with_audio = attach_audio_payload(d)
+    assert dict(with_audio.dtypes)["payload"] == "binary"
+    meta_type = dict(with_audio.dtypes)["meta"]
+    assert "sample_rate" in meta_type and "duration_ms" in meta_type
+    rows = audio_features(with_audio).collect()
+    assert len(rows) == 30
+    r = rows[0]
+    assert r["n_bytes"] > 0 and r["n_samples"] > 0
+    assert r["rms"] > 0
+    assert 0.0 <= r["zero_crossing_rate"] <= 1.0
+    # determinism: same inputs → identical features on a second run
+    again = {x["doc_id"]: x for x in audio_features(with_audio).collect()}
+    assert again[r["doc_id"]]["rms"] == r["rms"]
+
+
 def test_minhash_similar_docs_share_bands(spark):
     """Two near-identical texts must collide in at least one LSH band."""
     from proteofav_spark.operators.llm_queries import q_dedup_minhash_lsh
@@ -64,6 +86,33 @@ def test_minhash_similar_docs_share_bands(spark):
     pairs = {(r["doc_a"], r["doc_b"]): r["n_bands_shared"] for r in out}
     assert (0, 1) in pairs and pairs[(0, 1)] >= 1
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_minhash_lsh_mega_bucket_capped(spark):
+    """A boilerplate corpus (hundreds of identical docs) must NOT k²-expand:
+    the oversized bucket is skipped with overflow accounting, while genuine
+    near-dup pairs in normal-sized buckets still surface."""
+    from pyspark.sql import Observation
+
+    from proteofav_spark.operators.llm_queries import minhash_lsh_pairs
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 4
+    near = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 3
+    rows = [(i, boiler) for i in range(200)]
+    rows += [(1000, near), (1001, near + "phi chi")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    obs = Observation("lsh_overflow")
+    out = minhash_lsh_pairs(d, cap=64, observation=obs).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    # 200 identical docs would be C(200,2)=19900 pairs per band uncapped;
+    # the cap keeps the pair stage empty for that bucket
+    assert all(a >= 1000 for a, _ in pairs), pairs
+    assert (1000, 1001) in pairs
+    got = obs.get
+    assert got["overflow_buckets"] == 4  # one mega-bucket per band
+    assert got["overflow_docs"] == 800   # 200 docs × 4 bands
 
 
 def test_embedding_cosine_near_dup_pairs(spark):

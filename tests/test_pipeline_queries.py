@@ -13,6 +13,7 @@ from proteofav_spark.operators.pipeline_queries import (
     SHARD_CAP_TOKENS,
     min_label_components,
     packed_documents,
+    star_components,
     q_dedup_cc_clusters,
     q_events_asof_join,
     q_events_range_join_bucketed,
@@ -145,18 +146,25 @@ def test_cc_clusters_are_consistent(spark):
 
 
 def test_packing_respects_budget_and_order(spark):
-    """Shard ids are non-decreasing in doc_id within a lang, every shard
-    except possibly the last is 'full' (its successor starts past the
-    cap), and each doc's shard is its preceding-cumsum div cap."""
+    """Shard ids are non-decreasing in doc_id within a lang (streams are
+    doc_id ranges and offsets accumulate in stream order), and each doc's
+    shard is its per-stream offset plus its stream-local
+    preceding-cumsum div cap."""
     packed = packed_documents(spark, SF).cache()
     w = W.partitionBy("lang").orderBy("doc_id")
     seq = packed.withColumn("prev_shard", F.lag("shard_id").over(w))
     assert seq.filter(F.col("shard_id") < F.col("prev_shard")).count() == 0
     recomputed = packed.filter(
         F.col("shard_id")
-        != F.floor((F.col("cum") - F.col("n_tokens")) / SHARD_CAP_TOKENS)
+        != F.col("off")
+        + F.floor((F.col("cum") - F.col("n_tokens")) / SHARD_CAP_TOKENS)
     )
     assert recomputed.count() == 0
+    # streams partition the packing: no shard spans a stream boundary
+    span = packed.groupBy("lang", "shard_id").agg(
+        F.countDistinct("stream").alias("ns")
+    )
+    assert span.filter(F.col("ns") > 1).count() == 0
     packed.unpersist()
 
 
@@ -242,6 +250,39 @@ def test_cc_raises_past_round_cap(spark):
         min_label_components(path, max_rounds=2)
     out = min_label_components(path)  # default cap is plenty for d=12
     assert out.filter(F.col("cluster_id") != 0).count() == 0
+
+
+def test_star_components_matches_min_label(spark):
+    """On a mixed graph (path + triangle + isolated edge) the star
+    algorithm and plain min-label propagation agree exactly."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    star = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in star_components(pairs).collect()
+    }
+    ml = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in min_label_components(pairs).collect()
+    }
+    assert star == ml
+
+
+def test_star_components_long_chain(spark):
+    """A 200-edge path graph (diameter 200) — min-label propagation's
+    worst case, which raises past its round cap — converges for
+    large-star/small-star in O(log² n) rounds."""
+    n = 200
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    out = star_components(path, max_rounds=25).collect()
+    assert len(out) == n + 1
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert sum(r["is_canonical"] for r in out) == 1
+    assert all(r["cluster_size"] == n + 1 for r in out)
 
 
 def test_pack_query_projection(spark):

@@ -126,6 +126,33 @@ def test_read_msas_stockholm_pfam(spark, refdata):
     assert len(rec["Sequence"]) > 100
 
 
+def test_read_msas_clustal(spark, tmp_path):
+    """Clustal interleaved blocks reassemble per name; conservation lines,
+    blank lines, and trailing cumulative counts drop; Pfam-style
+    name/start-end descriptions parse as in stockholm."""
+    aln = tmp_path / "toy.aln"
+    aln.write_text(
+        "CLUSTAL 2.1 multiple sequence alignment\n"
+        "\n"
+        "B9LRY6_HALLT/27-514      MKSELIVN-AGP 12\n"
+        "Q9XYZ1_ECOLI/1-100       MKT-LIVNQAGP 12\n"
+        "                         ** .****  **\n"
+        "\n"
+        "B9LRY6_HALLT/27-514      KRTTSGIL 20\n"
+        "Q9XYZ1_ECOLI/1-100       KRSTSGI- 19\n"
+    )
+    df = read_msas(spark, str(aln), seq_format=None)  # guess from .aln
+    rows = {r["raw_description"]: r for r in df.collect()}
+    assert set(rows) == {"B9LRY6_HALLT/27-514", "Q9XYZ1_ECOLI/1-100"}
+    rec = rows["B9LRY6_HALLT/27-514"]
+    assert rec["Sequence"] == "MKSELIVN-AGPKRTTSGIL"
+    assert rows["Q9XYZ1_ECOLI/1-100"]["Sequence"] == "MKT-LIVNQAGPKRSTSGI-"
+    assert rec["Seq_Format"] == "clustal"
+    assert rec["Name"] == "B9LRY6_HALLT"
+    assert rec["Start"] == 27 and rec["End"] == 514
+    assert rec["Source"] == "Pfam"
+
+
 def test_read_msas_fasta_cath(spark, refdata):
     df = read_msas(spark, f"{refdata}/msas/1.50.10.100_1318.fasta")
     rows = df.collect()

@@ -57,16 +57,14 @@ def test_stream_static_enrich(spark):
 
 def test_event_time_conversion(spark):
     df = with_event_time(spark.read.parquet(f"{SF}/events.parquet"))
-    row = df.select("ts", "event_ts").first()
-    # session tz is UTC: the naive ts and the zoned event_ts name the same
-    # instant (ts is naive → attach UTC before comparing epochs)
-    import datetime as dt
-
-    naive_epoch = row["ts"].replace(tzinfo=dt.timezone.utc).timestamp()
-    zoned = row["event_ts"]
-    if zoned.tzinfo is None:
-        zoned = zoned.replace(tzinfo=dt.timezone.utc)
-    assert abs(naive_epoch - zoned.timestamp()) < 1e-6
+    # compare Spark-side epoch integers — collecting TIMESTAMP values
+    # yields driver-local naive datetimes, so a Python-side comparison
+    # would depend on the machine's system timezone
+    mismatched = df.filter(
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        != F.unix_micros(F.col("event_ts"))
+    ).count()
+    assert mismatched == 0
 
 
 def test_write_mmcif_roundtrip(spark, refdata, tmp_path):
