@@ -231,47 +231,43 @@ def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return star_components(pairs)
 
 
-def _symmetrize(pairs: DataFrame) -> DataFrame:
-    """Undirected (doc_a, doc_b) edge list → symmetric (u, v) with self
-    loops dropped."""
-    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    return (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-
-
-def _large_star(sym: DataFrame) -> DataFrame:
-    """Large-star: every node connects its strictly-LARGER neighbors to the
-    minimum of its closed neighborhood. One groupBy + one equi-join."""
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star on a canonically-oriented (doc_a > doc_b) distinct edge
+    set: every node connects its strictly-LARGER neighbors to the minimum
+    of its closed neighborhood. The symmetric view unions the two
+    orientations of an already-distinct set, so no distinct pass is
+    needed before the groupBy."""
+    sym = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).union(edges.select(F.col("doc_b"), F.col("doc_a")))
+    # m(u) = min over closed neighborhood; v > u ≥ m, so output stays
+    # oriented doc_a > doc_b
     mins = (
         sym.groupBy("u")
         .agg(F.min("v").alias("mv"))
         .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
     )
+    # no distinct here: duplicate (v, m) pairs don't change small-star's
+    # groupBy-min, and the round's single dedup happens at the end of
+    # small-star — one exchange saved per round
     return (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("doc_a"), F.col("m").alias("doc_b"))
-        .distinct()
     )
 
 
-def _small_star(pairs: DataFrame) -> DataFrame:
-    """Small-star: orient each edge large→small; every node connects its
-    smaller neighbors (and itself) to its minimum smaller neighbor."""
-    down = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .filter(F.col("v") < F.col("u"))
-        .distinct()
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star on a canonically-oriented (doc_a > doc_b) distinct edge
+    set: every node connects its smaller neighbors (and itself) to its
+    minimum smaller neighbor. The orientation IS the large→small edge
+    direction, so no symmetrize/filter pass is needed; output stays
+    oriented doc_a > doc_b."""
+    mins = edges.groupBy("doc_a").agg(F.min("doc_b").alias("m"))
+    relinked = edges.join(mins, "doc_a").select(
+        F.col("doc_b").alias("doc_a"), F.col("m").alias("doc_b")
     )
-    mins = down.groupBy("u").agg(F.min("v").alias("m"))
-    relinked = down.join(mins, "u").select(
-        F.col("v").alias("doc_a"), F.col("m").alias("doc_b")
-    )
-    selfed = mins.select(F.col("u").alias("doc_a"), F.col("m").alias("doc_b"))
+    selfed = mins.select("doc_a", F.col("m").alias("doc_b"))
     return (
         relinked.union(selfed)
         .filter(F.col("doc_a") != F.col("doc_b"))
@@ -289,29 +285,70 @@ def star_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     components never finishes there; see ``min_label_components``).
 
     Per round: two groupBy-min shuffles + two equi-joins, all keyed on
-    vertex ids, with ``localCheckpoint`` cutting lineage. Converged when
-    the edge set is a fixed point (a star forest rooted at each
-    component's minimum). Output: one row per vertex —
+    vertex ids, with ``localCheckpoint`` cutting lineage; edges stay
+    canonically oriented (doc_a > doc_b) throughout, so no per-round
+    symmetrize-distinct passes. Convergence (the edge set is a fixed
+    point: a star forest rooted at each component's minimum) is detected
+    with ONE aggregation job per round — count + two order-insensitive
+    hash checksums — instead of a count + exceptAll anti-join pair.
+    Output: one row per vertex —
     (doc_id, cluster_id, cluster_size, is_canonical).
     """
-    verts = _symmetrize(pairs).select(F.col("u").alias("doc_id")).distinct()
-    edges = (
+    verts = (
         pairs.filter(F.col("doc_a") != F.col("doc_b"))
-        .select(
-            F.least("doc_a", "doc_b").alias("doc_a"),
-            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        .select(F.col("doc_a").alias("doc_id"))
+        .union(
+            pairs.filter(F.col("doc_a") != F.col("doc_b")).select(F.col("doc_b"))
         )
         .distinct()
-        .localCheckpoint()
     )
-    for _ in range(max_rounds):
-        new = _small_star(_large_star(_symmetrize(edges))).localCheckpoint()
-        # fixed point ⇔ same edge set (both are distinct frames)
-        if new.count() == edges.count() and new.exceptAll(edges).isEmpty():
+    from pyspark.sql import Observation
+
+    def _observed_checkpoint(e: DataFrame) -> tuple[DataFrame, tuple]:
+        """Materialize the edge frame (localCheckpoint) and collect an
+        order-insensitive edge-set signature IN THE SAME JOB via
+        ``observe``: a distinct set is equal iff (count, sum, xor) of a
+        per-edge hash all match. One action per round, no second pass."""
+        obs = Observation()
+        h = F.xxhash64("doc_a", "doc_b")
+        out = e.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38) accumulator: exact and ANSI-overflow-proof for
+            # any realistic edge count (bounded by n·2^63 ≪ 10^38)
+            F.sum(h.cast("decimal(38,0)")).alias("s"),
+            F.expr("bit_xor(xxhash64(doc_a, doc_b))").alias("x"),
+        ).localCheckpoint()
+        m = obs.get
+        return out, (m["n"], m["s"], m["x"])
+
+    canonical = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.greatest("doc_a", "doc_b").alias("doc_a"),
+            F.least("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # fuse the seed with round 1: one plan, one checkpoint job — the
+    # depth is bounded (a single round over the canonical edge set), so
+    # no lineage blowup, and the seed's signature is never needed (round
+    # 1 output can't equal a seed that isn't already a star forest; if it
+    # is one, round 2 confirms via the signature).
+    edges, sig = _observed_checkpoint(_small_star(_large_star(canonical)))
+    converged = False
+    for _ in range(max_rounds - 1):
+        # localCheckpoint EVERY round: both star operators reference their
+        # input twice, so an untruncated logical plan quadruples in size
+        # per round and driver-side analysis time explodes — the
+        # checkpoint resets the tree to a leaf.
+        new, new_sig = _observed_checkpoint(_small_star(_large_star(edges)))
+        if new_sig == sig:
             edges = new
+            converged = True
             break
-        edges = new
-    else:
+        edges, sig = new, new_sig
+    if not converged:
         raise RuntimeError(
             "large-star/small-star did not reach a fixed point in "
             f"{max_rounds} rounds — O(log² n) convergence implies an "

@@ -96,6 +96,35 @@ def test_write_pdb_roundtrip(spark, refdata, tmp_path):
     assert row["auth_seq_id"] == "118"
 
 
+def test_write_pdb_lake_partitioned(spark, refdata, tmp_path):
+    """Distributed writer: two structures in one frame come out as two
+    per-structure directories, each file byte-identical to the
+    single-file writer's output for that structure."""
+    import glob
+
+    from proteofav_spark.sinks.writers import write_pdb_lake
+
+    frames = {
+        name: select_structures(
+            spark, f"{refdata}/mmcif/{name}.cif",
+            models="first", chains=("A",), atoms=("CA",), lines=("ATOM",),
+        )
+        for name in ("2pah", "2w4o")
+    }
+    both = frames["2pah"].unionByName(frames["2w4o"], allowMissingColumns=True)
+    out_dir = str(tmp_path / "lake")
+    write_pdb_lake(both, out_dir)
+    for name, df in frames.items():
+        single = str(tmp_path / f"{name}.pdb")
+        write_pdb_from_table(df, single, overwrite=True)
+        parts = sorted(glob.glob(f"{out_dir}/_structure={name}/part-*"))
+        assert len(parts) == 1, parts
+        lake_text = open(parts[0]).read()
+        assert lake_text == open(single).read()
+        back = parse_pdb_atoms(spark, parts[0])
+        assert back.count() == df.count()
+
+
 def test_chimera_files(spark, refdata):
     from proteofav_spark.sources.dssp import select_dssp
 
