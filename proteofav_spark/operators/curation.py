@@ -538,3 +538,47 @@ def q_source_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rate",
         F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-distribution entropy (quality scoring)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_SQL = """
+    WITH ch AS (
+      SELECT doc_id,
+             UNNEST(list_filter(regexp_split_to_array(text, ''), c -> c <> ''))
+                 AS ch
+      FROM documents),
+    cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_chars_counted,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           round(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS char_entropy
+    FROM cnt
+    GROUP BY doc_id
+"""
+
+
+@register("text_char_entropy", _ENTROPY_SQL)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (nats) — the
+    cheap perplexity proxy quality scorers use: gibberish and
+    boilerplate sit at the distribution tails. Identity
+    H = ln(n) − Σ c·ln(c) / n avoids a per-character probability join;
+    the plan is explode → two partial-aggregated groupBys keyed by
+    doc_id — no join, scale-linear."""
+    d = load(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", ""), lambda c: c != "")).alias("ch"),
+    )
+    cnt = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return cnt.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_chars_counted"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+        F.round(
+            F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
+        ).alias("char_entropy"),
+    )

@@ -1134,3 +1134,90 @@ def q_text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(ws).cast("bigint").alias("n_ws_tokens"),
         F.round(F.size(bpe).cast("double") / F.size(ws), 6).alias("bpe_per_ws"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) over embeddings — iterative, deterministic
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def kmeans_lloyd(
+    e: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an (vec_id, embedding) frame:
+    seeds are the k lowest-``xxhash64(vec_id)`` vectors (reproducible, no
+    RNG), then ``iters`` rounds of assign → mean.
+
+    Scale shape: centroids are k×DIM doubles — genuinely tiny at ANY
+    corpus size — so each round collects them to the driver and ships
+    them back inside an Arrow-batched assignment kernel (one numpy
+    argmin over a [batch, k] distance matrix); the only shuffle per
+    round is the partial-aggregated per-cluster mean. This is the
+    standard driver-coordinated Lloyd loop: iteration count is fixed,
+    not data-dependent, and per-round cost is one corpus map + one
+    k-row aggregation. Returns (vec_id, cluster, dist) for the final
+    assignment.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    spark = e.sparkSession
+    seeds = (
+        e.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(k)
+        .collect()
+    )
+    cents = np.array([r["embedding"] for r in seeds], dtype=np.float64)
+
+    def assign_udf(c: np.ndarray):
+        @pandas_udf("struct<cluster: int, dist: double>")
+        def _assign(emb: pd.Series) -> pd.DataFrame:
+            E = np.stack(emb.values).astype(np.float64)
+            # [batch, k] squared distances; ties break to the lowest
+            # cluster id via argmin's first-occurrence rule
+            d2 = ((E[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            idx = d2.argmin(axis=1)
+            return pd.DataFrame(
+                {"cluster": idx.astype("int32"),
+                 "dist": np.sqrt(d2[np.arange(len(E)), idx])}
+            )
+
+        return _assign
+
+    for _ in range(iters):
+        assigned = e.select(
+            "vec_id", "embedding", assign_udf(cents)("embedding").alias("a")
+        ).select("vec_id", "embedding", "a.cluster")
+        means = (
+            assigned.select(
+                "cluster", F.posexplode("embedding").alias("d", "x")
+            )
+            .groupBy("cluster", "d")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("d", "m"))
+                ).getField("m").alias("centroid")
+            )
+            .collect()
+        )
+        for r in means:
+            cents[r["cluster"]] = np.array(r["centroid"], dtype=np.float64)
+
+    return e.select(
+        "vec_id", assign_udf(cents)("embedding").alias("a")
+    ).select("vec_id", "a.cluster", F.round("a.dist", 4).alias("dist"))
+
+
+@register("embedding_kmeans")  # iterative — rows-only check by design
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means cluster assignment for every embedding (see
+    :func:`kmeans_lloyd`). No SQL oracle: a fixed-point iteration isn't
+    single-query-expressible; correctness is pinned by a pure-numpy
+    reference implementation in tests (identical seeds, iterations, and
+    tie-breaking)."""
+    return kmeans_lloyd(load(spark, sf_dir, "embeddings"))

@@ -67,6 +67,8 @@ def fan_out(df: DataFrame) -> DataFrame:
 # window; everything else follows in plain registration order.  Append new
 # round additions to the TOP of this list.
 _PRIORITY: list[str] = [
+    # round-2 additions
+    "text_char_entropy",
     # round-2 unattested LLM-pipeline extensions (judge: VERDICT.md item 1)
     "dedup_cc_clusters",
     "ann_ivf_coarse",

@@ -163,3 +163,27 @@ def uniprot_vars_ensembl_vars_merger(
     )
     merged = u.join(e, on=VARS_MERGE_KEYS, how="outer")
     return merging_down_by_key(merged, key="xrefs_id")
+
+
+def uniprot_info_table(
+    spark, raw_tab: str | bytes, uniprot_id: str | None = None
+) -> DataFrame:
+    """UniProt tab-format query response → one row per entry, optionally
+    row-selected to one accession (parity: proteofav/variants.py:481-514
+    _uniprot_info — fetch via fetchers.url_uniprot_info, then
+    pd.read_table + row_selector('Entry', id) becomes a TSV scan + an
+    equality filter)."""
+    import io
+
+    import pandas as pd
+
+    from proteofav_spark.core import EmptyTableError
+
+    text = raw_tab.decode() if isinstance(raw_tab, bytes) else raw_tab
+    pdf = pd.read_csv(io.StringIO(text), sep="\t", dtype=str)
+    if pdf.empty:
+        raise EmptyTableError("UniProt info response produced no records")
+    df = spark.createDataFrame(pdf)
+    if uniprot_id is not None and "Entry" in df.columns:
+        df = df.filter(F.col("Entry") == uniprot_id)
+    return df

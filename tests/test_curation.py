@@ -246,3 +246,30 @@ def test_curate_chains_all_stages(spark):
     texts = {r["doc_id"]: r["text"] for r in out}
     assert "[EMAIL]" in texts[2] and "@" not in texts[2]
     assert texts[3] == "good clean text about mail [EMAIL] topics"
+
+
+def test_char_entropy_known_values(spark, tmp_path):
+    """Pinned entropies: uniform text → 0; two equally-frequent chars →
+    ln 2; empty docs drop out."""
+    import math
+    import os
+
+    from proteofav_spark.operators.curation import q_text_char_entropy
+
+    rows = [
+        (1, "aaaa", "en", "s", 4),
+        (2, "abab", "en", "s", 4),
+        (3, "", "en", "s", 0),
+        (4, "abcd", "en", "s", 4),
+    ]
+    tmp = str(tmp_path)
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    got = {r["doc_id"]: r for r in q_text_char_entropy(spark, tmp).collect()}
+    assert set(got) == {1, 2, 4}  # empty text has no char rows
+    assert got[1]["char_entropy"] == 0.0
+    assert abs(got[2]["char_entropy"] - round(math.log(2), 6)) < 1e-9
+    assert abs(got[4]["char_entropy"] - round(math.log(4), 6)) < 1e-9
+    assert got[2]["n_distinct_chars"] == 2
+    assert got[4]["n_chars_counted"] == 4

@@ -110,3 +110,26 @@ def test_downloader_file_scheme(tmp_path):
     out = tmp_path / "x.txt"
     fetchers.Downloader(f"file://{gz}", str(out), decompress=True)
     assert out.read_bytes() == b"unzipped"
+
+
+def test_uniprot_info_table(spark):
+    from proteofav_spark.sources.variants import uniprot_info_table
+
+    raw = (
+        "Entry\tEntry name\tStatus\tLength\n"
+        "P00439\tPH4H_HUMAN\treviewed\t452\n"
+        "P12345\tOTHER_HUMAN\treviewed\t99\n"
+    )
+    df = uniprot_info_table(spark, raw.encode(), uniprot_id="P00439")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["Entry name"] == "PH4H_HUMAN"
+    assert rows[0]["Length"] == "452"
+    # no selector: both rows
+    assert uniprot_info_table(spark, raw).count() == 2
+    import pytest as _pytest
+
+    from proteofav_spark.core import EmptyTableError
+
+    with _pytest.raises(EmptyTableError):
+        uniprot_info_table(spark, "Entry\tEntry name\n")

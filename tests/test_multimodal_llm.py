@@ -274,3 +274,36 @@ def test_ann_recall_at_5_vs_brute_force(spark):
     }
     assert len(ivf & bf5) / len(bf5) >= 0.7
     assert len(lsh & bf5) / len(bf5) >= 0.5
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    """The distributed Lloyd loop must agree exactly with a pure-numpy
+    reference using the same deterministic seeds, iteration count, and
+    first-occurrence argmin tie-breaking."""
+    import numpy as np
+
+    from proteofav_spark.operators.llm_queries import (
+        KMEANS_ITERS, KMEANS_K, kmeans_lloyd,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = e.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h")).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    order = np.lexsort((ids, np.array([r["h"] for r in rows])))
+    cents = X[order[:KMEANS_K]].copy()
+    for _ in range(KMEANS_ITERS):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for c in range(KMEANS_K):
+            if (a == c).any():
+                cents[c] = X[a == c].mean(axis=0)
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    expect_cluster = dict(zip(ids.tolist(), d2.argmin(axis=1).tolist()))
+
+    got = {r["vec_id"]: r for r in kmeans_lloyd(e).collect()}
+    assert len(got) == len(expect_cluster)
+    mismatched = [
+        v for v, r in got.items() if r["cluster"] != expect_cluster[v]
+    ]
+    assert mismatched == [], mismatched[:10]

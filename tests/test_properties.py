@@ -156,3 +156,43 @@ def test_gram_run_stats_matches_counter_reference(spark, docs):
         maxrun = max(c.values(), default=0)
         dup = sum(v for v in c.values() if v > 1)
         assert out[i] == (maxrun, dup), (i, toks)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        max_size=25,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_star_components_matches_python_union_find(spark, edges):
+    """star_components agrees with a driver-side union-find on arbitrary
+    random graphs (self loops and duplicate/reversed edges included)."""
+    from proteofav_spark.operators.pipeline_queries import star_components
+
+    clean = [(a, b) for a, b in edges if a != b]
+    if not clean:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in clean:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(clean, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in star_components(df).collect()
+    }
+    assert got == expected
