@@ -130,6 +130,60 @@ def check_sequence_consistency(
     return n
 
 
+def variants_for_accessions(
+    spark: SparkSession, accessions: list[str], overwrite: bool = False
+) -> DataFrame | None:
+    """Stage + flatten UniProt variants for EVERY accession and union them
+    (parity: the per-accession loop of legacy merge_tables,
+    proteofav/mergers.py:349-382). The loop is driver-side staging over a
+    tiny accession list (one REST payload per protein); the resulting
+    frame is one relational table, so the downstream join needs no
+    per-accession handling."""
+    from proteofav_spark import facade
+    from proteofav_spark.sources.variants import flatten_uniprot_variants
+
+    out: DataFrame | None = None
+    for acc in accessions:
+        path = facade.Variants.download(acc, overwrite=overwrite)
+        raw = spark.read.option("multiLine", True).json(path)
+        flat = flatten_uniprot_variants(raw)
+        out = flat if out is None else out.unionByName(
+            flat, allowMissingColumns=True
+        )
+    return out
+
+
+def annotations_for_accessions(
+    spark: SparkSession, accessions: list[str], overwrite: bool = False
+) -> DataFrame | None:
+    """Stage + parse UniProt GFF annotation for every accession and union
+    (parity: proteofav/mergers.py:349-382, annotation branch)."""
+    from proteofav_spark import facade
+    from proteofav_spark.sources.annotation import select_annotation
+
+    out: DataFrame | None = None
+    for acc in accessions:
+        path = facade.Annotation.download(acc, overwrite=overwrite)
+        ann = select_annotation(spark, path, annotation_agg=True)
+        out = ann if out is None else out.unionByName(
+            ann, allowMissingColumns=True
+        )
+    return out
+
+
+def sifts_accessions(sifts_table: DataFrame) -> list[str]:
+    """Distinct UniProt accessions present in a SIFTS residue table — the
+    driver-side probe the legacy per-accession loop iterates (tiny: one
+    row per protein chain)."""
+    if "UniProt_dbAccessionId" not in sifts_table.columns:
+        return []
+    return sorted(
+        r[0]
+        for r in sifts_table.select("UniProt_dbAccessionId").distinct().collect()
+        if r[0] is not None
+    )
+
+
 def merge_tables(
     spark: SparkSession,
     uniprot_id: str | None = None,
@@ -174,16 +228,28 @@ def merge_tables(
         paths.dssp = facade.DSSP.download(pdb_id, overwrite=overwrite)
     if validation:
         paths.validation = facade.Validation.download(pdb_id, overwrite=overwrite)
-    if annotation and uniprot_id:
-        paths.annotation = facade.Annotation.download(uniprot_id, overwrite=overwrite)
-    if variants and uniprot_id:
-        paths.variants = facade.Variants.download(uniprot_id, overwrite=overwrite)
     tables = table_generator(
         spark, paths,
         chains=chains, res=res, atoms=atoms, lines=lines,
         residue_agg=residue_agg,
     )
-    return table_merger(*tables)
+    mmcif_t, dssp_t, sifts_t, validation_t, annotation_t, variants_t = tables
+    if variants or annotation:
+        # per-accession staging loop: EVERY UniProt accession the SIFTS
+        # mapping names contributes its variants/annotation (parity:
+        # proteofav/mergers.py:349-382), falling back to the requested id
+        accs = sifts_accessions(sifts_t) if sifts_t is not None else []
+        if not accs and uniprot_id:
+            accs = [uniprot_id]
+        if variants and accs:
+            variants_t = variants_for_accessions(spark, accs, overwrite=overwrite)
+        if annotation and accs:
+            annotation_t = annotations_for_accessions(
+                spark, accs, overwrite=overwrite
+            )
+    return table_merger(
+        mmcif_t, dssp_t, sifts_t, validation_t, annotation_t, variants_t
+    )
 
 
 class TablesGenerator:

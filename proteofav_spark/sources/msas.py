@@ -210,6 +210,60 @@ def _parse_description(df: DataFrame, seq_format: str) -> DataFrame:
     return out
 
 
+def read_phylip_records(spark: SparkSession, path: str) -> DataFrame:
+    """PHYLIP (interleaved or single-block sequential) → one row per
+    sequence. Layout: a ``N L`` count header, a first block of
+    ``name(10 chars) sequence`` lines, then name-less continuation
+    blocks in the same order. Line index mod N assigns continuation
+    chunks to sequences; the count header is the only driver-side read
+    (two integers)."""
+    text = with_line_no(spark.read.text(path)).withColumn(
+        "source_file", F.input_file_name()
+    )
+    head = text.orderBy("line_no").first()
+    try:
+        n_seqs = int(head["value"].split()[0])
+    except (ValueError, IndexError, AttributeError):
+        raise ValueError(f"not a PHYLIP file (bad count header): {path}")
+    v = F.col("value")
+    seq_lines = (
+        text.filter(F.col("line_no") > head["line_no"])
+        .filter(F.length(F.trim(v)) > 0)
+        .withColumn(
+            "rn",
+            F.row_number().over(_file_w()) - 1,
+        )
+        .withColumn("rec", F.col("rn") % n_seqs)
+    )
+    first_block = seq_lines.filter(F.col("rn") < n_seqs).select(
+        "source_file", "rec",
+        F.trim(F.substring(v, 1, 10)).alias("description"),
+        F.regexp_replace(F.substring(v, 11, 1 << 20), r"\s", "").alias("chunk"),
+        "line_no",
+    )
+    rest = seq_lines.filter(F.col("rn") >= n_seqs).select(
+        "source_file", "rec",
+        F.lit(None).cast("string").alias("description"),
+        F.regexp_replace(v, r"\s", "").alias("chunk"),
+        "line_no",
+    )
+    return (
+        first_block.unionByName(rest)
+        .groupBy("source_file", "rec")
+        .agg(
+            F.min("line_no").alias("line_no"),
+            F.max("description").alias("description"),
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.collect_list(F.struct("line_no", "chunk"))
+                ).getField("chunk"),
+            ).alias("Sequence"),
+        )
+        .drop("rec")
+    )
+
+
 def guess_seq_format(filename: str) -> str | None:
     """Extension-based MSA format guess (parity:
     proteofav/msas.py:50-58: .fasta/.fa → fasta, .sto/.sth → stockholm,
@@ -220,6 +274,8 @@ def guess_seq_format(filename: str) -> str | None:
         return "stockholm"
     if filename.endswith((".aln", ".clw")):
         return "clustal"
+    if filename.endswith((".phy", ".phylip")):
+        return "phylip"
     return None
 
 
@@ -246,6 +302,9 @@ def read_msas(
     elif seq_format in ("clustal", "clw"):
         recs = read_clustal_records(spark, filename)
         seq_format = "clustal"
+    elif seq_format in ("phylip", "phy"):
+        recs = read_phylip_records(spark, filename)
+        seq_format = "phylip"
     else:
         raise ValueError(f"unsupported MSA format: {seq_format}")
     out = _parse_description(recs, seq_format)

@@ -165,3 +165,42 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.awaitTermination()
     return q
+
+
+def stream_stream_click_error_join(
+    errors: DataFrame, clicks: DataFrame, within_s: int = 300
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join: each error event pairs with
+    click events of the same user within ±``within_s`` seconds — the
+    session-context join (which click preceded this error?) that needs
+    state on BOTH sides.
+
+    State-bounding contract: both inputs carry watermarks and the join
+    condition constrains the two event times relative to each other, so
+    Spark derives a state-eviction bound for each side (watermark +
+    range) instead of buffering streams forever — the required shape for
+    any stream-stream join at production scale."""
+    e = (
+        errors.filter(F.col("event_type") == "error")
+        .withWatermark("event_ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("event_ts").alias("error_ts"),
+        )
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("event_ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("event_ts").alias("click_ts"),
+        )
+    )
+    return e.join(
+        c,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("error_ts") - F.expr(f"INTERVAL {within_s} SECONDS"))
+        & (F.col("click_ts") <= F.col("error_ts") + F.expr(f"INTERVAL {within_s} SECONDS")),
+    ).select("error_id", "e_user", "error_ts", "click_id", "click_ts")

@@ -141,6 +141,59 @@ def test_merge_tables_from_bare_uniprot_id(spark, refdata, tmp_path, monkeypatch
     assert merged.filter(F.col("label_asym_id") != "A").count() == 0
 
 
+def test_merge_tables_per_accession_variants(spark, refdata, tmp_path, monkeypatch):
+    """The legacy per-accession loop: variants stage for EVERY UniProt
+    accession named by the SIFTS mapping (2w4o → Q16566), union, and join
+    into the merged table — residues covered by the variant positions
+    carry the xref id, the rest stay null."""
+    import json
+
+    from proteofav_spark.config import defaults
+    from proteofav_spark.plans.generator import merge_tables, sifts_accessions
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    for attr in ("db_mmcif", "db_sifts", "db_dssp", "db_lake"):
+        monkeypatch.setattr(defaults, attr, str(stage))
+    import shutil
+
+    shutil.copyfile(f"{refdata}/mmcif/2w4o.cif", stage / "2w4o.cif")
+    shutil.copyfile(f"{refdata}/sifts/2w4o.xml", stage / "2w4o.xml")
+    payload = {
+        "accession": "Q16566",
+        "entryName": "KCC4_HUMAN",
+        "features": [
+            {
+                "type": "VARIANT", "begin": "34", "end": "34",
+                "wildType": "A", "alternativeSequence": "T",
+                "consequenceType": "missense_variant",
+                "xrefs": [{"name": "dbSNP", "id": "rs_test_1"}],
+            }
+        ],
+    }
+    (stage / "Q16566.json").write_text(json.dumps(payload))
+    from proteofav_spark import facade
+
+    for src in (facade.mmCIF, facade.SIFTS, facade.Variants):
+        src._identifier = src._filename = src._table = None
+        src._spark = spark
+
+    merged = merge_tables(
+        spark, pdb_id="2w4o", chains=("A",), atoms=("CA",), lines=("ATOM",),
+        sifts=True, variants=True,
+    )
+    assert "xrefs_id" in merged.columns
+    hit = merged.filter(F.col("xrefs_id") == "rs_test_1")
+    assert hit.count() >= 1
+    assert hit.first()["UniProt_dbAccessionId"] == "Q16566"
+    # the probe used to drive the loop sees exactly the one accession
+    from proteofav_spark.sources.sifts import select_sifts
+
+    assert sifts_accessions(select_sifts(spark, str(stage / "2w4o.xml"))) == [
+        "Q16566"
+    ]
+
+
 def test_sequence_check_masks_unknown_residues(spark):
     """Modified residues our 1-letter map renders as 'X' are masked on
     BOTH sides — an 'X' position must never count as a mismatch."""

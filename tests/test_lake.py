@@ -81,3 +81,25 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_compact_lake_merges_small_files(spark, tmp_path):
+    """64 tiny files compact to the target-sized count; row content and
+    values survive byte-for-byte (sum invariant); the original path is
+    atomically replaced."""
+    from proteofav_spark.plans.lake import compact_lake, lake_file_stats
+
+    path = str(tmp_path / "lake_t")
+    spark.range(50000).selectExpr("id", "id * 2 AS v").repartition(32) \
+        .write.parquet(path)
+    before = lake_file_stats(spark, path)
+    assert before["n_files"] == 32
+    total_v = spark.read.parquet(path).groupBy().sum("v").first()[0]
+    res = compact_lake(spark, path, target_file_bytes=10**9)
+    assert res["after"]["n_files"] < before["n_files"]
+    back = spark.read.parquet(path)
+    assert back.count() == 50000
+    assert back.groupBy().sum("v").first()[0] == total_v
+    # compaction is idempotent
+    res2 = compact_lake(spark, path, target_file_bytes=10**9)
+    assert res2["after"]["n_files"] == res["after"]["n_files"]

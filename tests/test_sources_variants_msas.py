@@ -153,6 +153,34 @@ def test_read_msas_clustal(spark, tmp_path):
     assert rec["Source"] == "Pfam"
 
 
+def test_read_msas_phylip(spark, tmp_path):
+    """Interleaved PHYLIP: 10-char name field in block 1, name-less
+    continuation blocks map back by line order mod N, whitespace inside
+    sequence chunks drops."""
+    phy = tmp_path / "toy.phy"
+    phy.write_text(
+        " 3 20\n"
+        "seq_one   MKSEL IVNAG\n"
+        "seq_two   MKT-L IVNQA\n"
+        "seq_three MKSEL IVNAG\n"
+        "\n"
+        "P KRTTSGIL-\n"
+        "G KRSTSGI--\n"
+        "P KRTTSGILX\n"
+    )
+    df = read_msas(spark, str(phy), seq_format=None)  # guess from .phy
+    rows = {r["raw_description"]: r for r in df.collect()}
+    assert set(rows) == {"seq_one", "seq_two", "seq_three"}
+    assert rows["seq_one"]["Sequence"] == "MKSELIVNAGPKRTTSGIL-"
+    assert rows["seq_two"]["Sequence"] == "MKT-LIVNQAGKRSTSGI--"
+    assert rows["seq_three"]["Sequence"] == "MKSELIVNAGPKRTTSGILX"
+    assert rows["seq_one"]["Seq_Format"] == "phylip"
+    with pytest.raises(ValueError, match="PHYLIP"):
+        bad = tmp_path / "bad.phy"
+        bad.write_text("notanumber here\nACGT\n")
+        read_msas(spark, str(bad), seq_format="phylip")
+
+
 def test_read_msas_fasta_cath(spark, refdata):
     df = read_msas(spark, f"{refdata}/msas/1.50.10.100_1318.fasta")
     rows = df.collect()

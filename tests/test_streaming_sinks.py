@@ -302,3 +302,25 @@ def test_stream_collision_ignores_shingleless_docs(spark, tmp_path):
         "sentinel_test",
     )
     assert spark.sql("SELECT * FROM sentinel_test").count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """The watermarked stream-stream error⨝click join produces exactly the
+    rows the equivalent batch join produces on the same data."""
+    from proteofav_spark.streaming.events import (
+        stream_stream_click_error_join, with_event_time,
+    )
+
+    batch = with_event_time(spark.read.parquet(f"{SF}/events.parquet"))
+    stream = read_events_stream(spark, SF)
+    joined = stream_stream_click_error_join(stream, stream)
+    run_to_memory(joined, "ss_join_test")
+    got = spark.table("ss_join_test")
+
+    expect = stream_stream_click_error_join.__wrapped__(batch, batch) if hasattr(
+        stream_stream_click_error_join, "__wrapped__"
+    ) else stream_stream_click_error_join(batch, batch)
+    n_expect = expect.count()
+    assert n_expect > 0
+    assert got.count() == n_expect
+    assert got.exceptAll(expect).count() == 0
