@@ -19,6 +19,15 @@ def build_parser() -> argparse.ArgumentParser:
         "residue/atom-level annotated table (Spark-backed).",
     )
     p.add_argument("output", help="output path (directory for csv/json)")
+    # identifier-driven mode (parity: proteofav/main.py --pdb/--uniprot):
+    # resolves + stages sources via the facade downloaders, then merges
+    p.add_argument("--pdb", help="PDB identifier (stages via cache/download)")
+    p.add_argument("--uniprot", help="UniProt accession (best-structure resolution)")
+    p.add_argument("--add-dssp", action="store_true", help="merge DSSP")
+    p.add_argument("--add-validation", action="store_true", help="merge validation")
+    p.add_argument("--add-annotations", action="store_true", help="merge annotation")
+    p.add_argument("--add-variants", action="store_true", help="merge variants")
+    # path-driven mode (pre-staged local files)
     p.add_argument("--mmcif", help="mmCIF/PDB file path")
     p.add_argument("--dssp", help="DSSP file path")
     p.add_argument("--sifts", help="SIFTS XML file path")
@@ -45,6 +54,32 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("proteofav_spark_cli")
     chains = tuple(args.chain) if args.chain else None
+
+    if args.pdb or args.uniprot:
+        from pyspark.sql import functions as F, types as T
+
+        from proteofav_spark.plans.generator import merge_tables
+
+        table = merge_tables(
+            spark,
+            uniprot_id=args.uniprot,
+            pdb_id=args.pdb,
+            chains=chains,
+            atoms=tuple(args.atom) if args.atom else None,
+            lines=tuple(args.lines) if args.lines else None,
+            sifts=True,
+            dssp=args.add_dssp,
+            validation=args.add_validation,
+            annotation=args.add_annotations,
+            variants=args.add_variants,
+        )
+        for f in table.schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType)):
+                table = table.withColumn(f.name, F.col(f.name).cast("string"))
+        write_table(table, args.output, args.format)
+        print(f"wrote {args.output} ({args.format})")
+        return 0
+
     mmcif = dssp = sifts = validation = annotation = variants = None
     if args.mmcif:
         mmcif = select_structures(

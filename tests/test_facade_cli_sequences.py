@@ -161,6 +161,40 @@ def test_preferred_mapping(spark):
     assert best == "P2"  # max score, then shortest id
 
 
+def test_cli_identifier_mode(spark, refdata, tmp_path, monkeypatch):
+    """--pdb identifier mode: sources stage via the facade cache dirs
+    (pre-staged here), the merge runs, and CSV lands — the reference
+    CLI's resolve-and-merge contract (proteofav/main.py)."""
+    import shutil
+
+    from proteofav_spark import facade
+    from proteofav_spark.config import defaults
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    for attr in ("db_mmcif", "db_sifts", "db_dssp"):
+        monkeypatch.setattr(defaults, attr, str(stage))
+    shutil.copyfile(f"{refdata}/mmcif/2w4o.cif", stage / "2w4o.cif")
+    shutil.copyfile(f"{refdata}/sifts/2w4o.xml", stage / "2w4o.xml")
+    shutil.copyfile(f"{refdata}/dssp/2w4o.dssp", stage / "2w4o.dssp")
+    for src in (facade.mmCIF, facade.SIFTS, facade.DSSP):
+        src._identifier = src._filename = src._table = None
+        src._spark = spark
+
+    out = str(tmp_path / "merged_id_csv")
+    rc = cli_main([
+        out, "--pdb", "2w4o", "--add-dssp",
+        "--chain", "A", "--atom", "CA", "--lines", "ATOM",
+        "--format", "csv",
+    ])
+    assert rc == 0
+    files = glob.glob(f"{out}/*.csv")
+    assert files
+    header = open(files[0]).readline()
+    assert "RES_FULL" in header and "PDB_dbResNum" in header
+    assert sum(1 for _ in open(files[0])) - 1 == 278
+
+
 def test_cli_end_to_end(spark, refdata, tmp_path):
     out = str(tmp_path / "merged_csv")
     rc = cli_main([

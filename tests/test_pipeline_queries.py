@@ -319,3 +319,12 @@ def test_pack_shard_ids_contiguous_from_zero(spark):
         & (F.col("n") != F.col("mx") + 1)
     )
     assert bad.count() == 0
+
+
+def test_star_components_empty_and_selfloop_inputs(spark):
+    """Degenerate inputs: an empty edge list and a self-loop-only list
+    both produce an empty vertex table rather than erroring."""
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert star_components(empty).count() == 0
+    loops = spark.createDataFrame([(5, 5), (7, 7)], "doc_a long, doc_b long")
+    assert star_components(loops).count() == 0
