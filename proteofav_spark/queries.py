@@ -69,6 +69,7 @@ def fan_out(df: DataFrame) -> DataFrame:
 _PRIORITY: list[str] = [
     # round-2 additions
     "text_char_entropy",
+    "embedding_kmeans",
     # round-2 unattested LLM-pipeline extensions (judge: VERDICT.md item 1)
     "dedup_cc_clusters",
     "ann_ivf_coarse",
