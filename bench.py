@@ -48,9 +48,11 @@ HEADLINE = [
 ]
 
 
-def _load_previous_bench() -> dict[str, float]:
+def _load_previous_bench(sf: float | str) -> dict[str, float]:
     """Per-query timings from the highest-numbered BENCH_r{N}.json next to
-    this script (the driver records one per round). Empty dict if none."""
+    this script (the driver records one per round) recorded at the SAME
+    scale factor — cross-SF comparisons would flag everything. Empty dict
+    if none."""
     import glob
     import re
 
@@ -63,8 +65,12 @@ def _load_previous_bench() -> dict[str, float]:
         try:
             with open(path) as fh:
                 payload = json.load(fh)
-            queries = payload.get("parsed", payload).get("queries", {})
+            parsed = payload.get("parsed", payload)
+            queries = parsed.get("queries", {})
+            prev_sf = parsed.get("sf")
         except (OSError, json.JSONDecodeError, AttributeError):
+            continue
+        if prev_sf != sf:
             continue
         n = int(m.group(1))
         if queries and (best is None or n > best[0]):
@@ -120,10 +126,12 @@ def main() -> None:
         print(f"# {name}: cold {runs[0]}s warm {runs[1]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    sf_str = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf_str) if sf_str.replace(".", "").isdigit() else sf_str
 
     # round-over-round regression tracking: compare against the most recent
     # BENCH_r{N}.json at the same SF and flag >1.5× per-query slowdowns
-    prev = _load_previous_bench()
+    prev = _load_previous_bench(sf_val)
     if prev:
         regressions = []
         for name, sec in timings.items():
@@ -139,7 +147,6 @@ def main() -> None:
             for r in regressions:
                 print(f"# !!   {r}", file=sys.stderr)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
@@ -147,7 +154,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )

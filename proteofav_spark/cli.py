@@ -44,6 +44,16 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _stringify_nonatomic(table):
+    """Arrays/structs/maps serialize poorly to csv — cast them to string."""
+    from pyspark.sql import functions as F, types as T
+
+    for f in table.schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType)):
+            table = table.withColumn(f.name, F.col(f.name).cast("string"))
+    return table
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -56,8 +66,6 @@ def main(argv: list[str] | None = None) -> int:
     chains = tuple(args.chain) if args.chain else None
 
     if args.pdb or args.uniprot:
-        from pyspark.sql import functions as F, types as T
-
         from proteofav_spark.plans.generator import merge_tables
 
         table = merge_tables(
@@ -65,6 +73,7 @@ def main(argv: list[str] | None = None) -> int:
             uniprot_id=args.uniprot,
             pdb_id=args.pdb,
             chains=chains,
+            res=tuple(args.res) if args.res else None,
             atoms=tuple(args.atom) if args.atom else None,
             lines=tuple(args.lines) if args.lines else None,
             sifts=True,
@@ -73,10 +82,7 @@ def main(argv: list[str] | None = None) -> int:
             annotation=args.add_annotations,
             variants=args.add_variants,
         )
-        for f in table.schema.fields:
-            if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType)):
-                table = table.withColumn(f.name, F.col(f.name).cast("string"))
-        write_table(table, args.output, args.format)
+        write_table(_stringify_nonatomic(table), args.output, args.format)
         print(f"wrote {args.output} ({args.format})")
         return 0
 
@@ -115,13 +121,7 @@ def main(argv: list[str] | None = None) -> int:
     if table is None:
         print("nothing to merge: provide at least --mmcif or --sifts", file=sys.stderr)
         return 2
-    # arrays serialize poorly to csv; stringify non-atomic columns
-    from pyspark.sql import functions as F, types as T
-
-    for f in table.schema.fields:
-        if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType)):
-            table = table.withColumn(f.name, F.col(f.name).cast("string"))
-    write_table(table, args.output, args.format)
+    write_table(_stringify_nonatomic(table), args.output, args.format)
     print(f"wrote {args.output} ({args.format})")
     return 0
 

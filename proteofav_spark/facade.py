@@ -199,12 +199,35 @@ class _Variants(GenericSource):
 
 
 class _MSA(GenericSource):
-    name, db_attr, ext = "msa", "db_msas", ".fasta"
+    name, db_attr, ext = "msa", "db_msas", ".sth"
 
     def url(self, identifier, aln_source="pfam", **kwargs):
         return fetchers.url_msa(identifier, aln_source=aln_source, **kwargs)
 
-    def read(self, filename=None, seq_format="fasta", **kwargs):
+    def download(self, identifier=None, filename=None, overwrite=False,
+                 aln_source="pfam", seq_format="stockholm", **kwargs):
+        """Pfam alignments arrive GZIPPED (the URL has no .gz suffix, so
+        the generic endswith('.gz') probe misses it) and both sources
+        serve Stockholm by default — stage decompressed under an
+        extension matching the actual format so read()'s guessing
+        works."""
+        self.ext = ".fasta" if seq_format == "fasta" else ".sth"
+        self._filename = None if filename is None else self._filename
+        ident = self.identifier(identifier)
+        fname = self.filename(filename)
+        if os.path.exists(fname) and not overwrite:
+            return fname
+        if aln_source == "cath":
+            kwargs = {"seq_format": seq_format, **kwargs}
+        url = self.url(ident, aln_source=aln_source, **kwargs)
+        fetchers.Downloader(
+            url, fname,
+            decompress=(aln_source == "pfam") or url.endswith(".gz"),
+            overwrite=overwrite,
+        )
+        return fname
+
+    def read(self, filename=None, seq_format=None, **kwargs):
         from proteofav_spark.sources.msas import read_msas
 
         return read_msas(self.spark(), self.filename(filename), seq_format=seq_format)

@@ -160,7 +160,9 @@ def _decode_audio_stub(blob: bytes, sample_rate: int, duration_ms: int) -> np.nd
     raw = np.frombuffer(blob, dtype=np.uint8)
     if not len(raw):
         return np.zeros(n_samples, np.int16)
-    centered = raw.astype(np.int16) * 257 - 32768
+    # widen BEFORE scaling: the int16 multiply would wrap (128*257 ->
+    # -32640) and NumPy >= 2 raises on the out-of-range subtraction
+    centered = (raw.astype(np.int32) * 257 - 32768).astype(np.int16)
     reps = int(np.ceil(n_samples / len(centered)))
     return np.tile(centered, reps)[:n_samples]
 

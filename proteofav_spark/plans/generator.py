@@ -200,6 +200,7 @@ def merge_tables(
     residue_agg: bool = False,
     overwrite: bool = False,
     fetch=None,
+    legacy_resnum_key: bool = True,
 ):
     """Legacy orchestrated merge: resolve a bare UniProt accession to its
     top-ranked PDB structure via the PDBe best-structures API, stage every
@@ -209,7 +210,10 @@ def merge_tables(
 
     ``fetch`` overrides the HTTP fetcher (tests inject canned JSON);
     staged files land in the per-source ``defaults.db_*`` directories,
-    which tests point at local fixtures via file:// addresses."""
+    which tests point at local fixtures via file:// addresses.
+    ``legacy_resnum_key`` (default True, matching the legacy function
+    this reproduces) selects the plain-resnum SIFTS key with the
+    insertion-code fallback probe — see mmcif_sifts_table_merger."""
     from proteofav_spark import facade
     from proteofav_spark.fetchers import resolve_best_structure
 
@@ -248,7 +252,8 @@ def merge_tables(
                 spark, accs, overwrite=overwrite
             )
     return table_merger(
-        mmcif_t, dssp_t, sifts_t, validation_t, annotation_t, variants_t
+        mmcif_t, dssp_t, sifts_t, validation_t, annotation_t, variants_t,
+        legacy_resnum_key=legacy_resnum_key,
     )
 
 

@@ -153,16 +153,32 @@ def compact_lake(
     of KB-size files turn task scheduling and footer reads into the
     bottleneck long before data volume does).
 
-    The rewrite goes through a temp location then atomically replaces
-    the original (rename), so a crash mid-compaction never leaves the
-    lake truncated. Returns before/after file stats. Partition columns
-    are preserved when given; compaction then keys the repartition on
-    them so each partition's files merge without cross-partition
-    shuffling of unrelated rows."""
+    The rewrite goes through a temp location and swaps in via two
+    renames. Data is never lost: a crash before the swap leaves the
+    original untouched; a crash between the renames leaves the full
+    original at ``<path>__old`` (restore = one rename). The function
+    self-heals on entry — a stale ``__compacting`` dir from a crashed
+    write is removed, and a stale ``__old`` with no live ``path`` (crash
+    mid-swap) is renamed back before compacting. Returns before/after
+    file stats. Partition columns are preserved when given; compaction
+    then keys the repartition on them so each partition's files merge
+    without cross-partition shuffling of unrelated rows."""
+    import shutil
+
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__old"
+    # recover from a previous crashed run
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)       # crash after swap, before cleanup
+        else:
+            os.rename(old, path)     # crash mid-swap: restore original
+
     before = lake_file_stats(spark, path)
     n_out = max(1, -(-before["total_bytes"] // target_file_bytes))  # ceil
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compacting"
     writer = df.repartition(n_out, *partition_cols) if partition_cols else (
         df.repartition(n_out)
     )
@@ -170,9 +186,6 @@ def compact_lake(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(tmp)
-    import shutil
-
-    old = path.rstrip("/") + "__old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

@@ -220,6 +220,14 @@ def read_phylip_records(spark: SparkSession, path: str) -> DataFrame:
     text = with_line_no(spark.read.text(path)).withColumn(
         "source_file", F.input_file_name()
     )
+    # the N-sequence count header is per file; this reader is one-file-
+    # per-call (like the reference's AlignIO.read) — a glob with several
+    # files would scramble rec = rn % N assignments, so reject it
+    n_files = text.select("source_file").distinct().count()
+    if n_files > 1:
+        raise ValueError(
+            f"PHYLIP reader handles one file per call, got {n_files}: {path}"
+        )
     head = text.orderBy("line_no").first()
     try:
         n_seqs = int(head["value"].split()[0])

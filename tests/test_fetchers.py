@@ -133,3 +133,38 @@ def test_uniprot_info_table(spark):
 
     with _pytest.raises(EmptyTableError):
         uniprot_info_table(spark, "Entry\tEntry name\n")
+
+
+def test_msa_facade_pfam_staging(spark, tmp_path, monkeypatch):
+    """Pfam MSA staging: the download is GZIPPED Stockholm behind a URL
+    with no .gz suffix — the facade must decompress it and stage under a
+    .sth name so read()'s format guessing parses it."""
+    import gzip
+
+    from proteofav_spark import facade
+
+    sth = (
+        "# STOCKHOLM 1.0\n"
+        "B9LRY6_HALLT/27-514  MKSELIVNAGP\n"
+        "Q9XYZ1_ECOLI/1-100   MKT-LIVNQAG\n"
+        "//\n"
+    )
+    served = tmp_path / "served"
+    served.mkdir()
+    # file://-servable layout mirroring family/<id>/alignment/seed/gzipped
+    payload_dir = served / "family" / "PF00118" / "alignment" / "seed"
+    payload_dir.mkdir(parents=True)
+    (payload_dir / "gzipped").write_bytes(gzip.compress(sth.encode()))
+    monkeypatch.setattr(defaults, "pfam_fetch", f"file://{served}/")
+    stagedir = tmp_path / "msas"
+    stagedir.mkdir()
+    monkeypatch.setattr(defaults, "db_msas", str(stagedir))
+    facade.MSA._identifier = facade.MSA._filename = facade.MSA._table = None
+    facade.MSA._spark = spark
+
+    fname = facade.MSA.download("PF00118")
+    assert fname.endswith("PF00118.sth")
+    df = facade.MSA.read(fname)
+    rows = {r["raw_description"]: r for r in df.collect()}
+    assert rows["B9LRY6_HALLT/27-514"]["Sequence"] == "MKSELIVNAGP"
+    assert rows["B9LRY6_HALLT/27-514"]["Seq_Format"] == "stockholm"

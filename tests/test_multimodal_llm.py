@@ -307,3 +307,16 @@ def test_kmeans_matches_numpy_reference(spark):
         v for v, r in got.items() if r["cluster"] != expect_cluster[v]
     ]
     assert mismatched == [], mismatched[:10]
+
+
+def test_audio_decode_stub_scaling_exact():
+    """Byte → int16 mapping is the documented centered scale: 0 → -32768,
+    128 → +128, 255 → +32767 (regression: the int16-width multiply used
+    to wrap mid-scale bytes to huge negatives)."""
+    import numpy as np
+
+    from proteofav_spark.operators.multimodal import _decode_audio_stub
+
+    wave = _decode_audio_stub(bytes([0, 128, 255]), 16000, 1000)
+    assert wave.dtype == np.int16
+    assert list(wave[:3]) == [-32768, 128, 32767]
