@@ -114,6 +114,7 @@ def main() -> None:
     # steady-state per-query latency and is far less machine-noise
     # sensitive than a single cold shot. Cold times go to stderr.
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         runs = []
@@ -130,9 +131,16 @@ def main() -> None:
             n = fn(spark, SF_DIR).count()
             runs.append(round(time.perf_counter() - t0, 3))
         timings[name] = min(runs)
+        # warm-run relative spread: run-to-run noise for THIS query on this
+        # machine, used below to separate real regressions from variance
+        # (cold run 0 excluded — it pays one-time codegen/analysis costs)
+        warm = runs[1:] if len(runs) > 2 else runs
+        spreads[name] = round(
+            (max(warm) - min(warm)) / min(warm) if min(warm) > 0 else 0.0, 3
+        )
         print(
             f"# {name}: cold {runs[0]}s warm {' '.join(str(r) + 's' for r in runs[1:])}"
-            f" ({n} rows)",
+            f" ({n} rows, spread {spreads[name]:.0%})",
             file=sys.stderr,
         )
 
@@ -147,14 +155,24 @@ def main() -> None:
         regressions = []
         for name, sec in timings.items():
             base = prev.get(name)
-            if base and base > 0.05 and sec > base * 1.5:
+            if base is None:
+                continue
+            # a real regression must clear BOTH the 1.5× bar and this
+            # query's own measured run-to-run noise band — noisy queries
+            # (e.g. contamination_ngram_overlap, ±70 % observed) no longer
+            # flag on variance alone
+            noise_bar = 1.0 + 2.0 * spreads.get(name, 0.0)
+            if base > 0.05 and sec > base * max(1.5, noise_bar):
                 regressions.append(f"{name}: {base}s -> {sec}s ({sec / base:.2f}x)")
-            if base:
-                delta = (sec - base) / base * 100
-                print(f"# delta {name}: {base}s -> {sec}s ({delta:+.0f}%)",
-                      file=sys.stderr)
+            delta = (sec - base) / base * 100
+            print(
+                f"# delta {name}: {base}s -> {sec}s ({delta:+.0f}%, "
+                f"spread {spreads.get(name, 0.0):.0%})",
+                file=sys.stderr,
+            )
         if regressions:
-            print("# !! REGRESSIONS >1.5x vs previous round:", file=sys.stderr)
+            print("# !! REGRESSIONS >1.5x (beyond noise) vs previous round:",
+                  file=sys.stderr)
             for r in regressions:
                 print(f"# !!   {r}", file=sys.stderr)
 

@@ -725,6 +725,8 @@ def _buckets_udf():
 
     @pandas_udf("array<long>")
     def buckets_udf(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)  # np.stack raises on empty
         E = np.stack(emb.values).astype(np.float64)
         prod = E[:, None, :] * coef[None, :, :]      # exact products
         dots = np.cumsum(prod, axis=2)[:, :, -1]     # sequential fold
@@ -825,6 +827,8 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cos_udf(
         ea: pd.Series, eb: pd.Series, na: pd.Series, nb: pd.Series
     ) -> pd.Series:
+        if len(ea) == 0:
+            return pd.Series([], dtype="float64")  # np.stack raises on empty
         A = np.stack(ea.values).astype(np.float64)
         B = np.stack(eb.values).astype(np.float64)
         # sequential-order accumulation: matches fold order both engines
@@ -1170,11 +1174,23 @@ def kmeans_lloyd(
         .limit(k)
         .collect()
     )
+    if len(seeds) < k:
+        # silently proceeding with < k centroids would reshape the output
+        # contract (cluster ids 0..len-1); make the caller choose k ≤ n
+        raise ValueError(
+            f"k-means needs at least k={k} vectors, frame has {len(seeds)}"
+        )
     cents = np.array([r["embedding"] for r in seeds], dtype=np.float64)
 
     def assign_udf(c: np.ndarray):
         @pandas_udf("struct<cluster: int, dist: double>")
         def _assign(emb: pd.Series) -> pd.DataFrame:
+            if len(emb) == 0:
+                # np.stack raises on an empty Arrow batch
+                return pd.DataFrame(
+                    {"cluster": pd.Series([], dtype="int32"),
+                     "dist": pd.Series([], dtype="float64")}
+                )
             E = np.stack(emb.values).astype(np.float64)
             # [batch, k] squared distances; ties break to the lowest
             # cluster id via argmin's first-occurrence rule

@@ -290,18 +290,20 @@ def star_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     symmetrize-distinct passes. Convergence (the edge set is a fixed
     point: a star forest rooted at each component's minimum) is detected
     with ONE aggregation job per round — count + two order-insensitive
-    hash checksums — instead of a count + exceptAll anti-join pair.
+    hash checksums — and the terminating round is then confirmed with a
+    single exact ``exceptAll`` count, so a (astronomically unlikely)
+    signature collision can never silently emit wrong clusters.
+
+    The star loop runs on a CONTRACTED graph: a single min-label seed
+    round maps every vertex to its closed-neighborhood minimum and
+    rewrites edges between those labels. Cliques and star-shaped
+    components — the overwhelmingly common near-dup cluster shapes —
+    collapse to nothing in this one round, and path diameters roughly
+    halve, so the O(log² n) star loop usually runs 1-2 fewer rounds; the
+    star loop remains the closer for adversarial deep components.
     Output: one row per vertex —
     (doc_id, cluster_id, cluster_size, is_canonical).
     """
-    verts = (
-        pairs.filter(F.col("doc_a") != F.col("doc_b"))
-        .select(F.col("doc_a").alias("doc_id"))
-        .union(
-            pairs.filter(F.col("doc_a") != F.col("doc_b")).select(F.col("doc_b"))
-        )
-        .distinct()
-    )
     from pyspark.sql import Observation
 
     def _observed_checkpoint(e: DataFrame) -> tuple[DataFrame, tuple]:
@@ -330,20 +332,56 @@ def star_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         )
         .distinct()
     )
-    # fuse the seed with round 1: one plan, one checkpoint job — the
-    # depth is bounded (a single round over the canonical edge set), so
-    # no lineage blowup, and the seed's signature is never needed (round
-    # 1 output can't equal a seed that isn't already a star forest; if it
-    # is one, round 2 confirms via the signature).
-    edges, sig = _observed_checkpoint(_small_star(_large_star(canonical)))
-    converged = False
+    # --- min-label contraction seed -------------------------------------
+    # m(v) = min over v's closed neighborhood. Each vertex contracts to
+    # its label; the star loop then runs on edges BETWEEN labels only.
+    # One groupBy shuffle + two relabel joins — about the cost of one
+    # star round — but cliques/stars vanish and path diameters halve.
+    # m is itself a vertex of the same component and the global component
+    # minimum r has m(r) = r, so component minima are preserved exactly.
+    sym = canonical.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).union(canonical.select(F.col("doc_b"), F.col("doc_a")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        .localCheckpoint()  # reused 3×: both relabel joins + final labels
+    )
+    contracted = (
+        canonical.join(
+            mins.select(F.col("u").alias("doc_a"), F.col("m").alias("ma")),
+            "doc_a",
+        )
+        .join(
+            mins.select(F.col("u").alias("doc_b"), F.col("m").alias("mb")),
+            "doc_b",
+        )
+        .filter(F.col("ma") != F.col("mb"))
+        .select(
+            F.greatest("ma", "mb").alias("doc_a"),
+            F.least("ma", "mb").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # fuse the contraction output with star round 1: one plan, one
+    # checkpoint job — the depth is bounded, so no lineage blowup.
+    edges, sig = _observed_checkpoint(_small_star(_large_star(contracted)))
+    converged = sig[0] == 0  # contraction collapsed every component
     for _ in range(max_rounds - 1):
+        if converged:
+            break
         # localCheckpoint EVERY round: both star operators reference their
         # input twice, so an untruncated logical plan quadruples in size
         # per round and driver-side analysis time explodes — the
         # checkpoint resets the tree to a leaf.
         new, new_sig = _observed_checkpoint(_small_star(_large_star(edges)))
-        if new_sig == sig:
+        if new_sig == sig and new.exceptAll(edges).count() == 0:
+            # signature match is probabilistic (count + sum + xor of
+            # per-edge hashes); the one-sided exceptAll on two equal-count
+            # distinct sets confirms the fixed point EXACTLY, closing the
+            # hash-collision → silent-wrong-answer path. Runs once, on the
+            # terminating round only.
             edges = new
             converged = True
             break
@@ -354,19 +392,27 @@ def star_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
             f"{max_rounds} rounds — O(log² n) convergence implies an "
             "edge-set cycle bug, not a graph-shape limitation"
         )
-    # converged edge set is (member → component-min); roots have no out-edge
-    labels = verts.join(
-        edges.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("lbl")),
-        "doc_id",
-        "left",
-    ).select("doc_id", F.coalesce("lbl", "doc_id").alias("cluster_id"))
-    sizes = labels.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
+    # converged edge set maps contracted label → component-min; compose
+    # with the seed labels: v → m(v) → cluster. Roots have no out-edge.
+    # ``mins`` doubles as the vertex set (every vertex of the symmetric
+    # view has exactly one row) — no separate union-distinct pass needed.
+    labels = (
+        mins.select(F.col("u").alias("doc_id"), "m")
+        .join(
+            edges.select(F.col("doc_a").alias("m"), F.col("doc_b").alias("lbl")),
+            "m",
+            "left",
+        )
+        .select("doc_id", F.coalesce("lbl", "m").alias("cluster_id"))
     )
-    return labels.join(sizes, "cluster_id").select(
+    # cluster_size via a partitioned window count: one shuffle on
+    # cluster_id, replacing the groupBy + join-back pair (two shuffles)
+    return labels.select(
         "doc_id",
         "cluster_id",
-        "cluster_size",
+        F.count(F.lit(1))
+        .over(W.partitionBy("cluster_id"))
+        .alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
 

@@ -67,15 +67,43 @@ def fan_out(df: DataFrame) -> DataFrame:
 # window; everything else follows in plain registration order.  Append new
 # round additions to the TOP of this list.
 _PRIORITY: list[str] = [
-    # round-2 additions
-    "text_char_entropy",
-    "embedding_kmeans",
-    # round-2 unattested LLM-pipeline extensions (judge: VERDICT.md item 1)
+    # round-3 rotation: the 25 queries whose only driver attestation row is
+    # from round 1 (VERDICT_r02 item 1 / ADVICE) — surfaced first so they get
+    # fresh CORRECTNESS_r03 rows against current code.
+    "dedup_exact_hash",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "join_star_revenue",
+    "spatial_contacts_grid",
+    "sessionize_events_gap",
+    "events_sliding_window",
+    "agg_rollup_hierarchy",
+    "agg_cube_all_margins",
+    "agg_pivot_status",
+    "agg_stats_moments",
+    "topk_per_group",
+    "agg_salted_two_stage",
+    "agg_monthly_revenue",
+    "array_hof_kit",
+    "array_zip_mismatch",
+    "set_intersect_except",
+    "join_null_safe",
+    "distinct_scan",
+    "binary_payload_ops",
+    "text_token_stats",
+    "text_quality_score",
+    "window_moving_avg",
+    "approx_distinct_parts",
+    # round-2-attested risky LLM-pipeline extensions next (fill the rest of
+    # the 50-row window; re-attested on round-3 code where changed).
+    "dedup_embedding_cosine",
     "dedup_cc_clusters",
+    "contamination_ngram_overlap",
+    "embedding_kmeans",
+    "text_char_entropy",
     "ann_ivf_coarse",
     "text_repetition_metrics",
-    "contamination_ngram_overlap",
-    "dedup_embedding_cosine",
     "dedup_consensus",
     "ann_lsh_bucketed",
     "knn_cosine_topk",

@@ -229,6 +229,8 @@ def read_phylip_records(spark: SparkSession, path: str) -> DataFrame:
             f"PHYLIP reader handles one file per call, got {n_files}: {path}"
         )
     head = text.orderBy("line_no").first()
+    if head is None:
+        raise ValueError(f"not a PHYLIP file (empty file): {path}")
     try:
         n_seqs = int(head["value"].split()[0])
     except (ValueError, IndexError, AttributeError):
