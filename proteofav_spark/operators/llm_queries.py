@@ -230,7 +230,8 @@ def _minhash_sig_sql() -> str:
     """
 
 
-BUCKET_CAP = 64  # max docs per LSH bucket before the pair stage skips it
+BUCKET_CAP = 64   # max docs per LSH sub-bucket in the pair stage
+MAX_SPLITS = 64   # salt-split bound: buckets beyond CAP·MAX_SPLITS docs skip
 
 _MINHASH_SQL = f"""
     WITH sig AS ({_minhash_sig_sql()}),
@@ -245,17 +246,22 @@ _MINHASH_SQL = f"""
         for band in range(N_BANDS)
       )}
     ),
-    ok AS (
-      SELECT band, bucket FROM bands
+    sz AS (
+      SELECT band, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM bands
       GROUP BY band, bucket
-      HAVING COUNT(*) BETWEEN 2 AND {BUCKET_CAP}
+      HAVING COUNT(*) BETWEEN 2 AND {BUCKET_CAP * MAX_SPLITS}
+    ),
+    salted AS (
+      SELECT b.doc_id, b.band, b.bucket,
+             {_sql_poly_hash("CAST(b.doc_id AS VARCHAR)")}
+               % ((s.c + {BUCKET_CAP - 1}) // {BUCKET_CAP}) AS salt
+      FROM bands b JOIN sz s USING (band, bucket)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(DISTINCT a.band) AS BIGINT) AS n_bands_shared
-    FROM bands a
-    JOIN ok USING (band, bucket)
-    JOIN bands b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    FROM salted a JOIN salted b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.salt = b.salt
+         AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 """
 
@@ -300,40 +306,83 @@ def minhash_band_buckets(d: DataFrame) -> DataFrame:
     return sig.select("doc_id", F.posexplode(bucket_arr).alias("band", "bucket"))
 
 
-def minhash_lsh_pairs(d: DataFrame, cap: int = BUCKET_CAP, observation=None) -> DataFrame:
+def minhash_lsh_pairs(
+    d: DataFrame,
+    cap: int = BUCKET_CAP,
+    max_splits: int = MAX_SPLITS,
+    observation=None,
+) -> DataFrame:
     """Candidate near-dup pairs for a (doc_id, text) frame via banded
     MinHash-LSH, with the pair stage bounded by a bucket-size cap.
 
-    Buckets larger than ``cap`` are SKIPPED, not expanded: an oversized
-    bucket is the boilerplate/identical-content signature collision case
-    (empty docs, templated pages) where pair expansion is O(k²) garbage —
-    exact duplicates belong to ``dedup_exact_hash`` upstream, and anything
-    that near-dups with >cap distinct documents is dropped with accounting
-    rather than allowed to blow up a single task.  ``observation`` (a
-    pyspark ``Observation`` or a metric-name string) records how many
-    buckets/docs the cap skipped, so production runs see the overflow
-    count in the query metrics instead of silently losing recall.
-    """
-    bands = minhash_band_buckets(d)
-    # pairs via groupBy(bucket) + in-array combination instead of a
-    # self-join: one shuffle, and the signatures never compute twice.
+    Buckets larger than ``cap`` are SALT-SPLIT, not skipped: each is
+    partitioned into ``ceil(size/cap)`` deterministic sub-buckets (doc-id
+    polynomial hash mod nsplit — the same arithmetic in the DuckDB
+    oracle) and pairs are emitted within sub-buckets only. Per-bucket
+    work stays O(cap·size) instead of O(size²), and recall on
+    duplicate-heavy buckets survives: the docs in a signature-collision
+    bucket are mutually similar, so same-sub-bucket pairs still link
+    every doc into one cluster under connected components. Only buckets
+    beyond ``cap·max_splits`` docs (boilerplate pathologies — exact
+    duplicates belong to ``dedup_exact_hash`` upstream) are skipped.
+
+    Scale shape: per-row bucket sizes come from a PARTITIONED window
+    count over (band, bucket) — one exchange, spill-capable buffering —
+    so no task ever materializes an unbounded bucket the way a
+    collect-then-filter would, and the salted ``groupBy (band, bucket,
+    salt)`` reuses that exchange (hash partitioning on a subset of the
+    grouping keys already co-locates every group). Collected arrays are
+    ≤ cap·max_splits elements by construction. ``observation`` (a
+    pyspark ``Observation`` or a metric-name string) records split/skip
+    accounting so production runs see the recall trade in the query
+    metrics instead of silently losing it."""
+    hard_cap = cap * max_splits
+    # both window functions share ONE (partition, order) spec — the count
+    # gets an explicit unbounded frame to keep whole-partition semantics —
+    # so the plan sorts once and runs a single Window operator
+    w = W.partitionBy("band", "bucket").orderBy("doc_id")
+    pre = minhash_band_buckets(d).select(
+        "doc_id",
+        "band",
+        "bucket",
+        F.count(F.lit(1))
+        .over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("sz"),
+        # first-row indicator so observe can count BUCKETS from row-grain
+        # metrics without a second aggregation pass
+        (F.row_number().over(w) == 1).alias("rn1"),
+    )
+    if observation is not None:
+        over = F.col("sz") > hard_cap
+        split = (F.col("sz") > cap) & (F.col("sz") <= hard_cap)
+        pre = pre.observe(
+            observation,
+            F.coalesce(
+                F.sum((over & F.col("rn1")).cast("long")), F.lit(0).cast("long")
+            ).alias("overflow_buckets"),
+            F.coalesce(
+                F.sum(over.cast("long")), F.lit(0).cast("long")
+            ).alias("overflow_docs"),
+            F.coalesce(
+                F.sum((split & F.col("rn1")).cast("long")), F.lit(0).cast("long")
+            ).alias("split_buckets"),
+            F.coalesce(
+                F.sum(split.cast("long")), F.lit(0).cast("long")
+            ).alias("split_docs"),
+        )
+    salted = (
+        pre.filter((F.col("sz") >= 2) & (F.col("sz") <= hard_cap))
+        .withColumn("nsplit", F.expr(f"(sz + {cap - 1}) div {cap}"))
+        .withColumn(
+            "salt",
+            poly_hash_col(F.col("doc_id").cast("string")) % F.col("nsplit"),
+        )
+    )
     grouped = (
-        bands.groupBy("band", "bucket")
+        salted.groupBy("band", "bucket", "salt")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    if observation is not None:
-        grouped = grouped.observe(
-            observation,
-            F.coalesce(
-                F.sum((F.size("ids") > cap).cast("long")), F.lit(0).cast("long")
-            ).alias("overflow_buckets"),
-            F.coalesce(
-                F.sum(F.when(F.size("ids") > cap, F.size("ids")).otherwise(0)),
-                F.lit(0).cast("long"),
-            ).alias("overflow_docs"),
-        )
-    capped = grouped.filter(F.size("ids") <= cap)
     pair_structs = F.flatten(
         F.transform(
             F.col("ids"),
@@ -344,7 +393,7 @@ def minhash_lsh_pairs(d: DataFrame, cap: int = BUCKET_CAP, observation=None) -> 
         )
     )
     return (
-        capped.select("band", F.explode(pair_structs).alias("p"))
+        grouped.select("band", F.explode(pair_structs).alias("p"))
         .select("band", "p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.countDistinct("band").alias("n_bands_shared"))
@@ -354,10 +403,10 @@ def minhash_lsh_pairs(d: DataFrame, cap: int = BUCKET_CAP, observation=None) -> 
 @register("dedup_minhash_lsh", _MINHASH_SQL)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH candidate pairs: shingle → polynomial hash →
-    12 affine min-hashes → 4 bands of 3 → bucket equi-join. The only wide
-    exchange is the band-bucket shuffle; signature computation is map-only.
-    Mega-buckets (> BUCKET_CAP docs) are skipped with overflow accounting
-    — see minhash_lsh_pairs."""
+    12 affine min-hashes → 4 bands of 3 → bucket equi-join. Signature
+    computation is map-only; the pair stage shuffles on the band-bucket
+    key. Mega-buckets (> BUCKET_CAP docs) are salt-split into bounded
+    sub-buckets with split/skip accounting — see minhash_lsh_pairs."""
     d = load(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, observation="minhash_lsh_overflow")
 
@@ -640,6 +689,29 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_TABLES = 6   # independent LSH tables (multi-probe recall)
 PLANES_PER_TABLE = 4
 DIM = 64
+# Bucket-depth adaptivity for the embedding near-dup query: per-table
+# buckets can deepen from PLANES_PER_TABLE up to MAX_BITS sign bits. The
+# deepening planes draw FRESH coefficient rows past the original block, so
+# the low PLANES_PER_TABLE bits — and therefore every ANN query's bucket
+# ids — are unchanged at any depth.
+EXTRA_PLANES = 4
+MAX_BITS = PLANES_PER_TABLE + EXTRA_PLANES
+DEPTH_LADDER = (PLANES_PER_TABLE, 6, MAX_BITS)  # candidate depths, shallow→deep
+TARGET_PAIRS_PER_VEC = 32  # occupancy probe target: mean candidate pairs/vector
+
+
+def _plane_index(table_no: int, j: int) -> int:
+    """Global coefficient-row index for sign bit ``j`` of LSH table
+    ``table_no``. Bits below PLANES_PER_TABLE keep the original contiguous
+    layout (bucket ids backward-compatible); deepening bits allocate fresh
+    rows after the original N_TABLES×PLANES_PER_TABLE block."""
+    if j < PLANES_PER_TABLE:
+        return table_no * PLANES_PER_TABLE + j
+    return (
+        N_TABLES * PLANES_PER_TABLE
+        + table_no * EXTRA_PLANES
+        + (j - PLANES_PER_TABLE)
+    )
 
 
 def _plane_coef(j: int, d: int) -> int:
@@ -663,34 +735,36 @@ def _plane_coef(j: int, d: int) -> int:
     return (x % 7) - 3
 
 
-def _sql_bucket(table_no: int, col: str = "embedding") -> str:
-    base = table_no * PLANES_PER_TABLE
-    bits = " + ".join(
+def _sql_bucket(table_no: int, col: str = "embedding", bits: int = PLANES_PER_TABLE) -> str:
+    terms = " + ".join(
         "(CASE WHEN round("
         + " + ".join(
-            f"CAST({col}[{d}] AS DOUBLE) * ({_plane_coef(base + j, d)})" for d in range(1, DIM + 1)
+            f"CAST({col}[{d}] AS DOUBLE) * ({_plane_coef(_plane_index(table_no, j), d)})"
+            for d in range(1, DIM + 1)
         )
         + f", 6) > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(PLANES_PER_TABLE)
+        for j in range(bits)
     )
-    return f"CAST({bits} AS BIGINT)"
+    return f"CAST({terms} AS BIGINT)"
 
 
 def _plane_array(table_no: int, j: int) -> Column:
-    base = table_no * PLANES_PER_TABLE
     return F.array(
-        *[F.lit(float(_plane_coef(base + j, d))) for d in range(1, DIM + 1)]
+        *[
+            F.lit(float(_plane_coef(_plane_index(table_no, j), d)))
+            for d in range(1, DIM + 1)
+        ]
     )
 
 
-def bucket_col(table_no: int, col: str = "embedding") -> Column:
+def bucket_col(table_no: int, col: str = "embedding", bits: int = PLANES_PER_TABLE) -> Column:
     """Spark twin of :func:`_sql_bucket`: sign bits of the hyperplane
     projections packed into a per-table bucket id. Projections run as
     ``zip_with``+``aggregate`` loops over coefficient array literals —
     loop-based codegen instead of a 64-term unrolled expression tree."""
     emb = F.col(col)
     total = None
-    for j in range(PLANES_PER_TABLE):
+    for j in range(bits):
         dot = F.aggregate(
             F.zip_with(emb, _plane_array(table_no, j), lambda x, y: x.cast("double") * y),
             F.lit(0.0),
@@ -701,27 +775,27 @@ def bucket_col(table_no: int, col: str = "embedding") -> Column:
     return total.cast("bigint")
 
 
-def _buckets_udf():
-    """Arrow-batched kernel computing all N_TABLES bucket ids per vector.
-    3× faster than the JVM higher-order-function fold (the 24×64
-    multiply-adds interpret per element in HOF lambdas; numpy vectorizes
-    them), and bit-identical to it: each embedding×coefficient product is
-    EXACT in double (24-bit float32 mantissa × |coef| ≤ 3 stays under 53
-    bits), so only addition order can round — and ``np.cumsum`` forces
-    the same left-fold order as ``F.aggregate`` and the oracle's
-    left-associated ``+`` chain (np.sum's pairwise order would not).
-    Equivalence to :func:`bucket_col` is pinned by a test."""
+def _buckets_udf(bits: int = PLANES_PER_TABLE):
+    """Arrow-batched kernel computing all N_TABLES bucket ids per vector,
+    ``bits`` sign bits per table. 3× faster than the JVM
+    higher-order-function fold (the multiply-adds interpret per element
+    in HOF lambdas; numpy vectorizes them), and bit-identical to it: each
+    embedding×coefficient product is EXACT in double (24-bit float32
+    mantissa × |coef| ≤ 3 stays under 53 bits), so only addition order can
+    round — and ``np.cumsum`` forces the same left-fold order as
+    ``F.aggregate`` and the oracle's left-associated ``+`` chain (np.sum's
+    pairwise order would not). Equivalence to :func:`bucket_col` is pinned
+    by a test at both PLANES_PER_TABLE and MAX_BITS depths."""
     from pyspark.sql.functions import pandas_udf
 
     coef = np.array(
         [
-            [float(_plane_coef(j, d)) for d in range(1, DIM + 1)]
-            for j in range(N_TABLES * PLANES_PER_TABLE)
+            [float(_plane_coef(_plane_index(t, j), d)) for d in range(1, DIM + 1)]
+            for t in range(N_TABLES)
+            for j in range(bits)
         ]
     )
-    weights = np.array(
-        [1 << j for j in range(PLANES_PER_TABLE)], dtype=np.int64
-    )
+    weights = np.array([1 << j for j in range(bits)], dtype=np.int64)
 
     @pandas_udf("array<long>")
     def buckets_udf(emb: pd.Series) -> pd.Series:
@@ -730,8 +804,8 @@ def _buckets_udf():
         E = np.stack(emb.values).astype(np.float64)
         prod = E[:, None, :] * coef[None, :, :]      # exact products
         dots = np.cumsum(prod, axis=2)[:, :, -1]     # sequential fold
-        bits = (np.round(dots, 6) > 0).astype(np.int64)
-        b = bits.reshape(len(E), N_TABLES, PLANES_PER_TABLE) @ weights
+        signs = (np.round(dots, 6) > 0).astype(np.int64)
+        b = signs.reshape(len(E), N_TABLES, bits) @ weights
         return pd.Series(list(b))
 
     # deterministic in fact, but the flag stops Catalyst inlining the
@@ -740,14 +814,14 @@ def _buckets_udf():
     return buckets_udf.asNondeterministic()
 
 
-def banded_embeddings(e: DataFrame) -> DataFrame:
+def banded_embeddings(e: DataFrame, bits: int = PLANES_PER_TABLE) -> DataFrame:
     """One row per (vector, LSH table): all N_TABLES bucket ids computed in
     a single Arrow-batched projection (:func:`_buckets_udf`), then
     ``posexplode`` into (tbl, bucket) rows. One scan and one Python eval
     stage instead of an N_TABLES-way union — the union form would run the
     kernel once per branch."""
     withb = e.select(
-        "vec_id", "embedding", _buckets_udf()("embedding").alias("bk")
+        "vec_id", "embedding", _buckets_udf(bits)("embedding").alias("bk")
     )
     return withb.select(
         "vec_id", "embedding", F.posexplode("bk").alias("tbl", "bucket")
@@ -756,19 +830,84 @@ def banded_embeddings(e: DataFrame) -> DataFrame:
 
 COSINE_DUP_TAU = 0.35  # synthetic embeddings top out ~0.51; production ~0.9
 
-_EMB_DUP_SQL = f"""
-    WITH b AS (
-      {" UNION ALL ".join(
-        f"SELECT vec_id, embedding, {t} AS tbl, {_sql_bucket(t)} AS bucket "
-        f"FROM embeddings"
+
+def adaptive_bucket_mask(
+    bands: DataFrame, target_pairs_per_vec: int = TARGET_PAIRS_PER_VEC
+) -> int:
+    """Choose the SHALLOWEST ``DEPTH_LADDER`` bucket depth whose estimated
+    candidate-pair count (Σ k·(k-1)/2 over buckets) stays within
+    ``target_pairs_per_vec`` per vector, given a full-depth (MAX_BITS)
+    (vec_id, tbl, bucket) frame. Returns the chosen bit mask.
+
+    A fixed bucket width is data-blind: 4-bit buckets on a low-cosine-
+    spread corpus produced ~650k candidate pairs from 2k vectors, while
+    8 bits on a well-spread corpus would cost recall for nothing. The
+    occupancy probe aggregates to at most N_TABLES × 2^MAX_BITS rows
+    (1,536) REGARDLESS of corpus size, so collecting it is an
+    AQE-statistics-style driver scalar — one bounded aggregation job, not
+    a hot-path collect — and the per-depth estimates are derived on the
+    driver by masking those ≤1,536 bucket counts. Deterministic integer
+    arithmetic throughout, mirrored verbatim in the DuckDB oracle's
+    ``pick`` CTE. Corpora that are genuinely duplicate-heavy bottom out
+    at the deepest depth with exactly the pair count their duplicate
+    structure demands."""
+    rows = (
+        bands.groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    n = sum(r["c"] for r in rows) // N_TABLES
+    target = target_pairs_per_vec * max(n, 1)
+    for depth in DEPTH_LADDER:
+        mask = (1 << depth) - 1
+        occ: dict = {}
+        for r in rows:
+            key = (r["tbl"], r["bucket"] & mask)
+            occ[key] = occ.get(key, 0) + r["c"]
+        if sum(k * (k - 1) // 2 for k in occ.values()) <= target:
+            return mask
+    return (1 << MAX_BITS) - 1
+
+
+def _emb_dup_sql() -> str:
+    """Oracle for the adaptive-depth embedding near-dup: buckets at full
+    MAX_BITS depth, the same occupancy-probe depth choice as
+    :func:`adaptive_bucket_mask` expressed as CTEs, then candidate pairs
+    on the masked buckets and exact cosine ≥ τ."""
+    b_union = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, "
+        f"{_sql_bucket(t, bits=MAX_BITS)} AS bucket FROM embeddings"
         for t in range(N_TABLES)
-      )}
+    )
+
+    def est(mask: int) -> str:
+        return (
+            f"(SELECT CAST(SUM(k*(k-1)//2) AS BIGINT) FROM "
+            f"(SELECT CAST(SUM(c) AS BIGINT) AS k FROM cnt "
+            f"GROUP BY tbl, bucket & {mask}))"
+        )
+
+    masks = [(1 << d) - 1 for d in DEPTH_LADDER]
+    est_cols = ", ".join(f"{est(m)} AS est{i}" for i, m in enumerate(masks[:-1]))
+    cases = " ".join(
+        f"WHEN est{i} <= {TARGET_PAIRS_PER_VEC} * n THEN {m}"
+        for i, m in enumerate(masks[:-1])
+    )
+    return f"""
+    WITH b AS ({b_union}),
+    cnt AS (SELECT tbl, bucket, CAST(COUNT(*) AS BIGINT) AS c
+            FROM b GROUP BY tbl, bucket),
+    pick AS (
+      SELECT CASE {cases} ELSE {masks[-1]} END AS mask
+      FROM (SELECT {est_cols},
+                   (SELECT CAST(SUM(c) AS BIGINT) FROM cnt) // {N_TABLES} AS n)
     ),
     cand AS (
       SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
              x.embedding AS ea, y.embedding AS eb
-      FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
-                        AND x.vec_id < y.vec_id),
+      FROM b x, b y, pick p
+      WHERE x.tbl = y.tbl AND (x.bucket & p.mask) = (y.bucket & p.mask)
+            AND x.vec_id < y.vec_id),
     scored AS (
       SELECT vec_a, vec_b,
              round(list_cosine_similarity(CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[])), 4) AS cosine
@@ -778,14 +917,27 @@ _EMB_DUP_SQL = f"""
 """
 
 
+_EMB_DUP_SQL = _emb_dup_sql()
+
+
 @register("dedup_embedding_cosine", _EMB_DUP_SQL)
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: candidate pairs = vectors sharing a
-    random-hyperplane LSH bucket in any of the 6 tables (same deterministic
-    planes as the ANN query), then exact cosine ≥ τ on candidates only.
-    At 100 TB the bucket equi-join bounds the pair count — the N² cross
-    join never materializes; bucket skew is handled by AQE skew-join since
-    each (tbl, bucket) cell is an independent unit of work.
+    random-hyperplane LSH bucket in any of the 6 tables (the same
+    deterministic planes as the ANN query in their low 4 bits), then
+    exact cosine ≥ τ on candidates only. At 100 TB the bucket equi-join
+    bounds the pair count — the N² cross join never materializes; bucket
+    skew is handled by AQE skew-join since each (tbl, bucket) cell is an
+    independent unit of work.
+
+    Bucket DEPTH is adaptive: buckets are computed once at MAX_BITS
+    depth, a bounded occupancy probe (≤ N_TABLES·2^MAX_BITS rows at any
+    corpus size) picks the shallowest DEPTH_LADDER depth whose estimated
+    pair count stays near-linear, and candidates group on the masked
+    bucket — see :func:`adaptive_bucket_mask`. The full-depth bands are
+    ``localCheckpoint``ed (id + bucket only, O(n) compact rows) so the
+    Arrow bucket kernel runs over the corpus exactly once for both the
+    probe and the pair stage.
 
     Execution shape: the bucket self-join and the pair ``distinct`` carry
     only (vec_id, vec_id) — never the 64-float arrays — so the dedup
@@ -799,12 +951,17 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     e = load(spark, sf_dir, "embeddings")
-    bands = banded_embeddings(e).select("vec_id", "tbl", "bucket")
+    bands = (
+        banded_embeddings(e, bits=MAX_BITS)
+        .select("vec_id", "tbl", "bucket")
+        .localCheckpoint()
+    )
+    mask = adaptive_bucket_mask(bands)
     # candidate pairs via groupBy(cell) + in-array combination (same
     # pattern as the minhash pipeline): buckets compute once — a self-join
-    # would re-derive all 24 hyperplane projections on both sides
+    # would re-derive all the hyperplane projections on both sides
     grouped = (
-        bands.groupBy("tbl", "bucket")
+        bands.groupBy("tbl", F.col("bucket").bitwiseAND(F.lit(mask)).alias("bucket"))
         .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )

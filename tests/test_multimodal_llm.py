@@ -88,10 +88,15 @@ def test_minhash_similar_docs_share_bands(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
-def test_minhash_lsh_mega_bucket_capped(spark):
-    """A boilerplate corpus (hundreds of identical docs) must NOT k²-expand:
-    the oversized bucket is skipped with overflow accounting, while genuine
-    near-dup pairs in normal-sized buckets still surface."""
+def test_minhash_lsh_mega_bucket_salt_split(spark):
+    """A boilerplate corpus (hundreds of identical docs) must NOT
+    k²-expand: the oversized bucket is salt-split into ceil(size/cap)
+    sub-buckets, pairs stay within sub-buckets (bounded work), and the
+    split is accounted in the observation metrics. Recall on the skewed
+    corpus must be strictly above the old skip-the-bucket baseline (zero
+    boilerplate pairs): every boilerplate doc keeps at least one
+    candidate edge, so connected components still collapses the whole
+    cluster."""
     from pyspark.sql import Observation
 
     from proteofav_spark.operators.llm_queries import minhash_lsh_pairs
@@ -106,13 +111,29 @@ def test_minhash_lsh_mega_bucket_capped(spark):
     obs = Observation("lsh_overflow")
     out = minhash_lsh_pairs(d, cap=64, observation=obs).collect()
     pairs = {(r["doc_a"], r["doc_b"]) for r in out}
-    # 200 identical docs would be C(200,2)=19900 pairs per band uncapped;
-    # the cap keeps the pair stage empty for that bucket
-    assert all(a >= 1000 for a, _ in pairs), pairs
     assert (1000, 1001) in pairs
     got = obs.get
-    assert got["overflow_buckets"] == 4  # one mega-bucket per band
-    assert got["overflow_docs"] == 800   # 200 docs × 4 bands
+    assert got["split_buckets"] == 4   # one mega-bucket per band, all split
+    assert got["split_docs"] == 800    # 200 docs × 4 bands
+    assert got["overflow_buckets"] == 0 and got["overflow_docs"] == 0
+    # bounded pair stage: 200 docs split into 4 sub-buckets of ~50 give
+    # ~4·C(50,2) pairs per band — far below the C(200,2)=19900 blowup —
+    # yet every boilerplate doc keeps ≥1 edge (no recall cliff)
+    boiler_pairs = [(a, b) for a, b in pairs if a < 1000]
+    assert 0 < len(boiler_pairs) < 19900 // 2
+    covered = {x for p in boiler_pairs for x in p}
+    assert covered == set(range(200))
+
+    # hard skip path still exists beyond cap·max_splits, with accounting
+    obs2 = Observation("lsh_overflow_skip")
+    out2 = minhash_lsh_pairs(d, cap=64, max_splits=1, observation=obs2).collect()
+    pairs2 = {(r["doc_a"], r["doc_b"]) for r in out2}
+    assert all(a >= 1000 for a, _ in pairs2), pairs2
+    assert (1000, 1001) in pairs2
+    got2 = obs2.get
+    assert got2["overflow_buckets"] == 4 and got2["overflow_docs"] == 800
+    # recall on the skew corpus strictly above the skip baseline
+    assert len(pairs) > len(pairs2)
 
 
 def test_embedding_cosine_near_dup_pairs(spark):
@@ -166,24 +187,29 @@ def test_arrow_bucket_kernel_matches_jvm_fold(spark):
     """The Arrow-batched LSH bucket kernel must be bit-identical to the
     JVM higher-order-function fold (bucket_col): exact products + cumsum
     preserve the sequential fold order, so every (vec, table) bucket id
-    agrees."""
+    agrees — at both the default depth and the deepened MAX_BITS depth
+    used by the adaptive embedding dedup."""
     from pyspark.sql import functions as F
 
     from proteofav_spark.operators.llm_queries import (
+        MAX_BITS,
         N_TABLES,
+        PLANES_PER_TABLE,
         banded_embeddings,
         bucket_col,
     )
 
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    jvm = e.select(
-        "vec_id",
-        F.posexplode(F.array(*[bucket_col(t) for t in range(N_TABLES)]))
-        .alias("tbl", "bucket"),
-    )
-    arrow = banded_embeddings(e).select("vec_id", "tbl", "bucket")
-    assert jvm.exceptAll(arrow).count() == 0
-    assert arrow.exceptAll(jvm).count() == 0
+    for bits in (PLANES_PER_TABLE, MAX_BITS):
+        jvm = e.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[bucket_col(t, bits=bits) for t in range(N_TABLES)])
+            ).alias("tbl", "bucket"),
+        )
+        arrow = banded_embeddings(e, bits=bits).select("vec_id", "tbl", "bucket")
+        assert jvm.exceptAll(arrow).count() == 0, bits
+        assert arrow.exceptAll(jvm).count() == 0, bits
 
 
 def test_lsh_planes_pairwise_distinct():
@@ -320,3 +346,79 @@ def test_audio_decode_stub_scaling_exact():
     wave = _decode_audio_stub(bytes([0, 128, 255]), 16000, 1000)
     assert wave.dtype == np.int16
     assert list(wave[:3]) == [-32768, 128, 32767]
+
+
+def test_adaptive_bucket_mask_tight_vs_spread(spark):
+    """The occupancy probe must pick the DEEPEST depth on a tight cluster
+    (every vector in one bucket at any depth — the pair count is the true
+    duplicate structure, deepening is the only defense) and the SHALLOWEST
+    depth on a well-spread corpus (4 bits already keep candidates
+    near-linear, deeper buckets would only cost recall). Candidate pairs
+    at the chosen mask must respect the probe target on the spread corpus."""
+    from proteofav_spark.operators.llm_queries import (
+        DEPTH_LADDER,
+        MAX_BITS,
+        N_TABLES,
+        TARGET_PAIRS_PER_VEC,
+        adaptive_bucket_mask,
+        banded_embeddings,
+    )
+
+    def bands_of(vectors):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vectors)],
+            "vec_id: long, embedding: array<float>",
+        )
+        return banded_embeddings(df, bits=MAX_BITS).select(
+            "vec_id", "tbl", "bucket"
+        )
+
+    n = 100
+    # tight: identical vectors — same bucket at every depth in every table
+    base = [float((i * 7) % 13 - 6) for i in range(64)]
+    tight_mask = adaptive_bucket_mask(bands_of([list(base)] * n))
+    assert tight_mask == (1 << MAX_BITS) - 1
+
+    # spread: deterministic pseudo-random ±1 sign vectors — hyperplane
+    # signs decorrelate, 4-bit buckets stay sparse
+    def vec(i):
+        out = []
+        x = i * 2654435761 + 97
+        for d in range(64):
+            x = (x ^ (x >> 13)) * 1099511628211 % (1 << 61)
+            out.append(float(1 if (x >> 17) & 1 else -1))
+        return out
+
+    spread_bands = bands_of([vec(i) for i in range(n)])
+    spread_mask = adaptive_bucket_mask(spread_bands)
+    assert spread_mask == (1 << DEPTH_LADDER[0]) - 1
+
+    # pin the probe contract: est pairs at the chosen mask ≤ target·n
+    from pyspark.sql import functions as F
+
+    est = (
+        spread_bands.groupBy(
+            "tbl", F.col("bucket").bitwiseAND(F.lit(spread_mask)).alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+        .select(((F.col("k") * (F.col("k") - 1)) / 2).alias("p"))
+        .agg(F.sum("p"))
+        .first()[0]
+    )
+    assert int(est or 0) <= TARGET_PAIRS_PER_VEC * n
+
+
+def test_deepening_planes_pairwise_distinct():
+    """All N_TABLES × MAX_BITS hyperplane rows — original AND deepening —
+    must be pairwise distinct, or the deepened buckets would correlate
+    across tables exactly like the round-1 linear-hash bug."""
+    from proteofav_spark.operators.llm_queries import (
+        DIM, MAX_BITS, N_TABLES, _plane_coef, _plane_index,
+    )
+
+    rows = {
+        tuple(_plane_coef(_plane_index(t, j), d) for d in range(1, DIM + 1))
+        for t in range(N_TABLES)
+        for j in range(MAX_BITS)
+    }
+    assert len(rows) == N_TABLES * MAX_BITS
