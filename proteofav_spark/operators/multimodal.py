@@ -2,11 +2,15 @@
 columns with typed metadata structs, processed via Arrow-batched
 ``mapInPandas``.
 
-The container has no codec libraries, so the decode kernels are STUBS
-(deterministic fakes clearly marked); everything Spark-side — schemas,
-batch iteration, partitioning, UDF signatures — is real and tested. On a
-real deployment only `_decode_image_stub` / `_extract_audio_features_stub`
-change.
+The container has no codec libraries, so the DEFAULT decode kernels are
+STUBS (deterministic fakes clearly marked); everything Spark-side —
+schemas, batch iteration, partitioning, UDF signatures — is real and
+tested. Each feature extractor takes an injectable ``decode_fn`` /
+``frame_fn`` (the codec seam): a deployment passes its PIL/cv2/soundfile
+kernel and the Arrow contract — schema, batch iteration, one decode call
+per row — is untouched. The injected callable is pickled into the
+mapInPandas closure, so it must be importable or cloudpickle-serializable
+on executors.
 
 Design for 100 TB: blobs stay in the lake (parquet binary columns or
 object-store URIs); decode runs once per Arrow batch, per partition, with
@@ -55,9 +59,14 @@ def _decode_image_stub(blob: bytes, width: int, height: int) -> np.ndarray:
     return np.tile(rng, reps)[:size] if len(rng) else np.zeros(size, np.uint8)
 
 
-def image_features(df: DataFrame) -> DataFrame:
+def image_features(df: DataFrame, decode_fn=None) -> DataFrame:
     """Decode → feature-extract over binary payloads: one Arrow batch at a
-    time, emitting (doc_id, n_bytes, mean_pixel, histogram8)."""
+    time, emitting (doc_id, n_bytes, mean_pixel, histogram8).
+
+    ``decode_fn(blob: bytes, width: int, height: int) -> np.ndarray`` of
+    uint8 pixel values is the codec seam — defaults to the deterministic
+    stub; pass a PIL/cv2-backed kernel in deployment."""
+    decode = decode_fn or _decode_image_stub
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -71,7 +80,7 @@ def image_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, blob, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
-                arr = _decode_image_stub(blob, meta["width"], meta["height"])
+                arr = decode(blob, meta["width"], meta["height"])
                 hist = np.histogram(arr, bins=8, range=(0, 256))[0]
                 out.append(
                     {
@@ -86,10 +95,23 @@ def image_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload", "meta").mapInPandas(extract, schema)
 
 
-def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+def _split_frames_stub(blob: bytes, every_n_bytes: int) -> list[bytes]:
+    """STUB frame splitter: one 'frame' chunk per ``every_n_bytes`` window
+    of the payload — stands in for a real container demux + frame decode."""
+    return [
+        blob[i * every_n_bytes : (i + 1) * every_n_bytes]
+        for i in range(0, max(1, len(blob) // every_n_bytes))
+    ]
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 64, frame_fn=None) -> DataFrame:
     """Frame-sampling shape: one input blob → many frame rows (video
-    decode-and-sample contract). The stub emits one 'frame' marker per
-    ``every_n_bytes`` window of the payload."""
+    decode-and-sample contract), via the mapInPandas iterator.
+
+    ``frame_fn(blob: bytes) -> list[bytes]`` is the codec seam — defaults
+    to the byte-window stub; a deployment passes an ffmpeg/pyav-backed
+    demuxer returning sampled frame payloads."""
+    frames_of = frame_fn or (lambda blob: _split_frames_stub(blob, every_n_bytes))
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -102,8 +124,7 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
-                for i in range(0, max(1, len(blob) // every_n_bytes)):
-                    chunk = blob[i * every_n_bytes : (i + 1) * every_n_bytes]
+                for i, chunk in enumerate(frames_of(blob)):
                     rows.append(
                         {
                             "doc_id": doc_id,
@@ -167,10 +188,16 @@ def _decode_audio_stub(blob: bytes, sample_rate: int, duration_ms: int) -> np.nd
     return np.tile(centered, reps)[:n_samples]
 
 
-def audio_features(df: DataFrame) -> DataFrame:
+def audio_features(df: DataFrame, decode_fn=None) -> DataFrame:
     """Decode → feature-extract over audio payloads, mirroring
     :func:`image_features`: one Arrow batch at a time, emitting
-    (doc_id, n_bytes, n_samples, rms, zero_crossing_rate)."""
+    (doc_id, n_bytes, n_samples, rms, zero_crossing_rate).
+
+    ``decode_fn(blob: bytes, sample_rate: int, duration_ms: int) ->
+    np.ndarray`` of int16 samples is the codec seam — defaults to the
+    deterministic stub; pass a soundfile/librosa-backed kernel in
+    deployment (see :func:`extract_audio_features_stub`)."""
+    decode = decode_fn or _decode_audio_stub
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -185,7 +212,7 @@ def audio_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, blob, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
-                wave = _decode_audio_stub(
+                wave = decode(
                     blob, meta["sample_rate"], meta["duration_ms"]
                 ).astype(np.float64)
                 zc = (

@@ -24,14 +24,21 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the documents table file-by-file (schema from a batch
-    peek; pathGlobFilter keeps sibling tables out of the stream)."""
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    return (
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .option("pathGlobFilter", "*.parquet")
-        .load(f"{sf_dir}/documents.parquet")
-    )
+    peek; pathGlobFilter keeps sibling tables out of the stream).
+
+    The file stream source requires a DIRECTORY basePath: when
+    ``documents.parquet`` is a Spark-written directory it streams
+    directly; when the lake stores it as one flat parquet file (the
+    driver testdata layout) the parent directory is streamed with a
+    name-scoped glob instead."""
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.format("parquet").schema(schema)
+    if os.path.isdir(path.removeprefix("file:")):
+        return reader.option("pathGlobFilter", "*.parquet").load(path)
+    return reader.option("pathGlobFilter", "documents*.parquet").load(sf_dir)
 
 
 def stream_exact_dedup(docs: DataFrame, horizon: str = "10 minutes") -> DataFrame:

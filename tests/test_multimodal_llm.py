@@ -422,3 +422,57 @@ def test_deepening_planes_pairwise_distinct():
         for j in range(MAX_BITS)
     }
     assert len(rows) == N_TABLES * MAX_BITS
+
+
+def test_codec_seam_injected_decoders(spark):
+    """The multimodal extractors must accept injected codec kernels (the
+    production seam) without any change to the Arrow contract: a fake
+    image codec returning a constant 4-pixel array, a fake audio codec
+    returning a constant positive wave, and a fake demuxer returning
+    exactly 3 frames per blob all flow through schema-identically to the
+    stub path."""
+    import numpy as np
+
+    from proteofav_spark.operators.multimodal import (
+        attach_audio_payload,
+        attach_binary_payload,
+        audio_features,
+        frame_sample,
+        image_features,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+
+    def fake_image_codec(blob, width, height):
+        return np.full(4, 7, dtype=np.uint8)
+
+    img = image_features(attach_binary_payload(d), decode_fn=fake_image_codec)
+    rows = img.collect()
+    assert len(rows) == 10
+    assert all(r["mean_pixel"] == 7.0 for r in rows)
+    assert all(r["histogram8"][0] == 4 and sum(r["histogram8"]) == 4 for r in rows)
+    # schema identical to the stub path
+    assert img.schema == image_features(attach_binary_payload(d)).schema
+
+    def fake_audio_codec(blob, sample_rate, duration_ms):
+        return np.full(8, 100, dtype=np.int16)
+
+    aud = audio_features(attach_audio_payload(d), decode_fn=fake_audio_codec)
+    arows = aud.collect()
+    assert len(arows) == 10
+    assert all(r["rms"] == 100.0 for r in arows)
+    assert all(r["zero_crossing_rate"] == 0.0 for r in arows)
+    assert all(r["n_samples"] == 8 for r in arows)
+
+    def fake_demux(blob):
+        return [blob[:1], blob[1:2], b"\x05"]
+
+    frames = frame_sample(attach_binary_payload(d), frame_fn=fake_demux)
+    frows = frames.collect()
+    assert len(frows) == 30
+    per_doc = {}
+    for r in frows:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_no"])
+    assert all(sorted(v) == [0, 1, 2] for v in per_doc.values())
+    # the injected third frame is the byte 0x05 → checksum 5 everywhere
+    assert all(r["frame_checksum"] == 5 for r in frows if r["frame_no"] == 2)

@@ -4,6 +4,8 @@ These don't execute the queries (explain only), so the whole catalog
 checks in seconds at sf0.001.
 """
 
+import re
+
 import pytest
 
 from proteofav_spark.queries import all_queries
@@ -48,6 +50,57 @@ def _plan_has(spark, name: str, needle: str) -> bool:
     if name not in _PLANS:
         _PLANS[name] = _plan(spark, name)
     return needle in _PLANS[name]
+
+
+def test_no_unpartitioned_global_sorts(spark):
+    """No registered query may plan a GLOBAL sort — at 100 TB a global
+    sort is a full-data range-shuffle into one total order, and one
+    straggler partition bounds the job. Ordered output must be either
+    per-partition (sortWithinPartitions / window partitionBy — bounded
+    sort tasks) or a top-N, which Spark plans as TakeOrderedAndProject
+    (per-partition heaps + a k-row driver merge): a logical
+    ``Sort [...], true`` is therefore only acceptable when the physical
+    plan shows it collapsed into TakeOrderedAndProject."""
+    offenders = []
+    for name in all_queries():
+        plan = _full_plan(spark, name)
+        if re.search(r"Sort \[[^\]]+\], true", plan) and (
+            "TakeOrderedAndProject" not in plan
+        ):
+            offenders.append(name)
+    assert offenders == [], offenders
+
+
+def test_no_unpartitioned_windows(spark):
+    """Every window function must carry a partition spec: an
+    unpartitioned window funnels the ENTIRE input through a single
+    window partition (one task, unbounded buffer) — the classic
+    silent-at-test-scale, fatal-at-100 TB plan shape. Detected from
+    ``windowspecdefinition(...)`` in the analyzed plan: a spec whose
+    first argument is already an ordering (or a frame) has no
+    partitioning columns."""
+    offenders = []
+    spec_re = re.compile(
+        r"windowspecdefinition\(([^()]*(?:\([^()]*\))?[^()]*)\)"
+    )
+    for name in all_queries():
+        plan = _full_plan(spark, name)
+        for m in spec_re.finditer(plan):
+            first = m.group(1).split(",")[0]
+            if (
+                " ASC" in first
+                or " DESC" in first
+                or first.startswith("specifiedwindowframe")
+            ):
+                offenders.append(name)
+                break
+    assert offenders == [], offenders
+
+
+def _full_plan(spark, name: str) -> str:
+    if name not in _PLANS:
+        _PLANS[name] = _plan(spark, name)
+    return _PLANS[name]
 
 
 @pytest.mark.parametrize(

@@ -1,0 +1,144 @@
+"""End-to-end Structured-Streaming parity: drive the real streaming
+engine (Trigger.AvailableNow, file source → memory sink) over the sf0.01
+events/documents lake and assert VALUE-level agreement with the batch
+twins — not just row counts. This pins that the streaming plans compute
+the same function as the oracled batch queries, so the DuckDB oracle
+transitively covers the streaming surface."""
+
+from pyspark.sql import functions as F
+
+from proteofav_spark.queries import (
+    all_queries,
+    load,
+)
+from proteofav_spark.streaming.corpus import (
+    read_documents_stream,
+    stream_collision_candidates,
+    stream_exact_dedup,
+)
+from proteofav_spark.streaming.events import (
+    read_events_stream,
+    run_to_memory,
+    session_windows,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_stream_tumbling_value_parity_with_batch_twin(spark):
+    """Streaming 1-hour tumbling counts == the oracled batch
+    events_tumbling_window rows, value for value (window start mapped to
+    the batch hour_bucket)."""
+    stream = read_events_stream(spark, SF)
+    run_to_memory(
+        tumbling_counts(stream, window="1 hour"),
+        "parity_tumbling",
+        output_mode="complete",
+    )
+    got = {
+        (r["hb"], r["event_type"], r["n_events"], r["total_value"])
+        for r in spark.table("parity_tumbling")
+        .select(
+            F.expr("unix_timestamp(window_start) div 3600").alias("hb"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .collect()
+    }
+    batch = {
+        (r["hour_bucket"], r["event_type"], r["n_events"], r["total_value"])
+        for r in all_queries()["events_tumbling_window"](spark, SF).collect()
+    }
+    assert got == batch
+
+
+def test_stream_sessionize_parity_with_batch_twin(spark):
+    """Streaming session windows (30-min gap) == batch
+    sessionize_events_gap: same per-user session count and the same
+    multiset of per-session event counts for every user. (The batch twin
+    keeps an event at exactly gap distance in the same session — `> 1800`
+    — matching session_window's closed merge bound.)"""
+    stream = read_events_stream(spark, SF)
+    run_to_memory(
+        session_windows(stream, gap="30 minutes"),
+        "parity_sessions",
+        output_mode="complete",
+    )
+    got_rows = spark.table("parity_sessions").collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["user_id"], []).append(r["n_events"])
+    batch_rows = all_queries()["sessionize_events_gap"](spark, SF).collect()
+    batch = {}
+    for r in batch_rows:
+        batch.setdefault(r["user_id"], []).append(r["n_events"])
+    assert set(got) == set(batch)
+    mismatched = [
+        u for u in batch if sorted(got[u]) != sorted(batch[u])
+    ]
+    assert mismatched == [], mismatched[:10]
+
+
+def test_stream_exact_dedup_count_parity(spark):
+    """Streaming exact dedup over the sf0.01 documents lake emits exactly
+    one row per distinct content hash — the same cardinality the batch
+    dedup_exact_hash groupBy produces (every doc arrives inside the
+    watermark horizon under AvailableNow, so no state evicts mid-run)."""
+    docs = read_documents_stream(spark, SF)
+    run_to_memory(
+        stream_exact_dedup(docs).select("doc_id", "text_hash"),
+        "parity_dedup",
+    )
+    got = spark.table("parity_dedup")
+    n_distinct = (
+        load(spark, SF, "documents")
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert got.count() == n_distinct
+    # first-seen semantics: emitted doc_ids are distinct per hash
+    assert got.select("text_hash").distinct().count() == n_distinct
+
+
+def test_stream_collision_candidates_value_parity(spark):
+    """Stream-static MinHash collision flagging == the identical join run
+    fully in batch: stream sf0.01 documents against a static sf0.001
+    corpus band index, row sets must agree exactly."""
+    from proteofav_spark.operators.llm_queries import (
+        P_MOD,
+        ROWS_PER_BAND,
+        minhash_band_buckets,
+    )
+
+    corpus_bands = minhash_band_buckets(
+        load(spark, "/root/testdata/sf0.001", "documents").select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    stream = read_documents_stream(spark, SF)
+    run_to_memory(
+        stream_collision_candidates(stream, corpus_bands),
+        "parity_collisions",
+    )
+    got = {
+        (r["doc_id"], r["band"], r["bucket"], r["known_doc_id"])
+        for r in spark.table("parity_collisions").collect()
+    }
+    sentinel = "_".join([str(P_MOD)] * ROWS_PER_BAND)
+    batch = {
+        (r["doc_id"], r["band"], r["bucket"], r["known_doc_id"])
+        for r in minhash_band_buckets(load(spark, SF, "documents"))
+        .filter(F.col("bucket") != sentinel)
+        .join(
+            corpus_bands.filter(F.col("bucket") != sentinel).select(
+                F.col("doc_id").alias("known_doc_id"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .collect()
+    }
+    assert got == batch
+    assert len(got) > 0  # the sf0.001 corpus is a subset slice — overlaps exist
