@@ -1394,3 +1394,81 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference implementation in tests (identical seeds, iterations, and
     tie-breaking)."""
     return kmeans_lloyd(load(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding compression: int8 scalar quantization with reconstruction error
+# ---------------------------------------------------------------------------
+
+_QUANT_SQL = f"""
+    WITH x AS (
+      SELECT vec_id, UNNEST(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings),
+    d AS (SELECT dim, CAST(MIN(v) AS DOUBLE) AS lo, CAST(MAX(v) AS DOUBLE) AS hi
+          FROM x GROUP BY dim),
+    q AS (
+      SELECT x.vec_id,
+             CAST(x.v AS DOUBLE) AS v, d.lo, d.hi,
+             CASE WHEN d.hi > d.lo
+                  THEN floor((CAST(x.v AS DOUBLE) - d.lo) / (d.hi - d.lo) * 255 + 0.5)
+                  ELSE 0 END AS code
+      FROM x JOIN d USING (dim)),
+    r AS (SELECT vec_id,
+                 v - (lo + code * ((hi - lo) / 255)) AS err
+          FROM q)
+    SELECT vec_id, round(sqrt(SUM(err * err) / {DIM}), 6) AS q_rmse
+    FROM r GROUP BY vec_id
+"""
+
+
+@register("embedding_quantize_int8", _QUANT_SQL)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the standard
+    vector-store compression (4× over float32) — reporting per-vector
+    reconstruction RMSE so a pipeline can gate on acceptable error.
+
+    Scale shape: phase 1 aggregates per-dimension min/max (posexplode +
+    partial-aggregated groupBy — the shuffle carries at most DIM rows per
+    task); the DIM-row result is a bounded driver scalar (same contract
+    as the k-means centroids) and ships back as ARRAY LITERALS, making
+    phase 2 a pure map-only pass — zero joins, zero shuffles over the
+    corpus. Quantize/dequantize arithmetic is written with the identical
+    operation order as the oracle (floor(x + 0.5) — no round()
+    half-tie-rule divergence; float32→double products exact), so codes
+    match bit-for-bit and only the final error-sum order differs, which
+    the 6 dp rounding absorbs."""
+    e = load(spark, sf_dir, "embeddings")
+    stats = (
+        e.select(F.posexplode("embedding").alias("dim0", "v"))
+        .groupBy("dim0")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("lo"),
+            F.max(F.col("v").cast("double")).alias("hi"),
+        )
+        .collect()
+    )
+    lo = [0.0] * DIM
+    hi = [0.0] * DIM
+    for r in stats:
+        lo[r["dim0"]] = r["lo"]
+        hi[r["dim0"]] = r["hi"]
+    LO = F.array(*[F.lit(x) for x in lo])
+    HI = F.array(*[F.lit(x) for x in hi])
+
+    def err_sq(i):
+        v = F.element_at(F.col("embedding"), i).cast("double")
+        l = F.element_at(LO, i)
+        h = F.element_at(HI, i)
+        rng = h - l
+        code = F.when(
+            h > l, F.floor((v - l) / rng * 255 + F.lit(0.5))
+        ).otherwise(F.lit(0).cast("bigint"))
+        err = v - (l + code * (rng / 255))
+        return err * err
+
+    errs = F.transform(F.sequence(F.lit(1), F.lit(DIM)), err_sq)
+    rmse = F.sqrt(
+        F.aggregate(errs, F.lit(0.0), lambda acc, x: acc + x) / F.lit(DIM)
+    )
+    return e.select("vec_id", F.round(rmse, 6).alias("q_rmse"))

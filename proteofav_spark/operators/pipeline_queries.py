@@ -716,3 +716,133 @@ def q_agg_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", 0.90), 6).alias("p90"),
         F.round(F.percentile("value", 0.99), 6).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics shapes a training-data/events pipeline needs at scale:
+# cohort retention and ordered funnels
+# ---------------------------------------------------------------------------
+
+WEEK_US = 7 * 86_400 * 1_000_000
+
+_RETENTION_SQL = f"""
+    WITH uw AS (
+      SELECT user_id, epoch_us(ts) // {WEEK_US} AS wk
+      FROM events GROUP BY 1, 2),
+    coh AS (SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY 1)
+    SELECT coh.cohort_week,
+           uw.wk - coh.cohort_week AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM uw JOIN coh USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+@register("events_retention_cohorts", _RETENTION_SQL)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    in every later week they were active — the canonical product-health
+    rollup. Two shuffles at any scale: distinct (user, week) activity
+    (partial-aggregated), then the per-user first-week join + the final
+    (cohort, offset) aggregation; the activity frame is already one row
+    per (user, week), so the join fan-out is bounded by active weeks."""
+    e = load(spark, sf_dir, "events").withColumn("t_us", _t_us())
+    uw = e.select(
+        "user_id", F.expr(f"t_us div {WEEK_US}").alias("wk")
+    ).distinct()
+    coh = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        uw.join(coh, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_FUNNEL_SQL = """
+    WITH base AS (
+      SELECT user_id,
+             list(struct_pack(t := epoch_us(ts), et := event_type)) AS evs
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY user_id),
+    s1 AS (
+      SELECT user_id, evs,
+             list_min(list_transform(
+               list_filter(evs, e -> e.et = 'view'), e -> e.t)) AS v
+      FROM base),
+    s2 AS (
+      SELECT user_id, evs, v,
+             list_min(list_transform(
+               list_filter(evs, e -> e.et = 'click' AND e.t > v),
+               e -> e.t)) AS c
+      FROM s1),
+    s3 AS (
+      SELECT v, c,
+             list_min(list_transform(
+               list_filter(evs, e -> e.et = 'purchase' AND e.t > c),
+               e -> e.t)) AS p
+      FROM s2)
+    SELECT 'view' AS stage, CAST(COUNT(v) AS BIGINT) AS n_users FROM s3
+    UNION ALL
+    SELECT 'view_click', CAST(COUNT(c) AS BIGINT) FROM s3
+    UNION ALL
+    SELECT 'view_click_purchase', CAST(COUNT(p) AS BIGINT) FROM s3
+"""
+
+
+@register("events_funnel_conversion", _FUNNEL_SQL)
+def q_events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked strictly AFTER the
+    first view, then purchased strictly after that click — sequence
+    semantics a plain per-type count can't express.
+
+    One shuffle: funnel-relevant events (pre-filtered to the 3 stage
+    types, which bounds per-user arrays) collect per user, and the
+    stage chain evaluates as array higher-order functions — each stage's
+    anchor timestamp feeds the next stage's filter, with NULL anchors
+    (stage never reached) collapsing the downstream filters to empty.
+    A NULL-condition element is dropped by both engines' array filter,
+    so the chain needs no explicit null branches."""
+    e = load(spark, sf_dir, "events").withColumn("t_us", _t_us())
+    base = (
+        e.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("t_us").alias("t"), F.col("event_type").alias("et"))
+            ).alias("evs")
+        )
+    )
+    first_of = lambda arr, cond: F.array_min(
+        F.transform(F.filter(arr, cond), lambda x: x.getField("t"))
+    )
+    chained = (
+        base.withColumn(
+            "v", first_of(F.col("evs"), lambda x: x.getField("et") == "view")
+        )
+        .withColumn(
+            "c",
+            first_of(
+                F.col("evs"),
+                lambda x: (x.getField("et") == "click")
+                & (x.getField("t") > F.col("v")),
+            ),
+        )
+        .withColumn(
+            "p",
+            first_of(
+                F.col("evs"),
+                lambda x: (x.getField("et") == "purchase")
+                & (x.getField("t") > F.col("c")),
+            ),
+        )
+    )
+    counts = chained.agg(
+        F.count("v").alias("n_v"), F.count("c").alias("n_c"), F.count("p").alias("n_p")
+    )
+    return counts.selectExpr(
+        "stack(3, 'view', n_v, 'view_click', n_c, 'view_click_purchase', n_p) "
+        "AS (stage, n_users)"
+    )

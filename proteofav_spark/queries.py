@@ -54,8 +54,22 @@ def fan_out(df: DataFrame) -> DataFrame:
     gzip/jsonl dumps in production), where moving the raw bytes once is
     far cheaper than running an expensive projection on a handful of
     cores. Use UNDER the heavy projection, i.e. fan_out(scan).select(
-    expensive...), never above it."""
+    expensive...), never above it.
+
+    Probe order matters: ``inputFiles()`` is a cheap metadata call and
+    every file contributes ≥ 1 scan split, so ``files ≥ target`` proves
+    enough parallelism without touching the RDD API — the 100 TB case
+    (thousands of files) short-circuits here for free. Only the
+    few-files case (where the frame is small by construction) falls back
+    to the exact ``df.rdd.getNumPartitions()`` probe, which plans the
+    query a second time — acceptable there, wasteful as the first-line
+    check."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass  # non-file source — fall through to the exact probe
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -95,6 +109,10 @@ _PRIORITY: list[str] = [
     "text_quality_score",
     "window_moving_avg",
     "approx_distinct_parts",
+    # round-3 NEW queries — must land inside the attested window
+    "events_retention_cohorts",
+    "events_funnel_conversion",
+    "embedding_quantize_int8",
     # round-2-attested risky LLM-pipeline extensions next (fill the rest of
     # the 50-row window; re-attested on round-3 code where changed).
     "dedup_embedding_cosine",

@@ -328,3 +328,85 @@ def test_star_components_empty_and_selfloop_inputs(spark):
     assert star_components(empty).count() == 0
     loops = spark.createDataFrame([(5, 5), (7, 7)], "doc_a long, doc_b long")
     assert star_components(loops).count() == 0
+
+
+def test_retention_cohorts_week0_covers_all_users(spark):
+    """Every user belongs to their own cohort at offset 0, so summing
+    offset-0 rows must equal the distinct user count, and every offset
+    must be non-negative with monotonically non-increasing totals."""
+    from proteofav_spark.operators.pipeline_queries import (
+        q_events_retention_cohorts,
+    )
+
+    rows = q_events_retention_cohorts(spark, SF).collect()
+    n_users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    week0 = sum(r["n_users"] for r in rows if r["week_offset"] == 0)
+    assert week0 == n_users
+    assert all(r["week_offset"] >= 0 for r in rows)
+    by_offset = {}
+    for r in rows:
+        by_offset[r["week_offset"]] = by_offset.get(r["week_offset"], 0) + r["n_users"]
+    # retained users at offset k is a subset of cohort sizes — totals
+    # cannot exceed offset-0 totals
+    assert all(v <= week0 for v in by_offset.values())
+
+
+def test_funnel_stages_monotone_and_ordered(spark):
+    """Funnel stage counts must be monotone non-increasing (each stage
+    requires the previous), and an adversarial user whose click precedes
+    every view must NOT count as converted."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from proteofav_spark.operators.pipeline_queries import (
+        q_events_funnel_conversion,
+    )
+
+    out = {r["stage"]: r["n_users"] for r in q_events_funnel_conversion(spark, SF).collect()}
+    assert out["view"] >= out["view_click"] >= out["view_click_purchase"]
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: proper view → click → purchase order
+        (1, t(0), 1, "view", 1.0, "{}"),
+        (2, t(1), 1, "click", 1.0, "{}"),
+        (3, t(2), 1, "purchase", 1.0, "{}"),
+        # user 2: click BEFORE any view — ordered funnel must reject
+        (4, t(0), 2, "click", 1.0, "{}"),
+        (5, t(1), 2, "view", 1.0, "{}"),
+        (6, t(2), 2, "purchase", 1.0, "{}"),
+    ]
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp_ntz, user_id: long, "
+        "event_type: string, value: double, props: string"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    got = {r["stage"]: r["n_users"] for r in q_events_funnel_conversion(spark, tmp).collect()}
+    assert got == {"view": 2, "view_click": 1, "view_click_purchase": 1}
+
+
+def test_quantize_int8_error_bound(spark):
+    """Per-vector RMSE of int8 scalar quantization is bounded by half a
+    quantization step of the widest dimension (max (hi-lo)/255/2 per
+    element, so RMSE ≤ that too), and is zero only for vectors exactly
+    on grid points."""
+    from proteofav_spark.operators.llm_queries import q_embedding_quantize_int8
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    stats = (
+        e.select(F.posexplode("embedding").alias("d", "v"))
+        .groupBy("d")
+        .agg((F.max(F.col("v").cast("double")) - F.min(F.col("v").cast("double"))).alias("rng"))
+        .agg(F.max("rng"))
+        .first()[0]
+    )
+    bound = stats / 255 / 2 + 1e-9
+    out = q_embedding_quantize_int8(spark, SF)
+    assert out.count() == e.count()
+    assert out.filter(F.col("q_rmse") > bound).count() == 0
+    assert out.filter(F.col("q_rmse") < 0).count() == 0
