@@ -747,8 +747,14 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cohort, offset) aggregation; the activity frame is already one row
     per (user, week), so the join fan-out is bounded by active weeks."""
     e = load(spark, sf_dir, "events").withColumn("t_us", _t_us())
+    return retention_matrix(e)
+
+
+def retention_matrix(e: DataFrame, bucket_us: int = WEEK_US) -> DataFrame:
+    """Library core of the cohort retention query — ``e`` carries
+    (user_id, t_us); buckets by ``bucket_us``-wide periods."""
     uw = e.select(
-        "user_id", F.expr(f"t_us div {WEEK_US}").alias("wk")
+        "user_id", F.expr(f"t_us div {bucket_us}").alias("wk")
     ).distinct()
     coh = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
     return (
@@ -806,8 +812,16 @@ def q_events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     A NULL-condition element is dropped by both engines' array filter,
     so the chain needs no explicit null branches."""
     e = load(spark, sf_dir, "events").withColumn("t_us", _t_us())
+    return funnel_stages(e)
+
+
+def funnel_stages(
+    e: DataFrame, stages: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Library core of the ordered funnel — ``e`` carries (user_id, t_us,
+    event_type); returns one (stage, n_users) row per cumulative stage."""
     base = (
-        e.filter(F.col("event_type").isin("view", "click", "purchase"))
+        e.filter(F.col("event_type").isin(*stages))
         .groupBy("user_id")
         .agg(
             F.collect_list(
@@ -815,34 +829,38 @@ def q_events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("evs")
         )
     )
-    first_of = lambda arr, cond: F.array_min(
-        F.transform(F.filter(arr, cond), lambda x: x.getField("t"))
-    )
-    chained = (
-        base.withColumn(
-            "v", first_of(F.col("evs"), lambda x: x.getField("et") == "view")
+    def first_of(arr, cond):
+        return F.array_min(
+            F.transform(F.filter(arr, cond), lambda x: x.getField("t"))
         )
-        .withColumn(
-            "c",
-            first_of(
-                F.col("evs"),
-                lambda x: (x.getField("et") == "click")
-                & (x.getField("t") > F.col("v")),
-            ),
+
+    # closure factories, not default-arg lambdas: PySpark derives HOF
+    # lambda arity from the signature, so extra bound parameters break it
+    def is_stage(sn):
+        return lambda x: x.getField("et") == sn
+
+    def is_stage_after(sn, prev_col):
+        return lambda x: (x.getField("et") == sn) & (
+            x.getField("t") > F.col(prev_col)
         )
-        .withColumn(
-            "p",
-            first_of(
-                F.col("evs"),
-                lambda x: (x.getField("et") == "purchase")
-                & (x.getField("t") > F.col("c")),
-            ),
+
+    chained = base
+    anchors: list[str] = []
+    for i, stage_name in enumerate(stages):
+        cond = (
+            is_stage(stage_name)
+            if not anchors
+            else is_stage_after(stage_name, anchors[-1])
         )
-    )
+        col = f"_a{i}"
+        chained = chained.withColumn(col, first_of(F.col("evs"), cond))
+        anchors.append(col)
     counts = chained.agg(
-        F.count("v").alias("n_v"), F.count("c").alias("n_c"), F.count("p").alias("n_p")
+        *[F.count(c).alias(f"_n{i}") for i, c in enumerate(anchors)]
+    )
+    stack_args = ", ".join(
+        f"'{'_'.join(stages[: i + 1])}', _n{i}" for i in range(len(stages))
     )
     return counts.selectExpr(
-        "stack(3, 'view', n_v, 'view_click', n_c, 'view_click_purchase', n_p) "
-        "AS (stage, n_users)"
+        f"stack({len(stages)}, {stack_args}) AS (stage, n_users)"
     )

@@ -196,3 +196,94 @@ def test_star_components_matches_python_union_find(spark, edges):
         r["doc_id"]: r["cluster_id"] for r in star_components(df).collect()
     }
     assert got == expected
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),          # user
+            st.integers(min_value=0, max_value=100),        # t_us
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_funnel_stages_matches_python_reference(spark, evs):
+    """Ordered-funnel stage counts must equal a direct Python scan:
+    first view, first click strictly after it, first purchase strictly
+    after that — for every random event log, including duplicate
+    timestamps, out-of-order stages, and users missing stages."""
+    from proteofav_spark.operators.pipeline_queries import funnel_stages
+
+    rows = [
+        (i, u, t, et) for i, (u, t, et) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "user_id": [r[1] for r in rows],
+                "t_us": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+            }
+        ),
+        schema="event_id: long, user_id: long, t_us: long, event_type: string",
+    )
+    got = {r["stage"]: r["n_users"] for r in funnel_stages(df).collect()}
+
+    def first_after(events, stage, lo):
+        ts = [t for t, et in events if et == stage and (lo is None or t > lo)]
+        return min(ts) if ts else None
+
+    expect = {"view": 0, "view_click": 0, "view_click_purchase": 0}
+    by_user: dict = {}
+    for _, u, t, et in rows:
+        by_user.setdefault(u, []).append((t, et))
+    for events in by_user.values():
+        v = first_after(events, "view", None)
+        c = first_after(events, "click", v) if v is not None else None
+        p = first_after(events, "purchase", c) if c is not None else None
+        expect["view"] += v is not None
+        expect["view_click"] += c is not None
+        expect["view_click_purchase"] += p is not None
+    assert got == expect
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),     # user
+            st.integers(min_value=0, max_value=30),    # period
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_retention_matrix_matches_python_reference(spark, evs):
+    """Cohort retention rows must equal a direct Python computation for
+    every random (user, period) activity log."""
+    from proteofav_spark.operators.pipeline_queries import retention_matrix
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [u for u, _ in evs],
+                "t_us": [p * 10 for _, p in evs],
+            }
+        ),
+        schema="user_id: long, t_us: long",
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in retention_matrix(df, bucket_us=10).collect()
+    }
+    first = {}
+    for u, p in evs:
+        first[u] = min(first.get(u, p), p)
+    expect: dict = {}
+    for u, p in set(evs):
+        key = (first[u], p - first[u])
+        expect[key] = expect.get(key, 0) + 1
+    assert got == expect
