@@ -76,10 +76,13 @@ def fan_out(df: DataFrame) -> DataFrame:
 
 
 # The external correctness harness attests queries in registration order and
-# caps how many it checks per round.  Queries listed here are surfaced FIRST
-# so the newest / riskiest operator families always land inside the attested
-# window; everything else follows in plain registration order.  Append new
-# round additions to the TOP of this list.
+# caps how many it checks per round (observed cap below).  Queries listed here
+# are surfaced FIRST so the newest / riskiest operator families always land
+# inside the attested window; everything else follows in plain registration
+# order.  Queries that fall below the fold are NOT driver-attested that round —
+# tests/test_oracles_below_fold.py re-verifies exactly those against the DuckDB
+# oracle in CI, so a regression in a displaced query still fails the suite.
+ATTEST_WINDOW = 50
 _PRIORITY: list[str] = [
     # round-3 rotation: the 25 queries whose only driver attestation row is
     # from round 1 (VERDICT_r02 item 1 / ADVICE) — surfaced first so they get
