@@ -392,11 +392,15 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    return (
-        grouped.select("band", F.explode(pair_structs).alias("p"))
-        .select("band", "p.doc_a", "p.doc_b")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.countDistinct("band").alias("n_bands_shared"))
+    raw = grouped.select("band", F.explode(pair_structs).alias("p")).select(
+        "band", "p.doc_a", "p.doc_b"
+    )
+    # (doc_a, doc_b, band) is UNIQUE in the raw stream: a document has
+    # exactly one bucket (and one salt) per band, so a pair can co-occur
+    # at most once per band — plain count equals count-distinct, and
+    # dropping the distinct-expand saves an entire exchange round.
+    return raw.groupBy("doc_a", "doc_b").agg(
+        F.count("band").alias("n_bands_shared")
     )
 
 
