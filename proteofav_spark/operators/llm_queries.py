@@ -625,34 +625,20 @@ def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot products via zip_with/aggregate, one top-k window per query.
     This is the exact baseline the IVF/LSH variant approximates."""
     e = load(spark, sf_dir, "embeddings")
-    q = (
-        e.filter(F.col("vec_id") < 3)
-        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    # norms once per vector (corpus side) and once per query — the old
+    # inline form recomputed the query norm for every corpus row
+    ev = e.select(
+        "vec_id", "embedding", _norm_col(F.col("embedding")).alias("enorm")
     )
-    joined = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
-
-    def dot(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def norm(a: Column) -> Column:
-        return F.sqrt(
-            F.aggregate(
-                F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-
-    cosine = F.round(
-        dot(F.col("embedding"), F.col("qv"))
-        / (norm(F.col("embedding")) * norm(F.col("qv"))),
-        4,
+    q = ev.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+        F.col("enorm").alias("qnorm"),
     )
-    scored = joined.select("qid", "vec_id", cosine.alias("cosine"))
+    joined = ev.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    scored = joined.select(
+        "qid", "vec_id",
+        pair_cosine_udf(4)("embedding", "qv", "enorm", "qnorm").alias("cosine"),
+    )
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
@@ -835,6 +821,33 @@ def banded_embeddings(e: DataFrame, bits: int = PLANES_PER_TABLE) -> DataFrame:
 COSINE_DUP_TAU = 0.35  # synthetic embeddings top out ~0.51; production ~0.9
 
 
+def pair_cosine_udf(decimals: int):
+    """Shared Arrow-batched pairwise-cosine kernel:
+    ``(vec_a, vec_b, norm_a, norm_b) -> round(cos, decimals)``. ~2×
+    faster than the JVM ``zip_with``+``aggregate`` fold (dense vector
+    math vectorizes in numpy; HOF lambdas interpret per element) and
+    agreement-safe against the oracle: ``np.cumsum`` reproduces the
+    sequential left-fold accumulation order, and at the 4/6 dp rounding
+    the engines' remaining last-ulp sum-order noise is invisible.
+    Marked nondeterministic so Catalyst pins ONE evaluation feeding both
+    downstream filters and the output instead of inlining the expression
+    into each consumer (two ArrowEvalPython nodes)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cosp(
+        va: pd.Series, vb: pd.Series, na: pd.Series, nb: pd.Series
+    ) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")  # np.stack raises on empty
+        A = np.stack(va.values).astype(np.float64)
+        B = np.stack(vb.values).astype(np.float64)
+        dots = np.cumsum(A * B, axis=1)[:, -1]
+        return pd.Series(np.round(dots / (na.values * nb.values), decimals))
+
+    return cosp.asNondeterministic()
+
+
 def adaptive_bucket_mask(
     bands: DataFrame, target_pairs_per_vec: int = TARGET_PAIRS_PER_VEC
 ) -> int:
@@ -952,8 +965,6 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorizes in numpy, while aggregate/zip_with interprets per element);
     ``cumsum`` keeps the accumulation order identical to the engine fold
     and the DuckDB oracle so the 4-decimal rounding never diverges."""
-    from pyspark.sql.functions import pandas_udf
-
     e = load(spark, sf_dir, "embeddings")
     bands = (
         banded_embeddings(e, bits=MAX_BITS)
@@ -984,23 +995,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    @pandas_udf("double")
-    def cos_udf(
-        ea: pd.Series, eb: pd.Series, na: pd.Series, nb: pd.Series
-    ) -> pd.Series:
-        if len(ea) == 0:
-            return pd.Series([], dtype="float64")  # np.stack raises on empty
-        A = np.stack(ea.values).astype(np.float64)
-        B = np.stack(eb.values).astype(np.float64)
-        # sequential-order accumulation: matches fold order both engines
-        dots = np.cumsum(A * B, axis=1)[:, -1]
-        return pd.Series(np.round(dots / (na.values * nb.values), 4))
-
-    # the value IS deterministic, but marking it so lets Catalyst substitute
-    # the aliased column into the pushed-down filter and evaluate the Arrow
-    # kernel twice per pair (two ArrowEvalPython nodes); nondeterministic
-    # pins one evaluation feeding both the filter and the output
-    cos_udf = cos_udf.asNondeterministic()
+    cos_udf = pair_cosine_udf(4)
 
     norms = e.select(
         "vec_id", "embedding",
@@ -1080,35 +1075,31 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tbl", "bucket",
         )
     )
+    # the distinct dedups candidates that collide in several tables —
+    # carry ONLY (qid, vec_id) through it (16-byte rows, same pattern as
+    # the near-dup pipeline) and join vectors + once-per-vector norms
+    # back onto the surviving pairs
     cand = (
-        bands.join(F.broadcast(q), on=["tbl", "bucket"])
+        bands.join(F.broadcast(q.select("qid", "tbl", "bucket")), on=["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", "qv", "embedding")
+        .select("qid", "vec_id")
         .distinct()
     )
-
-    def dot(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def norm(a: Column) -> Column:
-        return F.sqrt(
-            F.aggregate(
-                F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-
-    cosine = F.round(
-        dot(F.col("embedding"), F.col("qv"))
-        / (norm(F.col("embedding")) * norm(F.col("qv"))),
-        4,
+    ev = e.select(
+        "vec_id", "embedding", _norm_col(F.col("embedding")).alias("enorm")
     )
-    scored = cand.select("qid", "vec_id", cosine.alias("cosine"))
+    qv = ev.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"),
+        F.col("enorm").alias("qnorm"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), on="qid")
+        .join(ev, on="vec_id")
+        .select(
+            "qid", "vec_id",
+            pair_cosine_udf(4)("embedding", "qv", "enorm", "qnorm").alias("cosine"),
+        )
+    )
     w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
@@ -1168,14 +1159,6 @@ _IVF_SQL = f"""
 """
 
 
-def _dot_cols(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _norm_col(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -1212,23 +1195,29 @@ def q_ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
         ).alias("cvec")
     )
-    cents = cents.withColumn("cnorm", _norm_col(F.col("cvec")))
+    # K tiny rows, but DERIVING them scans the corpus — materialize once
+    # so the assignment and probe branches don't each recompute the
+    # (label, dim) aggregation over the full table
+    cents = cents.withColumn("cnorm", _norm_col(F.col("cvec"))).localCheckpoint()
     ev = e.select(
         "vec_id", "embedding", _norm_col(F.col("embedding")).alias("enorm")
     )
-    scored = ev.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", "label",
-        F.round(
-            _dot_cols(F.col("embedding"), F.col("cvec"))
-            / (F.col("enorm") * F.col("cnorm")),
-            6,
-        ).alias("cc"),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("label"))
-    ranked_cells = scored.withColumn("rn", F.row_number().over(w))
-    assign = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "label")
+
+    def ranked_cells(frame: DataFrame) -> DataFrame:
+        scored = frame.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "label",
+            pair_cosine_udf(6)("embedding", "cvec", "enorm", "cnorm").alias("cc"),
+        )
+        w = W.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("label"))
+        return scored.withColumn("rn", F.row_number().over(w))
+
+    # assignment ranks the whole corpus ONCE; the probe ranks only the
+    # pre-filtered (tiny) query rows — deriving both from one corpus-wide
+    # window would make the plan score the corpus against the centroids
+    # twice (the two consumers prevent stage reuse)
+    assign = ranked_cells(ev).filter(F.col("rn") == 1).select("vec_id", "label")
     probe = (
-        ranked_cells.filter(F.col("vec_id") < 3)
+        ranked_cells(ev.filter(F.col("vec_id") < 3))
         .filter(F.col("rn") <= NPROBE)
         .select(F.col("vec_id").alias("qid"), "label")
     )
@@ -1253,11 +1242,7 @@ def q_ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vv, on="vec_id")
         .select(
             "qid", "vec_id",
-            F.round(
-                _dot_cols(F.col("qvec"), F.col("vvec"))
-                / (F.col("qnorm") * F.col("vnorm")),
-                4,
-            ).alias("cosine"),
+            pair_cosine_udf(4)("qvec", "vvec", "qnorm", "vnorm").alias("cosine"),
         )
     )
     wr = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
