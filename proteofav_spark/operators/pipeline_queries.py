@@ -287,12 +287,15 @@ def star_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     Per round: two groupBy-min shuffles + two equi-joins, all keyed on
     vertex ids, with ``localCheckpoint`` cutting lineage; edges stay
     canonically oriented (doc_a > doc_b) throughout, so no per-round
-    symmetrize-distinct passes. Convergence (the edge set is a fixed
-    point: a star forest rooted at each component's minimum) is detected
-    with ONE aggregation job per round — count + two order-insensitive
-    hash checksums — and the terminating round is then confirmed with a
-    single exact ``exceptAll`` count, so a (astronomically unlikely)
-    signature collision can never silently emit wrong clusters.
+    symmetrize-distinct passes. Convergence is detected STRUCTURALLY
+    after every round (``_is_star_forest``): the fixed points of
+    alternating star rounds are exactly the star forests, and an
+    oriented edge set is a star forest iff every ``doc_a`` is unique and
+    no vertex appears on both edge sides — one cheap aggregation job
+    over the just-checkpointed edges. The test is exact AND fires on the
+    converging round itself, where the previous signature-comparison
+    scheme burned one full (and redundant) extra star round plus an
+    ``exceptAll`` confirmation to observe that nothing changed.
 
     The star loop runs on a CONTRACTED graph: a single min-label seed
     round maps every vertex to its closed-neighborhood minimum and
@@ -306,23 +309,32 @@ def star_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     """
     from pyspark.sql import Observation
 
-    def _observed_checkpoint(e: DataFrame) -> tuple[DataFrame, tuple]:
-        """Materialize the edge frame (localCheckpoint) and collect an
-        order-insensitive edge-set signature IN THE SAME JOB via
-        ``observe``: a distinct set is equal iff (count, sum, xor) of a
-        per-edge hash all match. One action per round, no second pass."""
+    def _observed_checkpoint(e: DataFrame) -> tuple[DataFrame, int]:
+        """Materialize the edge frame (localCheckpoint) and collect its
+        row count IN THE SAME JOB via ``observe`` — one action per
+        round, no second counting pass."""
         obs = Observation()
-        h = F.xxhash64("doc_a", "doc_b")
-        out = e.observe(
-            obs,
-            F.count(F.lit(1)).alias("n"),
-            # decimal(38) accumulator: exact and ANSI-overflow-proof for
-            # any realistic edge count (bounded by n·2^63 ≪ 10^38)
-            F.sum(h.cast("decimal(38,0)")).alias("s"),
-            F.expr("bit_xor(xxhash64(doc_a, doc_b))").alias("x"),
-        ).localCheckpoint()
-        m = obs.get
-        return out, (m["n"], m["s"], m["x"])
+        out = e.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+        return out, obs.get["n"]
+
+    def _is_star_forest(e: DataFrame) -> bool:
+        """Exact fixed-point test for the star loop. A canonically
+        oriented (doc_a > doc_b) edge set is a star forest iff every
+        doc_a has exactly one out-edge and its target is a pure sink —
+        i.e. no vertex id is duplicated on the doc_a side or present on
+        both sides. Orientation then forces each root below its leaves,
+        so roots are their components' minima: exactly the terminal
+        state of large-star/small-star (Kiveris et al. §3). ONE job —
+        a union + groupBy over the already-materialized (checkpointed)
+        edge set, a fraction of a star round's 2-groupBy/2-join cost."""
+        return (
+            e.select(F.col("doc_a").alias("k"), F.lit(1).alias("a"))
+            .union(e.select(F.col("doc_b").alias("k"), F.lit(0)))
+            .groupBy("k")
+            .agg(F.sum("a").alias("na"), F.count(F.lit(1)).alias("nt"))
+            .filter((F.col("na") > 1) | ((F.col("na") >= 1) & (F.col("nt") > F.col("na"))))
+            .isEmpty()
+        )
 
     canonical = (
         pairs.filter(F.col("doc_a") != F.col("doc_b"))
@@ -366,32 +378,25 @@ def star_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     )
     # fuse the contraction output with star round 1: one plan, one
     # checkpoint job — the depth is bounded, so no lineage blowup.
-    edges, sig = _observed_checkpoint(_small_star(_large_star(contracted)))
-    converged = sig[0] == 0  # contraction collapsed every component
-    for _ in range(max_rounds - 1):
-        if converged:
-            break
+    edges, n = _observed_checkpoint(_small_star(_large_star(contracted)))
+    rounds = 1
+    # the structural test is exact, so a pass ends the loop with no
+    # confirming round — the common case (low-diameter dedup graphs
+    # contracted by the seed) converges at round 1 and pays only the
+    # seed + one fused round + one tiny test job.
+    while not (n == 0 or _is_star_forest(edges)):
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                "large-star/small-star did not reach a fixed point in "
+                f"{max_rounds} rounds — O(log² n) convergence implies an "
+                "edge-set cycle bug, not a graph-shape limitation"
+            )
         # localCheckpoint EVERY round: both star operators reference their
         # input twice, so an untruncated logical plan quadruples in size
         # per round and driver-side analysis time explodes — the
         # checkpoint resets the tree to a leaf.
-        new, new_sig = _observed_checkpoint(_small_star(_large_star(edges)))
-        if new_sig == sig and new.exceptAll(edges).count() == 0:
-            # signature match is probabilistic (count + sum + xor of
-            # per-edge hashes); the one-sided exceptAll on two equal-count
-            # distinct sets confirms the fixed point EXACTLY, closing the
-            # hash-collision → silent-wrong-answer path. Runs once, on the
-            # terminating round only.
-            edges = new
-            converged = True
-            break
-        edges, sig = new, new_sig
-    if not converged:
-        raise RuntimeError(
-            "large-star/small-star did not reach a fixed point in "
-            f"{max_rounds} rounds — O(log² n) convergence implies an "
-            "edge-set cycle bug, not a graph-shape limitation"
-        )
+        edges, n = _observed_checkpoint(_small_star(_large_star(edges)))
+        rounds += 1
     # converged edge set maps contracted label → component-min; compose
     # with the seed labels: v → m(v) → cluster. Roots have no out-edge.
     # ``mins`` doubles as the vertex set (every vertex of the symmetric
