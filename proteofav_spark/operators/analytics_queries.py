@@ -393,3 +393,79 @@ def q_array_hof_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "front_heavy"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 validity snapshot (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+    WITH h AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             CASE WHEN lag(o_orderstatus) OVER w IS DISTINCT FROM
+                       o_orderstatus THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    seg AS (
+      SELECT *, CAST(SUM(chg) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS seg_id
+      FROM h),
+    isl AS (
+      SELECT o_custkey, seg_id, o_orderstatus,
+             min(o_orderdate) AS effective_from,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM seg GROUP BY 1, 2, 3)
+    SELECT o_custkey, o_orderstatus, effective_from,
+           lead(effective_from) OVER (PARTITION BY o_custkey
+                                      ORDER BY seg_id) AS effective_to,
+           n_orders,
+           lead(effective_from) OVER (PARTITION BY o_custkey
+                                      ORDER BY seg_id) IS NULL AS is_current
+    FROM isl
+"""
+
+
+@register("orders_scd2_snapshot", _SCD2_SQL)
+def q_orders_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 snapshot derived from an event
+    history: collapse each customer's order-status timeline into runs of
+    constant status (gaps-and-islands) and emit one validity interval
+    per run — (effective_from, effective_to, is_current), with
+    effective_to = the next run's start (half-open intervals, NULL =
+    still current). This is the standard lakehouse "latest-state +
+    history" materialization a MERGE-based SCD2 pipeline maintains
+    incrementally; here it's the from-scratch batch derivation.
+
+    100 TB shape: every window partitions by o_custkey and the
+    change-flag, segment-number and interval steps all share the SAME
+    (o_custkey, o_orderdate, o_orderkey) sort order, so Catalyst plans
+    ONE exchange + one sort feeding chained Window operators; the
+    island aggregation then reuses the o_custkey clustering. No global
+    sort, per-partition state is one row (lag / running sum)."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = load(spark, sf_dir, "orders")
+    chg = (
+        ~F.lag("o_orderstatus").over(w).eqNullSafe(F.col("o_orderstatus"))
+    ).cast("int")
+    seg = o.select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey",
+        F.sum(chg)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("seg_id"),
+    )
+    isl = seg.groupBy("o_custkey", "seg_id", "o_orderstatus").agg(
+        F.min("o_orderdate").alias("effective_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    ws = W.partitionBy("o_custkey").orderBy("seg_id")
+    eff_to = F.lead("effective_from").over(ws)
+    return isl.select(
+        "o_custkey",
+        "o_orderstatus",
+        "effective_from",
+        eff_to.alias("effective_to"),
+        "n_orders",
+        eff_to.isNull().alias("is_current"),
+    )

@@ -582,3 +582,65 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
         ).alias("char_entropy"),
     )
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring: corpus unigram language model
+# ---------------------------------------------------------------------------
+
+UNIGRAM_VOCAB_V = 50_000  # production knob: top-V tokens kept in the LM
+
+
+_UNIGRAM_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_sql_tokens("text")}) AS tok FROM documents),
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    vocab AS (
+      SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT {UNIGRAM_VOCAB_V}),
+    st AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM cnt) AS n,
+                  (SELECT count(*) FROM vocab) AS v)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln((COALESCE(vocab.c, 0) + 1.0) / (st.n + st.v + 1))), 6)
+               AS avg_nll
+    FROM toks LEFT JOIN vocab USING (tok) CROSS JOIN st
+    GROUP BY doc_id
+"""
+
+
+@register("text_unigram_logprob", _UNIGRAM_SQL)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality score: mean per-token negative log-likelihood
+    under a Laplace-smoothed corpus unigram LM — the cheap end of the
+    CCNet-style (Wenzek et al. 2020) LM-perplexity filter, with the
+    corpus itself as the model. p(t) = (c(t)+1) / (N+V+1), where c is
+    the corpus count (0 outside the top-V vocabulary), N the total token
+    occurrences and V the vocabulary size (+1 for the OOV class); high
+    avg_nll marks gibberish / rare-token soup, low marks boilerplate.
+
+    100 TB shape: the corpus is scanned and shuffled on token once
+    (partial-aggregated counts), the vocabulary is CAPPED at top-V by
+    (count, token) — TakeOrderedAndProject, per-partition heaps, never a
+    global sort — so the model side is provably broadcast-sized no
+    matter how heavy the token tail is; N and V ride along as a 1-row
+    broadcast. The scoring pass then joins tokens map-side and
+    re-aggregates per doc_id. Two corpus shuffles total, model cost
+    independent of corpus size."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = cnt.orderBy(F.col("c").desc(), "tok").limit(UNIGRAM_VOCAB_V)
+    st = (
+        cnt.agg(F.sum("c").cast("bigint").alias("n"))
+        .crossJoin(vocab.agg(F.count(F.lit(1)).alias("v")))
+    )
+    nll = -F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("n") + F.col("v") + 1)
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+        )
+    )

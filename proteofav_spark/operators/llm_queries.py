@@ -1461,3 +1461,59 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(errs, F.lit(0.0), lambda acc, x: acc + x) / F.lit(DIM)
     )
     return e.select("vec_id", F.round(rmse, 6).alias("q_rmse"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source near-dup leakage matrix
+# ---------------------------------------------------------------------------
+
+_XSOURCE_SQL = f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_SQL})),
+    lab AS (
+      SELECT least(da.source, db.source) AS src_a,
+             greatest(da.source, db.source) AS src_b
+      FROM pairs
+      JOIN documents da ON da.doc_id = pairs.doc_a
+      JOIN documents db ON db.doc_id = pairs.doc_b)
+    SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM lab GROUP BY src_a, src_b
+"""
+
+
+@register("dedup_crosssource_overlap", _XSOURCE_SQL)
+def q_dedup_crosssource_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate LEAKAGE matrix between corpus sources: MinHash-LSH
+    candidate pairs labeled with each side's source, folded to an
+    unordered (src_a ≤ src_b) source pair and counted. The diagonal is
+    intra-source redundancy; off-diagonal mass is cross-source
+    contamination — the number a curation pipeline watches when the same
+    crawl shows up under two vendors (and the train/eval leakage signal
+    when one "source" is a benchmark).
+
+    100 TB shape: the pair set is the bounded LSH-candidate stream
+    (bucket-capped, ≪ corpus), so the two doc_id→source lookups are
+    equi-joins of a small stream against the corpus's (doc_id, source)
+    projection — AQE broadcasts the pair side when it fits, else they
+    run as hash joins keyed on doc_id; the final aggregation is
+    O(#source²) rows. The corpus itself is never shuffled beyond the
+    2-column projection."""
+    d = load(spark, sf_dir, "documents")
+    src = d.select("doc_id", "source")
+    pairs = minhash_lsh_pairs(d).select("doc_a", "doc_b")
+    lab = (
+        pairs.join(src.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("source", "sa")
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+    )
+    return lab.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )

@@ -869,3 +869,123 @@ def funnel_stages(
     return counts.selectExpr(
         f"stack({len(stages)}, {stack_args}) AS (stage, n_users)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill + linear interpolation
+# ---------------------------------------------------------------------------
+
+HOUR_US = 3_600_000_000
+
+_GAPFILL_SQL = f"""
+    WITH m AS (
+      SELECT user_id, epoch_us(ts) // {HOUR_US} AS hr,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    s AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM m GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS hr FROM s),
+    g AS (SELECT grid.user_id, grid.hr, m.sc, m.n
+          FROM grid LEFT JOIN m USING (user_id, hr)),
+    f AS (
+      SELECT user_id, hr, sc, n,
+        last_value(sc IGNORE NULLS) OVER wp AS psc,
+        last_value(n IGNORE NULLS) OVER wp AS pn,
+        last_value(CASE WHEN n IS NOT NULL THEN hr END IGNORE NULLS)
+            OVER wp AS ph,
+        first_value(sc IGNORE NULLS) OVER wf AS nsc,
+        first_value(n IGNORE NULLS) OVER wf AS nxn,
+        first_value(CASE WHEN n IS NOT NULL THEN hr END IGNORE NULLS)
+            OVER wf AS nh
+      FROM g
+      WINDOW wp AS (PARTITION BY user_id ORDER BY hr
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY hr
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, hr,
+           CAST(CASE WHEN n IS NOT NULL
+                THEN (2 * sc * 10000 + n) // (2 * n)
+                ELSE (2 * (psc * nxn * (nh - ph)
+                           + (nsc * pn - psc * nxn) * (hr - ph)) * 10000
+                      + pn * nxn * (nh - ph))
+                     // (2 * pn * nxn * (nh - ph))
+                END AS DOUBLE) / 1000000 AS value_filled,
+           n IS NOT NULL AS is_observed
+    FROM f
+"""
+
+
+@register("events_gapfill_interpolate", _GAPFILL_SQL)
+def q_events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize an event stream into a dense per-user hourly series:
+    aggregate observed hours, generate every hour between each user's
+    first and last active hour (``sequence`` + explode — no calendar
+    dimension table), and linearly interpolate the missing buckets from
+    the surrounding observations — the standard feature-store /
+    monitoring "resample + interpolate" primitive.
+
+    100 TB shape: everything keys on user_id — one shuffle to the
+    (user, hour) aggregate, one to the per-user span, and the
+    fill/interpolate pass is two frame-bounded window specs over the
+    SAME (user_id, hr) sort, so Spark plans a single per-user sort with
+    no global ordering anywhere. Grid fan-out is bounded by each user's
+    own activity span (never min(all)..max(all) × users), so one
+    long-lived user cannot explode another's partition; per-user rows =
+    span hours, the same row count a time-series store would hold.
+
+    Cross-engine determinism: interpolating double averages puts gap
+    midpoints on exact decimal-rounding boundaries, where Spark's
+    ``round`` (shortest-repr BigDecimal HALF_UP) and a numeric double
+    round systematically disagree in the last digit — so the whole
+    computation runs in EXACT integer cents (values carry 2 decimals):
+    per-hour (sum_cents, n), linear interpolation as one bigint
+    fraction, and HALF_UP discretization to micro-units via
+    ``(2·N·10⁴ + D) div (2·D)`` — every intermediate is a bigint both
+    engines compute identically, and the final micro-int → double cast
+    is exact."""
+    e = load(spark, sf_dir, "events").withColumn("t_us", _t_us())
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = e.groupBy(
+        "user_id", F.expr(f"t_us div {HOUR_US}").alias("hr")
+    ).agg(F.sum(cents).alias("sc"), F.count(F.lit(1)).alias("n"))
+    span = m.groupBy("user_id").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("hr")
+    )
+    g = grid.join(m, ["user_id", "hr"], "left")
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_hr = F.when(F.col("n").isNotNull(), F.col("hr"))
+    f = g.select(
+        "user_id", "hr", "sc", "n",
+        F.last("sc", ignorenulls=True).over(wp).alias("psc"),
+        F.last("n", ignorenulls=True).over(wp).alias("pn"),
+        F.last(obs_hr, ignorenulls=True).over(wp).alias("ph"),
+        F.first("sc", ignorenulls=True).over(wf).alias("nsc"),
+        F.first("n", ignorenulls=True).over(wf).alias("nxn"),
+        F.first(obs_hr, ignorenulls=True).over(wf).alias("nh"),
+    )
+    u6 = F.expr(
+        "CASE WHEN n IS NOT NULL"
+        "  THEN (2 * sc * 10000 + n) div (2 * n)"
+        "  ELSE (2 * (psc * nxn * (nh - ph)"
+        "             + (nsc * pn - psc * nxn) * (hr - ph)) * 10000"
+        "        + pn * nxn * (nh - ph))"
+        "       div (2 * pn * nxn * (nh - ph)) END"
+    )
+    return f.select(
+        "user_id",
+        "hr",
+        (u6.cast("double") / 1_000_000).alias("value_filled"),
+        F.col("n").isNotNull().alias("is_observed"),
+    )

@@ -116,6 +116,10 @@ _PRIORITY: list[str] = [
     "events_retention_cohorts",
     "events_funnel_conversion",
     "embedding_quantize_int8",
+    "text_unigram_logprob",
+    "dedup_crosssource_overlap",
+    "events_gapfill_interpolate",
+    "orders_scd2_snapshot",
     # round-2-attested risky LLM-pipeline extensions next (fill the rest of
     # the 50-row window; re-attested on round-3 code where changed).
     "dedup_embedding_cosine",

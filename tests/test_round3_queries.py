@@ -1,0 +1,184 @@
+"""Semantic invariants for the round-3 additions: corpus unigram-LM
+quality scoring, cross-source near-dup overlap, time-series gap fill /
+interpolation, and the SCD2 validity snapshot. The DuckDB oracles check
+value parity against an independent engine; these tests pin the
+data-independent semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from proteofav_spark.operators.analytics_queries import q_orders_scd2_snapshot
+from proteofav_spark.operators.curation import q_text_unigram_logprob
+from proteofav_spark.operators.llm_queries import (
+    minhash_lsh_pairs,
+    q_dedup_crosssource_overlap,
+)
+from proteofav_spark.operators.pipeline_queries import (
+    q_events_gapfill_interpolate,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# text_unigram_logprob
+# ---------------------------------------------------------------------------
+
+def test_unigram_logprob_bounds_and_coverage(spark):
+    """Every document scores, n_tokens matches an independent tokenizer
+    pass, and avg_nll is within the Laplace-smoothed LM's hard bounds:
+    0 < nll(t) ≤ ln(N+V+1) for every token, hence also for the mean."""
+    import math
+
+    res = q_text_unigram_logprob(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    assert len(res) == n_docs
+    toks = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("n"),
+    )
+    expected = {r["doc_id"]: r["n"] for r in toks.collect()}
+    corpus_n = sum(expected.values())
+    # V ≤ distinct tokens ≤ N, so ln(N+V+1) ≤ ln(2N+1) bounds every nll
+    hi = math.log(2 * corpus_n + 1)
+    for r in res:
+        assert r["n_tokens"] == expected[r["doc_id"]]
+        assert 0.0 < r["avg_nll"] <= hi
+
+
+def test_unigram_logprob_rarity_ordering(spark):
+    """A document made of the corpus's rarest tokens must score a higher
+    avg_nll than one made of its most common tokens — the property the
+    quality filter exists for."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    freq = (
+        docs.select(
+            F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias(
+                "tok"
+            )
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("c", "tok")
+        .collect()
+    )
+    rare, common = freq[0]["tok"], freq[-1]["tok"]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        probe = docs.sparkSession.createDataFrame(
+            [(10_000_000, " ".join([rare] * 5), "xx", "probe", 1),
+             (10_000_001, " ".join([common] * 5), "xx", "probe", 1)],
+            schema=docs.schema,
+        )
+        docs.unionByName(probe).write.parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        out = {
+            r["doc_id"]: r["avg_nll"]
+            for r in q_text_unigram_logprob(docs.sparkSession, td).collect()
+        }
+    assert out[10_000_000] > out[10_000_001]
+
+
+# ---------------------------------------------------------------------------
+# dedup_crosssource_overlap
+# ---------------------------------------------------------------------------
+
+def test_crosssource_overlap_conserves_pairs(spark):
+    """The matrix is unordered-canonical (src_a ≤ src_b) and its n_pairs
+    total equals the candidate-pair count it was folded from."""
+    res = q_dedup_crosssource_overlap(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_pairs = minhash_lsh_pairs(docs).count()
+    assert sum(r["n_pairs"] for r in res) == n_pairs
+    assert all(r["src_a"] <= r["src_b"] for r in res)
+    assert all(r["n_pairs"] > 0 for r in res)
+
+
+# ---------------------------------------------------------------------------
+# events_gapfill_interpolate
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def gapfill(spark):
+    return q_events_gapfill_interpolate(spark, SF).collect()
+
+
+def test_gapfill_dense_per_user_spans(gapfill):
+    """Output hours per user form a contiguous range whose endpoints are
+    observed (never extrapolated), with no duplicates."""
+    by_user = {}
+    for r in gapfill:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rows in by_user.values():
+        hrs = sorted(r["hr"] for r in rows)
+        assert hrs == list(range(hrs[0], hrs[-1] + 1))
+        first = min(rows, key=lambda r: r["hr"])
+        last = max(rows, key=lambda r: r["hr"])
+        assert first["is_observed"] and last["is_observed"]
+
+
+def test_gapfill_interpolation_between_neighbors(gapfill):
+    """Every filled value lies within [min, max] of the two observations
+    bracketing its gap, and values inside one gap progress monotonically
+    (linear interpolation between two fixed endpoints)."""
+    by_user = {}
+    for r in gapfill:
+        by_user.setdefault(r["user_id"], []).append(r)
+    checked_gaps = 0
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["hr"])
+        i = 0
+        while i < len(rows):
+            if rows[i]["is_observed"]:
+                i += 1
+                continue
+            j = i
+            while not rows[j]["is_observed"]:
+                j += 1
+            lo_v = rows[i - 1]["value_filled"]
+            hi_v = rows[j]["value_filled"]
+            gap = [r["value_filled"] for r in rows[i:j]]
+            lo, hi = min(lo_v, hi_v), max(lo_v, hi_v)
+            # micro-unit HALF_UP discretization moves a value < 1e-6
+            assert all(lo - 1e-6 <= v <= hi + 1e-6 for v in gap)
+            ordered = gap if hi_v >= lo_v else gap[::-1]
+            assert all(
+                a <= b + 1e-6 for a, b in zip(ordered, ordered[1:])
+            )
+            checked_gaps += 1
+            i = j
+    assert checked_gaps > 0
+
+
+# ---------------------------------------------------------------------------
+# orders_scd2_snapshot
+# ---------------------------------------------------------------------------
+
+def test_scd2_intervals_partition_history(spark):
+    """Per customer: intervals chain (effective_to == next
+    effective_from), exactly one open (is_current) interval, adjacent
+    runs change status, and n_orders adds up to the customer's orders."""
+    res = q_orders_scd2_snapshot(spark, SF).collect()
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    per_cust = {
+        r["o_custkey"]: r["n"]
+        for r in orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    by_cust = {}
+    for r in res:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    assert set(by_cust) == set(per_cust)
+    for cust, rows in by_cust.items():
+        rows.sort(key=lambda r: r["effective_from"])
+        assert sum(r["n_orders"] for r in rows) == per_cust[cust]
+        assert sum(r["is_current"] for r in rows) == 1
+        assert rows[-1]["is_current"] and rows[-1]["effective_to"] is None
+        for a, b in zip(rows, rows[1:]):
+            assert a["effective_to"] == b["effective_from"]
+            assert a["o_orderstatus"] != b["o_orderstatus"]
