@@ -72,8 +72,10 @@ SCALE_NOTES = {
         "path diameters halve) + alternating large-star/small-star: "
         "O(log^2 n) rounds regardless of component diameter; each round is "
         "two groupBy-min shuffles + two equi-joins on vertex ids with "
-        "localCheckpoint lineage cuts, and the signature-detected fixed "
-        "point is confirmed with one exact exceptAll. LSH pair stage is "
+        "localCheckpoint lineage cuts. Convergence is an exact structural "
+        "star-forest test (unique doc_a, disjoint sides — one small job "
+        "over the checkpointed edges) that fires on the converging round "
+        "itself, with no confirming extra round. LSH pair stage is "
         "salt-split with observe() split/skip metrics."
     ),
     "join_star_revenue": (
@@ -82,7 +84,45 @@ SCALE_NOTES = {
         "to the region BEFORE the fact joins; order-date predicate pushed "
         "to the parquet scan."
     ),
+    "text_unigram_logprob": (
+        "corpus shuffles on token once (partial-aggregated counts); the "
+        "vocabulary caps at top-V via TakeOrderedAndProject (per-partition "
+        "heaps — never a global sort) so the model side is broadcast-sized "
+        "for any token-tail shape; N/V ride along as a 1-row broadcast and "
+        "the scoring join is map-side."
+    ),
+    "dedup_crosssource_overlap": (
+        "the bounded LSH candidate-pair stream looks up doc_id→source "
+        "twice against the corpus's 2-column projection (AQE broadcasts "
+        "the pair side when it fits); final aggregate is O(#source^2) rows "
+        "— the corpus itself never shuffles."
+    ),
+    "events_gapfill_interpolate": (
+        "everything keys on user_id: (user, hour) aggregate, per-user "
+        "span, then two frame-bounded window specs over ONE per-user sort; "
+        "grid fan-out bounded by each user's own activity span. All "
+        "arithmetic is exact integer cents with bigint HALF_UP "
+        "discretization — engine-identical rounding by construction."
+    ),
+    "orders_scd2_snapshot": (
+        "change-flag, segment-number and interval windows share one "
+        "(custkey, date, key) sort → a single exchange feeds chained "
+        "Window operators; island aggregation reuses the custkey "
+        "clustering. Per-partition window state is one row."
+    ),
 }
+
+# round-3 additions audited alongside the headline set: not benched (the
+# headline total stays comparable round-over-round) but plan-documented
+EXTRA = [
+    "events_retention_cohorts",
+    "events_funnel_conversion",
+    "embedding_quantize_int8",
+    "text_unigram_logprob",
+    "dedup_crosssource_overlap",
+    "events_gapfill_interpolate",
+    "orders_scd2_snapshot",
+]
 
 
 def audit(sf_dir: str) -> str:
@@ -107,7 +147,7 @@ def audit(sf_dir: str) -> str:
     simple = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "simple"
     )
-    for name in HEADLINE:
+    for name in HEADLINE + EXTRA:
         df = qs[name](spark, sf_dir)
         # collect() executes THIS DataFrame's queryExecution (count() would
         # build a separate one), so AQE finalizes and codegen ids appear
