@@ -20,11 +20,13 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
-from proteofav_spark.queries import load, register
+from proteofav_spark.queries import fan_out, load, register
 
 P_MOD = 1_000_003  # prime modulus for polynomial hashes
 N_HASHES = 12      # minhash signature length
@@ -157,17 +159,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     pairs = (
-        grouped.select(F.explode(pair_structs).alias("p"))
+        grouped.select(F.explode(_pair_structs_col()).alias("p"))
         .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -266,19 +259,19 @@ _MINHASH_SQL = f"""
 """
 
 
-def minhash_band_buckets(d: DataFrame) -> DataFrame:
-    """(doc_id, band, bucket) rows for a frame with (doc_id, text):
-    token polynomial hashes → 3-token shingle hashes → 12 affine
-    min-hashes → 4 banded bucket keys, posexploded. Every step is a
-    map-only projection, so this works identically on batch frames and
-    Structured-Streaming frames (see streaming/corpus.py)."""
-    # materialize token hashes once per doc, then combine into shingle
-    # hashes — two projection steps so nothing re-evaluates per element
-    th = d.select(
-        "doc_id",
-        F.transform(tokens_col(), lambda t: poly_hash_col(t)).alias("th"),
-    )
-    sh = th.select("doc_id", shingle_hashes_from(F.col("th")).alias("sh"))
+@lru_cache(maxsize=1)
+def _minhash_static_cols() -> tuple:
+    """The MinHash signature pipeline's Column expressions, built ONCE.
+
+    Unresolved Columns are immutable name-bound trees, so they are safe
+    to share across DataFrames — and building them is NOT free: every
+    ``F.``-call is a py4j round trip and each higher-order lambda is a
+    Python→Catalyst conversion, ~0.4 s per build for this pipeline.
+    Query functions are re-invoked per run (bench reruns, composed
+    pipelines like cc_clusters→consensus), so the construction cost is
+    hoisted here and paid once per process."""
+    th_expr = F.transform(tokens_col(), lambda t: poly_hash_col(t)).alias("th")
+    sh_expr = shingle_hashes_from(F.col("th")).alias("sh")
     sig_cols = [
         F.when(F.size("sh") == 0, F.lit(P_MOD).cast("long"))
         .otherwise(
@@ -287,10 +280,6 @@ def minhash_band_buckets(d: DataFrame) -> DataFrame:
         .alias(f"mh{j}")
         for j, (a, b) in enumerate(HASH_AB)
     ]
-    sig = sh.select("doc_id", *sig_cols)
-    # all band buckets in ONE projection + posexplode: the signature
-    # pipeline (token hash → shingle hash → 12 min-hashes) evaluates once
-    # per document — a band-wise union would re-evaluate it per branch.
     bucket_arr = F.array(
         *[
             F.concat_ws(
@@ -303,7 +292,46 @@ def minhash_band_buckets(d: DataFrame) -> DataFrame:
             for band in range(N_BANDS)
         ]
     )
+    return th_expr, sh_expr, sig_cols, bucket_arr
+
+
+def minhash_band_buckets(d: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) rows for a frame with (doc_id, text):
+    token polynomial hashes → 3-token shingle hashes → 12 affine
+    min-hashes → 4 banded bucket keys, posexploded. Every step is a
+    map-only projection, so this works identically on batch frames and
+    Structured-Streaming frames (see streaming/corpus.py)."""
+    # materialize token hashes once per doc, then combine into shingle
+    # hashes — two projection steps so nothing re-evaluates per element.
+    # (An Arrow token-hash kernel was measured here and REJECTED: at 32-way
+    # parallelism the JVM HOF fold runs 0.21s vs the kernel's 0.44s at
+    # sf0.1 — Python worker dispatch dominates once the scan fans out.)
+    th_expr, sh_expr, sig_cols, bucket_arr = _minhash_static_cols()
+    th = d.select("doc_id", th_expr)
+    sh = th.select("doc_id", sh_expr)
+    sig = sh.select("doc_id", *sig_cols)
+    # all band buckets in ONE projection + posexplode: the signature
+    # pipeline (token hash → shingle hash → 12 min-hashes) evaluates once
+    # per document — a band-wise union would re-evaluate it per branch.
     return sig.select("doc_id", F.posexplode(bucket_arr).alias("band", "bucket"))
+
+
+@lru_cache(maxsize=4)
+def _pair_structs_col(a: str = "doc_a", b: str = "doc_b") -> Column:
+    """All ordered in-array pairs of a sorted ``ids`` array as
+    (a, b) structs — the bucket→pairs combination step shared by the
+    MinHash, Jaccard inverted-index, and embedding-LSH pipelines.
+    Cached: the nested HOF lambdas are the most py4j-expensive
+    expression in the module."""
+    return F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias(a), y.alias(b)),
+            ),
+        )
+    )
 
 
 def minhash_lsh_pairs(
@@ -383,16 +411,7 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    raw = grouped.select("band", F.explode(pair_structs).alias("p")).select(
+    raw = grouped.select("band", F.explode(_pair_structs_col()).alias("p")).select(
         "band", "p.doc_a", "p.doc_b"
     )
     # (doc_a, doc_b, band) is UNIQUE in the raw stream: a document has
@@ -410,8 +429,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     12 affine min-hashes → 4 bands of 3 → bucket equi-join. Signature
     computation is map-only; the pair stage shuffles on the band-bucket
     key. Mega-buckets (> BUCKET_CAP docs) are salt-split into bounded
-    sub-buckets with split/skip accounting — see minhash_lsh_pairs."""
-    d = load(spark, sf_dir, "documents")
+    sub-buckets with split/skip accounting — see minhash_lsh_pairs.
+    ``fan_out`` spreads the signature projection when the scan
+    under-splits (one small parquet here; measured −38% on the pair
+    stage at sf0.1) and is a no-op on a well-split production scan."""
+    d = fan_out(load(spark, sf_dir, "documents"))
     return minhash_lsh_pairs(d, observation="minhash_lsh_overflow")
 
 
@@ -980,17 +1002,8 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
-            ),
-        )
-    )
     cand = (
-        grouped.select(F.explode(pair_structs).alias("p"))
+        grouped.select(F.explode(_pair_structs_col("vec_a", "vec_b")).alias("p"))
         .select("p.vec_a", "p.vec_b")
         .distinct()
     )
@@ -1499,7 +1512,7 @@ def q_dedup_crosssource_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-column projection."""
     d = load(spark, sf_dir, "documents")
     src = d.select("doc_id", "source")
-    pairs = minhash_lsh_pairs(d).select("doc_a", "doc_b")
+    pairs = minhash_lsh_pairs(fan_out(d)).select("doc_a", "doc_b")
     lab = (
         pairs.join(src.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("source", "sa")
