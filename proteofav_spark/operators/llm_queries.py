@@ -1220,21 +1220,30 @@ def q_ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", _norm_col(F.col("embedding")).alias("enorm")
     )
 
-    def ranked_cells(frame: DataFrame) -> DataFrame:
-        scored = frame.crossJoin(F.broadcast(cents)).select(
+    def scored_cells(frame: DataFrame) -> DataFrame:
+        return frame.crossJoin(F.broadcast(cents)).select(
             "vec_id", "label",
             pair_cosine_udf(6)("embedding", "cvec", "enorm", "cnorm").alias("cc"),
         )
-        w = W.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("label"))
-        return scored.withColumn("rn", F.row_number().over(w))
 
-    # assignment ranks the whole corpus ONCE; the probe ranks only the
+    # assignment scores the whole corpus ONCE; the probe scores only the
     # pre-filtered (tiny) query rows — deriving both from one corpus-wide
-    # window would make the plan score the corpus against the centroids
-    # twice (the two consumers prevent stage reuse)
-    assign = ranked_cells(ev).filter(F.col("rn") == 1).select("vec_id", "label")
+    # pass would make the plan score the corpus against the centroids
+    # twice (the two consumers prevent stage reuse). The corpus-wide
+    # argmax is a partial-aggregated max(struct) — same (cc DESC, label
+    # ASC) tie-break as a rank-1 window, without sorting K rows per
+    # vector through a window operator: map-side combine reduces each
+    # vector's K scores to one row before the exchange.
+    assign = (
+        scored_cells(ev)
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("cc"), (-F.col("label")).alias("nl"))).alias("m"))
+        .select("vec_id", (-F.col("m.nl")).alias("label"))
+    )
+    wq = W.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("label"))
     probe = (
-        ranked_cells(ev.filter(F.col("vec_id") < 3))
+        scored_cells(ev.filter(F.col("vec_id") < 3))
+        .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= NPROBE)
         .select(F.col("vec_id").alias("qid"), "label")
     )
