@@ -1543,3 +1543,102 @@ def q_dedup_crosssource_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lab.groupBy("src_a", "src_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 full-text relevance search
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_NTERMS = 3   # query = 3 mid-document-frequency corpus terms
+BM25_SKIP = 4     # ranks 1..SKIP by df are skipped (stopword-ish)
+BM25_TOPK = 20
+
+_BM25_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_sql_tokens("text")}) AS tok FROM documents),
+    dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(len) AS avg_len FROM dl),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    terms AS (
+      SELECT tok, df FROM df
+      ORDER BY df DESC, tok LIMIT {BM25_NTERMS} OFFSET {BM25_SKIP}),
+    tf AS (
+      SELECT t.doc_id, t.tok, count(*) AS tf
+      FROM toks t JOIN terms USING (tok) GROUP BY 1, 2),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(ln((stats.n_docs - terms.df + 0.5) / (terms.df + 0.5) + 1)
+                 * tf.tf * ({BM25_K1} + 1)
+                 / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                    + {BM25_B} * dl.len / stats.avg_len))) AS s
+      FROM tf
+      JOIN terms USING (tok)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, round(s, 6) AS bm25
+    FROM scored ORDER BY s DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+@register("text_bm25_search", _BM25_SQL)
+def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson-Spärck Jones) full-text relevance ranking — the
+    lexical-retrieval counterpart to the embedding ANN family. The query
+    is derived deterministically from the corpus itself (the 3
+    mid-document-frequency terms after skipping the stopword-ish top 4),
+    so the whole operator is a pure function of the table and the DuckDB
+    oracle checks every stage: document lengths, IDFs, TF saturation and
+    length normalization.
+
+    100 TB shape: the inverted-index build is one shuffle of the token
+    stream (per-(doc, term) TFs partial-aggregate map-side); document
+    frequencies and lengths are the same aggregates an index build
+    maintains incrementally. The query-term table and the (N, avgdl)
+    scalars broadcast; scoring touches only postings of query terms —
+    the corpus-sized frames never join each other. Top-k is
+    TakeOrderedAndProject (per-partition heaps), never a global sort."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("len").alias("avg_len"),
+    )
+    df_t = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # ranks SKIP+1..SKIP+NTERMS by (df DESC, tok): two TakeOrdered passes
+    # (top SKIP+NTERMS, then the NTERMS smallest of those) — never a
+    # global sort, and OFFSET semantics match the oracle exactly
+    head = df_t.orderBy(F.col("df").desc(), "tok").limit(BM25_SKIP + BM25_NTERMS)
+    terms = head.orderBy(F.col("df").asc(), F.col("tok").desc()).limit(BM25_NTERMS)
+    tf = (
+        toks.join(F.broadcast(terms.select("tok")), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    tf_sat = (
+        F.col("tf") * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1 - BM25_B + BM25_B * F.col("len") / F.col("avg_len"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(terms), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_sat).alias("s"))
+    )
+    return (
+        scored.orderBy(F.col("s").desc(), "doc_id")
+        .limit(BM25_TOPK)
+        .select("doc_id", F.round("s", 6).alias("bm25"))
+    )

@@ -989,3 +989,71 @@ def q_events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (u6.cast("double") / 1_000_000).alias("value_filled"),
         F.col("n").isNotNull().alias("is_observed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window anomaly detection (z-score over a RANGE frame)
+# ---------------------------------------------------------------------------
+
+ZSCORE_TRAIL_H = 24   # trailing baseline: previous 24 hours
+ZSCORE_SPIKE = 2.0    # |z| above this flags a spike
+
+_ZSCORE_SQL = f"""
+    WITH m AS (
+      SELECT user_id, epoch_us(ts) // {HOUR_US} AS hr,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT user_id, hr, n_events,
+             avg(n_events) OVER t AS mu,
+             stddev_samp(n_events) OVER t AS sd,
+             count(*) OVER t AS n_base
+      FROM m
+      WINDOW t AS (PARTITION BY user_id ORDER BY hr
+                   RANGE BETWEEN {ZSCORE_TRAIL_H} PRECEDING
+                             AND 1 PRECEDING))
+    SELECT user_id, hr, n_events,
+           CASE WHEN sd > 0 THEN round((n_events - mu) / sd, 4) END AS z,
+           CAST(n_base AS BIGINT) AS n_baseline_hours,
+           COALESCE(sd > 0 AND abs((n_events - mu) / sd) > {ZSCORE_SPIKE},
+                    FALSE) AS is_spike
+    FROM w
+"""
+
+
+@register("events_anomaly_zscore", _ZSCORE_SQL)
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly event-rate anomalies: each active hour's event
+    count is z-scored against that user's own trailing 24-hour baseline
+    and flagged when it deviates more than 2σ — the standard
+    rate-monitoring primitive.
+
+    The baseline is a RANGE frame over the integer hour (24 PRECEDING …
+    1 PRECEDING), NOT a ROWS frame: users with inactive hours have gaps
+    in the (user, hr) grid, and a ROWS frame would silently stretch the
+    baseline window across them. One shuffle to the (user, hour) counts;
+    the window partitions by user over the same key, and its running
+    mean/stddev state is O(frame) per partition. Hours with a flat
+    baseline (sd = 0) or no history yield NULL z and never flag."""
+    e = load(spark, sf_dir, "events").withColumn("t_us", _t_us())
+    m = e.groupBy(
+        "user_id", F.expr(f"t_us div {HOUR_US}").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    t = (
+        W.partitionBy("user_id")
+        .orderBy("hr")
+        .rangeBetween(-ZSCORE_TRAIL_H, -1)
+    )
+    mu = F.avg("n_events").over(t)
+    sd = F.stddev_samp("n_events").over(t)
+    z = (F.col("n_events") - mu) / sd
+    return m.select(
+        "user_id",
+        "hr",
+        "n_events",
+        F.when(sd > 0, F.round(z, 4)).alias("z"),
+        F.count(F.lit(1)).over(t).alias("n_baseline_hours"),
+        F.coalesce(
+            (sd > 0) & (F.abs(z) > ZSCORE_SPIKE), F.lit(False)
+        ).alias("is_spike"),
+    )

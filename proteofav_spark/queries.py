@@ -149,6 +149,8 @@ _PRIORITY: list[str] = [
     "dedup_crosssource_overlap",
     "events_gapfill_interpolate",
     "orders_scd2_snapshot",
+    "text_bm25_search",
+    "events_anomaly_zscore",
     # round-2-attested risky LLM-pipeline extensions next (fill the rest of
     # the 50-row window; re-attested on round-3 code where changed).
     "dedup_embedding_cosine",

@@ -182,3 +182,91 @@ def test_scd2_intervals_partition_history(spark):
         for a, b in zip(rows, rows[1:]):
             assert a["effective_to"] == b["effective_from"]
             assert a["o_orderstatus"] != b["o_orderstatus"]
+
+
+# ---------------------------------------------------------------------------
+# text_bm25_search
+# ---------------------------------------------------------------------------
+
+def test_bm25_matches_reference_scoring(spark):
+    """The distributed BM25 equals a from-scratch single-machine
+    implementation (pure Python) on the same corpus — term selection,
+    IDF, TF saturation, length normalization and top-k tie-breaks."""
+    import math
+    from collections import Counter
+
+    from proteofav_spark.operators.llm_queries import (
+        BM25_B,
+        BM25_K1,
+        BM25_NTERMS,
+        BM25_SKIP,
+        BM25_TOPK,
+        q_text_bm25_search,
+    )
+
+    res = [(r["doc_id"], r["bm25"]) for r in q_text_bm25_search(spark, SF).collect()]
+    docs = {
+        r["doc_id"]: r["text"].split()
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    n_docs = len(docs)
+    avg_len = sum(len(t) for t in docs.values()) / n_docs
+    df = Counter()
+    for toks in docs.values():
+        df.update(set(toks))
+    ranked = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))
+    terms = dict(ranked[BM25_SKIP : BM25_SKIP + BM25_NTERMS])
+    scores = {}
+    for doc_id, toks in docs.items():
+        tf = Counter(t for t in toks if t in terms)
+        s = 0.0
+        for tok, f in tf.items():
+            idf = math.log((n_docs - terms[tok] + 0.5) / (terms[tok] + 0.5) + 1)
+            s += idf * f * (BM25_K1 + 1) / (
+                f + BM25_K1 * (1 - BM25_B + BM25_B * len(toks) / avg_len)
+            )
+        if s > 0:
+            scores[doc_id] = s
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_TOPK]
+    assert [d for d, _ in res] == [d for d, _ in expect]
+    for (_, got), (_, want) in zip(res, expect):
+        assert abs(got - want) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly_zscore
+# ---------------------------------------------------------------------------
+
+def test_zscore_trailing_range_frame(spark):
+    """The z-score uses a RANGE (not ROWS) trailing frame: the baseline
+    for hour h covers exactly hours [h-24, h-1] that the user was
+    active, verified against a per-user dict reference; spikes only ever
+    flag with a positive-variance baseline."""
+    import statistics
+
+    from proteofav_spark.operators.pipeline_queries import (
+        ZSCORE_SPIKE,
+        ZSCORE_TRAIL_H,
+        q_events_anomaly_zscore,
+    )
+
+    rows = q_events_anomaly_zscore(spark, SF).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], {})[r["hr"]] = r
+    for u, hrs in by_user.items():
+        counts = {h: r["n_events"] for h, r in hrs.items()}
+        for h, r in hrs.items():
+            base = [
+                counts[b]
+                for b in range(h - ZSCORE_TRAIL_H, h)
+                if b in counts
+            ]
+            assert r["n_baseline_hours"] == len(base)
+            if len(base) >= 2 and statistics.stdev(base) > 0:
+                z = (r["n_events"] - statistics.mean(base)) / statistics.stdev(base)
+                assert abs(r["z"] - round(z, 4)) <= 1e-9
+                assert r["is_spike"] == (abs(z) > ZSCORE_SPIKE)
+            else:
+                assert r["z"] is None
+                assert r["is_spike"] is False

@@ -110,6 +110,19 @@ SCALE_NOTES = {
         "Window operators; island aggregation reuses the custkey "
         "clustering. Per-partition window state is one row."
     ),
+    "text_bm25_search": (
+        "inverted-index build is one token-stream shuffle with map-side "
+        "partial TFs; query terms + (N, avgdl) scalars broadcast, so "
+        "scoring touches only query-term postings; top-k is "
+        "TakeOrderedAndProject — corpus-sized frames never join each "
+        "other, no global sort."
+    ),
+    "events_anomaly_zscore": (
+        "RANGE (not ROWS) trailing frame over integer hours, so inactive "
+        "hours do not stretch the baseline; one shuffle to (user, hour) "
+        "counts and the window reuses the user clustering with O(frame) "
+        "running state."
+    ),
 }
 
 # round-3 additions audited alongside the headline set: not benched (the
@@ -122,6 +135,8 @@ EXTRA = [
     "dedup_crosssource_overlap",
     "events_gapfill_interpolate",
     "orders_scd2_snapshot",
+    "text_bm25_search",
+    "events_anomaly_zscore",
 ]
 
 
