@@ -1642,3 +1642,126 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BM25_TOPK)
         .select("doc_id", F.round("s", 6).alias("bm25"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-span dedup (shared verbatim token spans between documents)
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8            # positional shingle width (tokens)
+SPAN_OCC_CAP = 50     # skip shingles with more total occurrences (boilerplate)
+SPAN_MIN_TOKENS = 20  # report pairs sharing a span at least this long
+
+_SPAN_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, {_sql_tokens("text")} AS ts FROM documents),
+    sh AS (
+      SELECT doc_id, i AS pos,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(ts[i:i+{SPAN_K - 1}], t -> {_sql_poly_hash("t")})),
+               (a, b) -> (a * {SHINGLE_B} + b) % {P_MOD}) AS h
+      FROM toks, UNNEST(generate_series(1, greatest(len(ts) - {SPAN_K - 1}, 0)))
+           AS g(i)
+      WHERE len(ts) >= {SPAN_K}),
+    occ AS (
+      SELECT h FROM sh GROUP BY h
+      HAVING count(*) BETWEEN 2 AND {SPAN_OCC_CAP}
+         AND count(DISTINCT doc_id) >= 2),
+    m AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, a.pos - b.pos AS diag
+      FROM sh a JOIN sh b USING (h) JOIN occ USING (h)
+      WHERE a.doc_id < b.doc_id),
+    r AS (
+      SELECT doc_a, doc_b, diag, pa,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                     ORDER BY pa) AS grp
+      FROM m),
+    runs AS (
+      SELECT doc_a, doc_b, CAST(count(*) + {SPAN_K - 1} AS BIGINT) AS span
+      FROM r GROUP BY doc_a, doc_b, diag, grp)
+    SELECT doc_a, doc_b, MAX(span) AS max_span,
+           CAST(count(*) AS BIGINT) AS n_spans
+    FROM runs WHERE span >= {SPAN_MIN_TOKENS}
+    GROUP BY doc_a, doc_b
+"""
+
+
+@register("dedup_substring_span", _SPAN_SQL)
+def q_dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim shared-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): document pairs sharing
+    an exact token span of ≥ SPAN_MIN_TOKENS, with the maximal shared
+    span length — the modality that catches partial copies (quoted
+    passages, templated front-matter, concatenated crawls) that
+    whole-document MinHash misses.
+
+    Distributed formulation instead of a suffix array: positional
+    SPAN_K-token shingle hashes form an inverted index; cross-document
+    position matches land on a DIAGONAL (pos_a − pos_b), and a run of m
+    consecutive matches on one diagonal is exactly a shared span of
+    m + K − 1 tokens — recovered with a per-(pair, diagonal) window +
+    gaps-and-islands count, no per-task suffix structures.
+
+    100 TB shape: one shuffle of the positional shingle stream builds
+    the index; shingles with more than SPAN_OCC_CAP occurrences
+    (boilerplate n-grams — quadratic match blowup, no dedup signal) are
+    dropped by the occurrence filter, bounding every bucket's match
+    fan-out at CAP²; the run-detection window partitions by
+    (pair, diagonal), so state is one diagonal's matches. The oracle
+    runs the identical construction in DuckDB."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    th = d.select(
+        "doc_id",
+        F.transform(tokens_col(), lambda t: poly_hash_col(t)).alias("th"),
+    )
+    n = F.size("th")
+    span_hash = F.transform(
+        F.sequence(F.lit(1), n - (SPAN_K - 1)),
+        lambda i: F.aggregate(
+            F.slice("th", i, SPAN_K),
+            F.lit(0).cast("long"),
+            lambda a, x: (a * SHINGLE_B + x) % P_MOD,
+        ),
+    )
+    sh = (
+        th.filter(n >= SPAN_K)
+        .select("doc_id", F.posexplode(span_hash).alias("pos0", "h"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    )
+    occ = (
+        sh.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.countDistinct("doc_id").alias("nd"),
+        )
+        .filter((F.col("c") >= 2) & (F.col("c") <= SPAN_OCC_CAP) & (F.col("nd") >= 2))
+        .select("h")
+    )
+    keep = sh.join(occ, "h")
+    m = (
+        keep.alias("a")
+        .join(keep.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pa"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+        .distinct()
+    )
+    wd = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("grp", F.col("pa") - F.row_number().over(wd))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg((F.count(F.lit(1)) + (SPAN_K - 1)).alias("span"))
+    )
+    return (
+        runs.filter(F.col("span") >= SPAN_MIN_TOKENS)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("span").alias("max_span"),
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        )
+    )

@@ -151,6 +151,7 @@ _PRIORITY: list[str] = [
     "orders_scd2_snapshot",
     "text_bm25_search",
     "events_anomaly_zscore",
+    "dedup_substring_span",
     # round-2-attested risky LLM-pipeline extensions next (fill the rest of
     # the 50-row window; re-attested on round-3 code where changed).
     "dedup_embedding_cosine",

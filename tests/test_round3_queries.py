@@ -270,3 +270,38 @@ def test_zscore_trailing_range_frame(spark):
             else:
                 assert r["z"] is None
                 assert r["is_spike"] is False
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_span
+# ---------------------------------------------------------------------------
+
+def test_substring_span_detects_known_span(spark, tmp_path):
+    """A planted verbatim span is recovered with its exact token length;
+    docs sharing nothing (or < SPAN_MIN_TOKENS tokens) never pair."""
+    from proteofav_spark.operators.llm_queries import (
+        SPAN_MIN_TOKENS,
+        q_dedup_substring_span,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(SPAN_MIN_TOKENS + 5))  # 25 tokens
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta", "en", "s0", 1),
+        (2, "one two three four five " + shared, "en", "s1", 1),
+        # shares only a sub-threshold prefix of the span
+        (3, " ".join(f"w{i}" for i in range(SPAN_MIN_TOKENS - 2)) + " zzz", "en", "s2", 1),
+        (4, "totally unrelated words only here nothing shared at all "
+            "padding padding padding padding padding", "en", "s3", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    res = {
+        (r["doc_a"], r["doc_b"]): (r["max_span"], r["n_spans"])
+        for r in q_dedup_substring_span(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in res
+    assert res[(1, 2)][0] == SPAN_MIN_TOKENS + 5
+    # doc 3's overlap with 1/2 is SPAN_MIN_TOKENS-2 < threshold
+    assert all(3 not in pair and 4 not in pair for pair in res)

@@ -123,6 +123,12 @@ SCALE_NOTES = {
         "counts and the window reuses the user clustering with O(frame) "
         "running state."
     ),
+    "dedup_substring_span": (
+        "positional shingle inverted index (one shuffle); the occurrence "
+        "filter drops boilerplate shingles so bucket match fan-out is "
+        "bounded at CAP^2; diagonal run detection is a window partitioned "
+        "by (pair, diagonal) — no suffix arrays, no global sort."
+    ),
 }
 
 # round-3 additions audited alongside the headline set: not benched (the
@@ -137,6 +143,7 @@ EXTRA = [
     "orders_scd2_snapshot",
     "text_bm25_search",
     "events_anomaly_zscore",
+    "dedup_substring_span",
 ]
 
 
