@@ -152,6 +152,8 @@ _PRIORITY: list[str] = [
     "text_bm25_search",
     "events_anomaly_zscore",
     "dedup_substring_span",
+    "graph_pagerank_fixed",
+    "graph_triangle_count",
     # round-2-attested risky LLM-pipeline extensions next (fill the rest of
     # the 50-row window; re-attested on round-3 code where changed).
     "dedup_embedding_cosine",
@@ -193,6 +195,7 @@ def _import_extensions() -> None:
     from proteofav_spark.operators import (  # noqa: F401
         analytics_queries,
         curation,
+        graph_queries,
         llm_queries,
         pipeline_queries,
     )

@@ -305,3 +305,52 @@ def test_substring_span_detects_known_span(spark, tmp_path):
     assert res[(1, 2)][0] == SPAN_MIN_TOKENS + 5
     # doc 3's overlap with 1/2 is SPAN_MIN_TOKENS-2 < threshold
     assert all(3 not in pair and 4 not in pair for pair in res)
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank_fixed / graph_triangle_count
+# ---------------------------------------------------------------------------
+
+def test_pagerank_mass_and_floor(spark):
+    """Rank mass stays ~1 (no dangling vertices in an edge-derived
+    vertex set) and every vertex keeps at least the teleport floor
+    (1-d)/N; customers and suppliers both present."""
+    from proteofav_spark.operators.graph_queries import PR_DAMP, q_graph_pagerank_fixed
+
+    rows = q_graph_pagerank_fixed(spark, SF).collect()
+    n = len(rows)
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-3  # per-round 12dp rounding drift only
+    floor = (1 - PR_DAMP) / n
+    assert all(r["pagerank"] >= floor - 1e-9 for r in rows)
+    assert any(r["v"] % 2 == 0 for r in rows) and any(r["v"] % 2 == 1 for r in rows)
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """The oriented-wedge triangle count equals a brute-force Python
+    enumeration of the same near-dup graph."""
+    from itertools import combinations
+
+    from proteofav_spark.operators.llm_queries import minhash_lsh_pairs
+    from proteofav_spark.operators.graph_queries import q_graph_triangle_count
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    edges = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+        for r in minhash_lsh_pairs(docs).collect()
+        if r["doc_a"] != r["doc_b"]
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for v, nb in adj.items():
+        for x, y in combinations(sorted(nb), 2):
+            if (min(x, y), max(x, y)) in edges:
+                expect[v] = expect.get(v, 0) + 1
+    got = {
+        r["doc_id"]: r["n_triangles"]
+        for r in q_graph_triangle_count(spark, SF).collect()
+    }
+    assert got == expect

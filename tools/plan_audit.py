@@ -129,6 +129,16 @@ SCALE_NOTES = {
         "bounded at CAP^2; diagonal run detection is a window partitioned "
         "by (pair, diagonal) — no suffix arrays, no global sort."
     ),
+    "graph_pagerank_fixed": (
+        "one groupBy-sum shuffle per round keyed on the destination "
+        "vertex (map-side partials); vertex count broadcasts; plan grows "
+        "linearly in the fixed round count, no checkpoint needed."
+    ),
+    "graph_triangle_count": (
+        "degree orientation bounds out-adjacency at O(sqrt(m)) before the "
+        "wedge self-join; the close is a two-key equi-join against the "
+        "canonical edge set — no OR-condition nested loop."
+    ),
 }
 
 # round-3 additions audited alongside the headline set: not benched (the
@@ -144,6 +154,8 @@ EXTRA = [
     "text_bm25_search",
     "events_anomaly_zscore",
     "dedup_substring_span",
+    "graph_pagerank_fixed",
+    "graph_triangle_count",
 ]
 
 
