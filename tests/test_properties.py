@@ -287,3 +287,39 @@ def test_retention_matrix_matches_python_reference(spark, evs):
         key = (first[u], p - first[u])
         expect[key] = expect.get(key, 0) + 1
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill integer HALF_UP discretization (events_gapfill_interpolate)
+# ---------------------------------------------------------------------------
+
+@given(
+    sp=st.integers(min_value=0, max_value=10**6),
+    np_=st.integers(min_value=1, max_value=500),
+    sn=st.integers(min_value=0, max_value=10**6),
+    nn=st.integers(min_value=1, max_value=500),
+    h=st.integers(min_value=2, max_value=1000),
+    g=st.integers(min_value=1, max_value=999),
+)
+@settings(max_examples=300, deadline=None)
+def test_gapfill_halfup_formula_is_exact(sp, np_, sn, nn, h, g):
+    """The bigint interpolation formula in events_gapfill_interpolate —
+    u6 = (2·N·10⁴ + D) div (2·D) with N, D the exact integer-cent
+    fraction of pv + (nv−pv)·g/h — equals Fraction-exact HALF_UP
+    rounding of the true interpolated value to micro-units, for any
+    cent sums, counts, gap offset and gap width. This is the property
+    that makes the query engine-identical by construction."""
+    from fractions import Fraction
+
+    if g >= h:
+        g = h - 1
+    pv = Fraction(sp, 100 * np_)
+    nv = Fraction(sn, 100 * nn)
+    true = pv + (nv - pv) * Fraction(g, h)
+    # Fraction-exact HALF_UP to 1e-6 units
+    scaled = true * 10**6
+    want = (scaled.numerator * 2 + scaled.denominator) // (2 * scaled.denominator)
+    n_int = sp * nn * h + (sn * np_ - sp * nn) * g
+    d_int = np_ * nn * h
+    got = (2 * n_int * 10_000 + d_int) // (2 * d_int)
+    assert got == want
