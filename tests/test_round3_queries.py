@@ -354,3 +354,40 @@ def test_triangle_count_matches_bruteforce(spark):
         for r in q_graph_triangle_count(spark, SF).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Empty-input hardening: new operators must return empty frames, not raise
+# ---------------------------------------------------------------------------
+
+def test_new_document_operators_handle_empty_corpus(spark, tmp_path):
+    from proteofav_spark.operators.curation import q_text_unigram_logprob
+    from proteofav_spark.operators.llm_queries import (
+        q_dedup_crosssource_overlap,
+        q_dedup_substring_span,
+        q_text_bm25_search,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.limit(0).write.parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    for q in (
+        q_text_unigram_logprob,
+        q_dedup_crosssource_overlap,
+        q_dedup_substring_span,
+        q_text_bm25_search,
+    ):
+        assert q(spark, sf).count() == 0, q.__name__
+
+
+def test_new_event_operators_handle_empty_events(spark, tmp_path):
+    from proteofav_spark.operators.pipeline_queries import (
+        q_events_anomaly_zscore,
+        q_events_gapfill_interpolate,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev.limit(0).write.parquet(str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+    assert q_events_gapfill_interpolate(spark, sf).count() == 0
+    assert q_events_anomaly_zscore(spark, sf).count() == 0
