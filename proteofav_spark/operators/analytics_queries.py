@@ -469,3 +469,160 @@ def q_orders_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         eff_to.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: unshipped-order shipping priority (top-N revenue)
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1996-07-01"
+
+_SHIP_PRIORITY_SQL = f"""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+      AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+"""
+
+
+@register("orders_shipping_priority", _SHIP_PRIORITY_SQL)
+def q_orders_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: revenue of orders placed before the cutoff in one
+    market segment whose lineitems shipped after it — the canonical
+    "filtered dim → fact → fact → top-N" OLAP pattern.
+
+    Plan: the segment filter prunes customers BEFORE any join (pushed
+    to the parquet scan), the pruned customer side broadcasts, the
+    date predicates on orders/lineitem push down to their scans, and
+    the final top-10 collapses to TakeOrderedAndProject — no global
+    sort. At cluster scale the orders⋈lineitem join shuffles on the
+    orderkey both fact tables are naturally clustered by, so AQE can
+    coalesce it; the sort key is the ROUNDED revenue (+ orderkey
+    tie-break) so the top-N cut is identical across engines."""
+    cutoff = f"{Q3_CUTOFF} 00:00:00"
+    c = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime value (LTV) matrix
+# ---------------------------------------------------------------------------
+
+_LTV_SQL = """
+    WITH o AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mo,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    coh AS (SELECT o_custkey, min(mo) AS cohort_mo FROM o GROUP BY 1)
+    SELECT coh.cohort_mo,
+           o.mo - coh.cohort_mo AS month_offset,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           CAST(sum(o.cents) AS DOUBLE) / 100.0 AS revenue
+    FROM o JOIN coh USING (o_custkey)
+    GROUP BY 1, 2
+"""
+
+
+@register("customer_ltv_cohort", _LTV_SQL)
+def q_customer_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers bucketed by first-order
+    month, revenue and order counts accumulated at each month offset —
+    the finance twin of the retention matrix (pipeline_queries), on the
+    orders fact instead of raw events.
+
+    Month arithmetic is pure integers (year·12 + month) on both
+    engines — no date-diff semantics to disagree on — and revenue runs
+    in exact integer cents with one final division. Two shuffles at any
+    scale: the per-customer min (partial-aggregated) and the
+    (cohort, offset) rollup; the cohort join keys on o_custkey, the
+    same clustering the first shuffle produced. count(DISTINCT)
+    Spark-expands to a two-stage exact aggregation — mergeable, no
+    driver state."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("mo"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    coh = o.groupBy("o_custkey").agg(F.min("mo").alias("cohort_mo"))
+    return (
+        o.join(coh, "o_custkey")
+        .groupBy(
+            "cohort_mo", (F.col("mo") - F.col("cohort_mo")).alias("month_offset")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            (F.sum("cents").cast("double") / 100.0).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus length profile (histogram by language)
+# ---------------------------------------------------------------------------
+
+HIST_BUCKET_CHARS = 200
+
+_DOC_HIST_SQL = f"""
+    SELECT lang,
+           n_chars // {HIST_BUCKET_CHARS} AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+    FROM documents
+    GROUP BY 1, 2
+"""
+
+
+@register("docs_length_histogram", _DOC_HIST_SQL)
+def q_docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: fixed-width document-length histogram per
+    language — the profiling pass that sizes curation thresholds
+    (length floors/ceilings, packing budgets) before a 100 TB filter
+    run. Map-only bucketing + one partial-aggregated groupBy whose
+    key space is |langs| × |buckets| — tiny regardless of corpus size;
+    the average is one bigint-over-bigint division, identical on both
+    engines."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(
+        "lang", F.expr(f"n_chars div {HIST_BUCKET_CHARS}").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_chars"),
+    )

@@ -1765,3 +1765,47 @@ def q_dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_spans"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics (quantizer calibration profile)
+# ---------------------------------------------------------------------------
+
+_DIM_STATS_SQL = f"""
+    SELECT g.i AS dim0,
+           round(avg(CAST(e.embedding AS DOUBLE[])[g.i + 1]), 6) AS mean,
+           round(stddev_samp(CAST(e.embedding AS DOUBLE[])[g.i + 1]), 6) AS sd,
+           round(min(CAST(e.embedding AS DOUBLE[])[g.i + 1]), 6) AS lo,
+           round(max(CAST(e.embedding AS DOUBLE[])[g.i + 1]), 6) AS hi
+    FROM embeddings e CROSS JOIN generate_series(0, {DIM - 1}) AS g(i)
+    GROUP BY 1
+"""
+
+
+@register("embedding_dim_stats", _DIM_STATS_SQL)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/σ/min/max of the embedding column — the
+    calibration profile every quantizer (the int8 path above, PQ
+    codebooks) and normalization step reads before touching 100 TB of
+    vectors, and the standard drift check between embedding-model
+    versions.
+
+    Shape: ``posexplode`` is a map-side expand (DIM rows per vector,
+    zero joins — the oracle's generate_series cross join is the SQL
+    spelling of the same expand), then ONE partial-aggregated groupBy
+    whose key space is exactly DIM rows, so the shuffle carries ≤
+    DIM × tasks partial states no matter the corpus size. Float32
+    elements are cast to double BEFORE aggregating on both engines;
+    mean/stddev accumulate in sum order, so outputs round to 6 dp
+    (stddev_samp's two-pass-free Welford merge is the same algorithm in
+    Spark and DuckDB)."""
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("dim0", "v")).select(
+        "dim0", F.col("v").cast("double").alias("v")
+    )
+    return x.groupBy("dim0").agg(
+        F.round(F.avg("v"), 6).alias("mean"),
+        F.round(F.stddev_samp("v"), 6).alias("sd"),
+        F.round(F.min("v"), 6).alias("lo"),
+        F.round(F.max("v"), 6).alias("hi"),
+    )

@@ -1057,3 +1057,219 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sd > 0) & (F.abs(z) > ZSCORE_SPIKE), F.lit(False)
         ).alias("is_spike"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral transition matrix (event-type bigrams per user)
+# ---------------------------------------------------------------------------
+
+_TRANSITIONS_SQL = """
+    WITH s AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS dst
+      FROM events),
+    n AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM s WHERE dst IS NOT NULL GROUP BY 1, 2)
+    SELECT src, dst, n_pairs,
+           round(CAST(n_pairs AS DOUBLE)
+                 / sum(n_pairs) OVER (PARTITION BY src), 6) AS p
+    FROM n
+"""
+
+
+@register("events_session_transitions", _TRANSITIONS_SQL)
+def q_events_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each consecutive (event, next-event) pair the count
+    and the row-normalized transition probability — the standard
+    user-behavior-model / next-event-prediction feature.
+
+    100 TB shape: the ``lead`` window partitions by user_id (bounded
+    per-user sort tasks, one shuffle), the bigram count partial-
+    aggregates map-side down to at most |types|² rows, and the
+    normalizing ``sum over (partition by src)`` window runs on that
+    tiny aggregated frame — never on the raw events. Ties in ts break
+    on event_id so both engines see the same sequence."""
+    e = load(spark, sf_dir, "events").withColumn("t_us", _t_us())
+    seq = W.partitionBy("user_id").orderBy("t_us", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(seq).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    norm = F.sum("n_pairs").over(W.partitionBy("src"))
+    return pairs.select(
+        "src", "dst", "n_pairs",
+        F.round(F.col("n_pairs").cast("double") / norm, 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) per user
+# ---------------------------------------------------------------------------
+
+_TWAP_SQL = """
+    WITH s AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS vc,
+             lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           sum(dt) // 1000000 AS span_s,
+           round(CAST(sum(vc * dt) AS DOUBLE) / (100.0 * sum(dt)), 6) AS twap
+    FROM s WHERE dt IS NOT NULL AND dt > 0
+    GROUP BY user_id
+"""
+
+
+@register("events_twap", _TWAP_SQL)
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event value: each value is
+    held until the user's next event and weighted by that holding
+    duration — the TWAP primitive (prices, sensor readings, resource
+    gauges), where a plain AVG would over-weight bursts.
+
+    Cross-engine determinism: values carry 2 decimals, so the weighted
+    sum runs in exact integer cents·µs (``sum(vc·dt)`` — bigint on both
+    engines, order-independent) and only the FINAL single division is
+    floating point — bit-identical, the 6 dp round is cosmetic. At
+    100 TB the bigint numerator caps around 9·10¹⁸ (≈ 10⁶ cents ×
+    ~10¹² µs-weighted rows per user); past that, widen the accumulator
+    to DECIMAL(38,0) — same plan shape. One user-partitioned window
+    (bounded sort tasks) + one partial-aggregated groupBy."""
+    e = load(spark, sf_dir, "events").withColumn("t_us", _t_us())
+    seq = W.partitionBy("user_id").orderBy("t_us", "event_id")
+    s = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        (F.lead("t_us").over(seq) - F.col("t_us")).alias("dt"),
+    ).where(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.expr("sum(dt) div 1000000").alias("span_s"),
+        F.round(
+            F.sum(F.col("vc") * F.col("dt")).cast("double")
+            / (F.lit(100.0) * F.sum("dt")),
+            6,
+        ).alias("twap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (purchases credited to the preceding touchpoint)
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_US = 7 * 86_400 * 1_000_000  # attribution lookback: 7 days
+
+_ATTRIB_SQL = f"""
+    WITH s AS (
+      SELECT event_type, epoch_us(ts) AS t_us,
+             CAST(round(value * 100) AS BIGINT) AS vc,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS) OVER w AS touch,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN epoch_us(ts) END IGNORE NULLS) OVER w AS touch_t
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT COALESCE(CASE WHEN touch_t >= t_us - {ATTR_WINDOW_US}
+                         THEN touch END, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(vc) AS DOUBLE) / 100.0 AS revenue
+    FROM s WHERE event_type = 'purchase'
+    GROUP BY 1
+"""
+
+
+@register("events_attribution_last_touch", _ATTRIB_SQL)
+def q_events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent preceding view/click within a 7-day
+    lookback, else to 'direct' — counts and exact-cents revenue per
+    channel.
+
+    The carry-forward is ``last(..., ignorenulls)`` over a
+    user-partitioned ROWS frame ending at 1 PRECEDING (the purchase
+    itself must not self-attribute): one user-keyed shuffle + bounded
+    per-user sort, the same single-pass shape as the as-of join above —
+    no per-purchase range join, no re-scan per channel. The final
+    rollup partial-aggregates to ≤ |channels| rows."""
+    e = load(spark, sf_dir, "events").withColumn("t_us", _t_us())
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    s = e.select(
+        "event_type", "t_us",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w).alias("touch"),
+        F.last(F.when(is_touch, F.col("t_us")), ignorenulls=True)
+        .over(w).alias("touch_t"),
+    ).where(F.col("event_type") == "purchase")
+    channel = F.coalesce(
+        F.when(
+            F.col("touch_t") >= F.col("t_us") - ATTR_WINDOW_US, F.col("touch")
+        ),
+        F.lit("direct"),
+    )
+    return s.groupBy(channel.alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        (F.sum("vc").cast("double") / 100.0).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew diagnostic: heavy-hitter keys with frequency share
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_N = 20
+
+_SKEW_SQL = f"""
+    WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1),
+    t AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM c)
+    SELECT c.user_id, c.n_events,
+           round(CAST(c.n_events AS DOUBLE) / t.total, 6) AS share
+    FROM c, t
+    ORDER BY c.n_events DESC, c.user_id
+    LIMIT {SKEW_TOP_N}
+"""
+
+
+@register("skew_heavy_hitters", _SKEW_SQL)
+def q_skew_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of a join/aggregation key: the top-20 most
+    frequent user_ids with their share of all events — the diagnostic
+    run BEFORE choosing a salting factor or enabling AQE skew-join on a
+    100 TB shuffle (a key holding >1% of the data is the classic
+    straggler source).
+
+    Plan shape: partial-aggregated key counts (one shuffle), the grand
+    total reduced to a one-row broadcast (no unpartitioned window over
+    the key frame — at scale that frame has millions of rows), and the
+    top-N collapses to TakeOrderedAndProject: per-partition 20-row
+    heaps, a 20-row driver merge, no global sort. Ties break on
+    user_id so the cut is deterministic across engines."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = c.agg(F.sum("n_events").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(total))
+        .select(
+            "user_id", "n_events",
+            F.round(F.col("n_events").cast("double") / F.col("total"), 6)
+            .alias("share"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(SKEW_TOP_N)
+    )

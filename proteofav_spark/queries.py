@@ -154,6 +154,14 @@ _PRIORITY: list[str] = [
     "dedup_substring_span",
     "graph_pagerank_fixed",
     "graph_triangle_count",
+    "events_session_transitions",
+    "events_twap",
+    "events_attribution_last_touch",
+    "skew_heavy_hitters",
+    "orders_shipping_priority",
+    "customer_ltv_cohort",
+    "docs_length_histogram",
+    "embedding_dim_stats",
     # round-2-attested risky LLM-pipeline extensions next (fill the rest of
     # the 50-row window; re-attested on round-3 code where changed).
     "dedup_embedding_cosine",

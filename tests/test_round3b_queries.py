@@ -1,0 +1,175 @@
+"""Semantic invariants for the round-3 batch-2 additions: Markov event
+transitions, TWAP, last-touch attribution, the heavy-hitter skew probe,
+the TPC-H-Q3-shaped top-N, cohort LTV, the corpus length histogram, and
+per-dimension embedding stats. The DuckDB oracles check value parity
+against an independent engine; these tests pin the data-independent
+semantics."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from proteofav_spark.operators.analytics_queries import (
+    q_customer_ltv_cohort,
+    q_docs_length_histogram,
+    q_orders_shipping_priority,
+)
+from proteofav_spark.operators.llm_queries import DIM, q_embedding_dim_stats
+from proteofav_spark.operators.pipeline_queries import (
+    SKEW_TOP_N,
+    q_events_attribution_last_touch,
+    q_events_session_transitions,
+    q_events_twap,
+    q_skew_heavy_hitters,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_transitions_probabilities_normalize(spark):
+    """Per-source transition probabilities sum to 1 and the total pair
+    count is exactly N_events − N_users (each user contributes one
+    fewer bigram than events)."""
+    rows = q_events_session_transitions(spark, SF).collect()
+    by_src: dict[str, float] = {}
+    n_pairs = 0
+    for r in rows:
+        by_src[r["src"]] = by_src.get(r["src"], 0.0) + r["p"]
+        n_pairs += r["n_pairs"]
+        assert 0.0 < r["p"] <= 1.0
+    for src, total in by_src.items():
+        assert total == pytest.approx(1.0, abs=1e-4), src
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    assert n_pairs == e.count() - e.select("user_id").distinct().count()
+
+
+def test_twap_within_value_envelope(spark):
+    """A duration-weighted mean cannot leave [min, max] of the weighted
+    values, and every user with ≥2 distinct-ts events appears."""
+    res = {r["user_id"]: r for r in q_events_twap(spark, SF).collect()}
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    env = {
+        r["user_id"]: r
+        for r in e.groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(res) <= set(env)
+    for uid, r in res.items():
+        # the last event is unweighted, so the envelope over ALL values
+        # still bounds the weighted mean of the rest (cents rounding ±0.005)
+        assert env[uid]["lo"] - 0.005 <= r["twap"] <= env[uid]["hi"] + 0.005
+        assert r["n_intervals"] <= env[uid]["n"] - 1
+        assert r["span_s"] >= 0
+
+
+def test_attribution_accounts_for_every_purchase(spark):
+    """Channel counts partition the purchase set: every purchase lands
+    in exactly one of view/click/direct, and revenue totals match the
+    purchases' own value sum to the cent."""
+    rows = q_events_attribution_last_touch(spark, SF).collect()
+    assert {r["channel"] for r in rows} <= {"view", "click", "direct"}
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    p = e.where(F.col("event_type") == "purchase")
+    assert sum(r["n_purchases"] for r in rows) == p.count()
+    total = p.select(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
+    ).collect()[0]["c"]
+    got = round(sum(r["revenue"] for r in rows) * 100)
+    assert got == total
+
+
+def test_skew_profile_is_the_true_top_n(spark):
+    """The probe returns the exact top-N keys by count (ties on key),
+    with shares that re-multiply to the counts."""
+    rows = q_skew_heavy_hitters(spark, SF).collect()
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    n_total = e.count()
+    true = (
+        e.groupBy("user_id").count()
+        .orderBy(F.desc("count"), "user_id").limit(SKEW_TOP_N).collect()
+    )
+    assert [(r["user_id"], r["n_events"]) for r in rows] == [
+        (r["user_id"], r["count"]) for r in true
+    ]
+    for r in rows:
+        assert r["share"] == pytest.approx(r["n_events"] / n_total, abs=1e-6)
+
+
+def test_shipping_priority_respects_filters_and_order(spark):
+    """Top-10 is revenue-descending, and every returned order passes
+    both date predicates and the segment filter."""
+    rows = q_orders_shipping_priority(spark, SF).collect()
+    assert 0 < len(rows) <= 10
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    seg = {
+        r["o_orderkey"]
+        for r in o.join(
+            c.where(F.col("c_mktsegment") == "BUILDING"),
+            o.o_custkey == c.c_custkey,
+        ).collect()
+    }
+    for r in rows:
+        assert r["l_orderkey"] in seg
+        assert str(r["o_orderdate"]) < "1996-07-01"
+
+
+def test_ltv_cohort_conserves_revenue(spark):
+    """Offsets are non-negative, offset 0 exists for every cohort, and
+    total revenue equals the orders table's own total to the cent."""
+    rows = q_customer_ltv_cohort(spark, SF).collect()
+    cohorts = {r["cohort_mo"] for r in rows}
+    zero = {r["cohort_mo"] for r in rows if r["month_offset"] == 0}
+    assert zero == cohorts
+    assert all(r["month_offset"] >= 0 for r in rows)
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    total = o.select(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c")
+    ).collect()[0]["c"]
+    assert round(sum(r["revenue"] for r in rows) * 100) == total
+    assert sum(r["n_orders"] for r in rows) == o.count()
+
+
+def test_length_histogram_partitions_the_corpus(spark):
+    """Histogram cells partition the documents: doc counts and char
+    totals re-sum to the corpus, and each cell's average sits inside
+    its own bucket bounds."""
+    rows = q_docs_length_histogram(spark, SF).collect()
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    assert (
+        sum(r["total_chars"] for r in rows)
+        == d.select(F.sum("n_chars")).collect()[0][0]
+    )
+    for r in rows:
+        lo = r["bucket"] * 200
+        assert lo <= r["avg_chars"] < lo + 200
+
+
+def test_dim_stats_shape_and_envelope(spark):
+    """Exactly DIM rows; lo ≤ mean ≤ hi and sd ≥ 0 in every dimension;
+    means match a numpy reference within rounding."""
+    import numpy as np
+
+    rows = {r["dim0"]: r for r in q_embedding_dim_stats(spark, SF).collect()}
+    assert sorted(rows) == list(range(DIM))
+    emb = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+        ],
+        dtype=np.float64,
+    )
+    mu = emb.mean(axis=0)
+    sd = emb.std(axis=0, ddof=1)
+    for i, r in rows.items():
+        assert r["lo"] <= r["mean"] <= r["hi"]
+        assert r["sd"] >= 0
+        assert r["mean"] == pytest.approx(mu[i], abs=1e-5)
+        assert r["sd"] == pytest.approx(sd[i], abs=1e-5)
+        assert not math.isnan(r["mean"])
