@@ -626,3 +626,105 @@ def q_docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC upsert (MERGE INTO semantics: update / insert / keep)
+# ---------------------------------------------------------------------------
+
+CDC_CUTOFF = "1999-01-01"
+
+_CDC_SQL = f"""
+    WITH base AS (
+      SELECT o_custkey, o_orderstatus,
+             (epoch_us(o_orderdate) // 86400000000) * 1000000000000
+               + o_orderkey AS ord,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderdate < TIMESTAMP '{CDC_CUTOFF} 00:00:00' AS is_snap
+      FROM orders),
+    snap AS (
+      SELECT o_custkey, arg_max(o_orderstatus, ord) AS last_status,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM base WHERE is_snap GROUP BY 1),
+    chg AS (
+      SELECT o_custkey, arg_max(o_orderstatus, ord) AS last_status,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM base WHERE NOT is_snap GROUP BY 1)
+    SELECT COALESCE(s.o_custkey, c.o_custkey) AS o_custkey,
+           COALESCE(c.last_status, s.last_status) AS last_status,
+           COALESCE(s.n_orders, 0) + COALESCE(c.n_orders, 0) AS n_orders,
+           CAST(COALESCE(s.cents, 0) + COALESCE(c.cents, 0) AS DOUBLE)
+             / 100.0 AS ltv,
+           CASE WHEN s.o_custkey IS NULL THEN 'insert'
+                WHEN c.o_custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM snap s FULL OUTER JOIN chg c ON s.o_custkey = c.o_custkey
+"""
+
+
+@register("cdc_upsert_apply", _CDC_SQL)
+def q_cdc_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: apply a change batch
+    (orders on/after the cutoff) onto a keyed snapshot (per-customer
+    state before it), emitting the post-merge state plus the action that
+    produced each row — update (key in both), insert (change only),
+    keep (snapshot only). This is the batch-derivation twin of a
+    Delta/Iceberg MERGE, and the shape an incremental lakehouse pipeline
+    re-runs per micro-batch.
+
+    Scale shape: both sides reduce to one row per key BEFORE the merge
+    (partial-aggregated groupBys), so the full-outer join shuffles
+    key-state rows, never raw orders; at 100 TB the snapshot side is
+    the big one and AQE picks shuffle vs broadcast from the change
+    batch's actual size. The per-key "latest" is ``max_by`` over a
+    UNIQUE bigint order (epoch-day · 10¹² + orderkey — collision-free
+    and overflow-safe), so both engines pick the same row without any
+    tie-rule divergence; money merges in exact integer cents."""
+    o = load(spark, sf_dir, "orders")
+    ord_col = (
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        * F.lit(1_000_000_000_000)
+        + F.col("o_orderkey")
+    )
+    base = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        ord_col.alias("ord"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            F.col("o_orderdate") < F.lit(f"{CDC_CUTOFF} 00:00:00").cast("timestamp")
+        ).alias("is_snap"),
+    )
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.max_by("o_orderstatus", "ord").alias("last_status"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+
+    s = state(base.where("is_snap")).alias("s")
+    c = state(base.where("NOT is_snap")).alias("c")
+    j = s.join(c, F.col("s.o_custkey") == F.col("c.o_custkey"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("s.o_custkey"), F.col("c.o_custkey")).alias("o_custkey"),
+        F.coalesce(F.col("c.last_status"), F.col("s.last_status"))
+        .alias("last_status"),
+        (
+            F.coalesce(F.col("s.n_orders"), F.lit(0))
+            + F.coalesce(F.col("c.n_orders"), F.lit(0))
+        ).alias("n_orders"),
+        (
+            (
+                F.coalesce(F.col("s.cents"), F.lit(0))
+                + F.coalesce(F.col("c.cents"), F.lit(0))
+            ).cast("double")
+            / 100.0
+        ).alias("ltv"),
+        F.when(F.col("s.o_custkey").isNull(), "insert")
+        .when(F.col("c.o_custkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )

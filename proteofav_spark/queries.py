@@ -162,6 +162,7 @@ _PRIORITY: list[str] = [
     "customer_ltv_cohort",
     "docs_length_histogram",
     "embedding_dim_stats",
+    "cdc_upsert_apply",
     # round-2-attested risky LLM-pipeline extensions next (fill the rest of
     # the 50-row window; re-attested on round-3 code where changed).
     "dedup_embedding_cosine",

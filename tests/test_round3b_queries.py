@@ -173,3 +173,40 @@ def test_dim_stats_shape_and_envelope(spark):
         assert r["mean"] == pytest.approx(mu[i], abs=1e-5)
         assert r["sd"] == pytest.approx(sd[i], abs=1e-5)
         assert not math.isnan(r["mean"])
+
+
+def test_cdc_upsert_partitions_keys_and_conserves_money(spark):
+    """The merged state covers exactly the distinct customer keys, each
+    action matches side membership, and post-merge LTV re-sums to the
+    orders total to the cent."""
+    from proteofav_spark.operators.analytics_queries import (
+        CDC_CUTOFF,
+        q_cdc_upsert_apply,
+    )
+
+    rows = q_cdc_upsert_apply(spark, SF).collect()
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    assert len(rows) == o.select("o_custkey").distinct().count()
+    cut = f"{CDC_CUTOFF} 00:00:00"
+    snap_keys = {
+        r["o_custkey"]
+        for r in o.where(F.col("o_orderdate") < cut)
+        .select("o_custkey").distinct().collect()
+    }
+    chg_keys = {
+        r["o_custkey"]
+        for r in o.where(F.col("o_orderdate") >= cut)
+        .select("o_custkey").distinct().collect()
+    }
+    for r in rows:
+        k = r["o_custkey"]
+        expected = (
+            "update" if k in snap_keys and k in chg_keys
+            else "insert" if k in chg_keys else "keep"
+        )
+        assert r["action"] == expected, k
+    total = o.select(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c")
+    ).collect()[0]["c"]
+    assert round(sum(r["ltv"] for r in rows) * 100) == total
+    assert sum(r["n_orders"] for r in rows) == o.count()

@@ -139,6 +139,49 @@ SCALE_NOTES = {
         "wedge self-join; the close is a two-key equi-join against the "
         "canonical edge set — no OR-condition nested loop."
     ),
+    "events_session_transitions": (
+        "lead window partitions by user (bounded sort tasks); bigram "
+        "counts partial-aggregate to <= |types|^2 rows and the "
+        "normalizing window runs on that tiny frame only."
+    ),
+    "events_twap": (
+        "weighted sum in exact integer cents*us — bigint accumulation is "
+        "order-independent, one user-partitioned window + one "
+        "partial-aggregated groupBy."
+    ),
+    "events_attribution_last_touch": (
+        "ignorenulls carry-forward over a 1-PRECEDING user frame: one "
+        "user-keyed shuffle, no per-purchase range join; rollup "
+        "partial-aggregates to |channels| rows."
+    ),
+    "skew_heavy_hitters": (
+        "grand total reduced to a one-row broadcast instead of an "
+        "unpartitioned window over the key frame; top-N collapses to "
+        "TakeOrderedAndProject."
+    ),
+    "orders_shipping_priority": (
+        "segment-pruned customer side broadcasts; date predicates pushed "
+        "to both fact scans; top-10 is per-partition heaps + a 10-row "
+        "driver merge."
+    ),
+    "customer_ltv_cohort": (
+        "cohort join keys on o_custkey — the clustering the per-customer "
+        "min shuffle already produced; revenue in exact cents."
+    ),
+    "docs_length_histogram": (
+        "map-only bucketing; groupBy key space is |langs| x |buckets| so "
+        "the exchange carries near-constant partial states."
+    ),
+    "embedding_dim_stats": (
+        "posexplode map-side expand, one partial-aggregated groupBy with "
+        "exactly DIM output rows — shuffle size is DIM x tasks regardless "
+        "of corpus size."
+    ),
+    "cdc_upsert_apply": (
+        "both sides reduce to one row per key before the full-outer "
+        "merge, so the join shuffles key-state rows, never raw orders; "
+        "per-key latest via max_by over a unique bigint order."
+    ),
 }
 
 # round-3 additions audited alongside the headline set: not benched (the
@@ -156,6 +199,15 @@ EXTRA = [
     "dedup_substring_span",
     "graph_pagerank_fixed",
     "graph_triangle_count",
+    "events_session_transitions",
+    "events_twap",
+    "events_attribution_last_touch",
+    "skew_heavy_hitters",
+    "orders_shipping_priority",
+    "customer_ltv_cohort",
+    "docs_length_histogram",
+    "embedding_dim_stats",
+    "cdc_upsert_apply",
 ]
 
 
