@@ -376,14 +376,17 @@ def star_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         )
         .distinct()
     )
-    # fuse the contraction output with star round 1: one plan, one
-    # checkpoint job — the depth is bounded, so no lineage blowup.
-    edges, n = _observed_checkpoint(_small_star(_large_star(contracted)))
-    rounds = 1
-    # the structural test is exact, so a pass ends the loop with no
-    # confirming round — the common case (low-diameter dedup graphs
-    # contracted by the seed) converges at round 1 and pays only the
-    # seed + one fused round + one tiny test job.
+    # the structural test is exact AND meaningful on the contracted
+    # edges themselves (the star loop's fixed points are precisely the
+    # star forests), so test BEFORE paying any star round: cliques and
+    # star-shaped components — the overwhelmingly common near-dup
+    # shapes — already collapse to a star forest (often the empty set)
+    # under the seed contraction, and the common case then costs only
+    # the seed + one tiny test job. The test is a fraction of a star
+    # round's 2-groupBy/2-join price, so even when it fails the round
+    # it buys back later is pure profit.
+    edges, n = _observed_checkpoint(contracted)
+    rounds = 0
     while not (n == 0 or _is_star_forest(edges)):
         if rounds >= max_rounds:
             raise RuntimeError(
