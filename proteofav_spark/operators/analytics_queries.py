@@ -728,3 +728,80 @@ def q_cdc_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("action"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bilateral trade volume between nation pairs
+# ---------------------------------------------------------------------------
+
+_TRADE_SQL = """
+    SELECT cn.n_name AS cust_nation,
+           sn.n_name AS supp_nation,
+           year(l.l_shipdate) AS ship_year,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS volume
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_nationkey <> sn.n_nationkey
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("nation_trade_volume", _TRADE_SQL)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border shipping volume by (customer nation,
+    supplier nation, year) — the canonical query where ONE dimension
+    table participates twice under different roles, so the plan must
+    alias it, not share the scan node.
+
+    Plan: customer/supplier/nation are all broadcast dims (two
+    independent broadcasts of the aliased nation scan); the only wide
+    exchange is lineitem⋈orders on the orderkey, then one
+    partial-aggregated rollup whose key space is |nations|² × years.
+    The same-nation filter applies pre-aggregation on broadcast-joined
+    columns — no extra shuffle. Discounted revenue accumulates in EXACT
+    integer 10⁻⁴-dollar units (price cents × (100 − discount
+    basis points), both 2-decimal by data contract): per-group sums
+    here span hundreds of terms, where a double sum lands on .xx5
+    rounding boundaries and a 2 dp round diverges between engines —
+    the bigint sum + one final division is bit-identical instead."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .where(F.col("cn_key") != F.col("sn_key"))
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+                ).cast("double")
+                / 10000.0
+            ).alias("volume"),
+        )
+    )

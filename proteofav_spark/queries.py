@@ -163,6 +163,7 @@ _PRIORITY: list[str] = [
     "docs_length_histogram",
     "embedding_dim_stats",
     "cdc_upsert_apply",
+    "nation_trade_volume",
     # round-2-attested risky LLM-pipeline extensions next (fill the rest of
     # the 50-row window; re-attested on round-3 code where changed).
     "dedup_embedding_cosine",

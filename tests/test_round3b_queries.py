@@ -210,3 +210,33 @@ def test_cdc_upsert_partitions_keys_and_conserves_money(spark):
     ).collect()[0]["c"]
     assert round(sum(r["ltv"] for r in rows) * 100) == total
     assert sum(r["n_orders"] for r in rows) == o.count()
+
+
+def test_trade_volume_excludes_domestic_and_conserves(spark):
+    """No (nation, nation) diagonal rows; lineitem counts re-sum to the
+    number of cross-nation lineitems; volume matches an exact integer
+    recomputation."""
+    from proteofav_spark.operators.analytics_queries import (
+        q_nation_trade_volume,
+    )
+
+    rows = q_nation_trade_volume(spark, SF).collect()
+    assert all(r["cust_nation"] != r["supp_nation"] for r in rows)
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    s = spark.read.parquet(f"{SF}/supplier.parquet")
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+    )
+    assert sum(r["n_lineitems"] for r in rows) == j.count()
+    total_bp = j.select(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("bp")
+    ).collect()[0]["bp"]
+    assert round(sum(r["volume"] for r in rows) * 10000) == total_bp
