@@ -1276,3 +1276,57 @@ def q_skew_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), "user_id")
         .limit(SKEW_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# Engagement rollup: DAU / MAU / stickiness per calendar month
+# ---------------------------------------------------------------------------
+
+DAY_US = 86_400_000_000
+
+_DAU_MAU_SQL = f"""
+    WITH a AS (
+      SELECT DISTINCT year(ts) * 12 + month(ts) - 1 AS mo,
+             epoch_us(ts) // {DAY_US} AS d,
+             user_id
+      FROM events)
+    SELECT mo,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
+           CAST(count(DISTINCT d) AS BIGINT) AS active_days,
+           CAST(count(*) AS BIGINT) AS user_days,
+           round(CAST(count(*) AS DOUBLE)
+                 / (count(DISTINCT d) * count(DISTINCT user_id)), 6)
+               AS stickiness
+    FROM a GROUP BY mo
+"""
+
+
+@register("events_dau_mau", _DAU_MAU_SQL)
+def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement rollup: monthly active users, active days, total
+    user-days, and stickiness (mean DAU over active days ÷ MAU — the
+    DAU/MAU ratio every growth dashboard tracks), per calendar month.
+
+    One distinct shuffle reduces raw events to (month, day, user) rows;
+    the month rollup then runs two exact count-distincts, which Spark
+    expands into mergeable two-stage aggregations — no driver state, no
+    window. Calendar months use integer year·12+month arithmetic and
+    days use integer epoch-day division, so both engines bucket
+    identically; the single stickiness division is the only float."""
+    e = load(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    a = e.select(
+        (F.year(ts) * 12 + F.month(ts) - 1).alias("mo"),
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {DAY_US}").alias("d"),
+        "user_id",
+    ).distinct()
+    return a.groupBy("mo").agg(
+        F.countDistinct("user_id").alias("mau"),
+        F.countDistinct("d").alias("active_days"),
+        F.count(F.lit(1)).alias("user_days"),
+        F.round(
+            F.count(F.lit(1)).cast("double")
+            / (F.countDistinct("d") * F.countDistinct("user_id")),
+            6,
+        ).alias("stickiness"),
+    )

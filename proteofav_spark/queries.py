@@ -164,6 +164,7 @@ _PRIORITY: list[str] = [
     "embedding_dim_stats",
     "cdc_upsert_apply",
     "nation_trade_volume",
+    "events_dau_mau",
     # round-2-attested risky LLM-pipeline extensions next (fill the rest of
     # the 50-row window; re-attested on round-3 code where changed).
     "dedup_embedding_cosine",

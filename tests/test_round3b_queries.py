@@ -240,3 +240,29 @@ def test_trade_volume_excludes_domestic_and_conserves(spark):
         ).alias("bp")
     ).collect()[0]["bp"]
     assert round(sum(r["volume"] for r in rows) * 10000) == total_bp
+
+
+def test_dau_mau_bounds_and_identities(spark):
+    """MAU bounds both per-month quantities: active_days ≤ days seen,
+    user_days ≤ mau·active_days (so stickiness ≤ 1), user_days ≥ mau,
+    and months partition the distinct (user, day) activity set."""
+    from proteofav_spark.operators.pipeline_queries import q_events_dau_mau
+
+    rows = q_events_dau_mau(spark, SF).collect()
+    assert rows
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    total_user_days = (
+        e.select(
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d"),
+            "user_id",
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r["user_days"] for r in rows) == total_user_days
+    for r in rows:
+        assert r["mau"] <= r["user_days"] <= r["mau"] * r["active_days"]
+        assert 0.0 < r["stickiness"] <= 1.0
+        assert r["stickiness"] == pytest.approx(
+            r["user_days"] / (r["mau"] * r["active_days"]), abs=1e-6
+        )

@@ -192,6 +192,11 @@ SCALE_NOTES = {
         "the only wide exchange is lineitem⋈orders on the orderkey; "
         "revenue accumulates in exact 1e-4-dollar bigints."
     ),
+    "events_dau_mau": (
+        "one distinct shuffle to (month, day, user) rows, then a "
+        "month rollup with two-stage mergeable exact count-distincts "
+        "— no window, no driver state."
+    ),
 }
 
 # round-3 additions audited alongside the headline set: not benched (the
@@ -219,6 +224,7 @@ EXTRA = [
     "embedding_dim_stats",
     "cdc_upsert_apply",
     "nation_trade_volume",
+    "events_dau_mau",
 ]
 
 
