@@ -123,10 +123,15 @@ def main() -> None:
             df = fn(spark, SF_DIR)
             n = df.count()
             runs.append(round(time.perf_counter() - t0, 3))
-        if min(runs) > 0 and max(runs) / min(runs) > 1.3:
-            # the two runs disagree badly (GC pause, compilation, OS
-            # noise) — take a tie-breaking third so the reported min is
-            # a steady-state number, not a lucky or unlucky outlier
+        if min(runs) > 0 and (
+            max(runs) / min(runs) > 1.3 or min(runs) > 1.0
+        ):
+            # take a tie-breaking third run when the two runs disagree
+            # badly (GC pause, compilation, OS noise) OR the query is
+            # heavy (>1 s): this host is a shared VM whose throughput
+            # swings run-to-run, and heavy queries integrate that noise
+            # the longest — a third sample costs seconds and keeps the
+            # reported min a steady-state number
             t0 = time.perf_counter()
             n = fn(spark, SF_DIR).count()
             runs.append(round(time.perf_counter() - t0, 3))
