@@ -191,3 +191,81 @@ def compact_lake(
     shutil.rmtree(old)
     after = lake_file_stats(spark, path)
     return {"before": before, "after": after, "n_target_files": n_out}
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering for multi-dimensional file skipping
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 16  # per-dimension quantization (2^16 cells per axis)
+
+
+def morton_col(
+    cols: tuple[str, ...],
+    mins: dict[str, float],
+    maxs: dict[str, float],
+    bits: int = ZORDER_BITS,
+) -> "F.Column":
+    """Morton (Z-order) key: each column is affinely quantized to a
+    ``bits``-bit integer over its [min, max] domain, then the bit
+    patterns are interleaved so that points close in ALL dimensions get
+    close keys. Pure JVM integer expressions — shifts and masks inside
+    whole-stage codegen, no UDF."""
+    quantized = []
+    top = (1 << bits) - 1
+    for c in cols:
+        lo, hi = float(mins[c]), float(maxs[c])
+        span = (hi - lo) or 1.0
+        q = F.least(
+            F.lit(top).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor((F.col(c).cast("double") - lo) / span * top).cast("long"),
+            ),
+        )
+        quantized.append(q)
+    key = F.lit(0).cast("long")
+    n = len(cols)
+    for i in range(bits):
+        for j, q in enumerate(quantized):
+            bit = F.shiftright(q, i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return key
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, ...],
+    n_files: int = 16,
+    bits: int = ZORDER_BITS,
+) -> None:
+    """Write ``df`` as Parquet clustered on the Z-order curve of ``cols``:
+    range-partition by the Morton key (equal-size files along the curve)
+    and sort within partitions, so every file covers a small hyper-
+    rectangle of the key space and its footer min/max statistics prune
+    multi-dimensional predicates — the same layout trick as
+    ``OPTIMIZE ... ZORDER BY`` in lakehouse table formats, from scratch.
+
+    A single-column sort bounds only that column's per-file range; the
+    secondary dimension spans its whole domain in every file, so
+    predicates on it skip nothing. Z-order bounds ALL participating
+    dimensions at once (tests/test_lake.py pins this on real footer
+    stats via pyarrow). Domain bounds come from one bounded min/max
+    aggregation — the same driver-scalar contract as the quantizer
+    calibrations; at 100 TB the range partitioner's sampling already
+    balances file sizes along the curve."""
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    mins = {c: bounds[f"lo_{c}"] for c in cols}
+    maxs = {c: bounds[f"hi_{c}"] for c in cols}
+    keyed = df.withColumn("__z", morton_col(cols, mins, maxs, bits))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -103,3 +103,72 @@ def test_compact_lake_merges_small_files(spark, tmp_path):
     # compaction is idempotent
     res2 = compact_lake(spark, path, target_file_bytes=10**9)
     assert res2["after"]["n_files"] == res["after"]["n_files"]
+
+
+def test_zorder_write_bounds_both_dimensions(spark, tmp_path):
+    """Z-order's claim, checked on real parquet footer statistics: a
+    single-key sorted layout bounds only its sort column per file (the
+    other dimension spans ~its whole domain in every file), while the
+    Z-ordered layout bounds BOTH dimensions, so min/max pruning works
+    for predicates on either."""
+    import pyarrow.parquet as pq
+
+    from proteofav_spark.plans.lake import zorder_write
+
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us")
+    )
+    lo_u, hi_u, lo_t, hi_t = e.agg(
+        F.min("user_id"), F.max("user_id"), F.min("t_us"), F.max("t_us")
+    ).collect()[0]
+
+    plain = str(tmp_path / "plain")
+    zord = str(tmp_path / "zord")
+    # baseline: range-partition + sort on user_id only
+    (
+        e.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(plain)
+    )
+    zorder_write(e, zord, ("user_id", "t_us"), n_files=8)
+
+    def mean_spans(path):
+        import glob
+
+        su, st, n = 0.0, 0.0, 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mn_u = mn_t = None
+            mx_u = mx_t = None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    s = col.statistics
+                    if s is None:
+                        continue
+                    if col.path_in_schema == "user_id":
+                        mn_u = s.min if mn_u is None else min(mn_u, s.min)
+                        mx_u = s.max if mx_u is None else max(mx_u, s.max)
+                    elif col.path_in_schema == "t_us":
+                        mn_t = s.min if mn_t is None else min(mn_t, s.min)
+                        mx_t = s.max if mx_t is None else max(mx_t, s.max)
+            if mn_u is None:
+                continue
+            su += (mx_u - mn_u) / max(hi_u - lo_u, 1)
+            st += (mx_t - mn_t) / max(hi_t - lo_t, 1)
+            n += 1
+        return su / n, st / n
+
+    plain_u, plain_t = mean_spans(plain)
+    z_u, z_t = mean_spans(zord)
+    # single-key layout: secondary dimension unbounded per file
+    assert plain_t > 0.9
+    # z-order bounds both dimensions well below the full domain
+    assert z_u < 0.6 and z_t < 0.6
+    # and never loses rows
+    assert (
+        spark.read.parquet(zord).count()
+        == spark.read.parquet(plain).count()
+    )
