@@ -805,3 +805,112 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("volume"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promo-class revenue share per month
+# ---------------------------------------------------------------------------
+
+PROMO_TYPE = "ECONOMY"
+
+_PROMO_SQL = f"""
+    SELECT year(l.l_shipdate) * 12 + month(l.l_shipdate) - 1 AS ship_mo,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(CASE WHEN p.p_type = '{PROMO_TYPE}'
+                    THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                    ELSE 0 END) AS DOUBLE) / 10000.0 AS promo_revenue,
+           round(CAST(sum(CASE WHEN p.p_type = '{PROMO_TYPE}'
+                          THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                          ELSE 0 END) AS DOUBLE)
+                 / sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))), 6)
+               AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+"""
+
+
+@register("promo_revenue_share", _PROMO_SQL)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the share of each ship-month's revenue coming
+    from one part class — conditional aggregation over a fact⋈dim join.
+
+    The part dimension broadcasts (only p_partkey + p_type survive
+    pruning), so the fact table never shuffles for the join; the rollup
+    partial-aggregates to one row per month. Both the conditional and
+    the total revenue accumulate in exact 10⁻⁴-dollar bigints (the
+    nation_trade_volume contract) and the share is one final double
+    division rounded at 6 dp."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    bp = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    promo_bp = F.when(F.col("p_type") == PROMO_TYPE, bp).otherwise(F.lit(0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("ship_mo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            (F.sum(promo_bp).cast("double") / 10000.0).alias("promo_revenue"),
+            F.round(
+                F.sum(promo_bp).cast("double") / F.sum(bp), 6
+            ).alias("promo_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-attribute predicate revenue
+# ---------------------------------------------------------------------------
+
+_DISJ_SQL = """
+    SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#2' AND p.p_size <= 10 AND l.l_quantity <= 25)
+       OR (p.p_brand = 'Brand#17' AND p.p_size <= 20 AND l.l_quantity <= 35)
+       OR (p.p_type = 'SMALL' AND l.l_quantity >= 10)
+"""
+
+
+@register("disjunctive_predicate_revenue", _DISJ_SQL)
+def q_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of multi-attribute branch
+    predicates mixing fact and dimension columns — the classic stress
+    test for disjunctive predicate handling.
+
+    The OR spans both tables, so it cannot push below the join; what
+    matters at scale is that the join stays a single broadcast hash
+    join with the residual disjunction evaluated JVM-side inside the
+    join's codegen stage (no union-of-three-joins, no cross join), and
+    Catalyst still derives the prunable per-side IsNotNull/partial
+    predicates. Revenue in exact bigint basis points."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 10) & (F.col("l_quantity") <= 25))
+        | ((F.col("p_brand") == "Brand#17") & (F.col("p_size") <= 20) & (F.col("l_quantity") <= 35))
+        | ((F.col("p_type") == "SMALL") & (F.col("l_quantity") >= 10))
+    )
+    bp = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            (F.sum(bp).cast("double") / 10000.0).alias("revenue"),
+        )
+    )

@@ -266,3 +266,48 @@ def test_dau_mau_bounds_and_identities(spark):
         assert r["stickiness"] == pytest.approx(
             r["user_days"] / (r["mau"] * r["active_days"]), abs=1e-6
         )
+
+
+def test_promo_share_bounds_and_totals(spark):
+    """Shares live in [0, 1]; month lineitem counts re-sum to the join
+    cardinality (= lineitem count, every part key resolves)."""
+    from proteofav_spark.operators.analytics_queries import (
+        q_promo_revenue_share,
+    )
+
+    rows = q_promo_revenue_share(spark, SF).collect()
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    assert sum(r["n_lineitems"] for r in rows) == l.count()
+    for r in rows:
+        assert 0.0 <= r["promo_share"] <= 1.0
+        assert r["promo_revenue"] >= 0.0
+
+
+def test_disjunctive_revenue_matches_union_of_branches(spark):
+    """The OR-predicate count equals the UNION of the three branch
+    selections computed independently (inclusion-exclusion-free check:
+    distinct row ids)."""
+    from proteofav_spark.operators.analytics_queries import (
+        q_disjunctive_predicate_revenue,
+    )
+
+    row = q_disjunctive_predicate_revenue(spark, SF).collect()[0]
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    p = spark.read.parquet(f"{SF}/part.parquet")
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    b1 = j.where(
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size") <= 10)
+        & (F.col("l_quantity") <= 25)
+    )
+    b2 = j.where(
+        (F.col("p_brand") == "Brand#17")
+        & (F.col("p_size") <= 20)
+        & (F.col("l_quantity") <= 35)
+    )
+    b3 = j.where((F.col("p_type") == "SMALL") & (F.col("l_quantity") >= 10))
+    key = ["l_orderkey", "l_linenumber"]
+    union = (
+        b1.select(*key).union(b2.select(*key)).union(b3.select(*key)).distinct()
+    )
+    assert row["n_lineitems"] == union.count()
