@@ -820,13 +820,15 @@ _PROMO_SQL = f"""
                     THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
                     ELSE 0 END) AS DOUBLE) / 10000.0 AS promo_revenue,
-           round(CAST(sum(CASE WHEN p.p_type = '{PROMO_TYPE}'
-                          THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
-                          ELSE 0 END) AS DOUBLE)
-                 / sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))), 6)
-               AS promo_share
+           CAST((2 * sum(CASE WHEN p.p_type = '{PROMO_TYPE}'
+                         THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                         ELSE 0 END) * 1000000
+                 + sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))))
+                // (2 * sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT))))
+                AS DOUBLE) / 1000000 AS promo_share
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY 1
 """
@@ -858,9 +860,21 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
-            (F.sum(promo_bp).cast("double") / 10000.0).alias("promo_revenue"),
-            F.round(
-                F.sum(promo_bp).cast("double") / F.sum(bp), 6
+            F.sum(promo_bp).alias("_promo_bp"),
+            F.sum(bp).alias("_bp"),
+        )
+        # share at 6 dp via the exact-integer round-half-up trick
+        # ((2a·10⁶+b) div 2b) — engine-independent, unlike
+        # round(double, 6) on an exact-rational quotient
+        .select(
+            "ship_mo",
+            "n_lineitems",
+            (F.col("_promo_bp").cast("double") / 10000.0).alias("promo_revenue"),
+            (
+                F.expr(
+                    "(2 * _promo_bp * 1000000 + _bp) div (2 * _bp)"
+                ).cast("double")
+                / 1_000_000
             ).alias("promo_share"),
         )
     )

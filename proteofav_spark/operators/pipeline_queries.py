@@ -1075,8 +1075,9 @@ _TRANSITIONS_SQL = """
     n AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n_pairs
           FROM s WHERE dst IS NOT NULL GROUP BY 1, 2)
     SELECT src, dst, n_pairs,
-           round(CAST(n_pairs AS DOUBLE)
-                 / sum(n_pairs) OVER (PARTITION BY src), 6) AS p
+           CAST((2 * n_pairs * 1000000 + sum(n_pairs) OVER (PARTITION BY src))
+                // (2 * sum(n_pairs) OVER (PARTITION BY src)) AS DOUBLE)
+           / 1000000 AS p
     FROM n
 """
 
@@ -1106,9 +1107,23 @@ def q_events_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
     norm = F.sum("n_pairs").over(W.partitionBy("src"))
-    return pairs.select(
-        "src", "dst", "n_pairs",
-        F.round(F.col("n_pairs").cast("double") / norm, 6).alias("p"),
+    # p at 6 dp via the exact-integer round-half-up trick — an integer
+    # quotient rounded as (2a+b) div (2b) is bit-identical on every
+    # engine, where round(double, 6) diverges on half-way boundaries
+    # (the class of bug that cost events_twap its round-3 driver row).
+    return (
+        pairs.withColumn("_tot", norm)
+        .select(
+            "src",
+            "dst",
+            "n_pairs",
+            (
+                F.expr("(2 * n_pairs * 1000000 + _tot) div (2 * _tot)").cast(
+                    "double"
+                )
+                / 1_000_000
+            ).alias("p"),
+        )
     )
 
 
@@ -1126,7 +1141,8 @@ _TWAP_SQL = """
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_intervals,
            sum(dt) // 1000000 AS span_s,
-           round(CAST(sum(vc * dt) AS DOUBLE) / (100.0 * sum(dt)), 6) AS twap
+           CAST(sum(vc * dt) AS BIGINT) AS twap_num,
+           CAST(sum(dt) AS BIGINT) AS twap_den
     FROM s WHERE dt IS NOT NULL AND dt > 0
     GROUP BY user_id
 """
@@ -1141,12 +1157,16 @@ def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine determinism: values carry 2 decimals, so the weighted
     sum runs in exact integer cents·µs (``sum(vc·dt)`` — bigint on both
-    engines, order-independent) and only the FINAL single division is
-    floating point — bit-identical, the 6 dp round is cosmetic. At
-    100 TB the bigint numerator caps around 9·10¹⁸ (≈ 10⁶ cents ×
-    ~10¹² µs-weighted rows per user); past that, widen the accumulator
-    to DECIMAL(38,0) — same plan shape. One user-partitioned window
-    (bounded sort tasks) + one partial-aggregated groupBy."""
+    engines, order-independent). The result is emitted as the EXACT
+    integer pair ``twap_num`` (cents·µs) / ``twap_den`` (µs) — no float
+    division at all, so no engine-specific round-half behavior can
+    diverge (the round-3 driver hash mismatch was a ``round(double, 6)``
+    half-way boundary; callers compute ``twap_num / (100·twap_den)``
+    themselves at whatever precision they need). At 100 TB the bigint
+    numerator caps around 9·10¹⁸ (≈ 10⁶ cents × ~10¹² µs-weighted rows
+    per user); past that, widen the accumulator to DECIMAL(38,0) — same
+    plan shape. One user-partitioned window (bounded sort tasks) + one
+    partial-aggregated groupBy."""
     e = load(spark, sf_dir, "events").withColumn("t_us", _t_us())
     seq = W.partitionBy("user_id").orderBy("t_us", "event_id")
     s = e.select(
@@ -1157,11 +1177,8 @@ def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_intervals"),
         F.expr("sum(dt) div 1000000").alias("span_s"),
-        F.round(
-            F.sum(F.col("vc") * F.col("dt")).cast("double")
-            / (F.lit(100.0) * F.sum("dt")),
-            6,
-        ).alias("twap"),
+        F.sum(F.col("vc") * F.col("dt")).cast("long").alias("twap_num"),
+        F.sum("dt").cast("long").alias("twap_den"),
     )
 
 

@@ -58,11 +58,15 @@ def test_twap_within_value_envelope(spark):
     }
     assert set(res) <= set(env)
     for uid, r in res.items():
+        # the query emits the TWAP as the exact integer pair
+        # twap_num (cents*us) / twap_den (us); reconstruct the mean here
+        twap = r["twap_num"] / (100.0 * r["twap_den"])
         # the last event is unweighted, so the envelope over ALL values
         # still bounds the weighted mean of the rest (cents rounding ±0.005)
-        assert env[uid]["lo"] - 0.005 <= r["twap"] <= env[uid]["hi"] + 0.005
+        assert env[uid]["lo"] - 0.005 <= twap <= env[uid]["hi"] + 0.005
         assert r["n_intervals"] <= env[uid]["n"] - 1
         assert r["span_s"] >= 0
+        assert r["twap_den"] > 0
 
 
 def test_attribution_accounts_for_every_purchase(spark):
@@ -292,9 +296,14 @@ def test_disjunctive_revenue_matches_union_of_branches(spark):
     )
 
     row = q_disjunctive_predicate_revenue(spark, SF).collect()[0]
-    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    # The synthetic lineitem is NOT unique on (l_orderkey, l_linenumber),
+    # so tag every row with a genuinely unique id BEFORE branching and
+    # union-distinct on that — counts join rows, not business keys.
+    l = spark.read.parquet(f"{SF}/lineitem.parquet").withColumn(
+        "_rid", F.monotonically_increasing_id()
+    )
     p = spark.read.parquet(f"{SF}/part.parquet")
-    j = l.join(p, l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey).cache()
     b1 = j.where(
         (F.col("p_brand") == "Brand#2")
         & (F.col("p_size") <= 10)
@@ -306,8 +315,10 @@ def test_disjunctive_revenue_matches_union_of_branches(spark):
         & (F.col("l_quantity") <= 35)
     )
     b3 = j.where((F.col("p_type") == "SMALL") & (F.col("l_quantity") >= 10))
-    key = ["l_orderkey", "l_linenumber"]
     union = (
-        b1.select(*key).union(b2.select(*key)).union(b3.select(*key)).distinct()
+        b1.select("_rid").union(b2.select("_rid")).union(b3.select("_rid")).distinct()
     )
-    assert row["n_lineitems"] == union.count()
+    try:
+        assert row["n_lineitems"] == union.count()
+    finally:
+        j.unpersist()
