@@ -45,18 +45,19 @@ def to_pandas(df: DataFrame, max_rows: int = DEFAULT_COLLECT_CAP) -> pd.DataFram
     type — for per-structure tables and query tails. Raises instead of
     silently collecting an unbounded lake table: callers that really
     want a huge collect must raise ``max_rows`` explicitly, making the
-    driver-memory decision visible at the call site. The cap probe is
-    ``limit(n+1).count()``, which short-circuits at n+1 rows instead of
-    counting the full table."""
-    over = df.limit(max_rows + 1).count()
-    if over > max_rows:
+    driver-memory decision visible at the call site. The plan executes
+    ONCE: collect ``limit(n+1)`` directly (Arrow-backed —
+    spark.sql.execution.arrow.pyspark.enabled is on in session.py) and
+    raise if the sentinel n+1-th row came back — no separate count probe,
+    so expensive plans aren't run twice and nondeterministic plans can't
+    pass the probe yet overflow the collect (or vice versa)."""
+    pdf = df.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
         raise ValueError(
             f"to_pandas would collect more than {max_rows} rows; raise "
             "max_rows explicitly, or stay distributed via pandas_api(df)"
         )
-    # Arrow-backed collection (spark.sql.execution.arrow.pyspark.enabled
-    # is on in session.py) — batches transfer columnar, not row-by-row
-    return df.toPandas()
+    return pdf
 
 
 def from_pandas(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:

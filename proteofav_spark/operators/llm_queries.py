@@ -33,18 +33,35 @@ from proteofav_spark.queries import fan_out, load, register
 # lists and bucket tables are index artifacts, not per-query state, so
 # rebuilding them on every search (as a naive per-call plan would) bills
 # index construction to query latency. Entries hold localCheckpoint-ed
-# frames keyed on (query family, corpus path) and are only valid for the
-# session that materialized them — a restarted session rebuilds. This is
-# the DataFrame analogue of a vector store keeping its trained quantizer
-# resident; at 100 TB the same artifacts would persist as Parquet
-# (centroid-partitioned lists) rather than executor block storage.
+# frames keyed on (query family, corpus INPUT-FILE LISTING) — the same
+# staleness contract as fan_out's probe memo: rewriting the corpus at
+# the same path changes the file listing (new part-file names), so the
+# stale index is never served, and retired listings are evicted so the
+# cache stays bounded by the number of LIVE corpora, not every corpus
+# ever seen. Entries are only valid for the session that materialized
+# them — a restarted session rebuilds. This is the DataFrame analogue of
+# a vector store keeping its trained quantizer resident; at 100 TB the
+# same artifacts would persist as Parquet (centroid-partitioned lists)
+# rather than executor block storage.
 _INDEX_CACHE: dict = {}
 
 
-def _session_index(spark: SparkSession, key: tuple, build):
+def _session_index(spark: SparkSession, family: str, corpus: DataFrame, build):
+    import os
+
+    try:
+        listing: tuple = tuple(sorted(corpus.inputFiles()))
+    except Exception:
+        return build()  # non-file source — no stable identity, never cache
+    dirs = tuple(sorted({os.path.dirname(f) for f in listing}))
+    key = (family, dirs, listing)
     hit = _INDEX_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
+    # same family + same directories but a different file listing = the
+    # corpus was rewritten in place: those entries can never hit again
+    for k in [k for k in _INDEX_CACHE if k[:2] == (family, dirs) and k != key]:
+        del _INDEX_CACHE[k]
     val = build()
     _INDEX_CACHE[key] = (spark, val)
     return val
@@ -1026,7 +1043,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # built once per (session, corpus), reused across calls (see
     # _INDEX_CACHE): repeat runs skip the corpus-wide bucket kernel AND
     # the occupancy probe, paying only the pair + cosine stages
-    bands, mask = _session_index(spark, ("embdup", sf_dir), _build_index)
+    bands, mask = _session_index(spark, "embdup", e, _build_index)
     # candidate pairs via groupBy(cell) + in-array combination (same
     # pattern as the minhash pipeline): buckets compute once — a self-join
     # would re-derive all the hyperplane projections on both sides
@@ -1114,7 +1131,8 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repeat searches skip the corpus-wide bucket kernel
     bands = _session_index(
         spark,
-        ("lsh_bands", sf_dir),
+        "lsh_bands",
+        e,
         lambda: banded_embeddings(e)
         .select("vec_id", "tbl", "bucket")
         .localCheckpoint(),
@@ -1260,7 +1278,7 @@ def q_ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the coarse quantizer is the trained half of an IVF index: built
     # once per (session, corpus), reused across searches (_INDEX_CACHE)
-    cents = _session_index(spark, ("ivf_cents", sf_dir), _build_cents)
+    cents = _session_index(spark, "ivf_cents", e, _build_cents)
     ev = e.select(
         "vec_id", "embedding", _norm_col(F.col("embedding")).alias("enorm")
     )
@@ -1285,7 +1303,8 @@ def q_ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus (a production IVF store persists exactly this table).
     assign = _session_index(
         spark,
-        ("ivf_lists", sf_dir),
+        "ivf_lists",
+        e,
         lambda: (
             scored_cells(ev)
             .groupBy("vec_id")

@@ -210,7 +210,20 @@ def morton_col(
     ``bits``-bit integer over its [min, max] domain, then the bit
     patterns are interleaved so that points close in ALL dimensions get
     close keys. Pure JVM integer expressions — shifts and masks inside
-    whole-stage codegen, no UDF."""
+    whole-stage codegen, no UDF.
+
+    ``len(cols) * bits`` must fit in the 63 value bits of a signed long:
+    shifting into bit 63 flips the sign (range ordering inverts at the
+    top of the curve) and JVM shifts wrap mod 64 (key collisions), so
+    the per-dimension width is auto-reduced to ``63 // len(cols)`` when
+    the requested ``bits`` would overflow — e.g. 5 columns at the
+    default 16 bits quantize at 12 bits each instead."""
+    if len(cols) * bits > 63:
+        bits = 63 // len(cols)
+        if bits < 1:
+            raise ValueError(
+                f"morton_col: {len(cols)} dimensions cannot share a 63-bit key"
+            )
     quantized = []
     top = (1 << bits) - 1
     for c in cols:

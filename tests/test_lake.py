@@ -202,3 +202,29 @@ def test_morton_col_matches_python_reference(spark):
 
     for (x, y), z in got.items():
         assert z == ref(x, y), (x, y)
+
+
+def test_morton_col_auto_reduces_bits_on_overflow(spark):
+    """5 columns at the default 16 bits would need 80 key bits; the
+    expression must auto-reduce to 12 bits/dim so the key stays inside
+    the 63 value bits of a signed long — non-negative everywhere and
+    monotone in every dimension at the reduced resolution."""
+    import pytest
+
+    from proteofav_spark.plans.lake import morton_col
+
+    cols = ("a", "b", "c", "d", "e")
+    rows = [tuple(float(v + i) for i in range(5)) for v in range(0, 1000, 37)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double, e double")
+    mins = {c: 0.0 for c in cols}
+    maxs = {c: 1003.0 for c in cols}
+    got = df.withColumn("z", morton_col(cols, mins, maxs)).collect()
+    zs = [r["z"] for r in got]
+    assert all(z >= 0 for z in zs)
+    assert all(z < (1 << 60) for z in zs)  # 5 dims * 12 bits
+    # the diagonal point set is strictly increasing along the curve
+    ordered = [r["z"] for r in sorted(got, key=lambda r: r["a"])]
+    assert ordered == sorted(ordered) and len(set(ordered)) == len(ordered)
+    # a key that cannot fit at all raises
+    with pytest.raises(ValueError):
+        morton_col(tuple("abcdefghij" * 7), {}, {})

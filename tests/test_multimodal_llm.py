@@ -476,3 +476,131 @@ def test_codec_seam_injected_decoders(spark):
     assert all(sorted(v) == [0, 1, 2] for v in per_doc.values())
     # the injected third frame is the byte 0x05 → checksum 5 everywhere
     assert all(r["frame_checksum"] == 5 for r in frows if r["frame_no"] == 2)
+
+
+def test_session_index_invalidates_on_corpus_rewrite(spark, tmp_path):
+    """The ANN index cache keys on the scan's input-file listing, so
+    rewriting a corpus at the SAME path must rebuild the index (stale
+    entry evicted), while a repeat read of the unchanged corpus hits."""
+    from proteofav_spark.operators import llm_queries as lq
+
+    path = str(tmp_path / "corpus")
+    spark.range(5).write.mode("overwrite").parquet(path)
+    calls = []
+
+    def read():
+        return spark.read.parquet(path)
+
+    def build(tag):
+        def _b():
+            calls.append(tag)
+            return tag
+
+        return _b
+
+    assert lq._session_index(spark, "t", read(), build("v1")) == "v1"
+    assert lq._session_index(spark, "t", read(), build("v1b")) == "v1"  # hit
+    assert calls == ["v1"]
+    n_before = len(lq._INDEX_CACHE)
+    # rewrite in place: new part-file names => new listing => rebuild
+    spark.range(7).write.mode("overwrite").parquet(path)
+    assert lq._session_index(spark, "t", read(), build("v2")) == "v2"
+    assert calls == ["v1", "v2"]
+    # the dead v1 entry was evicted — no unbounded growth across rewrites
+    assert len(lq._INDEX_CACHE) == n_before
+    # a different corpus location coexists (no cross-corpus eviction)
+    other = str(tmp_path / "other")
+    spark.range(3).write.parquet(other)
+    assert lq._session_index(spark, "t", spark.read.parquet(other), build("o1")) == "o1"
+    assert lq._session_index(spark, "t", read(), build("v2b")) == "v2"  # still cached
+
+
+def test_codec_seam_real_stdlib_codecs(spark):
+    """The seam is proven with REAL codecs, not constant fakes: a genuine
+    RIFF/WAVE container parsed by stdlib ``wave`` and a zlib-compressed
+    raw-pixel container — both round-trip through the Arrow contract and
+    match driver-side numpy references bit-for-bit."""
+    import io
+    import struct
+    import wave as wave_mod
+    import zlib
+
+    from proteofav_spark.operators.multimodal import (
+        AUDIO_META_SCHEMA,
+        IMAGE_META_SCHEMA,
+        audio_features,
+        image_features,
+    )
+    from pyspark.sql import types as T
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    sr = 8000
+
+    def wav_bytes(samples: np.ndarray) -> bytes:
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(samples.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    waves = {i: (rng.integers(-3000, 3000, 64)).astype(np.int16) for i in range(4)}
+    audio_rows = [
+        (i, wav_bytes(s), (sr, 1, int(len(s) * 1000 / sr), "audio/wav"))
+        for i, s in waves.items()
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", AUDIO_META_SCHEMA),
+        ]
+    )
+    adf = spark.createDataFrame(audio_rows, schema)
+
+    def wav_codec(blob, sample_rate, duration_ms):
+        with wave_mod.open(io.BytesIO(bytes(blob)), "rb") as w:
+            assert w.getframerate() == sample_rate
+            return np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+
+    got = {r["doc_id"]: r for r in audio_features(adf, decode_fn=wav_codec).collect()}
+    for i, s in waves.items():
+        ref = s.astype(np.float64)
+        assert got[i]["n_samples"] == len(s)
+        assert got[i]["rms"] == round(float(np.sqrt(np.mean(ref**2))), 6)
+        zc = float(np.mean(np.signbit(ref[1:]) != np.signbit(ref[:-1])))
+        assert got[i]["zero_crossing_rate"] == round(zc, 6)
+
+    # zlib-compressed raw-pixel "image" container: 8-byte header + deflate
+    pix = {i: rng.integers(0, 256, 48).astype(np.uint8) for i in range(4)}
+    img_rows = [
+        (
+            i,
+            struct.pack("<II", 8, 6) + zlib.compress(p.tobytes()),
+            (8, 6, 1, "image/zraw"),
+        )
+        for i, p in pix.items()
+    ]
+    ischema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", IMAGE_META_SCHEMA),
+        ]
+    )
+    idf = spark.createDataFrame(img_rows, ischema)
+
+    def zraw_codec(blob, width, height):
+        b = bytes(blob)
+        w, h = struct.unpack("<II", b[:8])
+        assert (w, h) == (width, height)
+        return np.frombuffer(zlib.decompress(b[8:]), dtype=np.uint8)
+
+    igot = {r["doc_id"]: r for r in image_features(idf, decode_fn=zraw_codec).collect()}
+    for i, p in pix.items():
+        assert igot[i]["mean_pixel"] == round(float(p.mean()), 6)
+        hist = np.bincount(p >> 5, minlength=8).tolist()
+        assert igot[i]["histogram8"] == hist
