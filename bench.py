@@ -113,8 +113,20 @@ def main() -> None:
     # against hours of execution at the 100 TB target); the min is the
     # steady-state per-query latency and is far less machine-noise
     # sensitive than a single cold shot. Cold times go to stderr.
+    # queries whose first call per (session, corpus) TRAINS an index
+    # (IVF centroids/lists, LSH bucket tables — see _INDEX_CACHE): report
+    # the build/search split so index amortization is measured, not
+    # asserted. run 0 = build (index construction + codegen), later runs
+    # = cached search.
+    ANN_INDEXED = {
+        "knn_cosine_topk",
+        "ann_lsh_bucketed",
+        "ann_ivf_coarse",
+        "dedup_embedding_cosine",
+    }
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    ann_split: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = qs[name]
         runs = []
@@ -136,6 +148,11 @@ def main() -> None:
             n = fn(spark, SF_DIR).count()
             runs.append(round(time.perf_counter() - t0, 3))
         timings[name] = min(runs)
+        if name in ANN_INDEXED:
+            ann_split[name] = {
+                "build": runs[0],
+                "search": round(min(runs[1:]), 3),
+            }
         # warm-run relative spread: run-to-run noise for THIS query on this
         # machine, used below to separate real regressions from variance
         # (cold run 0 excluded — it pays one-time codegen/analysis costs)
@@ -188,6 +205,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ann": ann_split,
                 "sf": sf_val,
             }
         )

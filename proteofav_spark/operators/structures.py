@@ -140,7 +140,13 @@ def residues_aggregation(
     (mean of numeric columns), ``backbone_centroid`` (pre-filter CA,N,C,O
     then centroid), ``first`` (first value in file order — ``min_by`` over
     ``line_no``, deterministic without a sort), ``unique`` (collect_set).
-    Output re-sorted by atom ``id`` like the reference.
+    Output re-sorted by atom ``id`` like the reference — but the re-sort
+    is scoped: when the frame carries ``source_file`` (a multi-structure
+    lake read) the sort runs WITHIN repartition-by-structure partitions,
+    so composing this into lake-scale jobs never inherits a global
+    range-exchange sort; the single-structure path keeps the global
+    ``orderBy`` the reference API promises (one file's residues — a
+    driver-bounded frame).
     """
     if agg_method not in ("centroid", "first", "unique", "mean", "backbone_centroid"):
         raise ValueError(f"Method {agg_method} is not currently implemented...")
@@ -164,7 +170,12 @@ def residues_aggregation(
             aggs.append(F.array_sort(F.collect_set(c)).cast("string").alias(c))
         else:
             aggs.append(F.min_by(c, order).alias(c))
-    return df.groupBy(*keys).agg(*aggs).orderBy("id")
+    agged = df.groupBy(*keys).agg(*aggs)
+    if "source_file" in df.columns:
+        return agged.repartition("source_file").sortWithinPartitions(
+            "source_file", "id"
+        )
+    return agged.orderBy("id")
 
 
 def add_contacts(df: DataFrame, dist: float = 5.0) -> DataFrame:

@@ -133,3 +133,80 @@ def test_predicates_reach_scans(spark, name, required):
     assert _plan_has(spark, name, required), (
         f"{name} plan is missing expected fragment: {required}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-path (ProteoFAV) plan invariants: the same 100 TB rules that govern
+# the catalog also hold for the bioinformatics pipeline — filter_structures,
+# residues_aggregation on a multi-structure frame, add_contacts, and the
+# mmCIF⟕DSSP⟕SIFTS merge tree.
+# ---------------------------------------------------------------------------
+
+REF = "/root/reference/tests/testdata"
+
+
+def _domain_plans(spark):
+    """Build (name, DataFrame) pairs for the reference-path operators."""
+    from proteofav_spark.operators.structures import (
+        add_contacts,
+        filter_structures,
+        residues_aggregation,
+    )
+    from proteofav_spark.plans.mergers import table_merger
+    from proteofav_spark.sources.dssp import parse_dssp_residues, filter_dssp
+    from proteofav_spark.sources.sifts import parse_sifts_residues, filter_sifts
+    from proteofav_spark.sources.structures import parse_mmcif_atoms
+
+    atoms = parse_mmcif_atoms(spark, f"{REF}/mmcif/2w4o.cif")
+    filtered = filter_structures(atoms, chains=("A",), atoms=("CA",))
+    merged = table_merger(
+        filtered,
+        filter_dssp(parse_dssp_residues(spark, f"{REF}/dssp/2w4o.dssp"), chains=("A",)),
+        filter_sifts(parse_sifts_residues(spark, f"{REF}/sifts/2w4o.xml"), chains=("A",)),
+    )
+    # multi-structure lake frame: two parses unioned -> source_file varies
+    multi = parse_mmcif_atoms(spark, f"{REF}/mmcif/2w4o.cif").unionByName(
+        parse_mmcif_atoms(spark, f"{REF}/mmcif/2pah.cif"), allowMissingColumns=True
+    )
+    return [
+        ("filter_structures", filtered),
+        ("table_merger_2w4o", merged),
+        ("residues_aggregation_multi", residues_aggregation(multi)),
+        ("add_contacts", add_contacts(filter_structures(atoms, chains=("A",)))),
+    ]
+
+
+def _domain_plan_text(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("extended")
+    )
+
+
+def test_domain_plans_obey_scale_invariants(spark):
+    """The ProteoFAV path plans like the catalog must: no cartesian
+    product, no row-at-a-time Python, no non-top-N GLOBAL sort (the
+    single-structure orderBy('id') tail is exercised via the
+    multi-structure frame, which must take the partition-scoped branch),
+    and no unpartitioned window."""
+    spec_re = re.compile(r"windowspecdefinition\(([^()]*(?:\([^()]*\))?[^()]*)\)")
+    offenders = []
+    for name, df in _domain_plans(spark):
+        plan = _domain_plan_text(spark, df)
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+        if re.search(r"Sort \[[^\]]+\], true", plan) and (
+            "TakeOrderedAndProject" not in plan
+        ):
+            offenders.append((name, "global Sort"))
+        for m in spec_re.finditer(plan):
+            first = m.group(1).split(",")[0]
+            if (
+                " ASC" in first
+                or " DESC" in first
+                or first.startswith("specifiedwindowframe")
+            ):
+                offenders.append((name, "unpartitioned window"))
+                break
+    assert offenders == [], offenders
