@@ -928,3 +928,189 @@ def q_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFra
             (F.sum(bp).cast("double") / 10000.0).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS semi-join with a correlated non-equi predicate
+# ---------------------------------------------------------------------------
+
+_EXISTS_SQL = """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY 1
+"""
+
+
+@register("orders_exists_semi", _EXISTS_SQL)
+def q_orders_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one line item shipped after
+    the order date, counted per priority — the canonical EXISTS
+    decorrelation into a LEFT SEMI join with a mixed equi + non-equi
+    condition.
+
+    Spark-first: the semi join hashes on l_orderkey (the equi part) and
+    evaluates the shipdate comparison as the join residual — existence
+    short-circuits per probe row, the lineitem side never duplicates
+    orders, and the priority rollup partial-aggregates to ~5 rows. One
+    fact-sized shuffle pair on the join key; no count-distinct, no
+    window. At 100 TB both sides shuffle-partition on orderkey (or
+    co-locate for free if the lake buckets both tables by orderkey)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hits = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return hits.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: order-count distribution incl. zero-order customers
+# ---------------------------------------------------------------------------
+
+_DISTRIB_SQL = """
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM (SELECT c.c_custkey,
+                 CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY 1)
+    GROUP BY 1
+"""
+
+
+@register("customer_order_distribution", _DISTRIB_SQL)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed exactly N orders —
+    including N = 0, which forces a LEFT OUTER join (an inner join would
+    silently drop inactive customers, the classic Q13 trap).
+
+    Physical shape: one shuffle keyed on custkey for the outer join +
+    per-customer count (count(o_orderkey) skips the null-extended rows),
+    then a second ~|distinct N|-sized partial-aggregated rollup. Both
+    aggregations are mergeable; no window, no distinct-expansion. At
+    100 TB the custkey shuffle dominates and AQE coalesces the tiny
+    second exchange."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti join
+# ---------------------------------------------------------------------------
+
+_RICH_IDLE_SQL = """
+    WITH t AS (SELECT avg(c_acctbal) AS thresh FROM customer
+               WHERE c_acctbal > 0)
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 100.0 AS total_bal
+    FROM customer c, t
+    WHERE c.c_acctbal > t.thresh
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1998-06-01')
+    GROUP BY 1
+"""
+
+
+@register("customers_above_avg_no_orders", _RICH_IDLE_SQL)
+def q_customers_above_avg_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers who never ordered — a
+    scalar aggregate threshold (global average balance) feeding a filter,
+    then a NOT EXISTS (no RECENT orders — the synthetic data gives every
+    customer some order, so the anti side carries a date predicate to
+    stay non-trivial) decorrelated into a LEFT ANTI join, rolled up by
+    market segment — the churn-risk "rich but recently idle" probe.
+
+    Spark-first: the threshold is a 1-row aggregate CROSS-JOINED in
+    (Catalyst broadcasts it — BroadcastNestedLoopJoin over one row, NOT
+    a cartesian product), so the plan has no driver round-trip and the
+    whole query stays one lazy DAG. The anti join hashes on custkey;
+    orders projects to the join key only, so the build side is narrow.
+    Balances accumulate in exact integer cents (driver-hash convention).
+    At 100 TB: threshold is O(1) state, anti join shuffles on custkey,
+    segment rollup partial-aggregates to ~5 rows."""
+    cust = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1998-06-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    thresh = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("thresh"))
+    )
+    rich = cust.crossJoin(F.broadcast(thresh)).where(
+        F.col("c_acctbal") > F.col("thresh")
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("double")
+            / 100.0
+        ).alias("total_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: supplier breadth per part class (distinct aggregation)
+# ---------------------------------------------------------------------------
+
+_BREADTH_SQL = """
+    SELECT p.p_brand, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+    GROUP BY 1, 2
+"""
+
+
+@register("parts_supplier_breadth", _BREADTH_SQL)
+def q_parts_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each
+    (brand, size) part class — the canonical COUNT(DISTINCT) over a
+    fact⋈dim join with a dimension-side exclusion filter.
+
+    Physical shape: the brand filter prunes at the part scan and the
+    pruned dim broadcasts, so the fact never shuffles for the join;
+    Spark plans the distinct as expand + two-stage aggregate — the first
+    stage dedupes (brand, size, suppkey) triples map-side, so the
+    exchange carries at most |classes|x|suppliers| rows, not the fact
+    table. No window, no global sort. At 100 TB a skew-heavy brand
+    would AQE-split; the count itself stays exact (HLL belongs in
+    approx_distinct_parts, not here)."""
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand", "p_size")
+        .where(F.col("p_brand") != "Brand#1")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -1886,3 +1886,62 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 6).alias("lo"),
         F.round(F.max("v"), 6).alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-sample token chunking (fixed window + stride, overlap carry)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 64    # tokens per training sample
+CHUNK_STRIDE = 48  # window stride (64 - 48 = 16-token overlap)
+
+_CHUNK_SQL = f"""
+    WITH t AS (SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents),
+    s AS (SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks), 1), {CHUNK_STRIDE}))
+                     AS start
+          FROM t)
+    SELECT doc_id,
+           CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_no,
+           CAST(len(toks[start + 1 : start + {CHUNK_SIZE}]) AS BIGINT)
+               AS n_tokens,
+           array_to_string(toks[start + 1 : start + {CHUNK_SIZE}], ' ')
+               AS chunk_text
+    FROM s
+"""
+
+
+@register("docs_token_chunking", _CHUNK_SQL)
+def q_docs_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice every document into fixed-size overlapping token windows —
+    the training-sample chunker every LLM data pipeline runs between
+    curation and tokenizer packing (stride < size keeps boundary context
+    in two samples, the standard next-token-prediction recipe; contrast
+    pack_token_shards, which packs WHOLE docs to a budget).
+
+    Spark-first shape: tokenize once, explode a bounded
+    ``sequence(0, n-1, stride)`` of window starts, ``slice`` each window
+    out of the kept token array — all inside one map-only
+    whole-stage-codegen stage with ZERO exchanges: chunking is
+    embarrassingly parallel and the plan must say so. Fan-out is
+    ceil(len/stride) rows per doc (bounded by the longest document, not
+    the corpus); empty docs emit one empty chunk so no document silently
+    disappears from the sample ledger. At 100 TB this composes with the
+    lake scan's input splits — no repartition needed before the heavy
+    projection because rows EXPAND here (fan_out would only matter for a
+    few-files scan, same contract as the other text kernels)."""
+    d = load(spark, sf_dir, "documents")
+    t = fan_out(d).select("doc_id", tokens_col("text").alias("toks"))
+    s = t.withColumn(
+        "start",
+        F.explode(
+            F.expr(f"sequence(0, greatest(size(toks) - 1, 0), {CHUNK_STRIDE})")
+        ),
+    )
+    win = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_SIZE)
+    return s.select(
+        "doc_id",
+        F.expr(f"start div {CHUNK_STRIDE}").cast("long").alias("chunk_no"),
+        F.size(win).cast("long").alias("n_tokens"),
+        F.array_join(win, " ").alias("chunk_text"),
+    )

@@ -113,62 +113,27 @@ _FAN_OUT_PROBES: dict[tuple, bool] = {}
 # oracle in CI, so a regression in a displaced query still fails the suite.
 ATTEST_WINDOW = 50
 _PRIORITY: list[str] = [
-    # round-3 rotation: the 25 queries whose only driver attestation row is
-    # from round 1 (VERDICT_r02 item 1 / ADVICE) — surfaced first so they get
-    # fresh CORRECTNESS_r03 rows against current code.
-    "dedup_exact_hash",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "join_star_revenue",
-    "spatial_contacts_grid",
-    "sessionize_events_gap",
-    "events_sliding_window",
-    "agg_rollup_hierarchy",
-    "agg_cube_all_margins",
-    "agg_pivot_status",
-    "agg_stats_moments",
-    "topk_per_group",
-    "agg_salted_two_stage",
-    "agg_monthly_revenue",
-    "array_hof_kit",
-    "array_zip_mismatch",
-    "set_intersect_except",
-    "join_null_safe",
-    "distinct_scan",
-    "binary_payload_ops",
-    "text_token_stats",
-    "text_quality_score",
-    "window_moving_avg",
-    "approx_distinct_parts",
-    # round-3 NEW queries — must land inside the attested window
-    "events_retention_cohorts",
-    "events_funnel_conversion",
-    "embedding_quantize_int8",
-    "text_unigram_logprob",
-    "dedup_crosssource_overlap",
-    "events_gapfill_interpolate",
-    "orders_scd2_snapshot",
-    "text_bm25_search",
-    "events_anomaly_zscore",
-    "dedup_substring_span",
-    "graph_pagerank_fixed",
-    "graph_triangle_count",
-    "events_session_transitions",
+    # round-4 rotation. Slots 1-9: queries with NO green driver row on
+    # current code — the two round-3 snapshot additions, the two whose
+    # semantics changed this round (exact-integer TWAP / transition-p),
+    # and the five NEW round-4 queries.
+    "promo_revenue_share",
+    "disjunctive_predicate_revenue",
     "events_twap",
-    "events_attribution_last_touch",
-    "skew_heavy_hitters",
-    "orders_shipping_priority",
-    "customer_ltv_cohort",
-    "docs_length_histogram",
-    "embedding_dim_stats",
-    "cdc_upsert_apply",
-    "nation_trade_volume",
-    "events_dau_mau",
-    # round-2-attested risky LLM-pipeline extensions next (fill the rest of
-    # the 50-row window; re-attested on round-3 code where changed).
-    "dedup_embedding_cosine",
-    "dedup_cc_clusters",
+    "events_session_transitions",
+    "orders_exists_semi",
+    "customer_order_distribution",
+    "customers_above_avg_no_orders",
+    "parts_supplier_breadth",
+    "docs_token_chunking",
+    # Slots 10-50: the longest-unattested queries (last driver row: r02),
+    # prioritizing the families VERDICT r3 named (curation, ANN,
+    # agg_pricing_summary, filter_*, window_* twins). Seven equally-stale
+    # but structurally trivial r2-attested queries stay below the fold
+    # this round (join_left_string_keys, join_semi_anti,
+    # join_outer_collapse, join_range_interval, set_union_by_name,
+    # explode_interval_rollup, json_flatten_props) — CI-guarded by
+    # test_oracles_below_fold, first in line for r05.
     "contamination_ngram_overlap",
     "embedding_kmeans",
     "text_char_entropy",
@@ -192,6 +157,24 @@ _PRIORITY: list[str] = [
     "text_lang_id",
     "text_fingerprint",
     "text_bpe_token_count",
+    "filter_isin",
+    "filter_first_value",
+    "project_exclude_columns",
+    "type_constrain_try_cast",
+    "join_merge_tree",
+    "agg_pricing_summary",
+    "agg_residue_rollup",
+    "agg_collapse_by_key",
+    "agg_duplicate_check",
+    "agg_preferred_argmax",
+    "agg_single_value_probe",
+    "window_reset_id",
+    "window_dedup_adjacent",
+    "window_segment_counter",
+    "window_carry_forward",
+    "scalar_string_kit",
+    "scalar_map_lookup",
+    "events_tumbling_window",
 ]
 
 

@@ -1,0 +1,126 @@
+"""Semantic invariants for the round-4 additions: the Q4 EXISTS semi,
+the Q13 zero-inclusive order distribution, the Q22 threshold + anti
+join, the Q16 distinct-supplier breadth, and the training-sample token
+chunker. The DuckDB oracles check value parity against an independent
+engine; these tests pin the data-independent semantics."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from proteofav_spark.operators.analytics_queries import (
+    q_customer_order_distribution,
+    q_customers_above_avg_no_orders,
+    q_orders_exists_semi,
+    q_parts_supplier_breadth,
+)
+from proteofav_spark.operators.llm_queries import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    q_docs_token_chunking,
+    tokens_col,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exists_semi_never_exceeds_order_counts(spark):
+    """Semi-join semantics: per-priority counts are bounded by the raw
+    order counts, and the total equals the number of DISTINCT qualifying
+    orders (no duplication from multi-lineitem matches)."""
+    rows = {r["o_orderpriority"]: r["n_orders"]
+            for r in q_orders_exists_semi(spark, SF).collect()}
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    raw = {r["o_orderpriority"]: r["n"]
+           for r in o.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()}
+    assert all(rows[k] <= raw[k] for k in rows)
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    direct = (
+        o.join(l, (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate))
+        .select("o_orderkey")
+        .distinct()
+        .count()
+    )
+    assert sum(rows.values()) == direct
+
+
+def test_order_distribution_includes_zero_and_resums(spark):
+    """The distribution partitions the customer set (sum of n_customers
+    = |customer|) and the weighted sum re-derives |matched orders|."""
+    rows = q_customer_order_distribution(spark, SF).collect()
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    assert sum(r["n_customers"] for r in rows) == c.count()
+    matched = o.join(
+        c, o.o_custkey == c.c_custkey, "left_semi"
+    ).count()
+    assert sum(r["n_orders"] * r["n_customers"] for r in rows) == matched
+
+
+def test_above_avg_no_orders_members_verify(spark):
+    """Every counted customer individually satisfies BOTH predicates:
+    balance above the positive-balance average, and no order on/after
+    the cutoff."""
+    rows = q_customers_above_avg_no_orders(spark, SF).collect()
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    thresh = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    recent = o.where(F.col("o_orderdate") >= F.lit("1998-06-01").cast("timestamp"))
+    members = (
+        c.where(F.col("c_acctbal") > thresh)
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .collect()
+    )
+    by_seg = {}
+    for m in members:
+        by_seg.setdefault(m["c_mktsegment"], []).append(m["c_acctbal"])
+    assert {r["c_mktsegment"] for r in rows} == set(by_seg)
+    for r in rows:
+        assert r["n_customers"] == len(by_seg[r["c_mktsegment"]])
+        assert math.isclose(
+            r["total_bal"], sum(round(b * 100) for b in by_seg[r["c_mktsegment"]]) / 100
+        )
+
+
+def test_supplier_breadth_bounds(spark):
+    """Distinct-count invariants: 1 <= n_suppliers <= min(n_lineitems,
+    |supplier|), and the excluded brand never appears."""
+    rows = q_parts_supplier_breadth(spark, SF).collect()
+    n_supp = spark.read.parquet(f"{SF}/supplier.parquet").count()
+    assert rows
+    for r in rows:
+        assert r["p_brand"] != "Brand#1"
+        assert 1 <= r["n_suppliers"] <= min(r["n_lineitems"], n_supp)
+
+
+def test_token_chunking_reconstructs_documents(spark):
+    """Chunk coverage: stride-aligned chunk starts cover every token
+    exactly (concatenating each chunk's NON-OVERLAPPED prefix of
+    ``stride`` tokens rebuilds the document's token stream), every doc
+    emits ceil(max(n,1)/stride) chunks, and no chunk exceeds the window."""
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    toks = {
+        r["doc_id"]: r["toks"]
+        for r in d.select("doc_id", tokens_col("text").alias("toks")).collect()
+    }
+    chunks = {}
+    for r in q_docs_token_chunking(spark, SF).collect():
+        if r["doc_id"] in toks:
+            chunks.setdefault(r["doc_id"], {})[r["chunk_no"]] = r
+    for doc_id, tk in toks.items():
+        got = chunks[doc_id]
+        n = len(tk)
+        expect_chunks = max(1, math.ceil(max(n, 1) / CHUNK_STRIDE)) if n else 1
+        # starts are 0, stride, ... <= n-1 (one empty chunk for empty docs)
+        n_starts = len(range(0, max(n - 1, 0) + 1, CHUNK_STRIDE)) if n else 1
+        assert len(got) == n_starts, (doc_id, n)
+        rebuilt = []
+        for i in sorted(got):
+            r = got[i]
+            assert r["n_tokens"] <= CHUNK_SIZE
+            words = r["chunk_text"].split(" ") if r["chunk_text"] else []
+            assert len(words) == r["n_tokens"]
+            assert words == tk[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_SIZE]
+            rebuilt.extend(words[:CHUNK_STRIDE])
+        assert rebuilt == tk

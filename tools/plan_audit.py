@@ -197,6 +197,17 @@ SCALE_NOTES = {
         "month rollup with two-stage mergeable exact count-distincts "
         "— no window, no driver state."
     ),
+    "promo_revenue_share": (
+        "part dim broadcasts (p_partkey + p_type after pruning) so the "
+        "fact never shuffles for the join; one month-keyed partial-agg "
+        "rollup; promo share computed via the exact-integer "
+        "round-half-up trick, no float-rounding boundary."
+    ),
+    "disjunctive_predicate_revenue": (
+        "the OR spans both tables so it cannot push below the join; one "
+        "broadcast hash join with the residual disjunction inside the "
+        "join's codegen stage — no union-of-joins, no cross join."
+    ),
 }
 
 # round-3 additions audited alongside the headline set: not benched (the
@@ -225,6 +236,8 @@ EXTRA = [
     "cdc_upsert_apply",
     "nation_trade_volume",
     "events_dau_mau",
+    "promo_revenue_share",
+    "disjunctive_predicate_revenue",
 ]
 
 
