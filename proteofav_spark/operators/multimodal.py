@@ -2,10 +2,12 @@
 columns with typed metadata structs, processed via Arrow-batched
 ``mapInPandas``.
 
-The container has no codec libraries, so the DEFAULT decode kernels are
-STUBS (deterministic fakes clearly marked); everything Spark-side —
-schemas, batch iteration, partitioning, UDF signatures — is real and
-tested. Each feature extractor takes an injectable ``decode_fn`` /
+The DEFAULT decode kernels handle the real container formats the Python
+stdlib can parse with zero dependencies — RIFF/WAVE PCM audio (``wave``)
+and binary PGM/PPM images (netpbm) — and fall back to clearly-marked
+deterministic STUBS for formats that need codec libraries the container
+doesn't ship (PNG/JPEG/MP3/...); everything Spark-side — schemas, batch
+iteration, partitioning, UDF signatures — is real and tested. Each feature extractor takes an injectable ``decode_fn`` /
 ``frame_fn`` (the codec seam): a deployment passes its PIL/cv2/soundfile
 kernel and the Arrow contract — schema, batch iteration, one decode call
 per row — is untouched. The injected callable is pickled into the
@@ -49,10 +51,45 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", payload).withColumn("meta", meta)
 
 
+def decode_pnm(blob: bytes) -> np.ndarray | None:
+    """REAL codec, zero dependencies: binary PGM (``P5``) / PPM (``P6``)
+    — the netpbm formats every imaging tool can emit. Returns the uint8
+    pixel array, or None when the magic doesn't match (caller falls back
+    to the stub). Maxval ≤ 255 only (8-bit), which is the common case."""
+    if blob[:2] not in (b"P5", b"P6"):
+        return None
+    # header: magic, width, height, maxval — whitespace/comment separated
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3 and i < len(blob):
+        c = blob[i : i + 1]
+        if c == b"#":  # comment to end of line
+            i = blob.index(b"\n", i)
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(blob) and not blob[j : j + 1].isspace():
+                j += 1
+            fields.append(int(blob[i:j]))
+            i = j
+    w, h, maxval = fields
+    if maxval > 255:
+        return None
+    i += 1  # single whitespace byte after maxval, then raster
+    n = w * h * (3 if blob[:2] == b"P6" else 1)
+    return np.frombuffer(blob, dtype=np.uint8, count=n, offset=i)
+
+
 def _decode_image_stub(blob: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decode: deterministic fake pixel array derived from the bytes.
-    Replace with a real codec (PIL/cv2) in deployment — signature and batch
-    shape are the contract."""
+    """Default decode: REAL netpbm parsing when the payload is a binary
+    PGM/PPM container (see :func:`decode_pnm`), else a deterministic
+    fake pixel array derived from the bytes (STUB — the container has no
+    PNG/JPEG codec libs; pass a PIL/cv2 ``decode_fn`` in deployment —
+    signature and batch shape are the contract)."""
+    real = decode_pnm(bytes(blob)) if len(blob) >= 2 else None
+    if real is not None:
+        return real
     rng = np.frombuffer(blob, dtype=np.uint8)
     size = max(1, width * height % 1024)
     reps = int(np.ceil(size / max(1, len(rng)))) if len(rng) else 1
@@ -172,11 +209,35 @@ def attach_audio_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", payload).withColumn("meta", meta)
 
 
+def decode_wav(blob: bytes) -> np.ndarray | None:
+    """REAL codec, zero dependencies: RIFF/WAVE PCM via the stdlib
+    ``wave`` module (16-bit mono/interleaved). Returns int16 samples, or
+    None when the payload is not a parseable WAV (caller falls back to
+    the stub)."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    import io
+    import wave as _wave
+
+    try:
+        with _wave.open(io.BytesIO(blob), "rb") as w:
+            if w.getsampwidth() != 2:
+                return None
+            return np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    except (_wave.Error, EOFError):
+        return None
+
+
 def _decode_audio_stub(blob: bytes, sample_rate: int, duration_ms: int) -> np.ndarray:
-    """STUB decode: deterministic fake int16 waveform derived from the
-    bytes (byte pairs → centered int16 samples, tiled to the nominal
-    sample count). Replace with a real codec in deployment — signature
-    and batch shape are the contract."""
+    """Default decode: REAL RIFF/WAVE parsing when the payload is a PCM
+    WAV container (see :func:`decode_wav`), else a deterministic fake
+    int16 waveform derived from the bytes (byte pairs → centered int16
+    samples, tiled to the nominal sample count; STUB — pass a
+    soundfile/librosa ``decode_fn`` for compressed formats — signature
+    and batch shape are the contract)."""
+    real = decode_wav(bytes(blob)) if len(blob) >= 12 else None
+    if real is not None:
+        return real
     n_samples = max(1, sample_rate * duration_ms // 1000 % 4096)
     raw = np.frombuffer(blob, dtype=np.uint8)
     if not len(raw):

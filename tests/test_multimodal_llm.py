@@ -604,3 +604,74 @@ def test_codec_seam_real_stdlib_codecs(spark):
         assert igot[i]["mean_pixel"] == round(float(p.mean()), 6)
         hist = np.bincount(p >> 5, minlength=8).tolist()
         assert igot[i]["histogram8"] == hist
+
+
+def test_default_decoders_handle_real_formats(spark):
+    """Without any injected decode_fn, the DEFAULT kernels parse real
+    containers: RIFF/WAVE PCM audio and binary PGM/PPM images. Features
+    must match driver-side numpy references on the true samples/pixels
+    (the stub path only fires for formats stdlib can't parse)."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from proteofav_spark.operators.multimodal import (
+        AUDIO_META_SCHEMA,
+        IMAGE_META_SCHEMA,
+        audio_features,
+        decode_pnm,
+        decode_wav,
+        image_features,
+    )
+
+    rng = np.random.default_rng(11)
+    sr = 16000
+    samples = rng.integers(-8000, 8000, 200).astype(np.int16)
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(samples.tobytes())
+    wav = buf.getvalue()
+    assert np.array_equal(decode_wav(wav), samples)
+
+    aschema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", AUDIO_META_SCHEMA),
+        ]
+    )
+    adf = spark.createDataFrame(
+        [(1, wav, (sr, 1, int(len(samples) * 1000 / sr), "audio/wav"))], aschema
+    )
+    row = audio_features(adf).collect()[0]  # NO decode_fn: default path
+    ref = samples.astype(np.float64)
+    assert row["n_samples"] == len(samples)
+    assert row["rms"] == round(float(np.sqrt(np.mean(ref**2))), 6)
+
+    # binary PGM with a comment line in the header
+    pix = rng.integers(0, 256, 30).astype(np.uint8)
+    pgm = b"P5\n# test comment\n6 5\n255\n" + pix.tobytes()
+    assert np.array_equal(decode_pnm(pgm), pix)
+    ppm = b"P6 3 2 255 " + bytes(range(18))
+    assert np.array_equal(decode_pnm(ppm), np.arange(18, dtype=np.uint8))
+
+    ischema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", IMAGE_META_SCHEMA),
+        ]
+    )
+    idf = spark.createDataFrame([(1, pgm, (6, 5, 1, "image/pgm"))], ischema)
+    irow = image_features(idf).collect()[0]  # NO decode_fn: default path
+    assert irow["mean_pixel"] == round(float(pix.mean()), 6)
+    assert irow["histogram8"] == np.bincount(pix >> 5, minlength=8).tolist()
+
+    # non-parseable payloads still take the deterministic stub, not a crash
+    junk = spark.createDataFrame([(2, b"\x89PNG....", (4, 4, 3, "image/png"))], ischema)
+    assert image_features(junk).collect()[0]["n_bytes"] == 8
