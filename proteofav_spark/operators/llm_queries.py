@@ -1922,14 +1922,14 @@ def q_docs_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-first shape: tokenize once, explode a bounded
     ``sequence(0, n-1, stride)`` of window starts, ``slice`` each window
     out of the kept token array — all inside one map-only
-    whole-stage-codegen stage with ZERO exchanges: chunking is
-    embarrassingly parallel and the plan must say so. Fan-out is
-    ceil(len/stride) rows per doc (bounded by the longest document, not
-    the corpus); empty docs emit one empty chunk so no document silently
-    disappears from the sample ledger. At 100 TB this composes with the
-    lake scan's input splits — no repartition needed before the heavy
-    projection because rows EXPAND here (fan_out would only matter for a
-    few-files scan, same contract as the other text kernels)."""
+    whole-stage-codegen stage: chunking is embarrassingly parallel, with
+    no groupBy/join/window anywhere. The only exchange is ``fan_out``'s
+    few-files repartition (fires at test SF where the corpus is one
+    parquet file; a well-split 100 TB scan passes through with zero
+    exchanges — same contract as the other text kernels). Row fan-out is
+    ceil(len/stride) per doc (bounded by the longest document, not the
+    corpus); empty docs emit one empty chunk so no document silently
+    disappears from the sample ledger."""
     d = load(spark, sf_dir, "documents")
     t = fan_out(d).select("doc_id", tokens_col("text").alias("toks"))
     s = t.withColumn(

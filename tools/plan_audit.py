@@ -208,6 +208,32 @@ SCALE_NOTES = {
         "broadcast hash join with the residual disjunction inside the "
         "join's codegen stage — no union-of-joins, no cross join."
     ),
+    "orders_exists_semi": (
+        "EXISTS decorrelated to a left-semi hash join on l_orderkey with "
+        "the shipdate comparison as the join residual — existence "
+        "short-circuits per probe row, lineitem never duplicates orders."
+    ),
+    "customer_order_distribution": (
+        "left-outer custkey join keeps zero-order customers; both "
+        "rollups mergeable, second exchange is ~|distinct N| rows."
+    ),
+    "customers_above_avg_no_orders": (
+        "1-row scalar threshold broadcast (BroadcastNestedLoopJoin over "
+        "one row, not a cartesian), left-anti join on custkey with a "
+        "date-pruned narrow build side, exact-cent balances."
+    ),
+    "parts_supplier_breadth": (
+        "brand exclusion prunes at the part scan, pruned dim broadcasts; "
+        "COUNT DISTINCT plans as expand + two-stage agg so the exchange "
+        "carries deduped (brand,size,suppkey) triples, not the fact."
+    ),
+    "docs_token_chunking": (
+        "map-only: tokenize once, explode bounded sequence of window "
+        "starts, slice per window — no groupBy/join/window; the single "
+        "exchange is fan_out's few-files repartition, absent on a "
+        "well-split production scan. Row fan-out bounded by "
+        "ceil(len/stride) per doc."
+    ),
 }
 
 # round-3 additions audited alongside the headline set: not benched (the
@@ -238,6 +264,12 @@ EXTRA = [
     "events_dau_mau",
     "promo_revenue_share",
     "disjunctive_predicate_revenue",
+    # round-4 additions
+    "orders_exists_semi",
+    "customer_order_distribution",
+    "customers_above_avg_no_orders",
+    "parts_supplier_breadth",
+    "docs_token_chunking",
 ]
 
 
