@@ -210,3 +210,51 @@ def test_domain_plans_obey_scale_invariants(spark):
                 offenders.append((name, "unpartitioned window"))
                 break
     assert offenders == [], offenders
+
+
+# Physical shuffle budget per headline query, measured at the current
+# plan shapes (sf0.001, extended explain, physical section only). These
+# are CEILINGS: a future edit that adds an exchange to a hot query must
+# consciously raise the budget here — shuffle-count discipline is the
+# core 100 TB design rule, so regressions should fail CI, not surface
+# in a bench round later. (Index-cached ANN queries may plan FEWER
+# exchanges when the session cache is warm; <= handles both states.)
+EXCHANGE_BUDGET = {
+    "join_merge_tree": 5,
+    "join_star_revenue": 8,
+    "agg_pricing_summary": 1,
+    "window_moving_avg": 1,
+    "agg_residue_rollup": 1,
+    "window_reset_id": 1,
+    "window_dedup_adjacent": 1,
+    "events_tumbling_window": 1,
+    "dedup_exact_hash": 1,
+    "dedup_ngram_jaccard": 6,
+    "dedup_minhash_lsh": 3,
+    "dedup_simhash": 1,
+    "text_token_stats": 0,
+    "text_fingerprint": 0,
+    "knn_cosine_topk": 2,
+    "ann_lsh_bucketed": 5,
+    "ann_ivf_coarse": 9,
+    "dedup_embedding_cosine": 4,
+    "spatial_contacts_grid": 2,
+    "sessionize_events_gap": 1,
+    "events_asof_join": 2,
+    "events_range_join_bucketed": 3,
+    "dedup_cc_clusters": 3,
+    "shard_concat_digest": 5,
+    "text_repetition_metrics": 0,
+    "contamination_ngram_overlap": 5,
+}
+
+
+def test_headline_exchange_budgets(spark):
+    over = {}
+    for name, budget in EXCHANGE_BUDGET.items():
+        plan = _full_plan(spark, name)
+        phys = plan.split("== Physical Plan ==")[-1]
+        n = phys.count("Exchange")
+        if n > budget:
+            over[name] = (n, budget)
+    assert over == {}, f"shuffle-count regressions (got, budget): {over}"
