@@ -1945,3 +1945,76 @@ def q_docs_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(win).cast("long").alias("n_tokens"),
         F.array_join(win, " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF-style keyword extraction (exact-integer weighting, top-k per doc)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+_TFIDF_SQL = f"""
+    WITH tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest({_sql_tokens('text')}) AS term
+            FROM documents)
+      GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM tf) GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * 1000000 // df.df AS score_micro,
+             row_number() OVER (
+                 PARTITION BY tf.doc_id
+                 ORDER BY tf.tf * 1000000 // df.df DESC, tf.term
+             ) AS rk
+      FROM tf JOIN df USING (term))
+    SELECT doc_id, term, tf, df, CAST(score_micro AS BIGINT) AS score_micro,
+           CAST(rk AS BIGINT) AS rk
+    FROM scored WHERE rk <= {TFIDF_TOP_K}
+"""
+
+
+@register("text_tfidf_top_terms", _TFIDF_SQL)
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the TF-IDF idea (frequent in THIS
+    doc, rare across the corpus) with the weight computed as the exact
+    integer ``tf·10⁶ div df`` instead of ``tf·ln(N/df)`` — ln is not
+    guaranteed correctly-rounded across engines, and for a fixed corpus
+    the tf/df ratio induces the same within-document ranking family
+    while keeping every emitted value integer (driver-hash convention).
+    Deterministic tie-break on the term string.
+
+    Physical shape: one (doc, term) count shuffle; document frequency
+    folds the SAME aggregated frame (distinct is free — (doc, term) is
+    already unique post-groupBy) down to |vocab| rows; the df side joins
+    back keyed on term; the top-k filter is a doc_id-partitioned
+    row_number window on the scored frame — bounded per-doc sort tasks,
+    no global sort. At 100 TB the term join is the big exchange and
+    skew-prone on stopwords; AQE skew-split applies, and a production
+    variant would broadcast the head of the df table (stopword terms)
+    exactly like the salted-agg pattern."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        fan_out(d)
+        .select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_t, "term").withColumn(
+        "score_micro", F.expr("tf * 1000000 div df")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.col("score_micro").cast("long").alias("score_micro"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

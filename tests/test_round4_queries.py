@@ -124,3 +124,67 @@ def test_token_chunking_reconstructs_documents(spark):
             assert words == tk[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_SIZE]
             rebuilt.extend(words[:CHUNK_STRIDE])
         assert rebuilt == tk
+
+
+def test_grouping_sets_margins_consistent(spark):
+    """Margin arithmetic: each single-column margin re-sums the detail
+    rows, and the gid separates the three grouping sets."""
+    from proteofav_spark.operators.analytics_queries import q_agg_grouping_sets
+
+    rows = q_agg_grouping_sets(spark, SF).collect()
+    detail = [r for r in rows if r["gid"] == 0]
+    by_flag = {r["l_returnflag"]: r for r in rows if r["gid"] == 1}
+    by_status = {r["l_linestatus"]: r for r in rows if r["gid"] == 2}
+    assert detail and by_flag and by_status
+    for f, m in by_flag.items():
+        assert m["l_linestatus"] is None
+        assert m["n_items"] == sum(
+            d["n_items"] for d in detail if d["l_returnflag"] == f
+        )
+        assert m["sum_qty"] == pytest.approx(
+            sum(d["sum_qty"] for d in detail if d["l_returnflag"] == f)
+        )
+    for s, m in by_status.items():
+        assert m["l_returnflag"] is None
+        assert m["n_items"] == sum(
+            d["n_items"] for d in detail if d["l_linestatus"] == s
+        )
+    # no grand-total row (that's CUBE's job)
+    assert not [r for r in rows if r["gid"] == 3]
+
+
+def test_tfidf_ranks_rare_terms_over_stopwords(spark):
+    """Weighting sanity on a constructed corpus: a term unique to one
+    doc must outrank a corpus-wide stopword with equal tf; ranks are
+    1..k, scores non-increasing per doc, and score_micro == tf*1e6//df."""
+    import os
+    import tempfile
+
+    from proteofav_spark.operators.llm_queries import (
+        TFIDF_TOP_K,
+        q_text_tfidf_top_terms,
+    )
+
+    docs = [
+        (0, "common common rareword rareword", "en", "s", 30),
+        (1, "common common othertok othertok", "en", "s", 30),
+        (2, "common common common filler", "en", "s", 28),
+    ]
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    rows = q_text_tfidf_top_terms(spark, tmp).collect()
+    by_doc = {}
+    for r in rows:
+        assert r["score_micro"] == r["tf"] * 1_000_000 // r["df"]
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in doc_rows] == list(range(1, len(doc_rows) + 1))
+        assert len(doc_rows) <= TFIDF_TOP_K
+        scores = [r["score_micro"] for r in doc_rows]
+        assert scores == sorted(scores, reverse=True)
+    # doc 0: rareword (tf=2, df=1) must beat common (tf=2, df=3)
+    top0 = by_doc[0][0]
+    assert top0["term"] == "rareword" and top0["df"] == 1

@@ -234,6 +234,17 @@ SCALE_NOTES = {
         "well-split production scan. Row fan-out bounded by "
         "ceil(len/stride) per doc."
     ),
+    "agg_grouping_sets": (
+        "one Expand (3 rows per input, one per grouping set) into a "
+        "single partial-aggregated exchange — not three unioned scans; "
+        "grouping() ids disambiguate margin NULLs."
+    ),
+    "text_tfidf_top_terms": (
+        "one (doc,term) count shuffle; df folds the same frame to "
+        "|vocab| rows; term-keyed join back (stopword-skewed — AQE "
+        "splits); top-k via doc-partitioned row_number, no global sort; "
+        "weights exact integers (tf*1e6 div df), no ln()."
+    ),
 }
 
 # round-3 additions audited alongside the headline set: not benched (the
@@ -270,6 +281,8 @@ EXTRA = [
     "customers_above_avg_no_orders",
     "parts_supplier_breadth",
     "docs_token_chunking",
+    "agg_grouping_sets",
+    "text_tfidf_top_terms",
 ]
 
 
