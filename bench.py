@@ -117,9 +117,11 @@ def main() -> None:
     # (IVF centroids/lists, LSH bucket tables — see _INDEX_CACHE): report
     # the build/search split so index amortization is measured, not
     # asserted. run 0 = build (index construction + codegen), later runs
-    # = cached search.
+    # = cached search. knn_cosine_topk is deliberately absent: it is
+    # brute force by design (the ANN baselines' ground truth), builds no
+    # index, and listing it would present codegen warmup as
+    # amortization.
     ANN_INDEXED = {
-        "knn_cosine_topk",
         "ann_lsh_bucketed",
         "ann_ivf_coarse",
         "dedup_embedding_cosine",

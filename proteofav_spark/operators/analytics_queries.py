@@ -865,14 +865,20 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # share at 6 dp via the exact-integer round-half-up trick
         # ((2a·10⁶+b) div 2b) — engine-independent, unlike
-        # round(double, 6) on an exact-rational quotient
+        # round(double, 6) on an exact-rational quotient. The numerator
+        # widens to DECIMAL(38,0) BEFORE the 2·10⁶ scale-up: monthly bp
+        # sums pass the bigint headroom (~4.6e12) around SF 0.2, and
+        # DuckDB's hugeint-promoting sum would survive where a bigint
+        # Spark product overflows — decimal keeps both engines exact to
+        # ~10³⁸ (div on positive decimals floors like bigint div)
         .select(
             "ship_mo",
             "n_lineitems",
             (F.col("_promo_bp").cast("double") / 10000.0).alias("promo_revenue"),
             (
                 F.expr(
-                    "(2 * _promo_bp * 1000000 + _bp) div (2 * _bp)"
+                    "(2 * CAST(_promo_bp AS DECIMAL(38,0)) * 1000000 + _bp)"
+                    " div (2 * CAST(_bp AS DECIMAL(38,0)))"
                 ).cast("double")
                 / 1_000_000
             ).alias("promo_share"),
@@ -1016,14 +1022,16 @@ def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 _RICH_IDLE_SQL = """
-    WITH t AS (SELECT avg(c_acctbal) AS thresh FROM customer
-               WHERE c_acctbal > 0)
+    WITH t AS (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                      AS BIGINT) AS sum_cents,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM customer WHERE c_acctbal > 0)
     SELECT c.c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_customers,
            CAST(CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
                 AS DOUBLE) / 100.0 AS total_bal
     FROM customer c, t
-    WHERE c.c_acctbal > t.thresh
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * t.n > t.sum_cents
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderdate >= TIMESTAMP '1998-06-01')
@@ -1043,23 +1051,27 @@ def q_customers_above_avg_no_orders(spark: SparkSession, sf_dir: str) -> DataFra
     Spark-first: the threshold is a 1-row aggregate CROSS-JOINED in
     (Catalyst broadcasts it — BroadcastNestedLoopJoin over one row, NOT
     a cartesian product), so the plan has no driver round-trip and the
-    whole query stays one lazy DAG. The anti join hashes on custkey;
-    orders projects to the join key only, so the build side is narrow.
-    Balances accumulate in exact integer cents (driver-hash convention).
-    At 100 TB: threshold is O(1) state, anti join shuffles on custkey,
-    segment rollup partial-aggregates to ~5 rows."""
+    whole query stays one lazy DAG. The "above average" comparison is
+    done ENTIRELY in exact integer cents — ``cents(c)·n > sum_cents`` is
+    algebraically ``c > avg`` without ever materializing the float
+    average, whose summation-order dependence could flip boundary
+    customers between engines. The anti join hashes on custkey; orders
+    projects to the join key only, so the build side is narrow. At
+    100 TB: threshold is O(1) state, anti join shuffles on custkey,
+    segment rollup partial-aggregates to ~5 rows (cents·n caps near
+    10¹⁸ at ~10⁹ customers; widen to DECIMAL(38,0) past that)."""
     cust = load(spark, sf_dir, "customer")
     o = (
         load(spark, sf_dir, "orders")
         .where(F.col("o_orderdate") >= F.lit("1998-06-01").cast("timestamp"))
         .select("o_custkey")
     )
-    thresh = (
-        cust.where(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal").alias("thresh"))
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    thresh = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("sum_cents"), F.count(F.lit(1)).alias("n")
     )
     rich = cust.crossJoin(F.broadcast(thresh)).where(
-        F.col("c_acctbal") > F.col("thresh")
+        cents * F.col("n") > F.col("sum_cents")
     )
     idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     return idle.groupBy("c_mktsegment").agg(

@@ -52,7 +52,13 @@ def _session_index(spark: SparkSession, family: str, corpus: DataFrame, build):
     try:
         listing: tuple = tuple(sorted(corpus.inputFiles()))
     except Exception:
-        return build()  # non-file source — no stable identity, never cache
+        listing = ()
+    if not listing:
+        # non-file source (createDataFrame/LocalRelation returns an EMPTY
+        # inputFiles() list, not an error): no stable identity, never
+        # cache — an empty-listing key would collide every in-memory
+        # corpus of the same family onto one stale index
+        return build()
     dirs = tuple(sorted({os.path.dirname(f) for f in listing}))
     key = (family, dirs, listing)
     hit = _INDEX_CACHE.get(key)

@@ -54,31 +54,36 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 def decode_pnm(blob: bytes) -> np.ndarray | None:
     """REAL codec, zero dependencies: binary PGM (``P5``) / PPM (``P6``)
     — the netpbm formats every imaging tool can emit. Returns the uint8
-    pixel array, or None when the magic doesn't match (caller falls back
-    to the stub). Maxval ≤ 255 only (8-bit), which is the common case."""
+    pixel array, or None when the payload is not a well-formed 8-bit
+    netpbm file (caller falls back to the stub) — a magic-prefix
+    coincidence (text starting 'P5...'), a malformed header, or a
+    truncated raster must degrade to the stub, never fail the batch."""
     if blob[:2] not in (b"P5", b"P6"):
         return None
-    # header: magic, width, height, maxval — whitespace/comment separated
-    fields: list[int] = []
-    i = 2
-    while len(fields) < 3 and i < len(blob):
-        c = blob[i : i + 1]
-        if c == b"#":  # comment to end of line
-            i = blob.index(b"\n", i)
-        elif c.isspace():
-            i += 1
-        else:
-            j = i
-            while j < len(blob) and not blob[j : j + 1].isspace():
-                j += 1
-            fields.append(int(blob[i:j]))
-            i = j
-    w, h, maxval = fields
-    if maxval > 255:
+    try:
+        # header: magic, width, height, maxval — whitespace/comment separated
+        fields: list[int] = []
+        i = 2
+        while len(fields) < 3 and i < len(blob):
+            c = blob[i : i + 1]
+            if c == b"#":  # comment to end of line
+                i = blob.index(b"\n", i)
+            elif c.isspace():
+                i += 1
+            else:
+                j = i
+                while j < len(blob) and not blob[j : j + 1].isspace():
+                    j += 1
+                fields.append(int(blob[i:j]))
+                i = j
+        w, h, maxval = fields
+        if maxval > 255 or w <= 0 or h <= 0:
+            return None
+        i += 1  # single whitespace byte after maxval, then raster
+        n = w * h * (3 if blob[:2] == b"P6" else 1)
+        return np.frombuffer(blob, dtype=np.uint8, count=n, offset=i)
+    except ValueError:  # non-integer header token, truncated raster, ...
         return None
-    i += 1  # single whitespace byte after maxval, then raster
-    n = w * h * (3 if blob[:2] == b"P6" else 1)
-    return np.frombuffer(blob, dtype=np.uint8, count=n, offset=i)
 
 
 def _decode_image_stub(blob: bytes, width: int, height: int) -> np.ndarray:

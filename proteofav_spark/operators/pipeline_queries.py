@@ -1111,6 +1111,10 @@ def q_events_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quotient rounded as (2a+b) div (2b) is bit-identical on every
     # engine, where round(double, 6) diverges on half-way boundaries
     # (the class of bug that cost events_twap its round-3 driver row).
+    # n_pairs widens to DECIMAL(38,0) first: past ~4.6e12 transitions
+    # per (src,dst) the 2·10⁶-scaled bigint product would overflow on
+    # Spark while DuckDB's hugeint sum survives — decimal keeps both
+    # exact to ~10³⁸.
     return (
         pairs.withColumn("_tot", norm)
         .select(
@@ -1118,9 +1122,10 @@ def q_events_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst",
             "n_pairs",
             (
-                F.expr("(2 * n_pairs * 1000000 + _tot) div (2 * _tot)").cast(
-                    "double"
-                )
+                F.expr(
+                    "(2 * CAST(n_pairs AS DECIMAL(38,0)) * 1000000 + _tot)"
+                    " div (2 * CAST(_tot AS DECIMAL(38,0)))"
+                ).cast("double")
                 / 1_000_000
             ).alias("p"),
         )

@@ -151,6 +151,11 @@ def residues_aggregation(
     if agg_method not in ("centroid", "first", "unique", "mean", "backbone_centroid"):
         raise ValueError(f"Method {agg_method} is not currently implemented...")
     keys = ["pdbx_PDB_model_num", f"{category}_asym_id", f"{category}_seq_id"]
+    # multi-structure lake frames: (model, chain, seq) repeats across
+    # files, so the structure id must be part of the rollup key or two
+    # unrelated proteins' atoms would average into one residue
+    if "source_file" in df.columns:
+        keys = ["source_file"] + keys
     if agg_method == "backbone_centroid":
         df = row_selector(
             df, f"{category}_atom_id", BACKBONE_ATOMS, check_empty=False

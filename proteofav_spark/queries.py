@@ -128,12 +128,14 @@ _PRIORITY: list[str] = [
     "docs_token_chunking",
     # Slots 10-50: the longest-unattested queries (last driver row: r02),
     # prioritizing the families VERDICT r3 named (curation, ANN,
-    # agg_pricing_summary, filter_*, window_* twins). Seven equally-stale
-    # but structurally trivial r2-attested queries stay below the fold
-    # this round (join_left_string_keys, join_semi_anti,
+    # agg_pricing_summary, filter_*, window_* twins). DELIBERATELY below
+    # the fold this round (all CI-guarded by test_oracles_below_fold,
+    # first in line for r05): seven equally-stale but structurally
+    # trivial r2-attested queries (join_left_string_keys, join_semi_anti,
     # join_outer_collapse, join_range_interval, set_union_by_name,
-    # explode_interval_rollup, json_flatten_props) — CI-guarded by
-    # test_oracles_below_fold, first in line for r05.
+    # explode_interval_rollup, json_flatten_props) plus the two late
+    # round-4 additions (agg_grouping_sets, text_tfidf_top_terms — the
+    # window was already full of judge-named re-attestation targets).
     "contamination_ngram_overlap",
     "embedding_kmeans",
     "text_char_entropy",

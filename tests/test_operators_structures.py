@@ -108,3 +108,22 @@ def test_add_contacts_small(spark):
     assert out[0]["contact_indexes"] == "0,1"
     assert out[1]["contact_indexes"] == "0,1"
     assert out[2]["contact_indexes"] == "2"
+
+
+def test_residues_aggregation_multi_structure_no_cross_merge(spark, refdata):
+    """On a multi-structure frame the rollup must key on source_file:
+    the union of two parses aggregates to exactly the sum of the
+    per-file aggregations, never merging residues across structures."""
+    from proteofav_spark.sources.structures import parse_mmcif_atoms
+
+    a = parse_mmcif_atoms(spark, f"{refdata}/mmcif/2w4o.cif")
+    b = parse_mmcif_atoms(spark, f"{refdata}/mmcif/2pah.cif")
+    multi = a.unionByName(b, allowMissingColumns=True)
+    na = residues_aggregation(a).count()
+    nb = residues_aggregation(b).count()
+    both = residues_aggregation(multi)
+    assert both.count() == na + nb
+    per_file = {r["source_file"]: r["n"] for r in
+                both.groupBy("source_file").agg(F.count("*").alias("n")).collect()}
+    assert set(per_file) == {"2w4o.cif", "2pah.cif"} or len(per_file) == 2
+    assert sorted(per_file.values()) == sorted([na, nb])

@@ -65,13 +65,17 @@ def test_above_avg_no_orders_members_verify(spark):
     rows = q_customers_above_avg_no_orders(spark, SF).collect()
     c = spark.read.parquet(f"{SF}/customer.parquet")
     o = spark.read.parquet(f"{SF}/orders.parquet")
-    thresh = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    # the query compares in exact cents (cents*n > sum_cents == c > avg);
+    # recompute the same way so boundary rows can't flip on float avg
+    pos = [round(r["c_acctbal"] * 100) for r in
+           c.where(F.col("c_acctbal") > 0).collect()]
+    sum_cents, n = sum(pos), len(pos)
     recent = o.where(F.col("o_orderdate") >= F.lit("1998-06-01").cast("timestamp"))
-    members = (
-        c.where(F.col("c_acctbal") > thresh)
-        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
-        .collect()
-    )
+    members = [
+        m
+        for m in c.join(recent, c.c_custkey == recent.o_custkey, "left_anti").collect()
+        if round(m["c_acctbal"] * 100) * n > sum_cents
+    ]
     by_seg = {}
     for m in members:
         by_seg.setdefault(m["c_mktsegment"], []).append(m["c_acctbal"])
