@@ -908,10 +908,11 @@ _GAPFILL_SQL = f"""
     SELECT user_id, hr,
            CAST(CASE WHEN n IS NOT NULL
                 THEN (2 * sc * 10000 + n) // (2 * n)
-                ELSE (2 * (psc * nxn * (nh - ph)
-                           + (nsc * pn - psc * nxn) * (hr - ph)) * 10000
-                      + pn * nxn * (nh - ph))
-                     // (2 * pn * nxn * (nh - ph))
+                ELSE (2 * (CAST(psc AS HUGEINT) * nxn * (nh - ph)
+                           + (CAST(nsc AS HUGEINT) * pn
+                              - CAST(psc AS HUGEINT) * nxn) * (hr - ph)) * 10000
+                      + CAST(pn AS HUGEINT) * nxn * (nh - ph))
+                     // (2 * CAST(pn AS HUGEINT) * nxn * (nh - ph))
                 END AS DOUBLE) / 1000000 AS value_filled,
            n IS NOT NULL AS is_observed
     FROM f
@@ -978,13 +979,18 @@ def q_events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("n", ignorenulls=True).over(wf).alias("nxn"),
         F.first(obs_hr, ignorenulls=True).over(wf).alias("nh"),
     )
+    # the interpolation branch multiplies cents-sums by counts by gap
+    # widths before the 10⁴ scale-up — widened to DECIMAL(38,0)
+    # (HUGEINT in the oracle) so an adversarial (hot user × long gap)
+    # cell can't overflow a bigint product on either engine
     u6 = F.expr(
         "CASE WHEN n IS NOT NULL"
         "  THEN (2 * sc * 10000 + n) div (2 * n)"
-        "  ELSE (2 * (psc * nxn * (nh - ph)"
-        "             + (nsc * pn - psc * nxn) * (hr - ph)) * 10000"
-        "        + pn * nxn * (nh - ph))"
-        "       div (2 * pn * nxn * (nh - ph)) END"
+        "  ELSE (2 * (CAST(psc AS DECIMAL(38,0)) * nxn * (nh - ph)"
+        "             + (CAST(nsc AS DECIMAL(38,0)) * pn"
+        "                - CAST(psc AS DECIMAL(38,0)) * nxn) * (hr - ph)) * 10000"
+        "        + CAST(pn AS DECIMAL(38,0)) * nxn * (nh - ph))"
+        "       div (2 * CAST(pn AS DECIMAL(38,0)) * nxn * (nh - ph)) END"
     )
     return f.select(
         "user_id",

@@ -323,3 +323,24 @@ def test_gapfill_halfup_formula_is_exact(sp, np_, sn, nn, h, g):
     d_int = np_ * nn * h
     got = (2 * n_int * 10_000 + d_int) // (2 * d_int)
     assert got == want
+
+
+@given(
+    a=st.integers(min_value=0, max_value=10**30),
+    b=st.integers(min_value=1, max_value=10**30),
+)
+@settings(max_examples=300, deadline=None)
+def test_round_half_up_integer_identity(a, b):
+    """The exact-integer rounding identity every money/probability
+    quotient in the catalog relies on: (2·a·10⁶ + b) div (2·b) equals
+    round-half-UP of a/b at 6 decimals, computed without any float —
+    verified against Fraction arithmetic (floats can't represent the
+    operands at these magnitudes)."""
+    from fractions import Fraction
+
+    got = (2 * a * 1_000_000 + b) // (2 * b)
+    q = Fraction(a, b) * 1_000_000
+    floor_q = q.numerator // q.denominator
+    frac = q - floor_q
+    expect = floor_q + (1 if frac >= Fraction(1, 2) else 0)
+    assert got == expect
