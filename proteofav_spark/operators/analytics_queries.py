@@ -1177,3 +1177,104 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("gid"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ntile quantile bucketing (per-partition rank windows)
+# ---------------------------------------------------------------------------
+
+_NTILE_SQL = """
+    WITH t AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             ntile(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders)
+    SELECT o_orderpriority, CAST(quartile AS BIGINT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(price_cents) AS BIGINT) AS lo_cents,
+           CAST(max(price_cents) AS BIGINT) AS hi_cents
+    FROM t
+    GROUP BY 1, 2
+"""
+
+
+@register("window_ntile_buckets", _NTILE_SQL)
+def q_window_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartiles of order value within each priority class —
+    the ntile window (equal-COUNT buckets, unlike the equal-WIDTH
+    histogram and the percentile sketch already in the catalog), rolled
+    up to per-bucket count and exact-cent bounds.
+
+    Determinism: ntile assigns by row position, so ties on o_totalprice
+    break on o_orderkey — a total order, identical on both engines.
+    Physical shape: one shuffle on the window partition key (priority —
+    ~5 partitions, each a bounded sort task), then a partial-aggregated
+    rollup to at most |priorities|x4 rows. At 100 TB the priority key is
+    low-cardinality, so the window shuffle is skew-prone: AQE splits it,
+    or a production variant pre-aggregates per (priority, price-range)
+    like the salted-agg pattern."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    t = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return t.groupBy(
+        "o_orderpriority", F.col("quartile").cast("long").alias("quartile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("price_cents").alias("lo_cents"),
+        F.max("price_cents").alias("hi_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT: wide metric columns -> long (variable, value) rows
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_SQL = """
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) / 100.0 AS qty,
+             CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS DOUBLE) / 100.0 AS price,
+             CAST(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) / 100.0 AS discount
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, metric, metric_value
+    FROM wide
+    UNPIVOT (metric_value FOR metric IN (qty, price, discount))
+"""
+
+
+@register("metrics_unpivot_long", _UNPIVOT_SQL)
+def q_metrics_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotate a wide per-flag metric table into long (metric, value)
+    rows — UNPIVOT/melt, the inverse of the conditional-aggregation
+    pivot (`agg_pivot_status`) and the shape every metrics store and
+    plotting layer eventually needs.
+
+    Physical shape: the rollup is one partial-aggregated exchange to
+    ~|flags| rows; the unpivot itself is an Expand over that TINY
+    aggregated frame (|metrics| output rows per input row, zero
+    exchanges) — rotating AFTER aggregating is the scale-correct order,
+    where melting the raw fact table first would triple the shuffled
+    volume for identical output. Sums in exact cents."""
+    l = load(spark, sf_dir, "lineitem")
+
+    def cents_sum(col: str):
+        return (
+            F.sum(F.round(F.col(col) * 100).cast("long")).cast("double") / 100.0
+        )
+
+    wide = l.groupBy("l_returnflag").agg(
+        cents_sum("l_quantity").alias("qty"),
+        cents_sum("l_extendedprice").alias("price"),
+        cents_sum("l_discount").alias("discount"),
+    )
+    return wide.unpivot(
+        "l_returnflag", ["qty", "price", "discount"], "metric", "metric_value"
+    )

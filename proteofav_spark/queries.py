@@ -133,9 +133,10 @@ _PRIORITY: list[str] = [
     # first in line for r05): seven equally-stale but structurally
     # trivial r2-attested queries (join_left_string_keys, join_semi_anti,
     # join_outer_collapse, join_range_interval, set_union_by_name,
-    # explode_interval_rollup, json_flatten_props) plus the two late
-    # round-4 additions (agg_grouping_sets, text_tfidf_top_terms — the
-    # window was already full of judge-named re-attestation targets).
+    # explode_interval_rollup, json_flatten_props) plus the late
+    # round-4 additions (agg_grouping_sets, text_tfidf_top_terms,
+    # window_ntile_buckets, metrics_unpivot_long — the window was
+    # already full of judge-named re-attestation targets).
     "contamination_ngram_overlap",
     "embedding_kmeans",
     "text_char_entropy",

@@ -192,3 +192,49 @@ def test_tfidf_ranks_rare_terms_over_stopwords(spark):
     # doc 0: rareword (tf=2, df=1) must beat common (tf=2, df=3)
     top0 = by_doc[0][0]
     assert top0["term"] == "rareword" and top0["df"] == 1
+
+
+def test_ntile_buckets_equidepth_and_ordered(spark):
+    """ntile semantics: per priority the four buckets partition the
+    orders with sizes differing by at most 1 (larger buckets first),
+    and cent-bounds are non-overlapping in quartile order."""
+    from proteofav_spark.operators.analytics_queries import q_window_ntile_buckets
+
+    rows = q_window_ntile_buckets(spark, SF).collect()
+    by_prio = {}
+    for r in rows:
+        by_prio.setdefault(r["o_orderpriority"], []).append(r)
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    totals = {r["o_orderpriority"]: r["n"] for r in
+              o.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()}
+    for prio, bucket_rows in by_prio.items():
+        bucket_rows.sort(key=lambda r: r["quartile"])
+        assert [r["quartile"] for r in bucket_rows] == [1, 2, 3, 4]
+        sizes = [r["n_orders"] for r in bucket_rows]
+        assert sum(sizes) == totals[prio]
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)  # big buckets first
+        for a, b in zip(bucket_rows, bucket_rows[1:]):
+            assert a["hi_cents"] <= b["lo_cents"]
+        for r in bucket_rows:
+            assert r["lo_cents"] <= r["hi_cents"]
+
+
+def test_unpivot_long_matches_wide(spark):
+    """The long frame carries exactly |flags| x 3 rows and each
+    (flag, metric) value equals the wide aggregate recomputed directly."""
+    from proteofav_spark.operators.analytics_queries import q_metrics_unpivot_long
+
+    rows = q_metrics_unpivot_long(spark, SF).collect()
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    flags = [r["l_returnflag"] for r in l.select("l_returnflag").distinct().collect()]
+    assert len(rows) == len(flags) * 3
+    got = {(r["l_returnflag"], r["metric"]): r["metric_value"] for r in rows}
+    for flag in flags:
+        sub = l.where(F.col("l_returnflag") == flag)
+        for metric, col in (("qty", "l_quantity"), ("price", "l_extendedprice"),
+                            ("discount", "l_discount")):
+            cents = sub.agg(
+                F.sum(F.round(F.col(col) * 100).cast("long")).alias("c")
+            ).collect()[0]["c"]
+            assert got[(flag, metric)] == cents / 100.0

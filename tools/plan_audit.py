@@ -245,6 +245,18 @@ SCALE_NOTES = {
         "splits); top-k via doc-partitioned row_number, no global sort; "
         "weights exact integers (tf*1e6 div df), no ln()."
     ),
+    "window_ntile_buckets": (
+        "one window shuffle on the ~5-value priority key (bounded "
+        "per-partition sorts, skew-prone — AQE splits), then a "
+        "partial-aggregated rollup to |priorities|x4 rows; ntile ties "
+        "break on o_orderkey so both engines agree."
+    ),
+    "metrics_unpivot_long": (
+        "rotate AFTER aggregating: one partial-agg exchange to |flags| "
+        "rows, then the unpivot Expand runs on that tiny frame with "
+        "zero exchanges — melting the raw fact first would 3x the "
+        "shuffled volume."
+    ),
 }
 
 # round-3 additions audited alongside the headline set: not benched (the
@@ -283,6 +295,8 @@ EXTRA = [
     "docs_token_chunking",
     "agg_grouping_sets",
     "text_tfidf_top_terms",
+    "window_ntile_buckets",
+    "metrics_unpivot_long",
 ]
 
 
