@@ -1278,3 +1278,109 @@ def q_metrics_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         "l_returnflag", ["qty", "price", "discount"], "metric", "metric_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: HAVING against a share of a global aggregate
+# ---------------------------------------------------------------------------
+
+SHARE_THRESHOLD_BP = 500  # keep groups holding > 5.00% of the global total
+
+_VALUE_SHARE_SQL = f"""
+    WITH n AS (
+      SELECT s_nationkey,
+             CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM supplier GROUP BY 1)
+    SELECT n.s_nationkey AS nationkey, n.n_suppliers,
+           CAST(n.cents AS DOUBLE) / 100.0 AS total_bal
+    FROM n
+    WHERE n.cents * 10000 > (SELECT sum(cents) FROM n) * {SHARE_THRESHOLD_BP}
+"""
+
+
+@register("supplier_value_share_having", _VALUE_SHARE_SQL)
+def q_supplier_value_share_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: nations holding more than a fixed share of the
+    global supplier balance — a HAVING clause whose right-hand side is a
+    scalar aggregate over the SAME aggregation.
+
+    Spark-first: aggregate once, derive the global total by re-reducing
+    the tiny per-nation frame (≤25 rows — never a second scan of the
+    fact), broadcast the 1-row total back and filter. The share
+    comparison is pure integer arithmetic — ``cents·10⁴ > total·bp`` —
+    so no float division exists to diverge between engines (same trick
+    as the Q22 threshold). At 100 TB the only fact-sized cost is the
+    first groupBy; everything after runs on |groups| rows."""
+    s = load(spark, sf_dir, "supplier")
+    cents = F.round(F.col("s_acctbal") * 100).cast("long")
+    per_nation = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers"), F.sum(cents).alias("cents")
+    )
+    total = per_nation.agg(F.sum("cents").alias("total_cents"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .where(F.col("cents") * 10000 > F.col("total_cents") * SHARE_THRESHOLD_BP)
+        .select(
+            "nationkey",
+            "n_suppliers",
+            (F.col("cents").cast("double") / 100.0).alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: aggregate -> threshold -> rejoin the fact detail
+# ---------------------------------------------------------------------------
+
+BIG_CUSTOMER_CENTS = 400_000_000  # lifetime order value > $4M
+
+_BIG_CUST_SQL = f"""
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cust_cents
+      FROM orders GROUP BY 1
+      HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             > {BIG_CUSTOMER_CENTS})
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(CAST(round(o.o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100.0
+               AS order_total,
+           CAST(c.cust_cents AS DOUBLE) / 100.0 AS cust_total
+    FROM orders o JOIN c ON o.o_custkey = c.o_custkey
+"""
+
+
+@register("orders_big_customer_detail", _BIG_CUST_SQL)
+def q_orders_big_customer_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: every order of customers whose LIFETIME order
+    value crosses a threshold, with the customer total attached — the
+    aggregate → HAVING → rejoin-the-fact pattern (top-spender drilldown,
+    whale-account reporting).
+
+    Spark-first: one custkey groupBy (exact cents), the HAVING filter
+    shrinks the aggregate to the few qualifying customers, and THAT
+    small frame joins back to the fact — Catalyst broadcasts it, so the
+    detail pass is a map-side hash join with no second fact shuffle.
+    The naive formulation (window sum over custkey + filter) would
+    shuffle the whole fact into window state instead; aggregate-then-
+    rejoin moves only |whales| rows. At 100 TB, if the qualifying set
+    outgrows the broadcast threshold AQE falls back to a shuffle join
+    keyed on the same column the aggregate already used."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    big = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(cents).alias("cust_cents"))
+        .where(F.col("cust_cents") > BIG_CUSTOMER_CENTS)
+        .withColumnRenamed("o_custkey", "_ck")
+    )
+    return o.join(
+        F.broadcast(big), o.o_custkey == F.col("_ck")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        (cents.cast("double") / 100.0).alias("order_total"),
+        (F.col("cust_cents").cast("double") / 100.0).alias("cust_total"),
+    )

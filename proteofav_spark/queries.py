@@ -135,8 +135,9 @@ _PRIORITY: list[str] = [
     # join_outer_collapse, join_range_interval, set_union_by_name,
     # explode_interval_rollup, json_flatten_props) plus the late
     # round-4 additions (agg_grouping_sets, text_tfidf_top_terms,
-    # window_ntile_buckets, metrics_unpivot_long — the window was
-    # already full of judge-named re-attestation targets).
+    # window_ntile_buckets, metrics_unpivot_long,
+    # supplier_value_share_having, orders_big_customer_detail — the
+    # window was already full of judge-named re-attestation targets).
     "contamination_ngram_overlap",
     "embedding_kmeans",
     "text_char_entropy",

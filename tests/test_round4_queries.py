@@ -238,3 +238,54 @@ def test_unpivot_long_matches_wide(spark):
                 F.sum(F.round(F.col(col) * 100).cast("long")).alias("c")
             ).collect()[0]["c"]
             assert got[(flag, metric)] == cents / 100.0
+
+
+def test_value_share_having_members_and_share(spark):
+    """Every kept nation's integer-share condition re-verifies against
+    independently recomputed totals, and no dropped nation qualifies."""
+    from proteofav_spark.operators.analytics_queries import (
+        SHARE_THRESHOLD_BP,
+        q_supplier_value_share_having,
+    )
+
+    rows = {r["nationkey"]: r for r in
+            q_supplier_value_share_having(spark, SF).collect()}
+    s = spark.read.parquet(f"{SF}/supplier.parquet").collect()
+    cents = {}
+    counts = {}
+    for r in s:
+        cents[r["s_nationkey"]] = cents.get(r["s_nationkey"], 0) + round(r["s_acctbal"] * 100)
+        counts[r["s_nationkey"]] = counts.get(r["s_nationkey"], 0) + 1
+    total = sum(cents.values())
+    qualifying = {k for k, v in cents.items() if v * 10000 > total * SHARE_THRESHOLD_BP}
+    assert set(rows) == qualifying
+    for k, r in rows.items():
+        assert r["n_suppliers"] == counts[k]
+        assert r["total_bal"] == cents[k] / 100.0
+
+
+def test_big_customer_detail_rejoin_complete(spark):
+    """Every row's cust_total re-sums that customer's orders, the
+    threshold holds, and ALL orders of a qualifying customer appear."""
+    from proteofav_spark.operators.analytics_queries import (
+        BIG_CUSTOMER_CENTS,
+        q_orders_big_customer_detail,
+    )
+
+    rows = q_orders_big_customer_detail(spark, SF).collect()
+    assert rows
+    o = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    per_cust_cents = {}
+    per_cust_orders = {}
+    for r in o:
+        per_cust_cents[r["o_custkey"]] = (
+            per_cust_cents.get(r["o_custkey"], 0) + round(r["o_totalprice"] * 100)
+        )
+        per_cust_orders.setdefault(r["o_custkey"], set()).add(r["o_orderkey"])
+    whales = {k for k, v in per_cust_cents.items() if v > BIG_CUSTOMER_CENTS}
+    got_orders = {}
+    for r in rows:
+        assert r["o_custkey"] in whales
+        assert r["cust_total"] == per_cust_cents[r["o_custkey"]] / 100.0
+        got_orders.setdefault(r["o_custkey"], set()).add(r["o_orderkey"])
+    assert got_orders == {k: per_cust_orders[k] for k in whales}

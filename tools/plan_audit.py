@@ -257,6 +257,18 @@ SCALE_NOTES = {
         "zero exchanges — melting the raw fact first would 3x the "
         "shuffled volume."
     ),
+    "supplier_value_share_having": (
+        "aggregate once; the global total re-reduces the <=25-row "
+        "per-nation frame (never a second fact scan) and broadcasts "
+        "back; the share test is integer cents*1e4 > total*bp — no "
+        "float division anywhere."
+    ),
+    "orders_big_customer_detail": (
+        "one custkey groupBy in exact cents; HAVING shrinks to the "
+        "whale set, which broadcasts back onto the fact — map-side "
+        "hash join, no second fact shuffle (a window-sum formulation "
+        "would shuffle the whole fact into window state)."
+    ),
 }
 
 # round-3 additions audited alongside the headline set: not benched (the
@@ -297,6 +309,8 @@ EXTRA = [
     "text_tfidf_top_terms",
     "window_ntile_buckets",
     "metrics_unpivot_long",
+    "supplier_value_share_having",
+    "orders_big_customer_detail",
 ]
 
 
