@@ -1384,3 +1384,152 @@ def q_orders_big_customer_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cents.cast("double") / 100.0).alias("order_total"),
         (F.col("cust_cents").cast("double") / 100.0).alias("cust_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: correlated per-group average threshold (decorrelated)
+# ---------------------------------------------------------------------------
+
+_SMALL_QTY_SQL = """
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_qc,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS DOUBLE) / 100.0 AS total_price
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * pa.n < pa.sum_qc
+"""
+
+
+@register("lineitem_below_avg_qty", _SMALL_QTY_SQL)
+def q_lineitem_below_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: line items whose quantity is below 20% of the
+    average quantity FOR THAT PART — a correlated scalar subquery
+    decorrelated into a per-part aggregate joined back to the fact.
+
+    The threshold comparison is pure integers: ``qty < 0.2·avg`` is
+    ``qty_cents·5·n < sum_qty_cents`` — no float average, no division,
+    so the boundary rows cannot flip between engines (the Q22/Q11
+    trick applied to a correlated predicate). Physical shape: one
+    partkey groupBy (map-side partials), and the per-part aggregate
+    joins back keyed on partkey — at test SF it broadcasts; at 100 TB
+    AQE picks, and both sides already share partkey partitioning from
+    the aggregate, so the shuffle join co-locates for free."""
+    l = load(spark, sf_dir, "lineitem")
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    pa = l.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(qc).alias("sum_qc"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        l.join(pa, l.l_partkey == F.col("_pk"))
+        .where(qc * 5 * F.col("n") < F.col("sum_qc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                .cast("double")
+                / 100.0
+            ).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# percent_rank / cume_dist with exact-integer emission
+# ---------------------------------------------------------------------------
+
+_PCTRANK_SQL = """
+    WITH r AS (
+      SELECT s_nationkey, s_suppkey,
+             rank() OVER w AS rk,
+             CAST(count(*) OVER (PARTITION BY s_nationkey) AS BIGINT) AS n
+      FROM supplier
+      WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey))
+    SELECT s_nationkey, s_suppkey,
+           CAST(CASE WHEN n = 1 THEN 0
+                ELSE (rk - 1) * 1000000 // (n - 1) END AS BIGINT)
+               AS pct_rank_micro,
+           CAST(rk * 1000000 // n AS BIGINT) AS cume_micro_floor
+    FROM r
+"""
+
+
+@register("window_percent_rank_exact", _PCTRANK_SQL)
+def q_window_percent_rank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist-style relative positions per nation,
+    emitted as EXACT integer micro-units: ``(rank-1)·10⁶ div (n-1)``
+    and ``rank·10⁶ div n`` — the built-in double-valued
+    ``percent_rank()``/``cume_dist()`` divide on both engines and can
+    disagree in the last bits, so the catalog's hashable variant
+    derives the same ordering information from rank + partition count
+    in integer arithmetic (tie-break on s_suppkey makes rank total).
+
+    Physical shape: both window specs share the nation partitioning, so
+    Spark plans ONE exchange and evaluates rank and the partition count
+    in the same window stage pair; no global sort."""
+    s = load(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    wn = W.partitionBy("s_nationkey")
+    r = s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.rank().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.when(F.col("n") == 1, F.lit(0).cast("long"))
+        .otherwise(F.expr("(rk - 1) * 1000000 div (n - 1)"))
+        .alias("pct_rank_micro"),
+        F.expr("rk * 1000000 div n").cast("long").alias("cume_micro_floor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set ops: INTERSECT ALL / EXCEPT ALL
+# ---------------------------------------------------------------------------
+
+_MULTISET_SQL = """
+    WITH a AS (SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+         b AS (SELECT l_partkey AS k FROM lineitem WHERE l_linestatus = 'F'),
+         i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+         x AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_keys FROM i
+    UNION ALL
+    SELECT 'except_all', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT k) AS BIGINT) FROM x
+"""
+
+
+@register("set_multiset_ops", _MULTISET_SQL)
+def q_set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the MULTISET semantics (per-row
+    multiplicity min / difference) that the plain set variants already
+    in the catalog (`set_intersect_except`) collapse away. The catalog
+    summarizes to (rows, distinct keys) per op so the result is tiny
+    and hash-stable while still pinning multiplicity arithmetic.
+
+    Physical shape: Catalyst rewrites both ops into a count-per-key
+    aggregate on each side + a join computing min/difference of
+    multiplicities + a generate replicating rows — one shuffle per
+    side keyed on the value, no cartesian anywhere; the final counts
+    partial-aggregate to 2 rows."""
+    l = load(spark, sf_dir, "lineitem")
+    a = l.where(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("k"))
+    b = l.where(F.col("l_linestatus") == "F").select(F.col("l_partkey").alias("k"))
+
+    def summarize(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("k").alias("n_keys"),
+        ).select(F.lit(op).alias("op"), "n_rows", "n_keys")
+
+    return summarize(a.intersectAll(b), "intersect_all").unionAll(
+        summarize(a.exceptAll(b), "except_all")
+    )

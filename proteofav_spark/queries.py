@@ -136,8 +136,10 @@ _PRIORITY: list[str] = [
     # explode_interval_rollup, json_flatten_props) plus the late
     # round-4 additions (agg_grouping_sets, text_tfidf_top_terms,
     # window_ntile_buckets, metrics_unpivot_long,
-    # supplier_value_share_having, orders_big_customer_detail — the
-    # window was already full of judge-named re-attestation targets).
+    # supplier_value_share_having, orders_big_customer_detail,
+    # lineitem_below_avg_qty, window_percent_rank_exact,
+    # set_multiset_ops — the window was already full of judge-named
+    # re-attestation targets).
     "contamination_ngram_overlap",
     "embedding_kmeans",
     "text_char_entropy",

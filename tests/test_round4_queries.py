@@ -289,3 +289,76 @@ def test_big_customer_detail_rejoin_complete(spark):
         assert r["cust_total"] == per_cust_cents[r["o_custkey"]] / 100.0
         got_orders.setdefault(r["o_custkey"], set()).add(r["o_orderkey"])
     assert got_orders == {k: per_cust_orders[k] for k in whales}
+
+
+def test_below_avg_qty_members_exact(spark):
+    """Q17 shape: the count equals a driver-side recomputation of the
+    integer predicate qty_cents*5*n < sum_qty_cents per part."""
+    from proteofav_spark.operators.analytics_queries import q_lineitem_below_avg_qty
+
+    row = q_lineitem_below_avg_qty(spark, SF).collect()[0]
+    l = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    agg = {}
+    for r in l:
+        qc = round(r["l_quantity"] * 100)
+        s, n = agg.get(r["l_partkey"], (0, 0))
+        agg[r["l_partkey"]] = (s + qc, n + 1)
+    expect_n, expect_cents = 0, 0
+    for r in l:
+        qc = round(r["l_quantity"] * 100)
+        s, n = agg[r["l_partkey"]]
+        if qc * 5 * n < s:
+            expect_n += 1
+            expect_cents += round(r["l_extendedprice"] * 100)
+    assert row["n_lineitems"] == expect_n
+    assert row["total_price"] == expect_cents / 100.0
+
+
+def test_percent_rank_exact_matches_python(spark):
+    """The integer micro-unit emissions reproduce percent_rank/cume_dist
+    (floored) computed from scratch with the same total order."""
+    from proteofav_spark.operators.analytics_queries import (
+        q_window_percent_rank_exact,
+    )
+
+    rows = q_window_percent_rank_exact(spark, SF).collect()
+    s = spark.read.parquet(f"{SF}/supplier.parquet").collect()
+    by_nation = {}
+    for r in s:
+        by_nation.setdefault(r["s_nationkey"], []).append(r)
+    expect = {}
+    for nk, members in by_nation.items():
+        members.sort(key=lambda r: (r["s_acctbal"], r["s_suppkey"]))
+        n = len(members)
+        # rank with ties on (acctbal): same acctbal+suppkey is unique so
+        # rank == position+1 except true acctbal ties share min position
+        for i, m in enumerate(members):
+            rk = 1 + sum(
+                1 for x in members
+                if (x["s_acctbal"], x["s_suppkey"]) < (m["s_acctbal"], m["s_suppkey"])
+            )
+            pct = 0 if n == 1 else (rk - 1) * 1_000_000 // (n - 1)
+            expect[(nk, m["s_suppkey"])] = (pct, rk * 1_000_000 // n)
+    for r in rows:
+        assert (r["pct_rank_micro"], r["cume_micro_floor"]) == expect[
+            (r["s_nationkey"], r["s_suppkey"])
+        ]
+
+
+def test_multiset_ops_multiplicity_arithmetic(spark):
+    """intersect_all rows = sum over keys of min(count_a, count_b);
+    except_all rows = sum of max(0, count_a - count_b)."""
+    from collections import Counter
+
+    from proteofav_spark.operators.analytics_queries import q_set_multiset_ops
+
+    rows = {r["op"]: r for r in q_set_multiset_ops(spark, SF).collect()}
+    l = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    ca = Counter(r["l_partkey"] for r in l if r["l_returnflag"] == "R")
+    cb = Counter(r["l_partkey"] for r in l if r["l_linestatus"] == "F")
+    inter = {k: min(ca[k], cb[k]) for k in ca if k in cb and min(ca[k], cb[k]) > 0}
+    exc = {k: ca[k] - cb.get(k, 0) for k in ca if ca[k] - cb.get(k, 0) > 0}
+    assert rows["intersect_all"]["n_rows"] == sum(inter.values())
+    assert rows["intersect_all"]["n_keys"] == len(inter)
+    assert rows["except_all"]["n_rows"] == sum(exc.values())
+    assert rows["except_all"]["n_keys"] == len(exc)

@@ -269,6 +269,23 @@ SCALE_NOTES = {
         "hash join, no second fact shuffle (a window-sum formulation "
         "would shuffle the whole fact into window state)."
     ),
+    "lineitem_below_avg_qty": (
+        "correlated avg decorrelated to a partkey aggregate joined "
+        "back; threshold is integer qty_cents*5*n < sum — no float "
+        "average; both join sides share partkey partitioning from the "
+        "aggregate."
+    ),
+    "window_percent_rank_exact": (
+        "rank and partition count share one nation-keyed exchange "
+        "(same partition spec); relative positions emitted as exact "
+        "integer micro-units — built-in percent_rank/cume_dist divide "
+        "in doubles and can differ in the last bits across engines."
+    ),
+    "set_multiset_ops": (
+        "Catalyst rewrites INTERSECT/EXCEPT ALL to per-side count "
+        "aggregates + a multiplicity join + generate — one value-keyed "
+        "shuffle per side, no cartesian; final counts reduce to 2 rows."
+    ),
 }
 
 # round-3 additions audited alongside the headline set: not benched (the
@@ -311,6 +328,9 @@ EXTRA = [
     "metrics_unpivot_long",
     "supplier_value_share_having",
     "orders_big_customer_detail",
+    "lineitem_below_avg_qty",
+    "window_percent_rank_exact",
+    "set_multiset_ops",
 ]
 
 
