@@ -1361,13 +1361,15 @@ def q_orders_big_customer_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark-first: one custkey groupBy (exact cents), the HAVING filter
     shrinks the aggregate to the few qualifying customers, and THAT
-    small frame joins back to the fact — Catalyst broadcasts it, so the
-    detail pass is a map-side hash join with no second fact shuffle.
-    The naive formulation (window sum over custkey + filter) would
-    shuffle the whole fact into window state instead; aggregate-then-
-    rejoin moves only |whales| rows. At 100 TB, if the qualifying set
-    outgrows the broadcast threshold AQE falls back to a shuffle join
-    keyed on the same column the aggregate already used."""
+    small frame joins back to the fact — no broadcast HINT: at test SF
+    Catalyst broadcasts it on statistics (map-side hash join, no
+    second fact shuffle), and at 100 TB, if the qualifying set
+    outgrows the broadcast threshold, AQE falls back to a shuffle join
+    keyed on the same column the aggregate already used — a hard hint
+    would force the broadcast and OOM instead. The naive formulation
+    (window sum over custkey + filter) would shuffle the whole fact
+    into window state; aggregate-then-rejoin moves only |whales|
+    rows."""
     o = load(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     big = (
@@ -1377,7 +1379,7 @@ def q_orders_big_customer_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("o_custkey", "_ck")
     )
     return o.join(
-        F.broadcast(big), o.o_custkey == F.col("_ck")
+        big, o.o_custkey == F.col("_ck")
     ).select(
         "o_orderkey",
         "o_custkey",
@@ -1474,10 +1476,12 @@ def q_window_percent_rank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     w = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
     wn = W.partitionBy("s_nationkey")
+    # rank() is IntegerType — widen to long BEFORE the 10⁶ scale-up or
+    # partitions past ~2147 rows overflow 32-bit (ANSI throw / wrap)
     r = s.select(
         "s_nationkey",
         "s_suppkey",
-        F.rank().over(w).alias("rk"),
+        F.rank().over(w).cast("long").alias("rk"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
     return r.select(

@@ -1249,6 +1249,26 @@ def _norm_col(a: Column) -> Column:
     )
 
 
+def label_centroids(e: DataFrame) -> DataFrame:
+    """Coarse-quantizer training shared by the session IVF index
+    (``ann_ivf_coarse``) and the persisted store (``plans/ann_store``):
+    per-``label`` mean vector at 6 dp + its norm, as
+    (label, cvec, cnorm). ONE definition so the two indexes can never
+    drift in rounding or assembly order — the store's search contract
+    depends on assigning vectors exactly like the session index."""
+    cd = (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+    )
+    c = cd.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+    return c.withColumn("cnorm", _norm_col(F.col("cvec")))
+
+
 @register("ann_ivf_coarse", _IVF_SQL)
 def q_ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: a coarse quantizer (per-label centroids, the
@@ -1266,21 +1286,10 @@ def q_ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
 
     def _build_cents() -> DataFrame:
-        # centroids: positional explode → per-(label, dim) mean → re-assemble
-        cd = (
-            e.select("label", F.posexplode("embedding").alias("dim", "v"))
-            .groupBy("label", "dim")
-            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
-        )
-        c = cd.groupBy("label").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
-            ).alias("cvec")
-        )
         # K tiny rows, but DERIVING them scans the corpus — materialize once
         # so the assignment and probe branches don't each recompute the
         # (label, dim) aggregation over the full table
-        return c.withColumn("cnorm", _norm_col(F.col("cvec"))).localCheckpoint()
+        return label_centroids(e).localCheckpoint()
 
     # the coarse quantizer is the trained half of an IVF index: built
     # once per (session, corpus), reused across searches (_INDEX_CACHE)

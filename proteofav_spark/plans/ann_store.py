@@ -23,18 +23,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
+from proteofav_spark.operators.llm_queries import _norm_col as _norm, label_centroids
+
 NPROBE_DEFAULT = 4
 TOPK_DEFAULT = 5
-
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -62,23 +54,11 @@ def build_ivf_store(embeddings: DataFrame, path: str) -> None:
     assignment pass with a broadcast centroid table, one
     partition-by-label write. At 100 TB the write is the only heavy
     job, and it shuffles once on the partition key."""
-    cd = (
-        embeddings.select("label", F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("label", "dim")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
-    )
-    cents = (
-        cd.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
-            ).alias("cvec")
-        )
-        .select(
-            F.col("label").alias("list_label"),
-            "cvec",
-            _norm(F.col("cvec")).alias("cnorm"),
-        )
+    # ONE training definition shared with the session index
+    # (llm_queries.label_centroids) — the store must assign vectors
+    # exactly like ann_ivf_coarse or the two indexes drift
+    cents = label_centroids(embeddings).select(
+        F.col("label").alias("list_label"), "cvec", "cnorm"
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
@@ -191,12 +171,16 @@ def probe_ivf_store(
     )
 
 
+NEAR_DUP_TOPK = 50  # matches retained per new vector (see docstring)
+
+
 def incremental_near_dups(
     spark: SparkSession,
     path: str,
     batch: DataFrame,
     nprobe: int = NPROBE_DEFAULT,
     tau: float = 0.95,
+    topk: int = NEAR_DUP_TOPK,
 ) -> DataFrame:
     """Incremental-ingest near-dup check: score a NEW batch of vectors
     (``vec_id``, ``embedding``) against the persisted corpus store and
@@ -210,16 +194,20 @@ def incremental_near_dups(
     runs on the probed candidates. Cost per increment is
     |batch|·nprobe/K of the corpus — independent of corpus size, which
     is the property that keeps ingest dedup viable as the corpus grows
-    toward 100 TB. (Recall bound = the IVF probe's: a true dup whose
-    cell is outside the nprobe probed cells is missed; raise nprobe or
-    add a sign-LSH second channel — ``dedup_consensus`` — where recall
-    matters more than cost.)"""
+    toward 100 TB. Two bounded-result caveats, both tunable: recall is
+    the IVF probe's (a true dup whose cell is outside the nprobe probed
+    cells is missed — raise nprobe or add a sign-LSH second channel,
+    ``dedup_consensus``, where recall matters more than cost), and at
+    most ``topk`` matches are kept PER NEW VECTOR (a boilerplate
+    vector with more above-τ duplicates than that reports only its
+    ``topk`` nearest — raise ``topk`` when the consumer needs the full
+    duplicate fan-out, e.g. for cluster linking)."""
     hits = probe_ivf_store(
         spark,
         path,
         batch.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
         nprobe=nprobe,
-        topk=TOPK_DEFAULT,
+        topk=topk,
     )
     return hits.where(F.col("cosine") >= tau).select(
         F.col("qid").alias("new_id"),

@@ -265,9 +265,10 @@ SCALE_NOTES = {
     ),
     "orders_big_customer_detail": (
         "one custkey groupBy in exact cents; HAVING shrinks to the "
-        "whale set, which broadcasts back onto the fact — map-side "
-        "hash join, no second fact shuffle (a window-sum formulation "
-        "would shuffle the whole fact into window state)."
+        "whale set, which Catalyst broadcasts on statistics (no hard "
+        "hint: AQE can fall back to a shuffle join when the set "
+        "outgrows the threshold) — no second fact shuffle; a "
+        "window-sum formulation would shuffle the whole fact."
     ),
     "lineitem_below_avg_qty": (
         "correlated avg decorrelated to a partkey aggregate joined "
