@@ -8,6 +8,7 @@ Usage: python tools/check_oracles.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -54,7 +55,9 @@ def main() -> int:
     from __spark_entry__ import oracle_sql, queries
     from proteofav_spark.session import get_spark
 
-    spark = get_spark("oracle_check", cpus="8")
+    spark = get_spark(
+        "oracle_check", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8")
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
