@@ -65,7 +65,9 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             F.round("c_acctbal", 2).alias("acctbal"),
-            "rk",
+            # bigint to match DuckDB row_number() exactly — the local
+            # type-parity gate (tools/check_oracles.py) enforces this
+            F.col("rk").cast("long").alias("rk"),
         )
     )
 
@@ -573,7 +575,9 @@ def q_customer_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver state."""
     o = load(spark, sf_dir, "orders").select(
         "o_custkey",
-        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("mo"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("mo"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     coh = o.groupBy("o_custkey").agg(F.min("mo").alias("cohort_mo"))
@@ -792,7 +796,9 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .where(F.col("cn_key") != F.col("sn_key"))
         .groupBy(
-            "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
@@ -856,7 +862,9 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy(
-            (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("ship_mo")
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+            .cast("long")
+            .alias("ship_mo")
         )
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),

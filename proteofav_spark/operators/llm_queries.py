@@ -1893,7 +1893,10 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark and DuckDB)."""
     e = load(spark, sf_dir, "embeddings")
     x = e.select(F.posexplode("embedding").alias("dim0", "v")).select(
-        "dim0", F.col("v").cast("double").alias("v")
+        # bigint position to match DuckDB's generate_subscripts/unnest
+        # (the local type-parity gate enforces exact output types)
+        F.col("dim0").cast("long").alias("dim0"),
+        F.col("v").cast("double").alias("v"),
     )
     return x.groupBy("dim0").agg(
         F.round(F.avg("v"), 6).alias("mean"),

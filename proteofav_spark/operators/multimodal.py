@@ -3,10 +3,11 @@ columns with typed metadata structs, processed via Arrow-batched
 ``mapInPandas``.
 
 The DEFAULT decode kernels handle the real container formats the Python
-stdlib can parse with zero dependencies — RIFF/WAVE PCM audio (``wave``)
-and binary PGM/PPM images (netpbm) — and fall back to clearly-marked
+stdlib can parse with zero dependencies — RIFF/WAVE PCM audio (``wave``),
+binary PGM/PPM images (netpbm), and 8-bit non-interlaced PNG (``zlib`` +
+``struct``, all five scanline filters) — and fall back to clearly-marked
 deterministic STUBS for formats that need codec libraries the container
-doesn't ship (PNG/JPEG/MP3/...); everything Spark-side — schemas, batch
+doesn't ship (JPEG/MP3/...); everything Spark-side — schemas, batch
 iteration, partitioning, UDF signatures — is real and tested. Each feature extractor takes an injectable ``decode_fn`` /
 ``frame_fn`` (the codec seam): a deployment passes its PIL/cv2/soundfile
 kernel and the Arrow contract — schema, batch iteration, one decode call
@@ -86,13 +87,103 @@ def decode_pnm(blob: bytes) -> np.ndarray | None:
         return None
 
 
+def decode_png(blob: bytes) -> np.ndarray | None:
+    """REAL codec, zero dependencies: PNG via stdlib ``zlib`` + ``struct``
+    — 8-bit gray / gray+alpha / RGB / RGBA / palette, non-interlaced,
+    all five scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6).
+    Returns the flat uint8 pixel array (palette entries expanded to RGB),
+    or None for anything else (16-bit, Adam7, malformed chunks) — like
+    :func:`decode_pnm`, a bad payload degrades to the stub, never fails
+    the batch. Filters Sub/Average/Paeth carry a per-pixel dependency on
+    the previous pixel, so those rows decode in a Python loop — fine for
+    the Arrow-batch path where decode cost dominates anyway; None/Up rows
+    (the common emitter default) stay vectorized."""
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    import struct
+    import zlib
+
+    try:
+        pos = 8
+        ihdr = None
+        plte = None
+        idat = bytearray()
+        while pos + 8 <= len(blob):
+            (length,) = struct.unpack(">I", blob[pos : pos + 4])
+            ctype = blob[pos + 4 : pos + 8]
+            data = blob[pos + 8 : pos + 8 + length]
+            if len(data) < length:
+                return None
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"PLTE":
+                plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # 4 length + 4 type + data + 4 crc
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, color_type, comp, filt, interlace = ihdr
+        nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        if depth != 8 or comp or filt or interlace or nch is None:
+            return None
+        if w <= 0 or h <= 0 or (color_type == 3 and plte is None):
+            return None
+        stride = w * nch
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != h * (stride + 1):
+            return None
+        rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+        out = np.zeros((h, stride), np.int32)
+        for y in range(h):
+            ftype = rows[y, 0]
+            line = rows[y, 1:].astype(np.int32)
+            prev = out[y - 1] if y else np.zeros(stride, np.int32)
+            if ftype == 0:  # None
+                out[y] = line
+            elif ftype == 2:  # Up
+                out[y] = (line + prev) & 0xFF
+            elif ftype in (1, 3, 4):  # Sub / Average / Paeth
+                cur = out[y]
+                for x in range(stride):
+                    a = cur[x - nch] if x >= nch else 0
+                    b = prev[x]
+                    c = prev[x - nch] if x >= nch else 0
+                    if ftype == 1:
+                        pred = a
+                    elif ftype == 3:
+                        pred = (a + b) >> 1
+                    else:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = (
+                            a if pa <= pb and pa <= pc else b if pb <= pc else c
+                        )
+                    cur[x] = (line[x] + pred) & 0xFF
+            else:
+                return None
+        flat = out.astype(np.uint8).reshape(-1)
+        if color_type == 3:
+            if int(flat.max(initial=0)) >= len(plte):
+                return None
+            flat = plte[flat].reshape(-1)
+        return flat
+    except (zlib.error, struct.error, ValueError):
+        return None
+
+
 def _decode_image_stub(blob: bytes, width: int, height: int) -> np.ndarray:
-    """Default decode: REAL netpbm parsing when the payload is a binary
-    PGM/PPM container (see :func:`decode_pnm`), else a deterministic
-    fake pixel array derived from the bytes (STUB — the container has no
-    PNG/JPEG codec libs; pass a PIL/cv2 ``decode_fn`` in deployment —
+    """Default decode: REAL container parsing when the payload is a
+    binary PGM/PPM (:func:`decode_pnm`) or an 8-bit non-interlaced PNG
+    (:func:`decode_png` — stdlib zlib only), else a deterministic fake
+    pixel array derived from the bytes (STUB — the container has no
+    JPEG codec libs; pass a PIL/cv2 ``decode_fn`` in deployment —
     signature and batch shape are the contract)."""
     real = decode_pnm(bytes(blob)) if len(blob) >= 2 else None
+    if real is None and len(blob) >= 8:
+        real = decode_png(bytes(blob))
     if real is not None:
         return real
     rng = np.frombuffer(blob, dtype=np.uint8)

@@ -1151,7 +1151,7 @@ _TWAP_SQL = """
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_intervals,
-           sum(dt) // 1000000 AS span_s,
+           CAST(sum(dt) // 1000000 AS BIGINT) AS span_s,
            CAST(sum(vc * dt) AS BIGINT) AS twap_num,
            CAST(sum(dt) AS BIGINT) AS twap_den
     FROM s WHERE dt IS NOT NULL AND dt > 0
@@ -1344,7 +1344,7 @@ def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     ts = F.col("ts").cast("timestamp")
     a = e.select(
-        (F.year(ts) * 12 + F.month(ts) - 1).alias("mo"),
+        (F.year(ts) * 12 + F.month(ts) - 1).cast("long").alias("mo"),
         F.expr(f"unix_micros(cast(ts as timestamp)) div {DAY_US}").alias("d"),
         "user_id",
     ).distinct()

@@ -675,3 +675,169 @@ def test_default_decoders_handle_real_formats(spark):
     # non-parseable payloads still take the deterministic stub, not a crash
     junk = spark.createDataFrame([(2, b"\x89PNG....", (4, 4, 3, "image/png"))], ischema)
     assert image_features(junk).collect()[0]["n_bytes"] == 8
+
+def _png_encode(img, color_type, filters, plte=None):
+    """Minimal PNG writer for testing decode_png: forward-filters each
+    scanline with the given per-row filter types (cycled), so every
+    filter path (None/Sub/Up/Average/Paeth) is exercised against the
+    decoder. img is (h, w*nch) uint8 (palette: indices)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    h, stride = img.shape
+    w = stride // nch
+    raw = bytearray()
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = img[y].astype(np.int64)
+        enc = np.empty(stride, np.int64)
+        for x in range(stride):
+            a = line[x - nch] if x >= nch else 0
+            b = prev[x]
+            c = prev[x - nch] if x >= nch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc[x] = (line[x] - pred) & 0xFF
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return out
+
+
+def test_png_decode_all_filters_and_color_types():
+    """decode_png round-trips synthesized images bit-for-bit across all
+    five scanline filters and every supported color type (gray, RGB,
+    gray+alpha, RGBA, palette), including multi-IDAT splits."""
+    import numpy as np
+
+    from proteofav_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(23)
+    for color_type, nch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        for w, h in ((1, 1), (3, 7), (16, 5)):
+            img = rng.integers(0, 256, (h, w * nch)).astype(np.uint8)
+            # cycle through every filter type across the rows
+            blob = _png_encode(img, color_type, [0, 1, 2, 3, 4])
+            got = decode_png(blob)
+            assert got is not None, (color_type, w, h)
+            assert np.array_equal(got, img.reshape(-1)), (color_type, w, h)
+
+    # palette expansion: indices -> RGB triples
+    plte = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (4, 6)).astype(np.uint8)
+    got = decode_png(_png_encode(idx, 3, [0, 2, 1, 4, 3], plte=plte))
+    assert np.array_equal(got, plte[idx.reshape(-1)].reshape(-1))
+
+    # multi-IDAT: decoder must concatenate chunks before inflating
+    import struct
+    import zlib
+
+    img = rng.integers(0, 256, (5, 9)).astype(np.uint8)
+    one = _png_encode(img, 0, [4])
+    # split the single IDAT payload into two chunks byte-for-byte
+    i = one.index(b"IDAT") - 4
+    (ln,) = struct.unpack(">I", one[i : i + 4])
+    payload = one[i + 8 : i + 8 + ln]
+    pre, post = one[:i], one[i + 12 + ln :]
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    split = pre + chunk(b"IDAT", payload[:7]) + chunk(b"IDAT", payload[7:]) + post
+    assert np.array_equal(decode_png(split), img.reshape(-1))
+
+
+def test_png_decode_rejects_unsupported():
+    """Unsupported or malformed PNGs degrade to None (stub fallback),
+    never raise: 16-bit depth, Adam7 interlace, truncated IDAT,
+    out-of-range palette index, wrong magic."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from proteofav_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (3, 6)).astype(np.uint8)
+    good = _png_encode(img, 0, [0])
+    assert decode_png(good) is not None
+
+    def with_ihdr(depth, interlace):
+        ihdr = struct.pack(">IIBBBBB", 6, 3, depth, 0, 0, 0, interlace)
+        i = good.index(b"IHDR") + 4
+        return good[: i - 8] + (
+            struct.pack(">I", 13) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        ) + good[i + 13 + 4 :]
+
+    assert decode_png(with_ihdr(16, 0)) is None  # 16-bit
+    assert decode_png(with_ihdr(8, 1)) is None   # interlaced
+    assert decode_png(good[:-20]) is None        # truncated (no full IDAT+IEND)
+    assert decode_png(b"\x89PNG\r\n\x1a\njunk") is None
+    assert decode_png(b"notapng") is None
+
+    # palette index beyond PLTE length -> None, not IndexError
+    plte = rng.integers(0, 256, (4, 3)).astype(np.uint8)
+    idx = np.full((2, 3), 9, np.uint8)  # 9 >= len(plte)
+    assert decode_png(_png_encode(idx, 3, [0], plte=plte)) is None
+
+
+def test_png_default_path_through_image_features(spark):
+    """A real PNG payload flows through image_features with NO injected
+    decode_fn and the features match the driver-side numpy reference on
+    the true pixels — PNG is a DEFAULT decoded format now."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from proteofav_spark.operators.multimodal import (
+        IMAGE_META_SCHEMA,
+        image_features,
+    )
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (12, 10 * 3)).astype(np.uint8)  # RGB 10x12
+    blob = _png_encode(img, 2, [0, 1, 2, 3, 4])
+    ischema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", IMAGE_META_SCHEMA),
+        ]
+    )
+    idf = spark.createDataFrame([(1, blob, (10, 12, 3, "image/png"))], ischema)
+    row = image_features(idf).collect()[0]
+    pix = img.reshape(-1)
+    assert row["mean_pixel"] == round(float(pix.mean()), 6)
+    assert row["histogram8"] == np.bincount(pix >> 5, minlength=8).tolist()
+    assert row["n_bytes"] == len(blob)

@@ -1,8 +1,13 @@
 """Local mimic of the driver's correctness gate: run every queries() entry
 on Spark and its oracle_sql() on DuckDB at the given SF dir; compare row
-count, column names, and order-insensitive values.
+count, column names, order-insensitive values, AND per-column output types
+(Spark schema vs DuckDB result types). The type gate exists because the
+driver's value hash is type-aware (Arrow serialization): a DuckDB HUGEINT
+vs Spark BIGINT diverges in the driver even when every value compares
+equal — exactly how the events_twap `sum(dt) // 1000000` bug survived two
+rounds of value-only local checks.
 
-Usage: python tools/check_oracles.py [sf_dir] [query_name ...]
+Usage: python tools/check_oracles.py [sf_dir] [query_name ...] [--exact]
 """
 
 from __future__ import annotations
@@ -22,6 +27,42 @@ TABLES = (
 
 
 EXACT = False  # --exact: byte-identical float compare (no rounding)
+
+# Spark simpleString -> DuckDB type names that Arrow-serialize identically.
+# Anything not equivalent under Arrow (HUGEINT vs BIGINT, DECIMAL width
+# drift, FLOAT vs DOUBLE) must FAIL even when the Python values are equal.
+_SPARK2DUCK = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER"},
+    "smallint": {"SMALLINT"},
+    "tinyint": {"TINYINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "timestamp_ntz": {"TIMESTAMP"},
+    "binary": {"BLOB"},
+}
+
+
+def type_parity(spark_simple: str, duck_type: str):
+    """True if the Spark type and the DuckDB type hash identically under a
+    type-aware (Arrow) serialization; None if unknown (structs/maps) —
+    reported but not failed."""
+    s = spark_simple.strip().lower()
+    d = duck_type.strip().upper()
+    if s.startswith("decimal("):
+        return d == s.upper()
+    if s.startswith("array<") and s.endswith(">"):
+        if not d.endswith("[]"):
+            return False
+        return type_parity(s[6:-1], d[:-2])
+    expected = _SPARK2DUCK.get(s)
+    if expected is None:
+        return None
+    return d in expected
 
 
 def normalize(rows, cols):
@@ -67,24 +108,29 @@ def main() -> int:
     qs = queries()
     oracles = oracle_sql()
     failures = []
+    checked = skipped = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = {f.name: f.dataType.simpleString() for f in sdf.schema}
             srows = sdf.collect()
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"spark error: {exc}"))
             print(f"FAIL  {name}: spark error: {str(exc)[:200]}")
             continue
         if name not in oracles:
+            skipped += 1
             print(f"SKIP  {name}: no oracle (rows-only: {len(srows)} rows)")
             continue
+        checked += 1
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = dict(zip(ocols, (str(t) for t in rel.types)))
+            orows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"duckdb error: {exc}"))
             print(f"FAIL  {name}: duckdb error: {str(exc)[:200]}")
@@ -93,6 +139,25 @@ def main() -> int:
             failures.append((name, f"schema: spark={scols} duckdb={ocols}"))
             print(f"FAIL  {name}: schema mismatch {scols} vs {ocols}")
             continue
+        type_mismatch = [
+            (c, stypes[c], otypes[c])
+            for c in scols
+            if type_parity(stypes[c], otypes[c]) is False
+        ]
+        if type_mismatch:
+            failures.append((name, f"output types diverge: {type_mismatch}"))
+            print(
+                f"FAIL  {name}: output-type divergence "
+                f"(spark vs duckdb): {type_mismatch}"
+            )
+            continue
+        unknown = [
+            (c, stypes[c], otypes[c])
+            for c in scols
+            if type_parity(stypes[c], otypes[c]) is None
+        ]
+        if unknown:
+            print(f"NOTE  {name}: type-parity unchecked for {unknown}")
         if len(srows) != len(orows):
             failures.append((name, f"rows: spark={len(srows)} duckdb={len(orows)}"))
             print(f"FAIL  {name}: row count {len(srows)} vs {len(orows)}")
@@ -111,7 +176,9 @@ def main() -> int:
             continue
         print(f"OK    {name}: {len(srows)} rows")
 
-    print(f"\n{len(failures)} failures")
+    print(
+        f"\nchecked={checked} skipped={skipped} failed={len(failures)}"
+    )
     return 1 if failures else 0
 
 
