@@ -46,6 +46,24 @@ from proteofav_spark.queries import fan_out, load, register
 _INDEX_CACHE: dict = {}
 
 
+def _release_index(val) -> None:
+    """Free the executor storage behind an evicted index entry: walk the
+    cached value (a DataFrame or any container of them) and unpersist
+    each frame's checkpoint blocks. Best-effort — a frame whose session
+    already stopped just no-ops."""
+    if isinstance(val, DataFrame):
+        try:
+            val.unpersist(blocking=False)
+        except Exception:
+            pass
+    elif isinstance(val, dict):
+        for v in val.values():
+            _release_index(v)
+    elif isinstance(val, (list, tuple, set)):
+        for v in val:
+            _release_index(v)
+
+
 def _session_index(spark: SparkSession, family: str, corpus: DataFrame, build):
     import os
 
@@ -65,9 +83,13 @@ def _session_index(spark: SparkSession, family: str, corpus: DataFrame, build):
     if hit is not None and hit[0] is spark:
         return hit[1]
     # same family + same directories but a different file listing = the
-    # corpus was rewritten in place: those entries can never hit again
+    # corpus was rewritten in place: those entries can never hit again.
+    # Unpersist the localCheckpoint-ed frames before dropping the dict
+    # slot — a checkpoint's executor blocks live until session end
+    # otherwise, so evicting only the key would leak storage on every
+    # corpus rewrite.
     for k in [k for k in _INDEX_CACHE if k[:2] == (family, dirs) and k != key]:
-        del _INDEX_CACHE[k]
+        _release_index(_INDEX_CACHE.pop(k)[1])
     val = build()
     _INDEX_CACHE[key] = (spark, val)
     return val

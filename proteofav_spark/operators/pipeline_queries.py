@@ -1081,7 +1081,8 @@ _TRANSITIONS_SQL = """
     n AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n_pairs
           FROM s WHERE dst IS NOT NULL GROUP BY 1, 2)
     SELECT src, dst, n_pairs,
-           CAST((2 * n_pairs * 1000000 + sum(n_pairs) OVER (PARTITION BY src))
+           CAST((2 * CAST(n_pairs AS HUGEINT) * 1000000
+                 + sum(n_pairs) OVER (PARTITION BY src))
                 // (2 * sum(n_pairs) OVER (PARTITION BY src)) AS DOUBLE)
            / 1000000 AS p
     FROM n
@@ -1119,8 +1120,8 @@ def q_events_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the class of bug that cost events_twap its round-3 driver row).
     # n_pairs widens to DECIMAL(38,0) first: past ~4.6e12 transitions
     # per (src,dst) the 2·10⁶-scaled bigint product would overflow on
-    # Spark while DuckDB's hugeint sum survives — decimal keeps both
-    # exact to ~10³⁸.
+    # Spark; the oracle widens its numerator to HUGEINT the same way,
+    # so both engines stay exact to ~10³⁸.
     return (
         pairs.withColumn("_tot", norm)
         .select(

@@ -22,6 +22,7 @@ whole-stage codegen); no Python appears anywhere in the flow.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import types as T
 
 from proteofav_spark.operators.llm_queries import _norm_col as _norm, label_centroids
 
@@ -151,9 +152,18 @@ def probe_ivf_store(
     )
     # per-query probed-list membership as a broadcast literal map, so a
     # query only scores vectors from ITS probed cells
+    # schema derived from the inputs, not a fixed literal: qid keeps the
+    # caller's id type (string doc ids persist fine in the store, so the
+    # probe must accept them too) and list_label mirrors the centroid table
+    probe_schema = T.StructType(
+        [
+            T.StructField("qid", queries.schema["qid"].dataType),
+            T.StructField("list_label", cents.schema["list_label"].dataType),
+        ]
+    )
     probe_rows = spark.createDataFrame(
         [(qid, lbl) for qid, ls in by_q.items() for lbl in sorted(ls)],
-        "qid long, list_label int",
+        probe_schema,
     )
     wr = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

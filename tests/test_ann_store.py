@@ -96,6 +96,26 @@ def test_ivf_store_partition_pruned_search(spark, tmp_path):
     assert "dynamicpruningexpression" in plan
 
 
+def test_probe_accepts_string_ids(spark, tmp_path):
+    """The probe derives its (qid, list_label) literal-frame schema from
+    the inputs, so non-integer ids — e.g. document-hash qids — work end
+    to end, matching what the store itself already persists."""
+    path = str(tmp_path / "ivf_str")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    build_ivf_store(e, path)
+    queries = e.where(F.col("vec_id") == "doc-5").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    rows = probe_ivf_store(spark, path, queries, nprobe=2, topk=3).collect()
+    assert rows and all(r["qid"] == "doc-5" for r in rows)
+    # the query vector itself lives in a probed cell -> rank-1 self hit
+    assert ("doc-5", 1.0) in {(r["vec_id"], r["cosine"]) for r in rows}
+
+
 def test_incremental_near_dups_flags_known_vector(spark, tmp_path):
     """A batch containing an exact copy of a corpus vector must flag it
     at cosine 1.0 against that corpus_id; a fresh random-ish vector far
