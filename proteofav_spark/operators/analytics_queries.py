@@ -1545,3 +1545,163 @@ def q_set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(a.intersectAll(b), "intersect_all").unionAll(
         summarize(a.exceptAll(b), "except_all")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: chained EXISTS + NOT EXISTS on one fact
+# ---------------------------------------------------------------------------
+
+_WAITING_SQL = """
+    WITH l AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             l.l_shipdate > o.o_orderdate + INTERVAL 1500 DAY AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F')
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN (SELECT * FROM l WHERE late) l1 ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY 1
+"""
+
+
+@register("suppliers_kept_waiting", _WAITING_SQL)
+def q_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): count, per
+    supplier, the finished-order line items shipped very late (>1500
+    days after the order date — the driver tables carry no
+    receipt/commit dates, so lateness is defined against o_orderdate)
+    in MULTI-supplier orders where that supplier was the ONLY late one.
+    The oracle keeps Q21's literal chained EXISTS + NOT EXISTS over the
+    same derived fact — the hardest double-correlation pattern in the
+    TPC-H suite, and the shape compliance/attribution queries hit when
+    they ask "who alone caused the delay".
+
+    Spark-first decorrelation: instead of two correlated probes per l1
+    row, derive per-(order, supplier) late-row counts with ONE
+    aggregation, then answer both EXISTS conditions from per-order
+    window totals on that already-aggregated frame:
+
+      n_supps >= 2        ==  EXISTS another supplier in the order
+      n_late_supps == 1   ==  NOT EXISTS another LATE supplier
+      (given this supplier is itself late)
+
+    Physical shape: one orderkey-keyed shuffle pair joins the two
+    facts; the (orderkey, suppkey) aggregation and the per-order
+    windows REUSE that partitioning (HashPartitioning(orderkey)
+    satisfies both clusterings), so nothing reshuffles until the frame
+    has collapsed to per-(order, supplier) rows; the s_name rollup
+    shuffles ~|suppliers| rows. Two fact-sized exchanges total — the
+    correlated probes cost zero extra passes over lineitem."""
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 1500 DAYS")
+    ).cast("long")
+    per_os = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum("is_late").alias("n_late_rows"))
+    )
+    wo = W.partitionBy("l_orderkey")
+    waiters = (
+        per_os.withColumn("n_supps", F.count(F.lit(1)).over(wo))
+        .withColumn(
+            "n_late_supps",
+            F.sum((F.col("n_late_rows") > 0).cast("long")).over(wo),
+        )
+        .where(
+            (F.col("n_late_rows") > 0)
+            & (F.col("n_supps") >= 2)
+            & (F.col("n_late_supps") == 1)
+        )
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiters.join(F.broadcast(s), waiters.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late_rows").alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: nested IN with a correlated aggregate threshold
+# ---------------------------------------------------------------------------
+
+_DOMINANT_SQL = """
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      GROUP BY l_suppkey, l_partkey
+      HAVING 20 * CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             > 3 * (SELECT CAST(sum(CAST(round(l2.l_quantity * 100) AS BIGINT))
+                                AS BIGINT)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+    )
+"""
+
+
+@register("suppliers_dominant_share", _DOMINANT_SQL)
+def q_suppliers_dominant_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who moved
+    more than 15% of the total shipped quantity of any 'red' part —
+    the driver tables carry no partsupp/availqty, so the correlated
+    threshold compares a supplier's shipped share against the
+    part-wide total instead. The oracle keeps Q20's literal nesting:
+    an IN over a grouped subquery whose HAVING holds a CORRELATED
+    scalar aggregate, inside another IN for the part filter.
+
+    Spark-first decorrelation: partkey determines the part name, so
+    the correlated per-part total equals the total over the SAME
+    red-filtered rows — one broadcast part filter, ONE fact
+    aggregation to (suppkey, partkey) quantities, and the per-part
+    total folds from that already-aggregated frame with a window (the
+    classic decorrelate-to-window rewrite). Threshold compares exact
+    integer cents (20·q > 3·total), bit-identical on both engines.
+
+    Physical shape: one fact-sized shuffle keyed (l_suppkey,
+    l_partkey) with map-side partial agg; the window and the distinct
+    supplier set run on the collapsed frame; supplier joins LEFT SEMI
+    against that tiny set and nation broadcasts. At 100 TB the only
+    heavy exchange is the one keyed aggregation."""
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    red = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    per_sp = (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_suppkey", "l_partkey", qc.alias("qc"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("qc").alias("qty_c"))
+    )
+    total = F.sum("qty_c").over(W.partitionBy("l_partkey"))
+    dominant = (
+        per_sp.withColumn("total_c", total)
+        .where(20 * F.col("qty_c") > 3 * F.col("total_c"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+    )

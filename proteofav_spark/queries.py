@@ -113,74 +113,69 @@ _FAN_OUT_PROBES: dict[tuple, bool] = {}
 # oracle in CI, so a regression in a displaced query still fails the suite.
 ATTEST_WINDOW = 50
 _PRIORITY: list[str] = [
-    # round-4 rotation. Slots 1-9: queries with NO green driver row on
-    # current code — the two round-3 snapshot additions, the two whose
-    # semantics changed this round (exact-integer TWAP / transition-p),
-    # and the five NEW round-4 queries.
-    "promo_revenue_share",
-    "disjunctive_predicate_revenue",
+    # round-5 rotation, exactly as VERDICT r4 prescribed. Slot 1:
+    # events_twap — its oracle's span_s HUGEINT/BIGINT divergence (the
+    # only red r4 cell) is fixed; the green driver row is the proof.
     "events_twap",
+    # Slot 2: its sibling whose oracle numerator was widened to HUGEINT
+    # this round (advisor finding) — same re-attest reasoning.
     "events_session_transitions",
-    "orders_exists_semi",
-    "customer_order_distribution",
-    "customers_above_avg_no_orders",
-    "parts_supplier_breadth",
-    "docs_token_chunking",
-    # Slots 10-50: the longest-unattested queries (last driver row: r02),
-    # prioritizing the families VERDICT r3 named (curation, ANN,
-    # agg_pricing_summary, filter_*, window_* twins). DELIBERATELY below
-    # the fold this round (all CI-guarded by test_oracles_below_fold,
-    # first in line for r05): seven equally-stale but structurally
-    # trivial r2-attested queries (join_left_string_keys, join_semi_anti,
-    # join_outer_collapse, join_range_interval, set_union_by_name,
-    # explode_interval_rollup, json_flatten_props) plus the late
-    # round-4 additions (agg_grouping_sets, text_tfidf_top_terms,
-    # window_ntile_buckets, metrics_unpivot_long,
-    # supplier_value_share_having, orders_big_customer_detail,
-    # lineitem_below_avg_qty, window_percent_rank_exact,
-    # set_multiset_ops — the window was already full of judge-named
-    # re-attestation targets).
-    "contamination_ngram_overlap",
-    "embedding_kmeans",
-    "text_char_entropy",
-    "ann_ivf_coarse",
-    "text_repetition_metrics",
-    "dedup_consensus",
-    "ann_lsh_bucketed",
-    "knn_cosine_topk",
-    "embedding_label_centroids",
-    "pack_token_shards",
-    "shard_concat_digest",
-    "events_asof_join",
-    "events_range_join_bucketed",
-    "vocab_top_ngrams",
-    "text_pii_scrub",
-    "sample_weighted_hash",
-    "sample_stratified_hash",
-    "split_train_val_test",
-    "source_mixture_rebalance",
-    "agg_quantiles_value",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_bpe_token_count",
-    "filter_isin",
-    "filter_first_value",
-    "project_exclude_columns",
-    "type_constrain_try_cast",
-    "join_merge_tree",
-    "agg_pricing_summary",
-    "agg_residue_rollup",
-    "agg_collapse_by_key",
-    "agg_duplicate_check",
-    "agg_preferred_argmax",
-    "agg_single_value_probe",
-    "window_reset_id",
-    "window_dedup_adjacent",
-    "window_segment_counter",
-    "window_carry_forward",
-    "scalar_string_kit",
-    "scalar_map_lookup",
-    "events_tumbling_window",
+    # Slots 3-11: never driver-attested (late round-4 additions).
+    "agg_grouping_sets",
+    "text_tfidf_top_terms",
+    "window_ntile_buckets",
+    "metrics_unpivot_long",
+    "supplier_value_share_having",
+    "orders_big_customer_detail",
+    "lineitem_below_avg_qty",
+    "window_percent_rank_exact",
+    "set_multiset_ops",
+    # Slots 12-18: the seven r2-attested queries deferred from the r4
+    # window — three rounds stale, the oldest signatures in the catalog.
+    "join_left_string_keys",
+    "join_semi_anti",
+    "join_outer_collapse",
+    "join_range_interval",
+    "set_union_by_name",
+    "explode_interval_rollup",
+    "json_flatten_props",
+    # Slots 19+: NEW round-5 queries (no driver row can exist yet).
+    "suppliers_kept_waiting",
+    "suppliers_dominant_share",
+    # Remaining slots: r3-attested queries, two rounds stale, riskiest
+    # families first (multi-shuffle joins/graphs/dedup/events before
+    # single-exchange scans). The r4-attested queries all fall below the
+    # fold — one round old, re-verified by test_oracles_below_fold in CI.
+    "join_star_revenue",
+    "spatial_contacts_grid",
+    "dedup_cc_clusters",
+    "graph_pagerank_fixed",
+    "graph_triangle_count",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_crosssource_overlap",
+    "dedup_substring_span",
+    "dedup_exact_hash",
+    "events_retention_cohorts",
+    "events_funnel_conversion",
+    "events_gapfill_interpolate",
+    "events_attribution_last_touch",
+    "events_anomaly_zscore",
+    "events_sliding_window",
+    "events_dau_mau",
+    "sessionize_events_gap",
+    "orders_scd2_snapshot",
+    "cdc_upsert_apply",
+    "customer_ltv_cohort",
+    "skew_heavy_hitters",
+    "agg_salted_two_stage",
+    "agg_cube_all_margins",
+    "agg_rollup_hierarchy",
+    "agg_pivot_status",
+    "agg_stats_moments",
+    "text_bm25_search",
 ]
 
 

@@ -41,4 +41,4 @@ def test_below_fold_queries_stay_oracle_green():
         f"below-fold oracle check failed:\n{proc.stdout[-3000:]}\n"
         f"{proc.stderr[-1000:]}"
     )
-    assert "0 failures" in proc.stdout
+    assert "failed=0" in proc.stdout
