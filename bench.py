@@ -1,7 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "ann": {...}, "scaling": {...}, "sf": ...}.
+
+The "scaling" section measures each headline query at sf0.01, sf0.1 and
+a synthesized ~3x of sf0.1 (unioned key-offset copies) and fits the
+per-query runtime exponent — the empirical check behind every "this plan
+scales linearly" claim. Set SPARK_GRAFT_SKIP_SCALING=1 to skip it.
 """
 
 from __future__ import annotations
@@ -76,6 +81,152 @@ def _load_previous_bench(sf: float | str) -> dict[str, float]:
         if queries and (best is None or n > best[0]):
             best = (n, queries)
     return best[1] if best else {}
+
+
+# ---------------------------------------------------------------------------
+# Scaling measurement: per-query runtime exponent across three scales
+# ---------------------------------------------------------------------------
+
+# synthesized-scale key offset: far above any real key at sf0.1 (max
+# observed ~1.5e6); all offset columns are BIGINT so no overflow
+_SCALE_OFFSET = 100_000_000
+
+# columns whose values must offset IDENTICALLY across tables so the 3×
+# union keeps referential integrity (customer⟷orders⟷lineitem⟷part/
+# supplier; events/documents/embeddings entity ids). nation/region stay
+# fixed-cardinality dims — exactly like real TPC-H, where they do not
+# scale with SF — so *_nationkey / *_regionkey are NOT offset.
+_OFFSET_SUFFIXES = ("custkey", "orderkey", "suppkey", "partkey")
+_OFFSET_NAMES = {"event_id", "user_id", "doc_id", "vec_id"}
+_FIXED_TABLES = {"region", "nation"}
+
+
+def synthesize_scaled_dir(spark, src_dir: str, out_dir: str, copies: int = 3):
+    """Materialize a ~copies× scale-up of ``src_dir`` by unioning offset
+    copies: entity keys shift by i·OFFSET per copy so key cardinality
+    scales with the data (verbatim duplication would triple rows per
+    group instead, which benchmarks a different workload)."""
+    from pyspark.sql import functions as F
+
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    os.makedirs(out_dir, exist_ok=True)
+    for t in tables:
+        df = spark.read.parquet(f"{src_dir}/{t}.parquet")
+        if t in _FIXED_TABLES:
+            out = df
+        else:
+            offset_cols = [
+                c
+                for c in df.columns
+                if c.endswith(_OFFSET_SUFFIXES) or c in _OFFSET_NAMES
+            ]
+            parts = []
+            for i in range(copies):
+                sel = [
+                    (F.col(c) + i * _SCALE_OFFSET).alias(c)
+                    if c in offset_cols
+                    else F.col(c)
+                    for c in df.columns
+                ]
+                parts.append(df.select(*sel))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionAll(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def _fit_exponent(points: list[tuple[float, float]]) -> float:
+    """Least-squares slope of log(t) vs log(scale): the empirical runtime
+    exponent. 1.0 = linear scaling; fixed overheads bias it DOWN, so
+    only superlinear values are meaningful flags."""
+    import math
+
+    xs = [math.log(s) for s, _ in points]
+    ys = [math.log(max(t, 1e-3)) for _, t in points]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    var = sum((x - mx) ** 2 for x in xs)
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    return round(cov / var, 3)
+
+
+# queries too fast at sf0.1 for an exponent to mean anything: below this
+# floor the measurement is session overhead, not data-dependent work
+_EXPONENT_FLOOR_S = 0.15
+SUPERLINEAR_BAR = 1.2
+
+
+def run_scaling(spark, qs, base_timings: dict[str, float]) -> dict:
+    """Run each headline query at sf0.01 and at a synthesized ~3× of the
+    bench SF; fit the per-query runtime exponent against the sf0.1
+    numbers already measured. Returns the bench JSON 'scaling' section."""
+    import shutil
+    import tempfile
+
+    base = os.path.dirname(SF_DIR.rstrip("/"))
+    small_dir = os.path.join(base, "sf0.01")
+    sf_small, sf_base = 0.01, 0.1
+    x3_dir = tempfile.mkdtemp(prefix="proteofav_sfx3_")
+    try:
+        t0 = time.perf_counter()
+        synthesize_scaled_dir(spark, SF_DIR, x3_dir, copies=3)
+        print(
+            f"# scaling: synthesized 3x dir in "
+            f"{time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+
+        def timed(name: str, sf_dir: str) -> float:
+            fn = qs[name]
+            runs = []
+            for _ in range(2):
+                s = time.perf_counter()
+                fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - s)
+            return round(min(runs), 3)
+
+        section: dict[str, dict] = {}
+        flags = []
+        for name in HEADLINE:
+            t_small = timed(name, small_dir)
+            t_x3 = timed(name, x3_dir)
+            t_base = base_timings[name]
+            pts = [
+                (sf_small, t_small),
+                (sf_base, t_base),
+                (3 * sf_base, t_x3),
+            ]
+            overhead_bound = t_base < _EXPONENT_FLOOR_S
+            exp = None if overhead_bound else _fit_exponent(pts)
+            section[name] = {
+                "sf0.01": t_small,
+                "sf0.1": t_base,
+                "sf0.3x": t_x3,
+                "exponent": exp,
+            }
+            if exp is not None and exp > SUPERLINEAR_BAR:
+                flags.append(f"{name}: exponent {exp}")
+            print(
+                f"# scaling {name}: {t_small}s / {t_base}s / {t_x3}s"
+                f" -> exponent {exp if exp is not None else 'overhead-bound'}",
+                file=sys.stderr,
+            )
+        if flags:
+            print(
+                f"# !! SUPERLINEAR (> {SUPERLINEAR_BAR}) queries:",
+                file=sys.stderr,
+            )
+            for f_ in flags:
+                print(f"# !!   {f_}", file=sys.stderr)
+        return {
+            "unit": "sec(min of 2 warm)",
+            "superlinear_bar": SUPERLINEAR_BAR,
+            "queries": section,
+        }
+    finally:
+        shutil.rmtree(x3_dir, ignore_errors=True)
 
 
 def main() -> None:
@@ -200,18 +351,23 @@ def main() -> None:
             for r in regressions:
                 print(f"# !!   {r}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "ann": ann_split,
-                "sf": sf_val,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "ann": ann_split,
+        "sf": sf_val,
+    }
+
+    # scaling exponents (sf0.01 / sf0.1 / synthesized 3x): measured, not
+    # asserted — the plan-shape invariants can't see constant factors
+    # that grow with data. Included by default so every recorded bench
+    # carries it; SPARK_GRAFT_SKIP_SCALING=1 skips for quick local runs.
+    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING") and sf_val == 0.1:
+        payload["scaling"] = run_scaling(spark, qs, timings)
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

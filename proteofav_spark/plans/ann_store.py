@@ -42,37 +42,16 @@ def _cosine(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return F.round(_dot(a, b) / (na * nb), 6)
 
 
-def build_ivf_store(embeddings: DataFrame, path: str) -> None:
-    """Train the coarse quantizer (per-``label`` centroid — the same
-    deterministic stand-in for k-means as ``ann_ivf_coarse``), assign
-    every vector to its nearest centroid, and persist:
-
-    - ``centroids``: K tiny rows, read whole at search time;
-    - ``lists``: the corpus, PARTITIONED BY ``list_label`` so probes
-      prune directories at the scan.
-
-    One corpus-wide (label, dim) partial-agg for training, one map-only
-    assignment pass with a broadcast centroid table, one
-    partition-by-label write. At 100 TB the write is the only heavy
-    job, and it shuffles once on the partition key."""
-    # ONE training definition shared with the session index
-    # (llm_queries.label_centroids) — the store must assign vectors
-    # exactly like ann_ivf_coarse or the two indexes drift
-    cents = label_centroids(embeddings).select(
-        F.col("label").alias("list_label"), "cvec", "cnorm"
-    )
-    cents.write.mode("overwrite").parquet(f"{path}/centroids")
-
-    c = F.broadcast(
-        embeddings.sparkSession.read.parquet(f"{path}/centroids")
-    )
-    ev = embeddings.select(
-        "vec_id", "embedding", _norm(F.col("embedding")).alias("enorm")
-    )
-    # nearest centroid per vector: max(struct) argmax — map-side combine
-    # reduces each vector's K scores before the exchange, no window sort
+def _assign_to_centroids(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment shared by build/append: max(struct)
+    argmax over the broadcast K-row centroid table — map-side combine
+    reduces each vector's K scores before the exchange, no window sort.
+    ``vectors`` must carry (vec_id, embedding, enorm); returns the same
+    plus ``list_label``. Ties (equal rounded cosine) break to the
+    SMALLER label on every path, so a re-appended vector always lands
+    in the list the original build chose."""
     assigned = (
-        ev.crossJoin(c)
+        vectors.crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
             "embedding",
@@ -100,9 +79,289 @@ def build_ivf_store(embeddings: DataFrame, path: str) -> None:
             (-F.col("m.nl")).alias("list_label"),
         )
     )
-    assigned.write.mode("overwrite").partitionBy("list_label").parquet(
-        f"{path}/lists"
+    return assigned
+
+
+def build_ivf_store(embeddings: DataFrame, path: str) -> None:
+    """Train the coarse quantizer (per-``label`` centroid — the same
+    deterministic stand-in for k-means as ``ann_ivf_coarse``), assign
+    every vector to its nearest centroid, and persist:
+
+    - ``centroids``: K tiny rows, read whole at search time;
+    - ``lists``: the corpus, PARTITIONED BY ``list_label`` so probes
+      prune directories at the scan.
+
+    One corpus-wide (label, dim) partial-agg for training, one map-only
+    assignment pass with a broadcast centroid table, one
+    partition-by-label write. At 100 TB the write is the only heavy
+    job, and it shuffles once on the partition key."""
+    # ONE training definition shared with the session index
+    # (llm_queries.label_centroids) — the store must assign vectors
+    # exactly like ann_ivf_coarse or the two indexes drift
+    cents = label_centroids(embeddings).select(
+        F.col("label").alias("list_label"), "cvec", "cnorm"
     )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+    c = embeddings.sparkSession.read.parquet(f"{path}/centroids")
+    ev = embeddings.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("enorm")
+    )
+    _assign_to_centroids(ev, c).write.mode("overwrite").partitionBy(
+        "list_label"
+    ).parquet(f"{path}/lists")
+    # drop the session's cached file listing for the store paths: Spark
+    # shares a FileStatusCache per session, so a reader created after a
+    # rewrite would otherwise chase deleted part-files
+    embeddings.sparkSession.catalog.refreshByPath(f"{path}/lists")
+    embeddings.sparkSession.catalog.refreshByPath(f"{path}/centroids")
+
+
+def append_ivf_store(spark: SparkSession, path: str, batch: DataFrame) -> None:
+    """Incremental append: assign a NEW batch (``vec_id``,
+    ``embedding``) to the EXISTING centroids and append into the
+    partitioned lists — the ingest half of an append-only corpus. The
+    quantizer is not retrained (that is what keeps ingest O(|batch|)),
+    which means a drifting data distribution concentrates appends on a
+    few hot centroids over time: run :func:`ivf_skew_report` on a
+    maintenance cadence and :func:`rebalance_ivf_store` when a list
+    exceeds its budget — a hot centroid at 100 TB is one giant
+    partition that every probe of that cell must scan whole."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    ev = batch.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("enorm")
+    )
+    _assign_to_centroids(ev, cents).write.mode("append").partitionBy(
+        "list_label"
+    ).parquet(f"{path}/lists")
+    spark.catalog.refreshByPath(f"{path}/lists")
+
+
+def ivf_list_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-list row counts: (list_label, n_rows). The aggregate groups
+    on the PARTITION column and touches no data columns, so the scan is
+    satisfied from parquet footers/row-group metadata — at 100 TB this
+    is a metadata sweep, not a corpus read."""
+    return (
+        spark.read.parquet(f"{path}/lists")
+        .groupBy("list_label")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def ivf_skew_report(
+    spark: SparkSession, path: str, row_budget: int | None = None
+) -> dict:
+    """Occupancy skew across inverted lists, the health metric that
+    decides when to rebalance: K lists, total/mean/max rows, the
+    max/mean ratio, and (when ``row_budget`` is given) the hot lists
+    exceeding it. Driver-side result is K+constant scalars — bounded by
+    the quantizer size, never the corpus."""
+    rows = {r["list_label"]: r["n_rows"] for r in ivf_list_stats(spark, path).collect()}
+    if not rows:
+        return {"k": 0, "total": 0, "mean": 0.0, "max": 0, "skew": 0.0, "hot": []}
+    total = sum(rows.values())
+    mean = total / len(rows)
+    mx_label = max(rows, key=lambda l: (rows[l], -l))
+    report = {
+        "k": len(rows),
+        "total": total,
+        "mean": round(mean, 1),
+        "max": rows[mx_label],
+        "max_label": mx_label,
+        "skew": round(rows[mx_label] / mean, 2),
+        "hot": [],
+    }
+    if row_budget is not None:
+        report["hot"] = sorted(l for l, n in rows.items() if n > row_budget)
+    return report
+
+
+def rebalance_ivf_store(
+    spark: SparkSession,
+    path: str,
+    row_budget: int,
+    lloyd_iters: int = 4,
+) -> dict:
+    """Split every list exceeding ``row_budget`` into two geometric
+    children (distributed 2-means over ALL hot lists at once), so probe
+    cost per cell stays bounded as appends concentrate. Child 0 keeps
+    the old label (its partition is dynamically overwritten); child 1
+    gets a fresh label appended to the centroid table — the partition
+    layout keeps its shape, so existing probes keep pruning.
+
+    Deterministic seeding (no RNG, same result on re-run): seed 1 is
+    the member FARTHEST from the list centroid, seed 2 the member
+    farthest from seed 1, ties to the smaller vec_id — the standard
+    diameter-ish 2-means start. Then ``lloyd_iters`` rounds of
+    assign/re-mean, each a broadcast join + one (list, child, dim)
+    partial-agg shuffle over the hot members only (the cold K-|hot|
+    lists are partition-pruned from every pass). Mean/rounding matches
+    ``label_centroids`` (6 dp) so future appends assign consistently.
+
+    A list of exact duplicates cannot split geometrically (both
+    children coincide and every tie breaks to child 0); such labels are
+    returned under ``"unsplit"`` — the fix there is dedup, not
+    clustering. Returns {"split": {old: new}, "unsplit": [...]}."""
+    report = ivf_skew_report(spark, path, row_budget)
+    hot = report["hot"]
+    if not hot:
+        return {"split": {}, "unsplit": []}
+
+    cents_all = spark.read.parquet(f"{path}/centroids").collect()
+    max_label = max(r["list_label"] for r in cents_all)
+    new_label_of = {
+        old: max_label + 1 + i for i, old in enumerate(sorted(hot))
+    }
+
+    # hot members only: the scan partition-prunes to the lists being split
+    members = (
+        spark.read.parquet(f"{path}/lists")
+        .where(F.col("list_label").isin(list(hot)))
+        .localCheckpoint()  # re-read per Lloyd round from block storage
+    )
+    hot_cents = spark.createDataFrame(
+        [r for r in cents_all if r["list_label"] in set(hot)]
+    )
+
+    # seed 1: farthest member from the list centroid (min cosine)
+    def _argmin(df: DataFrame, score: Column) -> DataFrame:
+        return (
+            df.groupBy("list_label")
+            .agg(
+                F.min(
+                    F.struct(score.alias("cc"), "vec_id", "embedding", "enorm")
+                ).alias("m")
+            )
+            .select(
+                "list_label",
+                F.col("m.vec_id").alias("seed_id"),
+                F.col("m.embedding").alias("svec"),
+                F.col("m.enorm").alias("snorm"),
+            )
+        )
+
+    with_cent = members.join(F.broadcast(hot_cents), "list_label")
+    s1 = _argmin(
+        with_cent,
+        _cosine(F.col("embedding"), F.col("cvec"), F.col("enorm"), F.col("cnorm")),
+    )
+    s2 = _argmin(
+        members.join(F.broadcast(s1), "list_label").where(
+            F.col("vec_id") != F.col("seed_id")
+        ),
+        _cosine(F.col("embedding"), F.col("svec"), F.col("enorm"), F.col("snorm")),
+    )
+    childs = (
+        s1.select("list_label", F.lit(0).alias("child"),
+                  F.col("svec").alias("ccvec"), F.col("snorm").alias("ccnorm"))
+        .unionAll(
+            s2.select("list_label", F.lit(1).alias("child"),
+                      F.col("svec").alias("ccvec"), F.col("snorm").alias("ccnorm"))
+        )
+        .localCheckpoint()
+    )
+
+    def _assign_children(ch: DataFrame) -> DataFrame:
+        # nearest of the list's (up to) two children; ties to child 0
+        return (
+            members.join(F.broadcast(ch), "list_label")
+            .select(
+                "list_label", "vec_id", "embedding", "enorm", "child",
+                _cosine(F.col("embedding"), F.col("ccvec"),
+                        F.col("enorm"), F.col("ccnorm")).alias("cc"),
+            )
+            .groupBy("list_label", "vec_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("cc"), (-F.col("child")).alias("nc"),
+                             F.col("embedding"), F.col("enorm"))
+                ).alias("m")
+            )
+            .select(
+                "list_label", "vec_id",
+                F.col("m.embedding").alias("embedding"),
+                F.col("m.enorm").alias("enorm"),
+                (-F.col("m.nc")).alias("child"),
+            )
+        )
+
+    for _ in range(lloyd_iters):
+        asg = _assign_children(childs)
+        # re-mean (6 dp, same as label_centroids) — only non-empty
+        # children survive, so a degenerate list collapses to one child
+        cd = (
+            asg.select("list_label", "child", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("list_label", "child", "dim")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+        )
+        childs = (
+            cd.groupBy("list_label", "child")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda s: s["c"],
+                ).alias("ccvec")
+            )
+            .withColumn("ccnorm", _norm(F.col("ccvec")))
+            .localCheckpoint()
+        )
+
+    final = _assign_children(childs)
+    split_ok = {
+        r["list_label"]
+        for r in final.select("list_label", "child").distinct().collect()
+        if r["child"] == 1
+    }
+    unsplit = sorted(set(hot) - split_ok)
+
+    # literal label remap (no UDF): CASE over the bounded hot set
+    remap = F.col("list_label")
+    for old in sorted(split_ok):
+        remap = F.when(
+            (F.col("child") == 1) & (F.col("list_label") == old),
+            F.lit(new_label_of[old]),
+        ).otherwise(remap)
+    out = final.select(
+        "vec_id", "embedding", "enorm", remap.alias("list_label")
+    )
+
+    # dynamic partition overwrite: only the touched partitions (old hot
+    # labels now holding child 0; fresh child-1 labels) are replaced
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("list_label").parquet(
+            f"{path}/lists"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshByPath(f"{path}/lists")
+
+    # centroid table rewrite (K+|split| tiny rows, via the driver to
+    # avoid reading and overwriting the same files in one job)
+    child_rows = childs.collect()
+    by_lc = {(r["list_label"], r["child"]): r for r in child_rows}
+    new_cents = []
+    for r in cents_all:
+        lbl = r["list_label"]
+        if lbl in split_ok:
+            c0 = by_lc[(lbl, 0)]
+            new_cents.append((lbl, c0["ccvec"], c0["ccnorm"]))
+        else:
+            new_cents.append((lbl, r["cvec"], r["cnorm"]))
+    for lbl in sorted(split_ok):
+        c1 = by_lc[(lbl, 1)]
+        new_cents.append((new_label_of[lbl], c1["ccvec"], c1["ccnorm"]))
+    spark.createDataFrame(
+        new_cents, "list_label int, cvec array<double>, cnorm double"
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.catalog.refreshByPath(f"{path}/centroids")
+
+    return {
+        "split": {old: new_label_of[old] for old in sorted(split_ok)},
+        "unsplit": unsplit,
+    }
 
 
 def probe_ivf_store(

@@ -146,3 +146,71 @@ def test_incremental_near_dups_flags_known_vector(spark, tmp_path):
     )
     assert best < 0.95
     assert not any(r["new_id"] == 100001 for r in out)
+
+
+def test_skewed_append_triggers_split_and_probes_still_prune(spark, tmp_path):
+    """Maintenance path: appends concentrated on one centroid push its
+    list over budget; the skew report flags exactly that list; rebalance
+    splits it into two non-empty children (old label + one fresh label);
+    and the probe afterwards still partition-prunes and still finds an
+    exact self-match inside the split region."""
+    from proteofav_spark.plans.ann_store import (
+        append_ivf_store,
+        ivf_list_stats,
+        ivf_skew_report,
+        rebalance_ivf_store,
+    )
+
+    path = str(tmp_path / "ivf_maint")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_ivf_store(e, path)
+
+    base = {r["list_label"]: r["n_rows"] for r in ivf_list_stats(spark, path).collect()}
+    hot = max(base, key=lambda l: (base[l], -l))
+    m = base[hot]
+
+    # 3 appended copies of the hot list's members (new ids, identical
+    # vectors -> deterministic same-list assignment): list grows to 4m
+    members = spark.read.parquet(f"{path}/lists").where(
+        F.col("list_label") == hot
+    )
+    qid = members.select(F.min("vec_id")).collect()[0][0]
+    for i in (1, 2, 3):
+        batch = members.select(
+            (F.col("vec_id") + 100000 * i).alias("vec_id"), "embedding"
+        )
+        append_ivf_store(spark, path, batch)
+
+    budget = 2 * m
+    rep = ivf_skew_report(spark, path, row_budget=budget)
+    assert rep["hot"] == [hot]
+    assert rep["max"] == 4 * m and rep["max_label"] == hot
+
+    res = rebalance_ivf_store(spark, path, row_budget=budget)
+    assert list(res["split"]) == [hot] and not res["unsplit"]
+    new_label = res["split"][hot]
+
+    after = {r["list_label"]: r["n_rows"] for r in ivf_list_stats(spark, path).collect()}
+    # a real two-way split: both children non-empty, members conserved
+    assert after[hot] + after[new_label] == 4 * m
+    assert 0 < after[hot] < 4 * m and 0 < after[new_label] < 4 * m
+    # untouched lists unchanged by the dynamic-partition overwrite
+    for lbl, n in base.items():
+        if lbl != hot:
+            assert after[lbl] == n
+    # centroid table gained exactly the one fresh label
+    cents = spark.read.parquet(f"{path}/centroids")
+    assert cents.count() == len(base) + 1
+    assert cents.where(F.col("list_label") == new_label).count() == 1
+
+    # probe a vector FROM the split region: still pruned, still found
+    queries = e.where(F.col("vec_id") == qid).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = probe_ivf_store(spark, path, queries, nprobe=2, topk=8)
+    rows = out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_label" in plan
+    # the vector and its 3 appended clones all sit in a probed child
+    exact = {r["vec_id"] for r in rows if r["cosine"] == 1.0}
+    assert qid in exact
