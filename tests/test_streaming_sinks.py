@@ -324,3 +324,54 @@ def test_stream_stream_join_matches_batch(spark):
     assert n_expect > 0
     assert got.count() == n_expect
     assert got.exceptAll(expect).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once ingest: replay-idempotent MERGE-by-content-hash sink
+# ---------------------------------------------------------------------------
+
+def test_dedup_ingest_replay_idempotent(spark, tmp_path):
+    """Crash-replay semantics: (a) a real availableNow run lands every
+    distinct document exactly once; (b) re-running the SAME merge
+    batch (what checkpoint recovery does after a crash) appends
+    nothing; (c) a partial-commit crash (half the batch's files
+    already visible) back-fills only the missing rows — never
+    duplicates."""
+    from proteofav_spark.streaming.corpus import (
+        dedup_store_merger,
+        read_documents_stream,
+        run_dedup_ingest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_distinct = docs.select("text").distinct().count()
+
+    # (a) full streamed run
+    q = run_dedup_ingest(read_documents_stream(spark, sf), store, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(store)
+    assert got.count() == n_distinct
+    assert got.select("text_hash").distinct().count() == n_distinct
+
+    # (b) replay the same data as one batch: merge must be a no-op
+    merger = dedup_store_merger(store)
+    merger(docs, 0)
+    spark.catalog.refreshByPath(store)
+    assert spark.read.parquet(store).count() == n_distinct
+
+    # (c) partial-commit crash: a fresh store where only half the
+    # batch's rows landed before the crash; the replayed merge
+    # back-fills the other half exactly
+    store2 = str(tmp_path / "store2")
+    merger2 = dedup_store_merger(store2)
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    merger2(half, 7)
+    n_half = spark.read.parquet(store2).count()
+    assert 0 < n_half < n_distinct
+    merger2(docs, 7)  # full replay of the interrupted batch
+    recovered = spark.read.parquet(store2)
+    assert recovered.count() == n_distinct
+    assert recovered.select("text_hash").distinct().count() == n_distinct
