@@ -1705,3 +1705,117 @@ def q_suppliers_dominant_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: aggregate compared against the max of the same aggregate
+# ---------------------------------------------------------------------------
+
+_TOP_SUPPLIER_SQL = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS rev_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(rev_c AS DOUBLE) / 10000 AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev_c = (SELECT max(rev_c) FROM rev)
+"""
+
+
+@register("supplier_top_revenue", _TOP_SUPPLIER_SQL)
+def q_supplier_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) whose one-year
+    revenue equals the MAXIMUM per-supplier revenue — the view-then-
+    max-of-view pattern, kept exact by comparing integer cents·(100-d)
+    units so the equality is bit-stable (Q15's classic float-equality
+    trap: `= max(double)` silently drops ties on some engines).
+
+    Spark-first: ONE shuffled aggregation builds the revenue frame; the
+    global max folds from that already-aggregated frame (K rows) as a
+    broadcast scalar crossJoin; the equality filter and the supplier
+    join run on K rows. The fact is scanned and shuffled exactly once —
+    the naive reading of Q15 (re-derive the view inside the subquery)
+    would scan it twice. Date bounds push to the parquet scan."""
+    qc = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(qc).alias("rev_c"))
+    )
+    mx = rev.agg(F.max("rev_c").alias("mx"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))  # 1-row aggregate scalar
+        .where(F.col("rev_c") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_c").cast("double") / 10000).alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: conditional CASE aggregation over a fact-fact join
+# ---------------------------------------------------------------------------
+
+_SHIPCLASS_SQL = """
+    SELECT l.l_returnflag AS ship_class,
+           CAST(count(*) FILTER (WHERE o.o_orderpriority
+                                 IN ('1-URGENT', '2-HIGH')) AS BIGINT)
+             AS high_line_count,
+           CAST(count(*) FILTER (WHERE o.o_orderpriority
+                                 NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT)
+             AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+    GROUP BY 1
+"""
+
+
+@register("shipclass_priority_counts", _SHIPCLASS_SQL)
+def q_shipclass_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per ship class (l_returnflag stands in for the
+    absent l_shipmode), how many VERY late line items (>365 days after
+    the order date) belonged to high- vs low-priority orders — the
+    canonical conditional CASE aggregation where one pass produces both
+    branch counts.
+
+    Spark-first: the priority predicate folds into two `sum(when(...))`
+    branches inside ONE aggregation — no second scan, no pivot, no
+    self-join (the anti-pattern is one filtered count per branch, which
+    doubles the fact joins). One orderkey-keyed join (AQE picks
+    broadcast vs shuffle), partial aggregation collapses to 3 rows
+    map-side before a trivial exchange."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )

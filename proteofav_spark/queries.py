@@ -142,6 +142,8 @@ _PRIORITY: list[str] = [
     # Slots 19+: NEW round-5 queries (no driver row can exist yet).
     "suppliers_kept_waiting",
     "suppliers_dominant_share",
+    "supplier_top_revenue",
+    "shipclass_priority_counts",
     # Remaining slots: r3-attested queries, two rounds stale, riskiest
     # families first (multi-shuffle joins/graphs/dedup/events before
     # single-exchange scans). The r4-attested queries all fall below the

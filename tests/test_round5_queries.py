@@ -1,0 +1,152 @@
+"""Semantic invariants for the round-5 additions: the Q21 chained
+EXISTS + NOT EXISTS decorrelation and the Q20 correlated-share
+threshold. The DuckDB oracles check value parity against an independent
+engine; these tests pin the data-independent semantics and the plan
+shape the 100 TB claims rest on."""
+
+from pyspark.sql import functions as F
+
+from proteofav_spark.operators.analytics_queries import (
+    q_shipclass_priority_counts,
+    q_supplier_top_revenue,
+    q_suppliers_dominant_share,
+    q_suppliers_kept_waiting,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kept_waiting_matches_literal_double_correlation(spark):
+    """Re-derive the result with the LITERAL per-row EXISTS/NOT-EXISTS
+    semantics driver-side (small SF) and compare: every (supplier,
+    numwait) must match the decorrelated window formulation."""
+    o = spark.read.parquet(f"{SF}/orders.parquet").where(
+        F.col("o_orderstatus") == "F"
+    )
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    rows = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 1500 DAYS")
+            ).alias("late"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    supps, late_supps, late_rows = defaultdict(set), defaultdict(set), []
+    for r in rows:
+        supps[r["l_orderkey"]].add(r["l_suppkey"])
+        if r["late"]:
+            late_supps[r["l_orderkey"]].add(r["l_suppkey"])
+            late_rows.append((r["l_orderkey"], r["l_suppkey"]))
+    expected = defaultdict(int)
+    for ok, sk in late_rows:
+        others = supps[ok] - {sk}
+        other_late = late_supps[ok] - {sk}
+        if others and not other_late:  # EXISTS other AND NOT EXISTS other-late
+            expected[sk] += 1
+    names = {
+        r["s_suppkey"]: r["s_name"]
+        for r in spark.read.parquet(f"{SF}/supplier.parquet").collect()
+    }
+    want = {}
+    for sk, n in expected.items():
+        want[names[sk]] = want.get(names[sk], 0) + n
+    got = {
+        r["s_name"]: r["numwait"]
+        for r in q_suppliers_kept_waiting(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_kept_waiting_plan_two_fact_exchanges_max(spark):
+    """The decorrelation claim: both correlated probes fold into the one
+    aggregation, so the plan carries at most 2 shuffle exchanges keyed
+    on fact-sized data (plus the tiny s_name rollup)."""
+    df = q_suppliers_kept_waiting(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 3, plan  # ≤2 fact + 1 collapsed s_name rollup
+    assert "CartesianProduct" not in plan
+
+
+def test_dominant_share_threshold_is_exact_share(spark):
+    """Every returned supplier really moved >15% of some red part's
+    shipped quantity, and at least one non-returned supplier exists
+    (the threshold is selective, not vacuous)."""
+    got = {r["s_name"] for r in q_suppliers_dominant_share(spark, SF).collect()}
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    p = spark.read.parquet(f"{SF}/part.parquet").where(
+        F.col("p_name").like("red%")
+    )
+    sp = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    tot = defaultdict(int)
+    for r in sp:
+        tot[r["l_partkey"]] += r["q"]
+    dominant_keys = {
+        r["l_suppkey"] for r in sp if 20 * r["q"] > 3 * tot[r["l_partkey"]]
+    }
+    names = {
+        r["s_suppkey"]: r["s_name"]
+        for r in spark.read.parquet(f"{SF}/supplier.parquet").collect()
+    }
+    assert got == {names[k] for k in dominant_keys}
+    assert got  # non-vacuous here; selectivity is pinned at sf0.01 by the
+    # oracle sweep (11 of 100 suppliers qualify)
+
+
+def test_top_revenue_includes_all_ties_at_exact_max(spark):
+    """Q15 semantics: every returned supplier's revenue equals the true
+    integer-cents maximum (recomputed independently), and ALL suppliers
+    at that maximum are returned — the float-equality tie-drop trap."""
+    got = q_supplier_top_revenue(spark, SF).collect()
+    l = spark.read.parquet(f"{SF}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    rev = {
+        r["l_suppkey"]: r["c"]
+        for r in l.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("c")
+        )
+        .collect()
+    }
+    mx = max(rev.values())
+    winners = {k for k, v in rev.items() if v == mx}
+    assert {r["s_suppkey"] for r in got} == winners
+    assert all(r["total_revenue"] == mx / 10000 for r in got)
+
+
+def test_shipclass_counts_partition_the_late_rows(spark):
+    """Q12 semantics: high + low per class equals the late-row total per
+    class, and summing classes re-derives the overall late-join count —
+    one pass, no double counting."""
+    got = {
+        r["ship_class"]: (r["high_line_count"], r["low_line_count"])
+        for r in q_shipclass_priority_counts(spark, SF).collect()
+    }
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    late = l.join(o, l.l_orderkey == o.o_orderkey).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+    )
+    per_class = {
+        r["l_returnflag"]: r["n"]
+        for r in late.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    }
+    assert {k: h + lo for k, (h, lo) in got.items()} == per_class

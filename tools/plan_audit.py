@@ -109,6 +109,32 @@ SCALE_NOTES = {
         "arithmetic is exact integer cents with bigint HALF_UP "
         "discretization — engine-identical rounding by construction."
     ),
+    "suppliers_kept_waiting": (
+        "Q21 decorrelation: one orderkey-keyed fact join; the (order, "
+        "supplier) aggregation and both per-order windows reuse that "
+        "clustering in the shuffle regime (HashPartitioning(orderkey) "
+        "satisfies the superset groupings), so the chained EXISTS + NOT "
+        "EXISTS costs zero extra lineitem passes; s_name rollup runs on "
+        "the collapsed frame."
+    ),
+    "suppliers_dominant_share": (
+        "Q20 decorrelation: broadcast red-part filter, one (suppkey, "
+        "partkey) fact aggregation with map-side partials; the correlated "
+        "per-part total folds from the collapsed frame via a window, the "
+        "threshold compares exact integer cents, supplier left-semi-joins "
+        "the tiny dominant set."
+    ),
+    "supplier_top_revenue": (
+        "Q15 shape: the fact scans/shuffles ONCE into the per-supplier "
+        "revenue frame; max-of-view is a 1-row broadcast scalar crossJoin "
+        "and the equality filter compares exact integer cents (no float "
+        "tie-drop); date bounds pushed to the scan."
+    ),
+    "shipclass_priority_counts": (
+        "Q12 shape: both priority branches fold into one aggregation as "
+        "sum(when(...)) — a single fact join and a 3-row exchange instead "
+        "of one filtered pass per branch."
+    ),
     "orders_scd2_snapshot": (
         "change-flag, segment-number and interval windows share one "
         "(custkey, date, key) sort → a single exchange feeds chained "
@@ -332,6 +358,11 @@ EXTRA = [
     "lineitem_below_avg_qty",
     "window_percent_rank_exact",
     "set_multiset_ops",
+    # round-5 additions
+    "suppliers_kept_waiting",
+    "suppliers_dominant_share",
+    "supplier_top_revenue",
+    "shipclass_priority_counts",
 ]
 
 
