@@ -2,12 +2,15 @@
 columns with typed metadata structs, processed via Arrow-batched
 ``mapInPandas``.
 
-The DEFAULT decode kernels handle the real container formats the Python
-stdlib can parse with zero dependencies — RIFF/WAVE PCM audio (``wave``),
-binary PGM/PPM images (netpbm), and 8-bit non-interlaced PNG (``zlib`` +
-``struct``, all five scanline filters) — and fall back to clearly-marked
+The DEFAULT decode kernels handle the real formats parseable with zero
+dependencies — RIFF/WAVE PCM audio (``wave``), binary PGM/PPM images
+(netpbm), 8-bit non-interlaced PNG (``zlib`` + ``struct``, all five
+scanline filters), and baseline sequential JPEG (``struct`` + numpy:
+huffman entropy decode, dequant, IDCT, 4:4:4/4:2:2/4:2:0 chroma
+upsampling, restart intervals) — and fall back to clearly-marked
 deterministic STUBS for formats that need codec libraries the container
-doesn't ship (JPEG/MP3/...); everything Spark-side — schemas, batch
+doesn't ship (progressive JPEG, WebP, MP3/AAC/...); everything
+Spark-side — schemas, batch
 iteration, partitioning, UDF signatures — is real and tested. Each feature extractor takes an injectable ``decode_fn`` /
 ``frame_fn`` (the codec seam): a deployment passes its PIL/cv2/soundfile
 kernel and the Arrow contract — schema, batch iteration, one decode call
@@ -174,16 +177,263 @@ def decode_png(blob: bytes) -> np.ndarray | None:
         return None
 
 
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int32)  # ITU-T T.81 Figure A.6 zig-zag order
+
+# orthonormal 8x8 DCT-II basis: block = C.T @ coeff @ C (T.81 A.3.3)
+_DCT_C = np.array([
+    [(np.sqrt(0.125) if u == 0 else 0.5)
+     * np.cos((2 * x + 1) * u * np.pi / 16) for x in range(8)]
+    for u in range(8)
+])
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment, handling
+    0xFF00 byte stuffing and stopping at any real marker (T.81 F.2.2.5).
+    Restart markers are consumed by the caller via ``sync_restart``."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.bits, self.nbits = data, pos, 0, 0
+
+    def _fill(self) -> bool:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                return self.nbits > 0
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed FF
+                else:
+                    return self.nbits > 0  # real marker: stop
+            else:
+                self.pos += 1
+            self.bits = (self.bits << 8) | b
+            self.nbits += 8
+        return True
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            if not self._fill() or self.nbits < n:
+                raise ValueError("bitstream exhausted")
+        self.nbits -= n
+        v = (self.bits >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def sync_restart(self) -> None:
+        """Discard pad bits, consume one RSTn marker (T.81 F.2.1.3.1)."""
+        self.bits = self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("restart marker not found")
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t magnitude bits to a signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray | None:
+    """REAL codec, zero dependencies: baseline sequential DCT JPEG
+    (SOF0) via stdlib ``struct`` + numpy — grayscale and YCbCr with any
+    1-2x sampling factors (4:4:4 / 4:2:2 / 4:2:0), quant + huffman
+    tables read from the file's own DQT/DHT markers, byte stuffing and
+    DRI/RSTn restart intervals per ITU-T T.81. Returns the flat uint8
+    pixel array (gray, or interleaved RGB via the JFIF YCbCr
+    transform), or None for anything else (progressive SOF2,
+    arithmetic coding, 12-bit) — like :func:`decode_png`, a
+    non-baseline payload degrades to the stub, never fails the batch.
+
+    The entropy decode is a per-block Python loop (bit-serial huffman
+    is irreducibly sequential); dequantize/IDCT/upsample/color are
+    vectorized numpy over whole blocks. Fine for the Arrow-batch path,
+    where per-file decode cost is the point of measuring."""
+    if blob[:2] != b"\xff\xd8":
+        return None
+    import struct
+
+    try:
+        qt: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        frame = None
+        ri = 0
+        pos = 2
+        data = bytes(blob)
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                return None
+            marker = data[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            seg = data[pos + 4 : pos + 2 + seglen]
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 0xF
+                    if pq != 0:
+                        return None  # 16-bit tables: not baseline-8
+                    tbl = np.zeros(64, np.int32)
+                    tbl[_ZIGZAG] = np.frombuffer(
+                        seg[i + 1 : i + 65], np.uint8
+                    ).astype(np.int32)
+                    qt[tq] = tbl.reshape(8, 8)
+                    i += 65
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 0xF
+                    counts = seg[i + 1 : i + 17]
+                    syms = seg[i + 17 : i + 17 + sum(counts)]
+                    code, k, table = 0, 0, {}
+                    for length in range(1, 17):
+                        for _ in range(counts[length - 1]):
+                            table[(length, code)] = syms[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+                    i += 17 + sum(counts)
+            elif marker == 0xC0:  # SOF0 baseline
+                depth, h, w, nc = struct.unpack(">BHHB", seg[:6])
+                if depth != 8 or nc not in (1, 3):
+                    return None
+                comps = []
+                for ci in range(nc):
+                    cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                    comps.append(
+                        {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                    )
+                if any(
+                    not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2) for c in comps
+                ):
+                    return None
+                frame = (h, w, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # extended/progressive/lossless/arithmetic
+            elif marker == 0xDD:  # DRI
+                (ri,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xDA:  # SOS: scan follows
+                if frame is None:
+                    return None
+                ns = seg[0]
+                scan = {}
+                for si in range(ns):
+                    cs, tt = seg[1 + 2 * si : 3 + 2 * si]
+                    scan[cs] = (tt >> 4, tt & 0xF)
+                return _jpeg_scan(
+                    data, pos + 2 + seglen, frame, scan, qt, huff, ri
+                )
+            pos += 2 + seglen
+        return None
+    except (ValueError, IndexError, KeyError, struct.error):
+        return None
+
+
+def _jpeg_scan(data, pos, frame, scan, qt, huff, ri) -> np.ndarray | None:
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        cw, ch = mcux * c["h"] * 8, mcuy * c["v"] * 8
+        planes.append(np.zeros((ch, cw), np.float64))
+    br = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and n_mcu and n_mcu % ri == 0:
+                br.sync_restart()
+                pred = [0] * len(comps)
+            n_mcu += 1
+            for ci, c in enumerate(comps):
+                dc_t, ac_t = scan[c["id"]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, np.float64)
+                        t = _huff_decode(br, huff[(0, dc_t)])
+                        pred[ci] += _extend(br.read(t), t)
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, huff[(1, ac_t)])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block")
+                            zz[k] = _extend(br.read(s), s)
+                            k += 1
+                        coef = np.zeros(64, np.float64)
+                        coef[_ZIGZAG] = zz
+                        block = _DCT_C.T @ (coef.reshape(8, 8) * q) @ _DCT_C
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    out = []
+    for ci, c in enumerate(comps):
+        p = planes[ci] + 128.0
+        p = np.repeat(
+            np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8).reshape(-1)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8).reshape(-1)
+
+
 def _decode_image_stub(blob: bytes, width: int, height: int) -> np.ndarray:
     """Default decode: REAL container parsing when the payload is a
-    binary PGM/PPM (:func:`decode_pnm`) or an 8-bit non-interlaced PNG
-    (:func:`decode_png` — stdlib zlib only), else a deterministic fake
-    pixel array derived from the bytes (STUB — the container has no
-    JPEG codec libs; pass a PIL/cv2 ``decode_fn`` in deployment —
-    signature and batch shape are the contract)."""
+    binary PGM/PPM (:func:`decode_pnm`), an 8-bit non-interlaced PNG
+    (:func:`decode_png` — stdlib zlib only) or a baseline sequential
+    JPEG (:func:`decode_jpeg` — stdlib struct + numpy), else a
+    deterministic fake pixel array derived from the bytes (STUB for the
+    remaining codec-library formats, e.g. progressive JPEG or WebP —
+    pass a PIL/cv2 ``decode_fn`` in deployment; signature and batch
+    shape are the contract)."""
     real = decode_pnm(bytes(blob)) if len(blob) >= 2 else None
     if real is None and len(blob) >= 8:
         real = decode_png(bytes(blob))
+    if real is None and len(blob) >= 4:
+        real = decode_jpeg(bytes(blob))
     if real is not None:
         return real
     rng = np.frombuffer(blob, dtype=np.uint8)
