@@ -91,6 +91,12 @@ def _session_index(spark: SparkSession, family: str, corpus: DataFrame, build):
     for k in [k for k in _INDEX_CACHE if k[:2] == (family, dirs) and k != key]:
         _release_index(_INDEX_CACHE.pop(k)[1])
     val = build()
+    if hit is not None:
+        # same key but a different session owned it (two live sessions
+        # alternating over one corpus): release the old checkpoint blocks
+        # before dropping the only reference — the overwrite path leaks
+        # exactly like eviction otherwise
+        _release_index(hit[1])
     _INDEX_CACHE[key] = (spark, val)
     return val
 

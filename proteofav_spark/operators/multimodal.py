@@ -226,6 +226,10 @@ class _BitReader:
                 raise ValueError("bitstream exhausted")
         self.nbits -= n
         v = (self.bits >> self.nbits) & ((1 << n) - 1)
+        # trim consumed bits: without this the accumulator grows by 8 bits
+        # per input byte for the whole scan and every shift becomes O(N) —
+        # quadratic decode on any real-sized JPEG
+        self.bits &= (1 << self.nbits) - 1
         return v
 
     def sync_restart(self) -> None:

@@ -263,13 +263,21 @@ def rebalance_ivf_store(
     )
 
     def _assign_children(ch: DataFrame) -> DataFrame:
-        # nearest of the list's (up to) two children; ties to child 0
+        # nearest of the list's (up to) two children; ties to child 0.
+        # A degenerate zero-norm child centroid scores NaN from the
+        # cosine division — and NaN sorts ABOVE every real double in a
+        # struct max, which would funnel ALL members to that child; pin
+        # it to -2 (below any true cosine) so it attracts nothing.
+        score = F.when(
+            F.col("ccnorm") > 0,
+            _cosine(F.col("embedding"), F.col("ccvec"),
+                    F.col("enorm"), F.col("ccnorm")),
+        ).otherwise(F.lit(-2.0))
         return (
             members.join(F.broadcast(ch), "list_label")
             .select(
                 "list_label", "vec_id", "embedding", "enorm", "child",
-                _cosine(F.col("embedding"), F.col("ccvec"),
-                        F.col("enorm"), F.col("ccnorm")).alias("cc"),
+                score.alias("cc"),
             )
             .groupBy("list_label", "vec_id")
             .agg(
@@ -307,13 +315,46 @@ def rebalance_ivf_store(
             .localCheckpoint()
         )
 
-    final = _assign_children(childs)
-    split_ok = {
-        r["list_label"]
-        for r in final.select("list_label", "child").distinct().collect()
-        if r["child"] == 1
-    }
+    final = _assign_children(childs).localCheckpoint()
+    # a label splits ONLY if both children ended non-empty — a
+    # one-sided final assignment (exact-dup lists, or a collapsed
+    # child) must stay unsplit, or the remap would move every member
+    # to the new label while dynamic overwrite leaves the old
+    # partition untouched (duplicated vectors under a stale label)
+    children_of: dict = {}
+    for r in final.select("list_label", "child").distinct().collect():
+        children_of.setdefault(r["list_label"], set()).add(r["child"])
+    split_ok = {l for l, cs in children_of.items() if cs == {0, 1}}
     unsplit = sorted(set(hot) - split_ok)
+
+    # ALL driver-side state is collected BEFORE any store mutation, so
+    # a driver failure here leaves the store exactly as it was
+    child_rows = childs.collect()
+    by_lc = {(r["list_label"], r["child"]): r for r in child_rows}
+
+    # centroid table first (K+|split| tiny rows, via the driver to
+    # avoid reading and overwriting the same files in one job). Plain
+    # parquet has no cross-file transaction, so order the two writes
+    # for graceful partial failure: centroids-then-lists means a crash
+    # in between leaves the new label present but its partition empty —
+    # probes lose nothing (the old list still holds every member);
+    # lists-first would strand members in a partition no centroid
+    # targets (silent recall loss).
+    new_cents = []
+    for r in cents_all:
+        lbl = r["list_label"]
+        if lbl in split_ok:
+            c0 = by_lc[(lbl, 0)]
+            new_cents.append((lbl, c0["ccvec"], c0["ccnorm"]))
+        else:
+            new_cents.append((lbl, r["cvec"], r["cnorm"]))
+    for lbl in sorted(split_ok):
+        c1 = by_lc[(lbl, 1)]
+        new_cents.append((new_label_of[lbl], c1["ccvec"], c1["ccnorm"]))
+    spark.createDataFrame(
+        new_cents, "list_label int, cvec array<double>, cnorm double"
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.catalog.refreshByPath(f"{path}/centroids")
 
     # literal label remap (no UDF): CASE over the bounded hot set
     remap = F.col("list_label")
@@ -337,26 +378,6 @@ def rebalance_ivf_store(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     spark.catalog.refreshByPath(f"{path}/lists")
-
-    # centroid table rewrite (K+|split| tiny rows, via the driver to
-    # avoid reading and overwriting the same files in one job)
-    child_rows = childs.collect()
-    by_lc = {(r["list_label"], r["child"]): r for r in child_rows}
-    new_cents = []
-    for r in cents_all:
-        lbl = r["list_label"]
-        if lbl in split_ok:
-            c0 = by_lc[(lbl, 0)]
-            new_cents.append((lbl, c0["ccvec"], c0["ccnorm"]))
-        else:
-            new_cents.append((lbl, r["cvec"], r["cnorm"]))
-    for lbl in sorted(split_ok):
-        c1 = by_lc[(lbl, 1)]
-        new_cents.append((new_label_of[lbl], c1["ccvec"], c1["ccnorm"]))
-    spark.createDataFrame(
-        new_cents, "list_label int, cvec array<double>, cnorm double"
-    ).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.catalog.refreshByPath(f"{path}/centroids")
 
     return {
         "split": {old: new_label_of[old] for old in sorted(split_ok)},

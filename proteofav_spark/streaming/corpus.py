@@ -125,9 +125,16 @@ def dedup_store_merger(store_path: str):
     complement to :func:`stream_exact_dedup`."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         new = (
-            batch_df.withColumn(
+            # a NULL text has no content identity: its hash is NULL, and
+            # NULL never matches the anti-join's null-unsafe equality, so
+            # such a row would re-append on EVERY batch and replay —
+            # dropped here, matching the batch dedup family's contract
+            batch_df.where(F.col("text").isNotNull())
+            .withColumn(
                 "text_hash", F.sha2(F.col("text").cast("binary"), 256)
             )
             .withColumn("hash_prefix", F.substring("text_hash", 1, 2))
@@ -137,7 +144,11 @@ def dedup_store_merger(store_path: str):
         try:
             existing = spark.read.parquet(store_path)
             store_exists = True
-        except Exception:
+        except AnalysisException:
+            # ONLY path-missing (first batch against a fresh store) may
+            # skip the anti-join; a transient IO error on an existing
+            # store must fail the batch loudly — treating it as
+            # store-absent would append duplicates with no error
             store_exists = False
         if store_exists:
             prefixes = [

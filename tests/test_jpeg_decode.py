@@ -323,3 +323,20 @@ def test_image_features_decodes_real_jpeg_default_path(spark):
     assert row["histogram8"] == np.histogram(
         want, bins=8, range=(0, 256)
     )[0].astype("int64").tolist()
+
+
+def test_decode_speed_linear_on_larger_image():
+    """Guards the bit-reader against accumulator growth: a ~30 KB
+    entropy segment with no restart intervals must decode in linear
+    time (an unmasked bignum accumulator makes this quadratic — minutes
+    instead of a fraction of a second)."""
+    import time
+
+    img = _gradient(256, 384)
+    blob = encode_jpeg(img, q_val=2)
+    t0 = time.time()
+    px = decode_jpeg(blob)
+    dt = time.time() - t0
+    err = np.abs(px.reshape(256, 384).astype(int) - img.astype(int))
+    assert err.max() <= 6
+    assert dt < 30, f"decode took {dt:.1f}s — bit reader is superlinear"

@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 
 def main() -> None:
     repo, sf_dir, runs = sys.argv[1], sys.argv[2], int(sys.argv[3])
@@ -38,6 +40,19 @@ def main() -> None:
         "events", "documents", "embeddings",
     ):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
+    # warm the Python/Arrow worker pool too (bench.py does the same):
+    # without it, an Arrow-UDF query's first measured run pays the
+    # per-session daemon spawn + numpy import — the exact distortion
+    # this interleaved protocol exists to avoid
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(v: pd.Series) -> pd.Series:
+        import numpy as np
+        return pd.Series(np.asarray(v) * 1)
+
+    n_cpu = spark.sparkContext.defaultParallelism
+    spark.range(n_cpu * 4, numPartitions=n_cpu).select(_warm(col("id"))).count()
 
     out: dict[str, list[float]] = {}
     for name in names:
