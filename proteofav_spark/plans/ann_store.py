@@ -128,9 +128,17 @@ def append_ivf_store(spark: SparkSession, path: str, batch: DataFrame) -> None:
     exceeds its budget — a hot centroid at 100 TB is one giant
     partition that every probe of that cell must scan whole."""
     cents = spark.read.parquet(f"{path}/centroids")
+    # coerce the batch's embedding to the STORE's element type: parquet
+    # directories with mixed float/double files fail at read time, so an
+    # append of (say) array<double> into a float store would poison every
+    # later scan of the touched partitions
+    stored_type = spark.read.parquet(f"{path}/lists").schema[
+        "embedding"
+    ].dataType
     ev = batch.select(
-        "vec_id", "embedding", _norm(F.col("embedding")).alias("enorm")
-    )
+        "vec_id",
+        F.col("embedding").cast(stored_type).alias("embedding"),
+    ).select("vec_id", "embedding", _norm(F.col("embedding")).alias("enorm"))
     _assign_to_centroids(ev, cents).write.mode("append").partitionBy(
         "list_label"
     ).parquet(f"{path}/lists")

@@ -214,3 +214,48 @@ def test_skewed_append_triggers_split_and_probes_still_prune(spark, tmp_path):
     # the vector and its 3 appended clones all sit in a probed child
     exact = {r["vec_id"] for r in rows if r["cosine"] == 1.0}
     assert qid in exact
+
+
+def test_rebalance_leaves_unsplittable_duplicate_list_intact(spark, tmp_path):
+    """A hot list of exact duplicates cannot split geometrically (the
+    two seeds coincide, ties all break to child 0): rebalance must
+    report it under 'unsplit' and leave the store bit-for-bit usable —
+    same label set, same membership, probes still work. This pins the
+    one-sided-split guard (a naive remap would strand every member
+    under a new label while the old partition kept its stale copy)."""
+    from proteofav_spark.plans.ann_store import (
+        append_ivf_store,
+        ivf_list_stats,
+        rebalance_ivf_store,
+    )
+
+    path = str(tmp_path / "ivf_dup")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_ivf_store(e, path)
+    base = {r["list_label"]: r["n_rows"] for r in ivf_list_stats(spark, path).collect()}
+    hot = min(base)  # any list; we make it hot with pure duplicates
+    one = spark.read.parquet(f"{path}/lists").where(
+        F.col("list_label") == hot
+    ).orderBy("vec_id").limit(1).collect()[0]
+    n_dups = 3 * max(base.values())
+    clones = spark.range(n_dups).select(
+        (F.col("id") + 500000).alias("vec_id"),
+        F.lit(one["embedding"]).alias("embedding"),
+    )
+    append_ivf_store(spark, path, clones)
+
+    res = rebalance_ivf_store(spark, path, row_budget=max(base.values()) * 2)
+    # the duplicate pile may or may not split depending on what else sat
+    # in the list; the invariants that must hold either way:
+    after = {r["list_label"]: r["n_rows"] for r in ivf_list_stats(spark, path).collect()}
+    assert sum(after.values()) == sum(base.values()) + n_dups  # no dup/loss
+    cents = spark.read.parquet(f"{path}/centroids")
+    assert cents.count() == len(after)  # every list has exactly one centroid
+    assert set(res["unsplit"]).isdisjoint(res["split"])
+    for lbl in res["unsplit"]:
+        assert after[lbl] == base[lbl] + (n_dups if lbl == hot else 0)
+    # the store still probes end to end
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    assert probe_ivf_store(spark, path, q, nprobe=2, topk=3).count() > 0
