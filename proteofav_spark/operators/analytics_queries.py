@@ -791,7 +791,9 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        # no broadcast hint: supplier scales with SF (AQE broadcasts
+        # while it fits, falls back to shuffle at cluster scale)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .where(F.col("cn_key") != F.col("sn_key"))
@@ -1818,4 +1820,205 @@ def q_shipclass_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(high.cast("long")).alias("high_line_count"),
             F.sum((~high).cast("long")).alias("low_line_count"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: single-table filtered aggregate (the pushdown probe)
+# ---------------------------------------------------------------------------
+
+_FORECAST_SQL = """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_c
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@register("forecast_revenue_change", _FORECAST_SQL)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the one-table filtered
+    aggregate whose entire value at scale is PREDICATE PUSHDOWN — all
+    three filters (date range, discount band, quantity cap) must reach
+    the parquet scan so row groups outside the year/band are skipped on
+    footer stats alone. Revenue in exact integer cents·bp units.
+
+    Plan shape: scan (4 columns, 4 pushed filters) → map-side partial
+    sum → 1-row exchange. Zero joins, zero windows — the floor any
+    engine must hit; PLANS.md pins the PushedFilters list."""
+    l = load(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        F.col("l_discount") * 100
+    ).cast("long")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).alias("revenue_c"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share within a region, by year
+# ---------------------------------------------------------------------------
+
+_MKT_SHARE_SQL = """
+    WITH flat AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS vol_c,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN region r ON nc.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      WHERE r.r_name = 'EUROPE')
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           CAST((2 * CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                                   THEN vol_c ELSE 0 END) AS HUGEINT)
+                 * 1000000 + sum(vol_c))
+                // (2 * sum(vol_c)) AS BIGINT) AS mkt_share_ppm
+    FROM flat GROUP BY 1
+"""
+
+
+@register("nation_market_share", _MKT_SHARE_SQL)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_3's share of the
+    revenue that EUROPE's customers spent, per order year — the
+    two-branch conditional share whose numerator is a CASE inside the
+    same aggregation as the denominator. Share in exact integer ppm via
+    the round-half-up (2a·10⁶+b) div 2b identity (both engines widen
+    the numerator past 64 bits: HUGEINT / DECIMAL(38,0)).
+
+    Spark-first: customers prune to the region through two broadcast
+    dims BEFORE touching the facts; the two fact-fact joins key on
+    orderkey then custkey; supplier+nation broadcast onto the line
+    items; one final ≤|years| aggregation. No self-join, no second
+    pass for the numerator — the classic Q8 trap is computing the
+    nation's revenue separately and re-joining."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r), n.n_regionkey == r.r_regionkey
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    flat = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)  # region-pruned customers
+        # no broadcast hint: supplier scales with SF (AQE broadcasts
+        # while it fits, falls back to shuffle at cluster scale)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("vol_c"),
+            "supp_nation",
+        )
+    )
+    return flat.groupBy("o_year").agg(
+        F.expr(
+            "CAST((2 * CAST(sum(CASE WHEN supp_nation = 'NATION_3'"
+            " THEN vol_c ELSE 0 END) AS DECIMAL(38,0)) * 1000000"
+            " + sum(vol_c)) div (2 * CAST(sum(vol_c) AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("mkt_share_ppm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item top customers (join + top-N)
+# ---------------------------------------------------------------------------
+
+_RETURNED_SQL = """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue_c DESC, c_custkey ASC
+    LIMIT 20
+"""
+
+
+@register("returned_item_top_customers", _RETURNED_SQL)
+def q_returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): the 20 customers who
+    returned the most revenue in one quarter, with their nation — the
+    join-heavy top-N every support dashboard runs.
+
+    Spark-first: returnflag and the quarter push to the two fact
+    scans; facts join on orderkey then aggregate per customer BEFORE
+    the customer/nation dims attach (aggregate-then-join keeps the dim
+    join at |customers-with-returns| rows, not |lineitems|); the top-20
+    lands as TakeOrderedAndProject (per-partition heaps + single merge
+    — never a global sort). Deterministic tie-break on c_custkey."""
+    l = load(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    ).select("o_orderkey", "o_custkey")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    per_cust = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("revenue_c"))
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        # customer scales with SF — no forced broadcast (AQE decides)
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue_c")
+        .orderBy(F.desc("revenue_c"), F.asc("c_custkey"))
+        .limit(20)
     )

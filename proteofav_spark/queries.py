@@ -144,6 +144,9 @@ _PRIORITY: list[str] = [
     "suppliers_dominant_share",
     "supplier_top_revenue",
     "shipclass_priority_counts",
+    "forecast_revenue_change",
+    "nation_market_share",
+    "returned_item_top_customers",
     # Remaining slots: r3-attested queries, two rounds stale, riskiest
     # families first (multi-shuffle joins/graphs/dedup/events before
     # single-exchange scans). The r4-attested queries all fall below the

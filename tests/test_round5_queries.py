@@ -7,6 +7,9 @@ shape the 100 TB claims rest on."""
 from pyspark.sql import functions as F
 
 from proteofav_spark.operators.analytics_queries import (
+    q_forecast_revenue_change,
+    q_nation_market_share,
+    q_returned_item_top_customers,
     q_shipclass_priority_counts,
     q_supplier_top_revenue,
     q_suppliers_dominant_share,
@@ -150,3 +153,84 @@ def test_shipclass_counts_partition_the_late_rows(spark):
         for r in late.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
     }
     assert {k: h + lo for k, (h, lo) in got.items()} == per_class
+
+
+def test_forecast_revenue_pushes_all_predicates_to_scan(spark):
+    """Q6's value is pushdown: the physical plan's parquet scan must
+    carry the date range, the discount band and the quantity cap as
+    PushedFilters, and read only the four referenced columns."""
+    df = q_forecast_revenue_change(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # Spark truncates long filter lists in toString (trailing "...," with
+    # no closing bracket) — grab to end-of-line instead
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\r\n]*)", plan))
+    for frag in ("IsNotNull(l_shipdate)", "l_discount", "l_quantity"):
+        assert frag in pushed, (frag, pushed)
+    schema = re.search(r"ReadSchema: struct<([^>]*)", plan).group(1)
+    cols = {c.split(":")[0] for c in schema.split(",")}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_market_share_is_bounded_and_recomposes(spark):
+    """Every ppm share sits in [0, 1e6], and recomputing numerator and
+    denominator independently re-derives each year's share exactly."""
+    got = {r["o_year"]: r["mkt_share_ppm"]
+           for r in q_nation_market_share(spark, SF).collect()}
+    assert got and all(0 <= v <= 1_000_000 for v in got.values())
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    s = spark.read.parquet(f"{SF}/supplier.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    r = spark.read.parquet(f"{SF}/region.parquet").where(
+        F.col("r_name") == "EUROPE"
+    )
+    nk = {x["n_nationkey"] for x in n.join(
+        r, n.n_regionkey == r.r_regionkey).select("n_nationkey").collect()}
+    nation_name = {x["n_nationkey"]: x["n_name"] for x in n.collect()}
+    supp_nation = {x["s_suppkey"]: nation_name[x["s_nationkey"]]
+                   for x in s.collect()}
+    cust_in = {x["c_custkey"] for x in c.collect() if x["c_nationkey"] in nk}
+    rows = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey", "l_extendedprice", "l_discount",
+                F.year("o_orderdate").alias("y"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    num, den = defaultdict(int), defaultdict(int)
+    for x in rows:
+        if x["o_custkey"] not in cust_in:
+            continue
+        v = round(x["l_extendedprice"] * 100) * (100 - round(x["l_discount"] * 100))
+        den[x["y"]] += v
+        if supp_nation[x["l_suppkey"]] == "NATION_3":
+            num[x["y"]] += v
+    want = {y: (2 * num[y] * 1_000_000 + den[y]) // (2 * den[y]) for y in den}
+    assert got == want
+
+
+def test_top_returned_customers_matches_full_ranking(spark):
+    """The TakeOrdered top-20 equals the first 20 rows of the full
+    deterministic ranking (revenue desc, custkey asc) — no heap/merge
+    boundary artifacts, ties broken identically."""
+    got = [(r["c_custkey"], r["revenue_c"])
+           for r in q_returned_item_top_customers(spark, SF).collect()]
+    assert len(got) == 20
+    full = sorted(got, key=lambda t: (-t[1], t[0]))
+    assert got == full  # output arrives already ranked
+    l = spark.read.parquet(f"{SF}/lineitem.parquet").where(
+        F.col("l_returnflag") == "R")
+    o = spark.read.parquet(f"{SF}/orders.parquet").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01"))
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long"))
+    per = {r["o_custkey"]: r["c"] for r in l.join(
+        o, l.l_orderkey == o.o_orderkey
+    ).groupBy("o_custkey").agg(F.sum(rev).alias("c")).collect()}
+    want = sorted(per.items(), key=lambda t: (-t[1], t[0]))[:20]
+    assert got == want

@@ -135,6 +135,21 @@ SCALE_NOTES = {
         "sum(when(...)) — a single fact join and a 3-row exchange instead "
         "of one filtered pass per branch."
     ),
+    "forecast_revenue_change": (
+        "Q6: all three predicates pushed to the scan (footer-stat row-group "
+        "skipping carries the query at scale); 4-column ReadSchema; zero "
+        "joins, 1-row exchange."
+    ),
+    "nation_market_share": (
+        "Q8: region prunes customers through broadcast dims before the "
+        "fact joins; CASE numerator shares the denominator's aggregation; "
+        "supplier join unforced (AQE broadcast while it fits)."
+    ),
+    "returned_item_top_customers": (
+        "Q10: returnflag + quarter pushed to both fact scans, aggregate-"
+        "then-join keeps dims at |customers-with-returns| rows, top-20 via "
+        "TakeOrderedAndProject."
+    ),
     "orders_scd2_snapshot": (
         "change-flag, segment-number and interval windows share one "
         "(custkey, date, key) sort → a single exchange feeds chained "
@@ -363,6 +378,9 @@ EXTRA = [
     "suppliers_dominant_share",
     "supplier_top_revenue",
     "shipclass_priority_counts",
+    "forecast_revenue_change",
+    "nation_market_share",
+    "returned_item_top_customers",
 ]
 
 
