@@ -2064,3 +2064,84 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style within-cluster semantic dedup
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.35  # tuned to the synthetic corpus's similarity range
+
+_SEMDEDUP_SQL = f"""
+    WITH dropped AS (
+      SELECT DISTINCT e1.label, e1.vec_id
+      FROM embeddings e1 JOIN embeddings e2
+        ON e1.label = e2.label AND e2.vec_id < e1.vec_id
+      WHERE round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                         CAST(e2.embedding AS DOUBLE[])), 6)
+            >= {SEMDEDUP_TAU})
+    SELECT e.label, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+    FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+    GROUP BY 1
+"""
+
+
+@register("dedup_semantic_clusters", _SEMDEDUP_SQL)
+def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023, public): the
+    corpus is pre-clustered (the ``label`` column — in production, the
+    k-means assignment `embedding_kmeans`/`label_centroids` produces),
+    and near-duplicates are pruned WITHIN each cluster only: a vector
+    is dropped when a LOWER-id cluster-mate sits above the cosine
+    threshold, keeping exactly one representative per near-dup chain
+    head. Emits the per-cluster keep/drop census.
+
+    100 TB design — this is the published algorithm's actual cost
+    model: clustering bounds the quadratic term to Σ(cluster size)²
+    instead of N², and K is chosen to keep clusters tractable. The
+    self-join keys on the cluster id (one shuffle per side, skew
+    handled by AQE); the Arrow pair-cosine kernel scores candidates;
+    both census aggregates collapse to K rows before the final join.
+    Unlike the LSH near-dup paths (recall limited by banding), within-
+    cluster pruning is EXACT for intra-cluster pairs and blind across
+    clusters by construction."""
+    e = load(spark, sf_dir, "embeddings")
+    ev = e.select(
+        "label", "vec_id", "embedding",
+        _norm_col(F.col("embedding")).alias("enorm"),
+    )
+    a = ev.select(
+        "label", F.col("vec_id").alias("vid_a"),
+        F.col("embedding").alias("va"), F.col("enorm").alias("na"),
+    )
+    b = ev.select(
+        "label", F.col("vec_id").alias("vid_b"),
+        F.col("embedding").alias("vb"), F.col("enorm").alias("nb"),
+    )
+    dropped = (
+        a.join(b, "label")
+        .where(F.col("vid_b") < F.col("vid_a"))
+        .select(
+            "label", "vid_a",
+            pair_cosine_udf(6)("va", "vb", "na", "nb").alias("c"),
+        )
+        .where(F.col("c") >= SEMDEDUP_TAU)
+        .select("label", F.col("vid_a").alias("vec_id"))
+        .distinct()
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    totals = ev.groupBy("label").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        totals.join(dropped, "label", "left")
+        .select(
+            "label",
+            "n_total",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_total") - F.coalesce("n_dropped", F.lit(0))).alias(
+                "n_kept"
+            ),
+        )
+    )

@@ -147,6 +147,7 @@ _PRIORITY: list[str] = [
     "forecast_revenue_change",
     "nation_market_share",
     "returned_item_top_customers",
+    "dedup_semantic_clusters",
     # Remaining slots: r3-attested queries, two rounds stale, riskiest
     # families first (multi-shuffle joins/graphs/dedup/events before
     # single-exchange scans). The r4-attested queries all fall below the

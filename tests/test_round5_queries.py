@@ -234,3 +234,41 @@ def test_top_returned_customers_matches_full_ranking(spark):
     ).groupBy("o_custkey").agg(F.sum(rev).alias("c")).collect()}
     want = sorted(per.items(), key=lambda t: (-t[1], t[0]))[:20]
     assert got == want
+
+
+def test_semantic_dedup_census_matches_numpy(spark):
+    """SemDeDup semantics re-derived with numpy: per cluster, a vector
+    drops iff some lower-id cluster-mate has rounded cosine >= tau;
+    census totals partition each cluster (kept + dropped = total), and
+    the positive path is non-vacuous at this SF."""
+    import numpy as np
+
+    from proteofav_spark.operators.llm_queries import (
+        SEMDEDUP_TAU,
+        q_dedup_semantic_clusters,
+    )
+
+    got = {r["label"]: (r["n_total"], r["n_dropped"], r["n_kept"])
+           for r in q_dedup_semantic_clusters(spark, SF).collect()}
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    from collections import defaultdict
+
+    by_label = defaultdict(list)
+    for r in e:
+        by_label[r["label"]].append(
+            (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        )
+    want = {}
+    for lbl, vecs in by_label.items():
+        vecs.sort()
+        dropped = 0
+        for i, (vid, v) in enumerate(vecs):
+            for vid2, v2 in vecs[:i]:
+                c = round(float(v @ v2) / (np.linalg.norm(v) * np.linalg.norm(v2)), 6)
+                if c >= SEMDEDUP_TAU:
+                    dropped += 1
+                    break
+        want[lbl] = (len(vecs), dropped, len(vecs) - dropped)
+    assert got == want
+    assert sum(d for _, d, _ in got.values()) > 0  # non-vacuous
+    assert all(t == d + k for t, d, k in got.values())

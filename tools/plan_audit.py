@@ -150,6 +150,11 @@ SCALE_NOTES = {
         "then-join keeps dims at |customers-with-returns| rows, top-20 via "
         "TakeOrderedAndProject."
     ),
+    "dedup_semantic_clusters": (
+        "self-join keys on the cluster id (bounded quadratic by cluster "
+        "size — the SemDeDup cost model); Arrow pair-cosine kernel; both "
+        "census aggregates collapse to K rows before the final join."
+    ),
     "orders_scd2_snapshot": (
         "change-flag, segment-number and interval windows share one "
         "(custkey, date, key) sort → a single exchange feeds chained "
@@ -381,6 +386,7 @@ EXTRA = [
     "forecast_revenue_change",
     "nation_market_share",
     "returned_item_top_customers",
+    "dedup_semantic_clusters",
 ]
 
 
