@@ -249,15 +249,9 @@ def main() -> None:
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").schema
     # warm the Python worker pool (one-time per-session daemon spawn +
     # numpy/pandas import, otherwise billed to the first Arrow-UDF query)
-    from pyspark.sql.functions import col, pandas_udf
+    from proteofav_spark.session import warm_python_workers
 
-    @pandas_udf("long")
-    def _warm(v: pd.Series) -> pd.Series:
-        import numpy as np
-        return pd.Series(np.asarray(v) * 1)
-
-    n_cpu = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark.range(n_cpu * 4, numPartitions=n_cpu).select(_warm(col("id"))).count()
+    warm_python_workers(spark, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
 
     # two runs per query, report the min: run 1 pays Catalyst analysis +
     # whole-stage codegen compile (~0.5-2s, a fixed cost that vanishes
@@ -370,9 +364,12 @@ def main() -> None:
                 continue
             if name in still_flagged:
                 regressions.append(f"{name}: {base}s -> {sec}s ({sec / base:.2f}x)")
-            delta = (sec - base) / base * 100
+            # base can legitimately be 0.0 (sub-0.5 ms timing rounded to
+            # 3 dp in a past record) — never let the delta print crash
+            # the run after all measurements completed
+            delta = f"{(sec - base) / base * 100:+.0f}%" if base > 0 else "n/a"
             print(
-                f"# delta {name}: {base}s -> {sec}s ({delta:+.0f}%, "
+                f"# delta {name}: {base}s -> {sec}s ({delta}, "
                 f"spread {spreads.get(name, 0.0):.0%})",
                 file=sys.stderr,
             )
@@ -397,18 +394,20 @@ def main() -> None:
     # that grow with data. Included by default so every recorded bench
     # carries it; SPARK_GRAFT_SKIP_SCALING=1 skips for quick local runs.
     small_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
-    if (
-        not os.environ.get("SPARK_GRAFT_SKIP_SCALING")
-        and sf_val == 0.1
-        and os.path.isdir(small_dir)
-    ):
-        try:
-            payload["scaling"] = run_scaling(spark, qs, timings)
-        except Exception as exc:  # noqa: BLE001 — never discard the run
-            # the headline measurements above are minutes of work; a
-            # scaling-pass failure must degrade the section, not the run
-            print(f"# scaling pass failed: {exc}", file=sys.stderr)
-            payload["scaling"] = {"error": str(exc)[:200]}
+    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING") and sf_val == 0.1:
+        if not os.path.isdir(small_dir):
+            # record WHY the section is absent — a silently-missing
+            # section is indistinguishable from an intentional skip
+            print(f"# scaling skipped: {small_dir} missing", file=sys.stderr)
+            payload["scaling"] = {"skipped": f"{small_dir} missing"}
+        else:
+            try:
+                payload["scaling"] = run_scaling(spark, qs, timings)
+            except Exception as exc:  # noqa: BLE001 — never discard the run
+                # the headline measurements above are minutes of work; a
+                # scaling-pass failure must degrade the section, not the run
+                print(f"# scaling pass failed: {exc}", file=sys.stderr)
+                payload["scaling"] = {"error": str(exc)[:200]}
 
     print(json.dumps(payload))
 

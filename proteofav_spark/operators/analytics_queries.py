@@ -1754,7 +1754,7 @@ def q_supplier_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < "1997-01-01")
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(qc).alias("rev_c"))
+        .agg(F.sum(qc.cast("decimal(38,0)")).alias("rev_c"))
     )
     mx = rev.agg(F.max("rev_c").alias("mx"))
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -1862,7 +1862,11 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(rev).alias("revenue_c"))
+        # accumulate in DECIMAL(38,0): one year of cents*bp revenue
+        # passes int64 around ~1e10 rows; the final BIGINT cast is
+        # ANSI-loud if the total truly exceeds it (DuckDB's HUGEINT sum
+        # + BIGINT cast fails the same way — symmetric engines)
+        .agg(F.sum(rev.cast("decimal(38,0)")).cast("long").alias("revenue_c"))
     )
 
 
@@ -1953,9 +1957,14 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return flat.groupBy("o_year").agg(
         F.expr(
-            "CAST((2 * CAST(sum(CASE WHEN supp_nation = 'NATION_3'"
-            " THEN vol_c ELSE 0 END) AS DECIMAL(38,0)) * 1000000"
-            " + sum(vol_c)) div (2 * CAST(sum(vol_c) AS DECIMAL(38,0)))"
+            # the sums THEMSELVES run in DECIMAL(38,0), not just a
+            # post-sum cast: a LONG sum overflows around 1e10 high-value
+            # line items per (region, year) while the DuckDB oracle's
+            # HUGEINT sum survives — widening inside keeps both exact
+            "CAST((2 * sum(CAST(CASE WHEN supp_nation = 'NATION_3'"
+            " THEN vol_c ELSE 0 END AS DECIMAL(38,0))) * 1000000"
+            " + sum(CAST(vol_c AS DECIMAL(38,0))))"
+            " div (2 * sum(CAST(vol_c AS DECIMAL(38,0))))"
             " AS BIGINT)"
         ).alias("mkt_share_ppm")
     )
@@ -2008,7 +2017,7 @@ def q_returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     per_cust = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("o_custkey")
-        .agg(F.sum(rev).alias("revenue_c"))
+        .agg(F.sum(rev.cast("decimal(38,0)")).cast("long").alias("revenue_c"))
     )
     c = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"

@@ -289,6 +289,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray | None:
         while pos + 4 <= len(data):
             if data[pos] != 0xFF:
                 return None
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may pad the
+            # space before a marker id — skip them, don't misread 0xFF
+            # as the marker
+            while data[pos + 1] == 0xFF and pos + 4 <= len(data):
+                pos += 1
             marker = data[pos + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2

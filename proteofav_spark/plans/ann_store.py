@@ -110,11 +110,42 @@ def build_ivf_store(embeddings: DataFrame, path: str) -> None:
     _assign_to_centroids(ev, c).write.mode("overwrite").partitionBy(
         "list_label"
     ).parquet(f"{path}/lists")
+    # persist the embedding element type so appends don't have to list
+    # the whole lists tree (thousands of partitions at scale) to learn it
+    ddl = ev.schema["embedding"].dataType.simpleString()
+    embeddings.sparkSession.createDataFrame(
+        [(ddl,)], "embedding_type string"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    _EMBED_TYPE_CACHE[path] = ddl
     # drop the session's cached file listing for the store paths: Spark
     # shares a FileStatusCache per session, so a reader created after a
     # rewrite would otherwise chase deleted part-files
     embeddings.sparkSession.catalog.refreshByPath(f"{path}/lists")
     embeddings.sparkSession.catalog.refreshByPath(f"{path}/centroids")
+
+
+_EMBED_TYPE_CACHE: dict[str, str] = {}
+
+
+def _store_embed_type(spark: SparkSession, path: str) -> str:
+    """The store's embedding element type as a DDL string — from the
+    session cache, else the one-row ``meta`` table, else (stores built
+    before meta existed) ONE full lists-schema inference, cached so
+    repeated appends never re-list the data tree."""
+    ddl = _EMBED_TYPE_CACHE.get(path)
+    if ddl is None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            ddl = spark.read.parquet(f"{path}/meta").collect()[0][
+                "embedding_type"
+            ]
+        except AnalysisException:
+            ddl = spark.read.parquet(f"{path}/lists").schema[
+                "embedding"
+            ].dataType.simpleString()
+        _EMBED_TYPE_CACHE[path] = ddl
+    return ddl
 
 
 def append_ivf_store(spark: SparkSession, path: str, batch: DataFrame) -> None:
@@ -132,9 +163,7 @@ def append_ivf_store(spark: SparkSession, path: str, batch: DataFrame) -> None:
     # directories with mixed float/double files fail at read time, so an
     # append of (say) array<double> into a float store would poison every
     # later scan of the touched partitions
-    stored_type = spark.read.parquet(f"{path}/lists").schema[
-        "embedding"
-    ].dataType
+    stored_type = _store_embed_type(spark, path)
     ev = batch.select(
         "vec_id",
         F.col("embedding").cast(stored_type).alias("embedding"),

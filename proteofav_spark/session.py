@@ -55,3 +55,25 @@ def get_spark(app_name: str = "proteofav_spark", cpus: str | None = None) -> Spa
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark, n_cpu: int | None = None) -> None:
+    """Spin up the Python/Arrow worker pool once (daemon spawn + numpy
+    import) so the first Arrow-UDF query in a measurement isn't billed
+    those one-time costs. Shared by bench.py and tools/ab_bench.py —
+    two copies of this warmup already drifted once."""
+    # module-global import: with `from __future__ import annotations`
+    # the udf's hints are STRINGS resolved against module globals, so a
+    # function-local pandas alias breaks pandas_udf type inference
+    global _pd
+    import pandas as _pd
+    from pyspark.sql.functions import col as _col, pandas_udf as _pudf
+
+    @_pudf("long")
+    def _warm(v: _pd.Series) -> _pd.Series:
+        import numpy as _np
+
+        return _pd.Series(_np.asarray(v) * 1)
+
+    n = n_cpu or spark.sparkContext.defaultParallelism
+    spark.range(n * 4, numPartitions=n).select(_warm(_col("id"))).count()

@@ -139,7 +139,6 @@ def encode_jpeg(img: np.ndarray, q_val: int = 2, subsample: bool = False,
             - 0.081312 * rgb[..., 2]
         if subsample:
             def box(p):
-                ph = p[: h - h % 2, : w - w % 2] if (h % 2 or w % 2) else p
                 ph = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
                 return (ph[0::2, 0::2] + ph[1::2, 0::2]
                         + ph[0::2, 1::2] + ph[1::2, 1::2]) / 4.0
@@ -340,3 +339,16 @@ def test_decode_speed_linear_on_larger_image():
     err = np.abs(px.reshape(256, 384).astype(int) - img.astype(int))
     assert err.max() <= 6
     assert dt < 30, f"decode took {dt:.1f}s — bit reader is superlinear"
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    id. Inserting fills before DQT and SOS must not change the decode."""
+    img = _gradient(16, 16)
+    blob = encode_jpeg(img, q_val=2)
+    want = decode_jpeg(blob)
+    padded = blob.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1).replace(
+        b"\xff\xda", b"\xff\xff\xff\xff\xda", 1
+    )
+    got = decode_jpeg(padded)
+    assert got is not None and (got == want).all()

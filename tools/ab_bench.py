@@ -40,19 +40,26 @@ def main() -> None:
         "events", "documents", "embeddings",
     ):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
-    # warm the Python/Arrow worker pool too (bench.py does the same):
-    # without it, an Arrow-UDF query's first measured run pays the
-    # per-session daemon spawn + numpy import — the exact distortion
-    # this interleaved protocol exists to avoid
-    from pyspark.sql.functions import pandas_udf
+    # warm the Python/Arrow worker pool too — shared helper so the two
+    # measurement protocols can't drift; old checkouts (pre-helper)
+    # fall back to an inline equivalent
+    from proteofav_spark import session as _sess
 
-    @pandas_udf("long")
-    def _warm(v: pd.Series) -> pd.Series:
-        import numpy as np
-        return pd.Series(np.asarray(v) * 1)
+    warm = getattr(_sess, "warm_python_workers", None)
+    if warm is not None:
+        warm(spark)
+    else:
+        from pyspark.sql.functions import pandas_udf
 
-    n_cpu = spark.sparkContext.defaultParallelism
-    spark.range(n_cpu * 4, numPartitions=n_cpu).select(_warm(col("id"))).count()
+        @pandas_udf("long")
+        def _warm(v: pd.Series) -> pd.Series:
+            import numpy as np
+            return pd.Series(np.asarray(v) * 1)
+
+        n_cpu = spark.sparkContext.defaultParallelism
+        spark.range(n_cpu * 4, numPartitions=n_cpu).select(
+            _warm(col("id"))
+        ).count()
 
     out: dict[str, list[float]] = {}
     for name in names:
