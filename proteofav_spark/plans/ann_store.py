@@ -541,3 +541,54 @@ def incremental_near_dups(
         F.col("vec_id").alias("corpus_id"),
         "cosine",
     )
+
+
+def ingest_with_dedup(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    nprobe: int = NPROBE_DEFAULT,
+    tau: float = 0.95,
+) -> dict:
+    """The composed append-only ingest step a training-data pipeline
+    runs per increment: near-dup-check the batch against the persisted
+    store (:func:`incremental_near_dups`), append ONLY the novel
+    vectors (:func:`append_ivf_store`), and report the census. In-batch
+    duplicates collapse first (keep the smallest vec_id per exact
+    duplicate group) so a batch can't ingest its own copies.
+
+    Returns {"n_batch": ..., "n_dups_vs_store": ..., "n_ingested": ...}.
+
+    Cost per increment: the probe scans nprobe/K of the corpus for the
+    dup check and the append is one batch-sized assignment pass — both
+    independent of corpus size. Recall caveat inherited from the IVF
+    probe (a dup outside the probed cells is missed and ingested; raise
+    ``nprobe`` or pair with the sign-LSH channel where recall
+    dominates). Run :func:`ivf_skew_report` /
+    :func:`rebalance_ivf_store` on a maintenance cadence as appends
+    concentrate."""
+    b = batch.select("vec_id", "embedding").localCheckpoint()
+    n_batch = b.count()
+    # collapse exact in-batch duplicates deterministically
+    wd = W.partitionBy(F.col("embedding").cast("array<double>")).orderBy(
+        "vec_id"
+    )
+    uniq = (
+        b.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    dups = incremental_near_dups(
+        spark, path, uniq, nprobe=nprobe, tau=tau
+    ).select("new_id").distinct()
+    novel = uniq.join(
+        dups, uniq.vec_id == dups.new_id, "left_anti"
+    ).localCheckpoint()
+    n_novel = novel.count()
+    if n_novel:
+        append_ivf_store(spark, path, novel)
+    return {
+        "n_batch": n_batch,
+        "n_dups_vs_store": n_batch - n_novel,
+        "n_ingested": n_novel,
+    }

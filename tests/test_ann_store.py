@@ -259,3 +259,41 @@ def test_rebalance_leaves_unsplittable_duplicate_list_intact(spark, tmp_path):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     assert probe_ivf_store(spark, path, q, nprobe=2, topk=3).count() > 0
+
+
+def test_ingest_with_dedup_appends_only_novel(spark, tmp_path):
+    """Composed ingest: a batch mixing an exact store duplicate, an
+    in-batch duplicate pair, and a genuinely novel vector ingests
+    exactly the novel content; re-ingesting the same batch ingests
+    nothing (idempotent increment)."""
+    from proteofav_spark.plans.ann_store import (
+        build_ivf_store,
+        ingest_with_dedup,
+        ivf_list_stats,
+    )
+
+    path = str(tmp_path / "ivf_ingest")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_ivf_store(e, path)
+    n0 = sum(r["n_rows"] for r in ivf_list_stats(spark, path).collect())
+
+    known = e.where(F.col("vec_id") == 7).collect()[0]["embedding"]
+    novel = [100.0 + i for i in range(len(known))]
+    batch = spark.createDataFrame(
+        [
+            (900001, known),          # exact dup of the store
+            (900002, novel),          # novel
+            (900003, novel),          # in-batch duplicate of 900002
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    res = ingest_with_dedup(spark, path, batch, nprobe=3, tau=0.999999)
+    assert res == {"n_batch": 3, "n_dups_vs_store": 2, "n_ingested": 1}
+    n1 = sum(r["n_rows"] for r in ivf_list_stats(spark, path).collect())
+    assert n1 == n0 + 1
+
+    # idempotent re-ingest: the just-appended vector is now a store dup
+    res2 = ingest_with_dedup(spark, path, batch, nprobe=3, tau=0.999999)
+    assert res2["n_ingested"] == 0
+    n2 = sum(r["n_rows"] for r in ivf_list_stats(spark, path).collect())
+    assert n2 == n1
