@@ -5,9 +5,10 @@ columns with typed metadata structs, processed via Arrow-batched
 The DEFAULT decode kernels handle the real formats parseable with zero
 dependencies — RIFF/WAVE PCM audio (``wave``), binary PGM/PPM images
 (netpbm), 8-bit non-interlaced PNG (``zlib`` + ``struct``, all five
-scanline filters), and baseline sequential JPEG (``struct`` + numpy:
-huffman entropy decode, dequant, IDCT, 4:4:4/4:2:2/4:2:0 chroma
-upsampling, restart intervals) — and fall back to clearly-marked
+scanline filters), GIF87a/89a first frames (pure LZW with variable-
+width codes and the KwK case), and baseline sequential JPEG (``struct``
++ numpy: huffman entropy decode, dequant, IDCT, 4:4:4/4:2:2/4:2:0
+chroma upsampling, restart intervals) — and fall back to clearly-marked
 deterministic STUBS for formats that need codec libraries the container
 doesn't ship (progressive JPEG, WebP, MP3/AAC/...); everything
 Spark-side — schemas, batch
@@ -429,10 +430,114 @@ def _jpeg_scan(data, pos, frame, scan, qt, huff, ri) -> np.ndarray | None:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8).reshape(-1)
 
 
+def decode_gif(blob: bytes) -> np.ndarray | None:
+    """REAL codec, zero dependencies: GIF87a/89a first frame via pure
+    LZW decode — global or local color table, LSB-first variable-width
+    codes, CLEAR/EOI handling including the KwK (code == next unassigned
+    entry) case, extension blocks skipped. Returns the flat interleaved
+    RGB uint8 array, or None for interlaced frames or malformed streams
+    (degrades to the stub like the other decoders).
+
+    The LZW loop is sequential Python by nature (each code extends the
+    dictionary the next code may reference); the color-table map at the
+    end vectorizes in numpy."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    import struct
+
+    try:
+        sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", blob[6:13])
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = np.frombuffer(blob[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        while pos < len(blob):
+            b0 = blob[pos]
+            if b0 == 0x3B:  # trailer
+                return None
+            if b0 == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while blob[pos] != 0:
+                    pos += 1 + blob[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:  # image descriptor expected
+                return None
+            _l, _t, w, h, iflags = struct.unpack("<HHHHB", blob[pos + 1 : pos + 10])
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(blob[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if iflags & 0x40 or ct is None or w <= 0 or h <= 0:
+                return None  # interlaced / no color table
+            min_code = blob[pos]
+            pos += 1
+            data = bytearray()
+            while blob[pos] != 0:
+                ln = blob[pos]
+                data += blob[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            # LZW decode (T.81-adjacent; GIF89a spec appendix F)
+            clear, eoi = 1 << min_code, (1 << min_code) + 1
+            base = [(i,) for i in range(clear)] + [None, None]
+            table = list(base)
+            width_bits = min_code + 1
+            acc = nacc = 0
+            out: list[int] = []
+            prev: tuple | None = None
+            for byte in data:
+                acc |= byte << nacc
+                nacc += 8
+                while nacc >= width_bits:
+                    code = acc & ((1 << width_bits) - 1)
+                    acc >>= width_bits
+                    nacc -= width_bits
+                    if code == clear:
+                        table = list(base)
+                        width_bits = min_code + 1
+                        prev = None
+                        continue
+                    if code == eoi:
+                        nacc = 0
+                        break
+                    if code < len(table) and table[code] is not None:
+                        entry = table[code]
+                    elif code == len(table) and prev is not None:
+                        entry = prev + (prev[0],)  # KwK
+                    else:
+                        return None
+                    out.extend(entry)
+                    if prev is not None and len(table) < 4096:
+                        table.append(prev + (entry[0],))
+                        # grow ONE ENTRY EARLY: the encoder's table runs
+                        # one entry ahead of the decoder's at read time
+                        # (it adds while emitting the code the decoder
+                        # is about to process), so when the encoder's
+                        # next_code hits 2^w and IT widens, the decoder
+                        # table is at 2^w - 1
+                        if len(table) + 1 == (1 << width_bits) and width_bits < 12:
+                            width_bits += 1
+                    prev = entry
+            if len(out) != w * h:
+                return None
+            idx = np.asarray(out, np.int32)
+            if int(idx.max(initial=0)) >= len(ct):
+                return None
+            return ct[idx].reshape(-1)
+        return None
+    except (IndexError, ValueError, struct.error):
+        return None
+
+
 def _decode_image_stub(blob: bytes, width: int, height: int) -> np.ndarray:
     """Default decode: REAL container parsing when the payload is a
     binary PGM/PPM (:func:`decode_pnm`), an 8-bit non-interlaced PNG
-    (:func:`decode_png` — stdlib zlib only) or a baseline sequential
+    (:func:`decode_png` — stdlib zlib only), a GIF first frame
+    (:func:`decode_gif` — pure LZW) or a baseline sequential
     JPEG (:func:`decode_jpeg` — stdlib struct + numpy), else a
     deterministic fake pixel array derived from the bytes (STUB for the
     remaining codec-library formats, e.g. progressive JPEG or WebP —
@@ -441,6 +546,8 @@ def _decode_image_stub(blob: bytes, width: int, height: int) -> np.ndarray:
     real = decode_pnm(bytes(blob)) if len(blob) >= 2 else None
     if real is None and len(blob) >= 8:
         real = decode_png(bytes(blob))
+    if real is None and len(blob) >= 6:
+        real = decode_gif(bytes(blob))
     if real is None and len(blob) >= 4:
         real = decode_jpeg(bytes(blob))
     if real is not None:
