@@ -430,13 +430,15 @@ def _jpeg_scan(data, pos, frame, scan, qt, huff, ri) -> np.ndarray | None:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8).reshape(-1)
 
 
-def decode_gif(blob: bytes) -> np.ndarray | None:
-    """REAL codec, zero dependencies: GIF87a/89a first frame via pure
-    LZW decode — global or local color table, LSB-first variable-width
+def gif_frames(blob: bytes, limit: int | None = None) -> list | None:
+    """REAL codec, zero dependencies: GIF87a/89a frames via pure LZW
+    decode — global or local color tables, LSB-first variable-width
     codes, CLEAR/EOI handling including the KwK (code == next unassigned
-    entry) case, extension blocks skipped. Returns the flat interleaved
-    RGB uint8 array, or None for interlaced frames or malformed streams
-    (degrades to the stub like the other decoders).
+    entry) case, extension blocks skipped. Returns the per-descriptor
+    flat interleaved RGB uint8 rasters (raw frame content, no disposal
+    compositing — the frame-SAMPLING contract, not playback), up to
+    ``limit``; None for interlaced frames or malformed streams (degrades
+    to the stub like the other decoders).
 
     The LZW loop is sequential Python by nature (each code extends the
     dictionary the next code may reference); the color-table map at the
@@ -445,6 +447,7 @@ def decode_gif(blob: bytes) -> np.ndarray | None:
         return None
     import struct
 
+    frames: list = []
     try:
         sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", blob[6:13])
         pos = 13
@@ -456,7 +459,7 @@ def decode_gif(blob: bytes) -> np.ndarray | None:
         while pos < len(blob):
             b0 = blob[pos]
             if b0 == 0x3B:  # trailer
-                return None
+                return frames or None
             if b0 == 0x21:  # extension: label + sub-blocks
                 pos += 2
                 while blob[pos] != 0:
@@ -522,15 +525,25 @@ def decode_gif(blob: bytes) -> np.ndarray | None:
                         if len(table) + 1 == (1 << width_bits) and width_bits < 12:
                             width_bits += 1
                     prev = entry
+            pos += 1  # consume the sub-block terminator
             if len(out) != w * h:
                 return None
             idx = np.asarray(out, np.int32)
             if int(idx.max(initial=0)) >= len(ct):
                 return None
-            return ct[idx].reshape(-1)
-        return None
+            frames.append(ct[idx].reshape(-1))
+            if limit is not None and len(frames) >= limit:
+                return frames
+        return frames or None
     except (IndexError, ValueError, struct.error):
         return None
+
+
+def decode_gif(blob: bytes) -> np.ndarray | None:
+    """First GIF frame as a flat RGB uint8 array (see
+    :func:`gif_frames`), or None."""
+    frames = gif_frames(blob, limit=1)
+    return frames[0] if frames else None
 
 
 def _decode_image_stub(blob: bytes, width: int, height: int) -> np.ndarray:
@@ -603,14 +616,28 @@ def _split_frames_stub(blob: bytes, every_n_bytes: int) -> list[bytes]:
     ]
 
 
+def _split_frames_default(blob: bytes, every_n_bytes: int) -> list[bytes]:
+    """Default demux: REAL frame extraction for animated GIF (each
+    descriptor's decoded RGB raster via :func:`gif_frames` — the one
+    multi-frame container the stdlib path can fully decode), else the
+    byte-window stub for codec-library formats (MP4/WebM need
+    ffmpeg/pyav via the ``frame_fn`` seam)."""
+    if bytes(blob[:6]) in (b"GIF87a", b"GIF89a"):
+        frames = gif_frames(bytes(blob))
+        if frames:
+            return [f.tobytes() for f in frames]
+    return _split_frames_stub(blob, every_n_bytes)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64, frame_fn=None) -> DataFrame:
     """Frame-sampling shape: one input blob → many frame rows (video
     decode-and-sample contract), via the mapInPandas iterator.
 
-    ``frame_fn(blob: bytes) -> list[bytes]`` is the codec seam — defaults
-    to the byte-window stub; a deployment passes an ffmpeg/pyav-backed
-    demuxer returning sampled frame payloads."""
-    frames_of = frame_fn or (lambda blob: _split_frames_stub(blob, every_n_bytes))
+    ``frame_fn(blob: bytes) -> list[bytes]`` is the codec seam — the
+    default REALLY demuxes animated GIF (decoded per-frame rasters) and
+    falls back to the byte-window stub for other containers; a
+    deployment passes an ffmpeg/pyav-backed demuxer for MP4/WebM."""
+    frames_of = frame_fn or (lambda blob: _split_frames_default(blob, every_n_bytes))
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
