@@ -479,6 +479,11 @@ def gif_frames(blob: bytes, limit: int | None = None) -> list | None:
                 return None  # interlaced / no color table
             min_code = blob[pos]
             pos += 1
+            if not (1 <= min_code <= 11):
+                # spec max is 8 (codes cap at 12 bits); an unvalidated
+                # byte here would size the base table as 2^min_code —
+                # a crafted blob must not hang/OOM the executor
+                return None
             data = bytearray()
             while blob[pos] != 0:
                 ln = blob[pos]
@@ -492,7 +497,10 @@ def gif_frames(blob: bytes, limit: int | None = None) -> list | None:
             acc = nacc = 0
             out: list[int] = []
             prev: tuple | None = None
+            done = False
             for byte in data:
+                if done:
+                    break  # junk/padding after EOI is legal — ignore it
                 acc |= byte << nacc
                 nacc += 8
                 while nacc >= width_bits:
@@ -505,7 +513,7 @@ def gif_frames(blob: bytes, limit: int | None = None) -> list | None:
                         prev = None
                         continue
                     if code == eoi:
-                        nacc = 0
+                        done = True
                         break
                     if code < len(table) and table[code] is not None:
                         entry = table[code]
@@ -514,6 +522,11 @@ def gif_frames(blob: bytes, limit: int | None = None) -> list | None:
                     else:
                         return None
                     out.extend(entry)
+                    if len(out) > w * h:
+                        # a crafted small-frame/huge-data blob must not
+                        # amplify into executor memory — bail at the
+                        # first excess pixel, not after the whole stream
+                        return None
                     if prev is not None and len(table) < 4096:
                         table.append(prev + (entry[0],))
                         # grow ONE ENTRY EARLY: the encoder's table runs

@@ -551,44 +551,89 @@ def ingest_with_dedup(
     tau: float = 0.95,
 ) -> dict:
     """The composed append-only ingest step a training-data pipeline
-    runs per increment: near-dup-check the batch against the persisted
-    store (:func:`incremental_near_dups`), append ONLY the novel
-    vectors (:func:`append_ivf_store`), and report the census. In-batch
-    duplicates collapse first (keep the smallest vec_id per exact
-    duplicate group) so a batch can't ingest its own copies.
+    runs per increment: dedup the batch (against ITSELF and against the
+    persisted store), append only the novel vectors, and report an
+    honest census:
 
-    Returns {"n_batch": ..., "n_dups_vs_store": ..., "n_ingested": ...}.
+    - ``n_batch``: input rows;
+    - ``n_degenerate``: zero-norm vectors DROPPED up front (cosine is
+      undefined for them, so no dup check can hold — ingesting them
+      would re-append one copy per crash replay);
+    - ``n_inbatch_dups``: rows collapsed inside the batch — exact
+      copies, plus near-dups (cosine ≥ tau) between batch rows whose
+      centroid CELL matches (the same recall model as the store probe:
+      cross-cell batch near-dups are missed exactly like cross-cell
+      store near-dups), smaller vec_id kept;
+    - ``n_dups_vs_store``: survivors that matched the store above tau
+      via :func:`probe_ivf_store`'s partition-pruned probe;
+    - ``n_ingested``: what was appended.
 
-    Cost per increment: the probe scans nprobe/K of the corpus for the
-    dup check and the append is one batch-sized assignment pass — both
-    independent of corpus size. Recall caveat inherited from the IVF
-    probe (a dup outside the probed cells is missed and ingested; raise
-    ``nprobe`` or pair with the sign-LSH channel where recall
-    dominates). Run :func:`ivf_skew_report` /
-    :func:`rebalance_ivf_store` on a maintenance cadence as appends
-    concentrate."""
-    b = batch.select("vec_id", "embedding").localCheckpoint()
+    Cost per increment: the in-batch prune pairs only within centroid
+    cells (Σ per-cell²  — bounded by the batch, not the corpus), the
+    store probe scans nprobe/K of the corpus, and the append is one
+    assignment pass — all independent of corpus size. Recall caveat
+    inherited from IVF probing on both channels (raise ``nprobe`` or
+    pair with the sign-LSH channel where recall dominates). Run
+    :func:`ivf_skew_report` / :func:`rebalance_ivf_store` on a
+    maintenance cadence as appends concentrate."""
+    b = batch.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("enorm")
+    ).localCheckpoint()
     n_batch = b.count()
-    # collapse exact in-batch duplicates deterministically
+    ok = b.where(F.col("enorm") > 0)
+    n_degenerate = n_batch - ok.count()
+
+    # exact in-batch collapse (smallest vec_id per identical vector)
     wd = W.partitionBy(F.col("embedding").cast("array<double>")).orderBy(
         "vec_id"
     )
     uniq = (
-        b.withColumn("rn", F.row_number().over(wd))
+        ok.withColumn("rn", F.row_number().over(wd))
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+    # near-dup in-batch collapse, IVF-consistent: pair only rows whose
+    # nearest store centroid matches, keep the smaller vec_id
+    cents = spark.read.parquet(f"{path}/centroids")
+    assigned = _assign_to_centroids(uniq, cents).localCheckpoint()
+    a = assigned.select(
+        "list_label", F.col("vec_id").alias("vid_a"),
+        F.col("embedding").alias("va"), F.col("enorm").alias("na"),
+    )
+    bb = assigned.select(
+        "list_label", F.col("vec_id").alias("vid_b"),
+        F.col("embedding").alias("vb"), F.col("enorm").alias("nb"),
+    )
+    inbatch_near = (
+        a.join(bb, "list_label")
+        .where(F.col("vid_b") < F.col("vid_a"))
+        .where(
+            _cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            >= tau
+        )
+        .select(F.col("vid_a").alias("vec_id"))
+        .distinct()
+    )
+    pruned = assigned.join(inbatch_near, "vec_id", "left_anti").select(
+        "vec_id", "embedding"
+    )
+    n_pruned = pruned.count()
+    n_inbatch_dups = (n_batch - n_degenerate) - n_pruned
+
     dups = incremental_near_dups(
-        spark, path, uniq, nprobe=nprobe, tau=tau
+        spark, path, pruned, nprobe=nprobe, tau=tau
     ).select("new_id").distinct()
-    novel = uniq.join(
-        dups, uniq.vec_id == dups.new_id, "left_anti"
+    n_store_dups = dups.count()
+    novel = pruned.join(
+        dups, pruned.vec_id == dups.new_id, "left_anti"
     ).localCheckpoint()
     n_novel = novel.count()
     if n_novel:
         append_ivf_store(spark, path, novel)
     return {
         "n_batch": n_batch,
-        "n_dups_vs_store": n_batch - n_novel,
+        "n_degenerate": n_degenerate,
+        "n_inbatch_dups": n_inbatch_dups,
+        "n_dups_vs_store": n_store_dups,
         "n_ingested": n_novel,
     }

@@ -263,9 +263,11 @@ def test_rebalance_leaves_unsplittable_duplicate_list_intact(spark, tmp_path):
 
 def test_ingest_with_dedup_appends_only_novel(spark, tmp_path):
     """Composed ingest: a batch mixing an exact store duplicate, an
-    in-batch duplicate pair, and a genuinely novel vector ingests
-    exactly the novel content; re-ingesting the same batch ingests
-    nothing (idempotent increment)."""
+    in-batch exact pair, an in-batch NEAR-dup (same centroid cell,
+    cosine above tau but not byte-identical), a zero-norm degenerate
+    and a genuinely novel vector ingests exactly the novel content with
+    an honest per-category census; re-ingesting the same batch ingests
+    nothing (idempotent increment, degenerates included)."""
     from proteofav_spark.plans.ann_store import (
         build_ivf_store,
         ingest_with_dedup,
@@ -279,21 +281,32 @@ def test_ingest_with_dedup_appends_only_novel(spark, tmp_path):
 
     known = e.where(F.col("vec_id") == 7).collect()[0]["embedding"]
     novel = [100.0 + i for i in range(len(known))]
+    near = [x * 1.0000001 for x in novel]  # cosine ~1, not identical
+    zero = [0.0] * len(known)
     batch = spark.createDataFrame(
         [
             (900001, known),          # exact dup of the store
-            (900002, novel),          # novel
-            (900003, novel),          # in-batch duplicate of 900002
+            (900002, novel),          # novel (kept: smallest id of group)
+            (900003, novel),          # in-batch EXACT duplicate
+            (900004, near),           # in-batch NEAR duplicate
+            (900005, zero),           # degenerate: no cosine identity
         ],
         "vec_id long, embedding array<float>",
     )
-    res = ingest_with_dedup(spark, path, batch, nprobe=3, tau=0.999999)
-    assert res == {"n_batch": 3, "n_dups_vs_store": 2, "n_ingested": 1}
+    res = ingest_with_dedup(spark, path, batch, nprobe=3, tau=0.999)
+    assert res == {
+        "n_batch": 5,
+        "n_degenerate": 1,
+        "n_inbatch_dups": 2,
+        "n_dups_vs_store": 1,
+        "n_ingested": 1,
+    }
     n1 = sum(r["n_rows"] for r in ivf_list_stats(spark, path).collect())
     assert n1 == n0 + 1
 
-    # idempotent re-ingest: the just-appended vector is now a store dup
-    res2 = ingest_with_dedup(spark, path, batch, nprobe=3, tau=0.999999)
-    assert res2["n_ingested"] == 0
+    # idempotent re-ingest: the just-appended vector is now a store dup;
+    # the zero vector must be dropped again, not re-appended
+    res2 = ingest_with_dedup(spark, path, batch, nprobe=3, tau=0.999)
+    assert res2["n_ingested"] == 0 and res2["n_degenerate"] == 1
     n2 = sum(r["n_rows"] for r in ivf_list_stats(spark, path).collect())
     assert n2 == n1

@@ -214,3 +214,45 @@ def test_frame_sample_demuxes_real_gif(spark):
     assert [r["frame_no"] for r in rows] == [0, 1, 2, 3]
     want = [int(f.sum()) % 1_000_003 for f in gif_frames(blob)]
     assert [r["frame_checksum"] for r in rows] == want
+
+
+def test_hostile_blobs_rejected_fast():
+    """Executor-safety: a crafted min-code byte must not size a 2^40
+    table; junk after EOI is ignored (real encoders pad); a small-frame/
+    huge-data blob bails at the first excess pixel."""
+    import time
+
+    pat = ((np.mgrid[0:8, 0:8][1]) % 4).astype(np.int64)
+    palette = np.array([[i, i, i] for i in (0, 85, 170, 255)], np.uint8)
+    blob = encode_gif(pat, palette)
+    idx = blob.index(b"\x2c")
+
+    # (a) hostile min-code byte: position = descriptor start + 10
+    hostile = bytearray(blob)
+    hostile[idx + 10] = 40
+    t0 = time.time()
+    assert decode_gif(bytes(hostile)) is None
+    assert time.time() - t0 < 1.0
+
+    # (b) padding byte inside the data sub-block after EOI still decodes
+    data_len_pos = idx + 11
+    n = blob[data_len_pos]
+    padded = (
+        blob[:data_len_pos]
+        + bytes([n + 1])
+        + blob[data_len_pos + 1 : data_len_pos + 1 + n]
+        + b"\x00"
+        + blob[data_len_pos + 1 + n :]
+    )
+    px = decode_gif(padded)
+    want = palette[pat.reshape(-1)].reshape(-1)
+    assert px is not None and (px == want).all()
+
+    # (c) tiny declared frame + the full LZW stream of a big frame:
+    # must reject quickly, not expand the whole stream first
+    big = ((np.mgrid[0:64, 0:64][1]) % 4).astype(np.int64)
+    bigblob = encode_gif(big, palette)
+    bidx = bigblob.index(b"\x2c")
+    lied = bytearray(bigblob)
+    lied[bidx + 5 : bidx + 9] = (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+    assert decode_gif(bytes(lied)) is None
