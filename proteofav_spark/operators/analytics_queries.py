@@ -2031,3 +2031,86 @@ def q_returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("revenue_c"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated group quantiles (percentile parity across engines)
+# ---------------------------------------------------------------------------
+
+_MEDIAN_SQL = """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median,
+           round(quantile_cont(l_quantity, 0.75), 6) AS q75
+    FROM lineitem GROUP BY 1
+"""
+
+
+@register("agg_exact_median_groups", _MEDIAN_SQL)
+def q_agg_exact_median_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated per-group quantiles (q25/median/q75) — the
+    continuous-percentile semantics (Spark ``percentile`` ↔ DuckDB
+    ``quantile_cont``, both linear interpolation between order
+    statistics) that the approx-sketch twin (`agg_quantiles_value`)
+    deliberately avoids. Cross-engine exact because interpolation on
+    the same sorted multiset is deterministic arithmetic.
+
+    Scale shape: Spark's exact percentile aggregates a per-partition
+    value-count map and merges maps at the exchange — memory tracks the
+    number of DISTINCT values per group (l_quantity has 50), not rows,
+    so this is safe wherever the value domain is bounded; unbounded
+    domains should use the approx twin instead. One shuffle, 3 rows."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy matching (data-cleaning entity resolution)
+# ---------------------------------------------------------------------------
+
+FUZZY_SAMPLE_KEYS = 150
+FUZZY_MAX_DIST = 2
+
+_FUZZY_SQL = f"""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE a.c_custkey < {FUZZY_SAMPLE_KEYS} AND b.c_custkey < {FUZZY_SAMPLE_KEYS}
+      AND levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
+"""
+
+
+@register("fuzzy_name_match_pairs", _FUZZY_SQL)
+def q_fuzzy_name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching: candidate entity pairs whose names
+    are within Levenshtein distance 2 — the data-cleaning / entity-
+    resolution primitive (dirty imports, typo'd joins) the hash-based
+    dedup family can't express. Spark's ``levenshtein`` and DuckDB's
+    agree exactly (unit-cost edits), so the pair set is oracle-checked
+    verbatim.
+
+    The self-join is bounded by an explicit key-range block here (the
+    synthetic names carry no other blocking signal); at 100 TB fuzzy
+    matching ALWAYS needs a blocking key before the pairwise stage —
+    q-gram/phonetic buckets or the MinHash band join (`dedup_minhash_
+    lsh`) as the candidate generator, with levenshtein as the verifier
+    on the bounded candidate stream. The operator here is that
+    verifier stage."""
+    c = load(spark, sf_dir, "customer").where(
+        F.col("c_custkey") < FUZZY_SAMPLE_KEYS
+    ).select("c_custkey", "c_name")
+    a = c.select(F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"))
+    b = c.select(F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"))
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= FUZZY_MAX_DIST)
+    )

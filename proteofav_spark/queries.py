@@ -148,6 +148,8 @@ _PRIORITY: list[str] = [
     "nation_market_share",
     "returned_item_top_customers",
     "dedup_semantic_clusters",
+    "agg_exact_median_groups",
+    "fuzzy_name_match_pairs",
     # Remaining slots: r3-attested queries, two rounds stale, riskiest
     # families first (multi-shuffle joins/graphs/dedup/events before
     # single-exchange scans). The r4-attested queries all fall below the

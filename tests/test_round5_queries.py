@@ -272,3 +272,65 @@ def test_semantic_dedup_census_matches_numpy(spark):
     assert got == want
     assert sum(d for _, d, _ in got.values()) > 0  # non-vacuous
     assert all(t == d + k for t, d, k in got.values())
+
+
+def test_exact_medians_match_numpy_interpolation(spark):
+    """Continuous-quantile semantics re-derived with numpy's 'linear'
+    interpolation (the same definition both engines implement)."""
+    import numpy as np
+
+    from proteofav_spark.operators.analytics_queries import (
+        q_agg_exact_median_groups,
+    )
+
+    got = {r["l_returnflag"]: (r["q25"], r["median"], r["q75"])
+           for r in q_agg_exact_median_groups(spark, SF).collect()}
+    rows = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity"
+    ).collect()
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for r in rows:
+        by[r["l_returnflag"]].append(r["l_quantity"])
+    for k, vals in by.items():
+        want = tuple(
+            round(float(np.quantile(np.array(vals), q, method="linear")), 6)
+            for q in (0.25, 0.5, 0.75)
+        )
+        assert got[k] == want, k
+
+
+def test_fuzzy_pairs_match_python_levenshtein(spark):
+    """Pair set re-derived with a reference Python edit-distance —
+    engines and the catalog query must agree on every pair and dist."""
+    from proteofav_spark.operators.analytics_queries import (
+        FUZZY_MAX_DIST,
+        FUZZY_SAMPLE_KEYS,
+        q_fuzzy_name_match_pairs,
+    )
+
+    got = {(r["key_a"], r["key_b"]): r["dist"]
+           for r in q_fuzzy_name_match_pairs(spark, SF).collect()}
+    names = {r["c_custkey"]: r["c_name"]
+             for r in spark.read.parquet(f"{SF}/customer.parquet").where(
+                 F.col("c_custkey") < FUZZY_SAMPLE_KEYS).collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    keys = sorted(names)
+    want = {}
+    for i, ka in enumerate(keys):
+        for kb in keys[i + 1:]:
+            d = lev(names[ka], names[kb])
+            if d <= FUZZY_MAX_DIST:
+                want[(ka, kb)] = d
+    assert got == want and got

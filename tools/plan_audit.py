@@ -387,6 +387,8 @@ EXTRA = [
     "nation_market_share",
     "returned_item_top_customers",
     "dedup_semantic_clusters",
+    "agg_exact_median_groups",
+    "fuzzy_name_match_pairs",
 ]
 
 
