@@ -1,12 +1,19 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "ann": {...}, "scaling": {...}, "sf": ...}.
+compact JSON line as the FINAL stdout line: {"metric": ..., "value":
+total_sec, "unit": "sec", "queries": {name: sec}, "ann": {...},
+"sf": ...}. The line is kept well under 2 KB — the external recorder
+captures only a bounded stdout tail, and round 5's record was lost when
+the scaling section was inlined into this line (~4 KB, truncated
+mid-object). The output contract is pinned by
+tests/test_bench_contract.py.
 
-The "scaling" section measures each headline query at sf0.01, sf0.1 and
-a synthesized ~3x of sf0.1 (unioned key-offset copies) and fits the
-per-query runtime exponent — the empirical check behind every "this plan
-scales linearly" claim. Set SPARK_GRAFT_SKIP_SCALING=1 to skip it.
+The scaling measurement (each headline query at sf0.01, sf0.1, a
+synthesized ~3x of sf0.1, and — for the most expensive queries — a
+synthesized ~10x, with the per-query runtime exponent fitted over all
+points) is written to a sidecar ``SCALING_r{N}.json`` next to this
+script instead, where N is one past the highest recorded
+``BENCH_r{N}.json``. Set SPARK_GRAFT_SKIP_SCALING=1 to skip it.
 """
 
 from __future__ import annotations
@@ -158,22 +165,37 @@ _EXPONENT_FLOOR_S = 0.15
 SUPERLINEAR_BAR = 1.2
 
 
+# how many of the most expensive headline queries also get a synthesized
+# ~10x point: at sf0.1×10 (~sf1-equivalent, ~1 GB) fixed overheads stop
+# dominating, so the fitted exponent for the heavy hitters is real rather
+# than overhead-biased-down (judge round-5 ask)
+_DEEP_SCALE_TOP_N = 5
+
+
 def run_scaling(spark, qs, base_timings: dict[str, float]) -> dict:
     """Run each headline query at sf0.01 and at a synthesized ~3× of the
-    bench SF; fit the per-query runtime exponent against the sf0.1
-    numbers already measured. Returns the bench JSON 'scaling' section."""
+    bench SF (plus a ~10× point for the _DEEP_SCALE_TOP_N most expensive
+    queries); fit the per-query runtime exponent against the sf0.1
+    numbers already measured. Returns the scaling sidecar payload."""
     import shutil
     import tempfile
 
     base = os.path.dirname(SF_DIR.rstrip("/"))
     small_dir = os.path.join(base, "sf0.01")
     sf_small, sf_base = 0.01, 0.1
+    deep = set(
+        sorted(HEADLINE, key=lambda n: base_timings[n], reverse=True)[
+            :_DEEP_SCALE_TOP_N
+        ]
+    )
     x3_dir = tempfile.mkdtemp(prefix="proteofav_sfx3_")
+    x10_dir = tempfile.mkdtemp(prefix="proteofav_sfx10_")
     try:
         t0 = time.perf_counter()
         synthesize_scaled_dir(spark, SF_DIR, x3_dir, copies=3)
+        synthesize_scaled_dir(spark, SF_DIR, x10_dir, copies=10)
         print(
-            f"# scaling: synthesized 3x dir in "
+            f"# scaling: synthesized 3x + 10x dirs in "
             f"{time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
         )
@@ -198,6 +220,10 @@ def run_scaling(spark, qs, base_timings: dict[str, float]) -> dict:
                 (sf_base, t_base),
                 (3 * sf_base, t_x3),
             ]
+            t_x10 = None
+            if name in deep:
+                t_x10 = timed(name, x10_dir)
+                pts.append((10 * sf_base, t_x10))
             overhead_bound = t_base < _EXPONENT_FLOOR_S
             exp = None if overhead_bound else _fit_exponent(pts)
             section[name] = {
@@ -206,11 +232,31 @@ def run_scaling(spark, qs, base_timings: dict[str, float]) -> dict:
                 "sf0.3x": t_x3,
                 "exponent": exp,
             }
+            if t_x10 is not None:
+                section[name]["sf1.0x"] = t_x10
+                # the heavy hitters also get an exponent over the upper
+                # half of the range only (sf0.1→sf1): the small-SF points
+                # carry most of the fixed-overhead bias, so this is the
+                # closest measurable proxy for the asymptotic slope
+                section[name]["exponent_hi"] = _fit_exponent(
+                    [(sf_base, t_base), (3 * sf_base, t_x3),
+                     (10 * sf_base, t_x10)]
+                )
+                if section[name]["exponent_hi"] > SUPERLINEAR_BAR:
+                    flags.append(
+                        f"{name}: hi exponent {section[name]['exponent_hi']}"
+                    )
             if exp is not None and exp > SUPERLINEAR_BAR:
                 flags.append(f"{name}: exponent {exp}")
             print(
                 f"# scaling {name}: {t_small}s / {t_base}s / {t_x3}s"
-                f" -> exponent {exp if exp is not None else 'overhead-bound'}",
+                + (f" / x10 {t_x10}s" if t_x10 is not None else "")
+                + f" -> exponent {exp if exp is not None else 'overhead-bound'}"
+                + (
+                    f" (hi {section[name]['exponent_hi']})"
+                    if t_x10 is not None
+                    else ""
+                ),
                 file=sys.stderr,
             )
         if flags:
@@ -223,10 +269,12 @@ def run_scaling(spark, qs, base_timings: dict[str, float]) -> dict:
         return {
             "unit": "sec(min of 2 warm)",
             "superlinear_bar": SUPERLINEAR_BAR,
+            "deep_scale_queries": sorted(deep),
             "queries": section,
         }
     finally:
         shutil.rmtree(x3_dir, ignore_errors=True)
+        shutil.rmtree(x10_dir, ignore_errors=True)
 
 
 def main() -> None:
@@ -379,37 +427,80 @@ def main() -> None:
             for r in regressions:
                 print(f"# !!   {r}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)  # after any re-measures
-    payload = {
+    payload = build_payload(timings, ann_split, sf_val)
+    total = payload["value"]
+
+    # scaling exponents (sf0.01 / sf0.1 / synthesized 3x / 10x for the
+    # heavy hitters): measured, not asserted — the plan-shape invariants
+    # can't see constant factors that grow with data. Written to a
+    # SIDECAR file, never inlined into the stdout line the recorder must
+    # parse (that inlining destroyed the round-5 record — the recorder
+    # keeps only a bounded stdout tail). SPARK_GRAFT_SKIP_SCALING=1
+    # skips for quick local runs.
+    small_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING") and sf_val == 0.1:
+        if not os.path.isdir(small_dir):
+            # record WHY the sidecar is absent — a silently-missing file
+            # is indistinguishable from an intentional skip
+            print(f"# scaling skipped: {small_dir} missing", file=sys.stderr)
+            scaling: dict = {"skipped": f"{small_dir} missing"}
+        else:
+            try:
+                scaling = run_scaling(spark, qs, timings)
+            except Exception as exc:  # noqa: BLE001 — never discard the run
+                # the headline measurements above are minutes of work; a
+                # scaling-pass failure must degrade the sidecar, not the run
+                print(f"# scaling pass failed: {exc}", file=sys.stderr)
+                scaling = {"error": str(exc)[:200]}
+        sidecar = _scaling_sidecar_path()
+        scaling["headline_total_sec"] = total
+        scaling["sf"] = sf_val
+        with open(sidecar, "w") as fh:
+            json.dump(scaling, fh, indent=1)
+            fh.write("\n")
+        print(f"# scaling written to {sidecar}", file=sys.stderr)
+
+    # the FINAL stdout line — and the only one: compact, parseable on
+    # its own, pinned < 2000 bytes by tests/test_bench_contract.py
+    line = json.dumps(payload)
+    assert len(line) < 2000, f"bench stdout line too long: {len(line)}B"
+    print(line)
+
+
+def build_payload(
+    timings: dict[str, float],
+    ann_split: dict[str, dict[str, float]],
+    sf_val,
+) -> dict:
+    """The recorder-facing stdout payload: metric/value/unit/queries/ann/
+    sf and NOTHING else (in particular never the scaling section — see
+    module docstring). Factored out so tests/test_bench_contract.py can
+    pin the shape and the serialized size without running the bench."""
+    return {
         "metric": "headline_queries_total_runtime",
-        "value": total,
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "ann": ann_split,
         "sf": sf_val,
     }
 
-    # scaling exponents (sf0.01 / sf0.1 / synthesized 3x): measured, not
-    # asserted — the plan-shape invariants can't see constant factors
-    # that grow with data. Included by default so every recorded bench
-    # carries it; SPARK_GRAFT_SKIP_SCALING=1 skips for quick local runs.
-    small_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
-    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING") and sf_val == 0.1:
-        if not os.path.isdir(small_dir):
-            # record WHY the section is absent — a silently-missing
-            # section is indistinguishable from an intentional skip
-            print(f"# scaling skipped: {small_dir} missing", file=sys.stderr)
-            payload["scaling"] = {"skipped": f"{small_dir} missing"}
-        else:
-            try:
-                payload["scaling"] = run_scaling(spark, qs, timings)
-            except Exception as exc:  # noqa: BLE001 — never discard the run
-                # the headline measurements above are minutes of work; a
-                # scaling-pass failure must degrade the section, not the run
-                print(f"# scaling pass failed: {exc}", file=sys.stderr)
-                payload["scaling"] = {"error": str(exc)[:200]}
 
-    print(json.dumps(payload))
+def _scaling_sidecar_path() -> str:
+    """``SCALING_r{N}.json`` next to this script, N = one past the
+    highest recorded ``BENCH_r{N}.json`` (i.e. the round currently being
+    measured; the recorder writes BENCH_r{N} after this run)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    n = (max(rounds) + 1) if rounds else 1
+    return os.path.join(here, f"SCALING_r{n:02d}.json")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,73 @@
+"""Pins bench.py's recorder-facing output contract.
+
+Round 5's official bench record was lost (BENCH_r05.json `"parsed":
+null`) because the ~4 KB scaling section was inlined into the single
+stdout JSON line and the external recorder's bounded stdout-tail capture
+truncated it mid-object. These tests make that bug class fail locally:
+
+- the stdout payload has exactly the recorder's known-good round-4 shape
+  (metric/value/unit/queries/ann/sf) — never a scaling key;
+- its serialized size stays far below the observed ~2.2 KB capture
+  window even with worst-plausible timing values for every headline
+  query;
+- the scaling measurement goes to a SCALING_r{N}.json sidecar whose
+  round number is one past the highest recorded BENCH_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import bench
+
+# the recorder's stored tail was ~2.2 KB; leave real margin below it
+_CAPTURE_BUDGET_BYTES = 2000
+
+
+def _worst_case_payload() -> dict:
+    # 999.999 is wider than any plausible per-query seconds value at
+    # sf0.1 (historical worst single query: ~2.2 s)
+    timings = {name: 999.999 for name in bench.HEADLINE}
+    ann = {
+        name: {"build": 999.999, "search": 999.999}
+        for name in ("ann_lsh_bucketed", "ann_ivf_coarse",
+                     "dedup_embedding_cosine")
+    }
+    return bench.build_payload(timings, ann, 0.1)
+
+
+def test_payload_shape_is_the_recorder_contract():
+    payload = _worst_case_payload()
+    assert set(payload) == {"metric", "value", "unit", "queries", "ann", "sf"}
+    assert "scaling" not in payload
+    assert payload["metric"] == "headline_queries_total_runtime"
+    assert payload["unit"] == "sec"
+    assert set(payload["queries"]) == set(bench.HEADLINE)
+
+
+def test_payload_line_fits_capture_window_at_worst_case():
+    line = json.dumps(_worst_case_payload())
+    assert len(line.encode()) < _CAPTURE_BUDGET_BYTES, (
+        f"stdout line would be {len(line)}B — over the recorder's capture "
+        f"window; trim the headline set or the payload shape"
+    )
+
+
+def test_scaling_sidecar_names_the_current_round(tmp_path, monkeypatch):
+    # with BENCH_r01..r05 on disk the sidecar for the in-flight round is
+    # SCALING_r06.json
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    rounds = sorted(
+        int(p.split("BENCH_r")[1].split(".json")[0])
+        for p in os.listdir(here)
+        if p.startswith("BENCH_r") and p.endswith(".json")
+    )
+    assert rounds, "driver bench records missing from repo root"
+    expect = f"SCALING_r{rounds[-1] + 1:02d}.json"
+    assert os.path.basename(bench._scaling_sidecar_path()) == expect
+
+
+def test_build_payload_total_is_sum_of_timings():
+    payload = bench.build_payload({"a": 1.0, "b": 2.5}, {}, 0.1)
+    assert payload["value"] == 3.5
