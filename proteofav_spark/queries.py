@@ -113,69 +113,14 @@ _FAN_OUT_PROBES: dict[tuple, bool] = {}
 # oracle in CI, so a regression in a displaced query still fails the suite.
 ATTEST_WINDOW = 50
 _PRIORITY: list[str] = [
-    # round-5 rotation, exactly as VERDICT r4 prescribed. Slot 1:
-    # events_twap — its oracle's span_s HUGEINT/BIGINT divergence (the
-    # only red r4 cell) is fixed; the green driver row is the proof.
-    "events_twap",
-    # Slot 2: its sibling whose oracle numerator was widened to HUGEINT
-    # this round (advisor finding) — same re-attest reasoning.
-    "events_session_transitions",
-    # Slots 3-11: never driver-attested (late round-4 additions).
-    "agg_grouping_sets",
-    "text_tfidf_top_terms",
-    "window_ntile_buckets",
-    "metrics_unpivot_long",
-    "supplier_value_share_having",
-    "orders_big_customer_detail",
-    "lineitem_below_avg_qty",
-    "window_percent_rank_exact",
-    "set_multiset_ops",
-    # Slots 12-18: the seven r2-attested queries deferred from the r4
-    # window — three rounds stale, the oldest signatures in the catalog.
-    "join_left_string_keys",
-    "join_semi_anti",
-    "join_outer_collapse",
-    "join_range_interval",
-    "set_union_by_name",
-    "explode_interval_rollup",
-    "json_flatten_props",
-    # Slots 19+: NEW round-5 queries (no driver row can exist yet).
-    "suppliers_kept_waiting",
-    "suppliers_dominant_share",
-    "supplier_top_revenue",
-    "shipclass_priority_counts",
-    "forecast_revenue_change",
-    "nation_market_share",
-    "returned_item_top_customers",
-    "dedup_semantic_clusters",
-    "agg_exact_median_groups",
-    "fuzzy_name_match_pairs",
-    # Remaining slots: r3-attested queries, two rounds stale, riskiest
-    # families first (multi-shuffle joins/graphs/dedup/events before
-    # single-exchange scans). The r4-attested queries all fall below the
-    # fold — one round old, re-verified by test_oracles_below_fold in CI.
-    "join_star_revenue",
-    "spatial_contacts_grid",
-    "dedup_cc_clusters",
-    "graph_pagerank_fixed",
-    "graph_triangle_count",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_crosssource_overlap",
-    "dedup_substring_span",
-    "dedup_exact_hash",
-    "events_retention_cohorts",
-    "events_funnel_conversion",
-    "events_gapfill_interpolate",
-    "events_attribution_last_touch",
-    "events_anomaly_zscore",
-    "events_sliding_window",
-    "events_dau_mau",
-    "sessionize_events_gap",
-    "orders_scd2_snapshot",
-    "cdc_upsert_apply",
+    # round-6 rotation, as VERDICT r5 prescribed: every catalog query
+    # must keep a driver row <= 2 rounds old. Slots 1-3: NEW round-6
+    # queries (no driver row can exist yet).
+    "fuzzy_name_match_blocked",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_profit_rollup",
+    # Slots 4-29: the r3-attested set — three rounds stale by r6, the
+    # oldest signatures in the catalog; all of them MUST re-attest.
     "customer_ltv_cohort",
     "skew_heavy_hitters",
     "agg_salted_two_stage",
@@ -184,6 +129,51 @@ _PRIORITY: list[str] = [
     "agg_pivot_status",
     "agg_stats_moments",
     "text_bm25_search",
+    "binary_payload_ops",
+    "distinct_scan",
+    "array_zip_mismatch",
+    "set_intersect_except",
+    "approx_distinct_parts",
+    "topk_per_group",
+    "window_moving_avg",
+    "agg_monthly_revenue",
+    "join_null_safe",
+    "array_hof_kit",
+    "orders_shipping_priority",
+    "docs_length_histogram",
+    "nation_trade_volume",
+    "text_token_stats",
+    "text_quality_score",
+    "embedding_quantize_int8",
+    "embedding_dim_stats",
+    "text_unigram_logprob",
+    # Slots 30-50: the riskiest half of the r4-attested set (two rounds
+    # stale) — ANN/index, curation, events, multi-shuffle joins before
+    # single-exchange scalar kits. The remaining r4 queries and the
+    # whole fresh r5 set fall below the fold, re-verified by
+    # tests/test_oracles_below_fold.py in CI; the r4 remainder rotates
+    # back inside at r7.
+    "knn_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf_coarse",
+    "embedding_kmeans",
+    "events_asof_join",
+    "events_range_join_bucketed",
+    "events_tumbling_window",
+    "pack_token_shards",
+    "shard_concat_digest",
+    "text_repetition_metrics",
+    "contamination_ngram_overlap",
+    "dedup_consensus",
+    "vocab_top_ngrams",
+    "text_pii_scrub",
+    "sample_weighted_hash",
+    "source_mixture_rebalance",
+    "sample_stratified_hash",
+    "split_train_val_test",
+    "join_merge_tree",
+    "agg_pricing_summary",
+    "agg_quantiles_value",
 ]
 
 
