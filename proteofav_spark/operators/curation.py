@@ -640,7 +640,7 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = cnt.orderBy(F.col("c").desc(), "tok").limit(UNIGRAM_VOCAB_V)
     st = (
         cnt.agg(F.sum("c").cast("bigint").alias("n"))
-        .crossJoin(vocab.agg(F.count(F.lit(1)).alias("v")))
+        .crossJoin(F.broadcast(vocab.agg(F.count(F.lit(1)).alias("v"))))
     )
     nll = -F.log(
         (F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("n") + F.col("v") + 1)

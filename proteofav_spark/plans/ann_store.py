@@ -174,6 +174,100 @@ def append_ivf_store(spark: SparkSession, path: str, batch: DataFrame) -> None:
     spark.catalog.refreshByPath(f"{path}/lists")
 
 
+def ivf_file_stats(path: str) -> dict[int, tuple[int, int]]:
+    """Per-list (file_count, total_bytes) from a directory listing of
+    the partitioned lists tree — pure metadata, no data read. Locally
+    this is an os.walk; on a cluster filesystem the same numbers come
+    from the driver's listFiles metadata sweep (the thing the NameNode/
+    object-store index serves), still never opening a row group."""
+    import os
+
+    base = os.path.join(path, "lists")
+    out: dict[int, tuple[int, int]] = {}
+    for d in os.listdir(base):
+        if not d.startswith("list_label="):
+            continue
+        label = int(d.split("=", 1)[1])
+        n = b = 0
+        part_dir = os.path.join(base, d)
+        for f in os.listdir(part_dir):
+            if f.endswith(".parquet"):
+                n += 1
+                b += os.path.getsize(os.path.join(part_dir, f))
+        out[label] = (n, b)
+    return out
+
+
+def compact_ivf_store(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Merge the small files that per-batch appends accumulate inside
+    each list partition (``append_ivf_store`` writes at least one file
+    per touched partition per batch — a 100 TB ingest cadence turns
+    that into thousands of KB-size files per hot list, and footer reads
+    plus task scheduling dominate probe latency long before data volume
+    does; same maintenance argument as :func:`..lake.compact_lake`).
+
+    A list is rewritten only when its current file count exceeds
+    ``ceil(bytes / target_file_bytes)`` — the already-compact lists and
+    every untouched partition are left byte-identical (dynamic
+    partition overwrite rewrites ONLY the selected labels, so probe
+    pruning keeps working mid-compaction). Within the rewrite, each
+    list's rows are bucketed by ``pmod(xxhash64(vec_id), n_target)`` and
+    the shuffle keys on (list_label, bucket), so every output partition
+    lands at most ``n_target`` files near the target size — per-list
+    file sizing in ONE job, no per-list loop. The selected rows are
+    localCheckpoint-ed before the overwrite (plain parquet cannot read
+    and replace the same files in one job). Returns before/after
+    (files, bytes) per rewritten list."""
+    import math
+
+    stats = ivf_file_stats(path)
+    todo: dict[int, int] = {}
+    for label, (nf, nb) in stats.items():
+        n_target = max(1, math.ceil(nb / target_file_bytes))
+        if nf > n_target:
+            todo[label] = n_target
+    if not todo:
+        return {"compacted": {}, "skipped": sorted(stats)}
+
+    members = (
+        spark.read.parquet(f"{path}/lists")
+        .where(F.col("list_label").isin(sorted(todo)))
+        .localCheckpoint()
+    )
+    # per-list target file count as a literal CASE chain (bounded by the
+    # hot set — no UDF, stays in codegen)
+    n_of = F.lit(1)
+    for label, n in sorted(todo.items()):
+        n_of = F.when(F.col("list_label") == label, F.lit(n)).otherwise(n_of)
+    bucketed = members.withColumn(
+        "bucket", F.pmod(F.xxhash64("vec_id"), n_of)
+    )
+    out = bucketed.repartition("list_label", "bucket").drop("bucket")
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("list_label").parquet(
+            f"{path}/lists"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshByPath(f"{path}/lists")
+
+    after = ivf_file_stats(path)
+    return {
+        "compacted": {
+            label: {"before": stats[label], "after": after[label]}
+            for label in sorted(todo)
+        },
+        "skipped": sorted(set(stats) - set(todo)),
+    }
+
+
 def ivf_list_stats(spark: SparkSession, path: str) -> DataFrame:
     """Per-list row counts: (list_label, n_rows). The aggregate groups
     on the PARTITION column and touches no data columns, so the scan is
@@ -219,6 +313,7 @@ def rebalance_ivf_store(
     path: str,
     row_budget: int,
     lloyd_iters: int = 4,
+    compact_target_file_bytes: int | None = None,
 ) -> dict:
     """Split every list exceeding ``row_budget`` into two geometric
     children (distributed 2-means over ALL hot lists at once), so probe
@@ -239,11 +334,23 @@ def rebalance_ivf_store(
     A list of exact duplicates cannot split geometrically (both
     children coincide and every tie breaks to child 0); such labels are
     returned under ``"unsplit"`` — the fix there is dedup, not
-    clustering. Returns {"split": {old: new}, "unsplit": [...]}."""
+    clustering. Returns {"split": {old: new}, "unsplit": [...]}.
+
+    When ``compact_target_file_bytes`` is set, the same maintenance
+    pass finishes with :func:`compact_ivf_store` at that target — split
+    partitions are freshly written and dense, but the appends that made
+    a list hot typically ALSO left a small-file trail across the cold
+    lists, and one maintenance window should fix both (the "compaction"
+    key in the result carries the per-list before/after file stats)."""
     report = ivf_skew_report(spark, path, row_budget)
     hot = report["hot"]
     if not hot:
-        return {"split": {}, "unsplit": []}
+        out: dict = {"split": {}, "unsplit": []}
+        if compact_target_file_bytes is not None:
+            out["compaction"] = compact_ivf_store(
+                spark, path, compact_target_file_bytes
+            )
+        return out
 
     cents_all = spark.read.parquet(f"{path}/centroids").collect()
     max_label = max(r["list_label"] for r in cents_all)
@@ -416,10 +523,15 @@ def rebalance_ivf_store(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     spark.catalog.refreshByPath(f"{path}/lists")
 
-    return {
+    result = {
         "split": {old: new_label_of[old] for old in sorted(split_ok)},
         "unsplit": unsplit,
     }
+    if compact_target_file_bytes is not None:
+        result["compaction"] = compact_ivf_store(
+            spark, path, compact_target_file_bytes
+        )
+    return result
 
 
 def probe_ivf_store(

@@ -310,3 +310,102 @@ def test_ingest_with_dedup_appends_only_novel(spark, tmp_path):
     assert res2["n_ingested"] == 0 and res2["n_degenerate"] == 1
     n2 = sum(r["n_rows"] for r in ivf_list_stats(spark, path).collect())
     assert n2 == n1
+
+
+def test_compaction_merges_small_files_probes_unchanged(spark, tmp_path):
+    """The ingest-cadence maintenance path: per-batch appends accumulate
+    small files inside each list partition; compact_ivf_store merges
+    them (per-list file sizing in one job), leaves already-compact
+    lists untouched, conserves every row, and changes NOTHING a probe
+    can observe — same results, partition pruning + DPP still active."""
+    from proteofav_spark.plans.ann_store import (
+        append_ivf_store,
+        compact_ivf_store,
+        ivf_file_stats,
+        ivf_list_stats,
+    )
+
+    path = str(tmp_path / "ivf_compact")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_ivf_store(e, path)
+
+    # 4 small append batches -> every touched partition gains >=4 files
+    for i in (1, 2, 3, 4):
+        batch = e.limit(20).select(
+            (F.col("vec_id") + 100000 * i).alias("vec_id"), "embedding"
+        )
+        append_ivf_store(spark, path, batch)
+
+    before_files = ivf_file_stats(path)
+    before_rows = {
+        r["list_label"]: r["n_rows"]
+        for r in ivf_list_stats(spark, path).collect()
+    }
+    assert max(n for n, _ in before_files.values()) >= 4
+
+    queries = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    before_probe = sorted(
+        (r["qid"], r["rk"], r["vec_id"], r["cosine"])
+        for r in probe_ivf_store(spark, path, queries, nprobe=2, topk=5).collect()
+    )
+
+    # generous target: every multi-file list should merge to ONE file
+    res = compact_ivf_store(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert res["compacted"], res
+    after_files = ivf_file_stats(path)
+
+    for label, (nf, _nb) in before_files.items():
+        if label in res["compacted"]:
+            assert after_files[label][0] < nf
+            assert after_files[label][0] == 1
+        else:
+            # skipped lists byte-identical (never rewritten)
+            assert after_files[label] == before_files[label]
+
+    # every row conserved per list
+    after_rows = {
+        r["list_label"]: r["n_rows"]
+        for r in ivf_list_stats(spark, path).collect()
+    }
+    assert after_rows == before_rows
+
+    # probe: identical results, pruning + DPP still fire on the scan
+    out = probe_ivf_store(spark, path, queries, nprobe=2, topk=5)
+    after_probe = sorted(
+        (r["qid"], r["rk"], r["vec_id"], r["cosine"]) for r in out.collect()
+    )
+    assert after_probe == before_probe
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_label" in plan
+    assert "dynamicpruningexpression" in plan
+
+
+def test_rebalance_can_finish_with_compaction(spark, tmp_path):
+    """rebalance_ivf_store(compact_target_file_bytes=...) runs the
+    compaction pass in the same maintenance window and reports it."""
+    from proteofav_spark.plans.ann_store import (
+        append_ivf_store,
+        ivf_file_stats,
+        rebalance_ivf_store,
+    )
+
+    path = str(tmp_path / "ivf_maint2")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_ivf_store(e, path)
+    for i in (1, 2, 3):
+        batch = e.limit(15).select(
+            (F.col("vec_id") + 100000 * i).alias("vec_id"), "embedding"
+        )
+        append_ivf_store(spark, path, batch)
+
+    # row budget high enough that nothing splits: the compaction still runs
+    res = rebalance_ivf_store(
+        spark, path, row_budget=10**6,
+        compact_target_file_bytes=64 * 1024 * 1024,
+    )
+    assert res["split"] == {} and "compaction" in res
+    assert res["compaction"]["compacted"]
+    files = ivf_file_stats(path)
+    assert max(n for n, _ in files.values()) == 1

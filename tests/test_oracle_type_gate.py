@@ -1,0 +1,93 @@
+"""The oracle checker's type-parity gate must hard-fail NESTED type
+divergence, not just scalar divergence: the driver's value hash is
+Arrow-type-aware, so a DuckDB HUGEINT buried inside a STRUCT or LIST
+diverges exactly like a top-level one. Round 5 reported the gate
+returning None (reported-not-failed) for struct/map columns; these
+tests pin the hardened behavior."""
+
+import importlib.util
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "check_oracles",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "check_oracles.py",
+    ),
+)
+check_oracles = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(check_oracles)
+type_parity = check_oracles.type_parity
+
+
+def test_scalar_parity_unchanged():
+    assert type_parity("bigint", "BIGINT") is True
+    assert type_parity("bigint", "HUGEINT") is False
+    assert type_parity("double", "FLOAT") is False
+    assert type_parity("array<double>", "DOUBLE[]") is True
+    assert type_parity("array<double>", "FLOAT[]") is False
+
+
+def test_struct_matches_field_by_field():
+    assert (
+        type_parity("struct<a:bigint,b:string>", "STRUCT(a BIGINT, b VARCHAR)")
+        is True
+    )
+    # quoted DuckDB field names
+    assert (
+        type_parity("struct<a:bigint>", 'STRUCT("a" BIGINT)') is True
+    )
+
+
+def test_struct_hugeint_inside_fails():
+    assert (
+        type_parity("struct<a:bigint,b:string>", "STRUCT(a HUGEINT, b VARCHAR)")
+        is False
+    )
+
+
+def test_struct_field_name_or_arity_mismatch_fails():
+    assert type_parity("struct<a:bigint>", "STRUCT(b BIGINT)") is False
+    assert (
+        type_parity("struct<a:bigint>", "STRUCT(a BIGINT, b BIGINT)") is False
+    )
+    assert type_parity("struct<a:bigint>", "BIGINT") is False
+
+
+def test_map_and_deep_nesting():
+    assert type_parity("map<string,bigint>", "MAP(VARCHAR, BIGINT)") is True
+    assert type_parity("map<string,bigint>", "MAP(VARCHAR, HUGEINT)") is False
+    assert (
+        type_parity(
+            "array<struct<k:string,v:array<double>>>",
+            "STRUCT(k VARCHAR, v DOUBLE[])[]",
+        )
+        is True
+    )
+    assert (
+        type_parity(
+            "array<struct<k:string,v:array<double>>>",
+            "STRUCT(k VARCHAR, v FLOAT[])[]",
+        )
+        is False
+    )
+
+
+def test_mistyped_nested_oracle_fails_the_sweep(spark, tmp_path):
+    """End-to-end: a query whose oracle emits HUGEINT inside a STRUCT
+    must FAIL the checker's type gate (this was reported-not-failed
+    before the hardening). Exercises the exact comparison the sweep
+    runs: Spark simpleString vs DuckDB result type string."""
+    import duckdb
+
+    sdf = spark.sql(
+        "SELECT named_struct('a', CAST(1 AS BIGINT)) AS s"
+    )
+    stype = dict((f.name, f.dataType.simpleString()) for f in sdf.schema)["s"]
+    rel = duckdb.sql("SELECT {'a': 1::HUGEINT} AS s")
+    dtype = str(dict(zip(rel.columns, rel.types))["s"])
+    assert type_parity(stype, dtype) is False
+    rel_ok = duckdb.sql("SELECT {'a': 1::BIGINT} AS s")
+    dtype_ok = str(dict(zip(rel_ok.columns, rel_ok.types))["s"])
+    assert type_parity(stype, dtype_ok) is True
