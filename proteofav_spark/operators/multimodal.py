@@ -4,8 +4,8 @@ columns with typed metadata structs, processed via Arrow-batched
 
 The DEFAULT decode kernels handle the real formats parseable with zero
 dependencies — RIFF/WAVE PCM audio (``wave``), binary PGM/PPM images
-(netpbm), 8-bit non-interlaced PNG (``zlib`` + ``struct``, all five
-scanline filters), GIF87a/89a first frames (pure LZW with variable-
+(netpbm), 8-bit PNG incl. Adam7 interlace (``zlib`` + ``struct``,
+all five scanline filters), GIF87a/89a first frames (pure LZW with variable-
 width codes and the KwK case), and baseline sequential JPEG (``struct``
 + numpy: huffman entropy decode, dequant, IDCT, 4:4:4/4:2:2/4:2:0
 chroma upsampling, restart intervals) — and fall back to clearly-marked
@@ -91,17 +91,72 @@ def decode_pnm(blob: bytes) -> np.ndarray | None:
         return None
 
 
+def _png_unfilter(rows: np.ndarray, nch: int) -> np.ndarray | None:
+    """Reverse the five PNG scanline filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6) over a (h, stride+1) filtered array; returns the
+    (h, stride) reconstructed rows or None on an unknown filter byte.
+    Filters Sub/Average/Paeth carry a per-pixel dependency on the
+    previous pixel, so those rows decode in a Python loop — fine for
+    the Arrow-batch path where decode cost dominates anyway; None/Up
+    rows (the common emitter default) stay vectorized."""
+    h, stridep1 = rows.shape
+    stride = stridep1 - 1
+    out = np.zeros((h, stride), np.int32)
+    for y in range(h):
+        ftype = rows[y, 0]
+        line = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1] if y else np.zeros(stride, np.int32)
+        if ftype == 0:  # None
+            out[y] = line
+        elif ftype == 2:  # Up
+            out[y] = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth
+            cur = out[y]
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if pa <= pb and pa <= pc else b if pb <= pc else c
+                    )
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            return None
+    return out.astype(np.uint8)
+
+
+# Adam7 pass origins/steps (x_start, y_start, x_step, y_step), RFC 2083
+# §2.6: each pass is an independently-filtered sub-image, consumed
+# sequentially from the one inflated stream
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def decode_png(blob: bytes) -> np.ndarray | None:
     """REAL codec, zero dependencies: PNG via stdlib ``zlib`` + ``struct``
-    — 8-bit gray / gray+alpha / RGB / RGBA / palette, non-interlaced,
-    all five scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6).
-    Returns the flat uint8 pixel array (palette entries expanded to RGB),
-    or None for anything else (16-bit, Adam7, malformed chunks) — like
-    :func:`decode_pnm`, a bad payload degrades to the stub, never fails
-    the batch. Filters Sub/Average/Paeth carry a per-pixel dependency on
-    the previous pixel, so those rows decode in a Python loop — fine for
-    the Arrow-batch path where decode cost dominates anyway; None/Up rows
-    (the common emitter default) stay vectorized."""
+    — 8-bit gray / gray+alpha / RGB / RGBA / palette, non-interlaced AND
+    Adam7-interlaced, all five scanline filters (None/Sub/Up/Average/
+    Paeth, RFC 2083 §6). Interlaced images decode as seven
+    independently-filtered sub-images (each unfiltered with the same
+    core) scattered into place with strided numpy assignment. Returns
+    the flat uint8 pixel array (palette entries expanded to RGB), or
+    None for anything else (16-bit, malformed chunks, pass-layout size
+    mismatches) — like :func:`decode_pnm`, a bad payload degrades to
+    the stub, never fails the batch."""
     if blob[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     import struct
@@ -131,44 +186,43 @@ def decode_png(blob: bytes) -> np.ndarray | None:
             return None
         w, h, depth, color_type, comp, filt, interlace = ihdr
         nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-        if depth != 8 or comp or filt or interlace or nch is None:
+        if depth != 8 or comp or filt or interlace not in (0, 1) or nch is None:
             return None
         if w <= 0 or h <= 0 or (color_type == 3 and plte is None):
             return None
         stride = w * nch
         raw = zlib.decompress(bytes(idat))
-        if len(raw) != h * (stride + 1):
-            return None
-        rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
-        out = np.zeros((h, stride), np.int32)
-        for y in range(h):
-            ftype = rows[y, 0]
-            line = rows[y, 1:].astype(np.int32)
-            prev = out[y - 1] if y else np.zeros(stride, np.int32)
-            if ftype == 0:  # None
-                out[y] = line
-            elif ftype == 2:  # Up
-                out[y] = (line + prev) & 0xFF
-            elif ftype in (1, 3, 4):  # Sub / Average / Paeth
-                cur = out[y]
-                for x in range(stride):
-                    a = cur[x - nch] if x >= nch else 0
-                    b = prev[x]
-                    c = prev[x - nch] if x >= nch else 0
-                    if ftype == 1:
-                        pred = a
-                    elif ftype == 3:
-                        pred = (a + b) >> 1
-                    else:
-                        p = a + b - c
-                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                        pred = (
-                            a if pa <= pb and pa <= pc else b if pb <= pc else c
-                        )
-                    cur[x] = (line[x] + pred) & 0xFF
-            else:
+        if interlace == 0:
+            if len(raw) != h * (stride + 1):
                 return None
-        flat = out.astype(np.uint8).reshape(-1)
+            rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+            out = _png_unfilter(rows, nch)
+            if out is None:
+                return None
+            flat = out.reshape(-1)
+        else:  # Adam7: seven independently-filtered sub-images
+            img = np.zeros((h, w, nch), np.uint8)
+            off = 0
+            for xs, ys, xstep, ystep in _ADAM7:
+                pw = (w - xs + xstep - 1) // xstep
+                ph = (h - ys + ystep - 1) // ystep
+                if pw <= 0 or ph <= 0:
+                    continue  # empty pass emits no bytes (RFC 2083 §2.6)
+                pstride = pw * nch
+                need = ph * (pstride + 1)
+                if off + need > len(raw):
+                    return None
+                prows = np.frombuffer(
+                    raw[off : off + need], np.uint8
+                ).reshape(ph, pstride + 1)
+                off += need
+                sub = _png_unfilter(prows, nch)
+                if sub is None:
+                    return None
+                img[ys::ystep, xs::xstep, :] = sub.reshape(ph, pw, nch)
+            if off != len(raw):
+                return None  # pass layout disagrees with the stream
+            flat = img.reshape(-1)
         if color_type == 3:
             if int(flat.max(initial=0)) >= len(plte):
                 return None
@@ -561,7 +615,7 @@ def decode_gif(blob: bytes) -> np.ndarray | None:
 
 def _decode_image_stub(blob: bytes, width: int, height: int) -> np.ndarray:
     """Default decode: REAL container parsing when the payload is a
-    binary PGM/PPM (:func:`decode_pnm`), an 8-bit non-interlaced PNG
+    binary PGM/PPM (:func:`decode_pnm`), an 8-bit PNG (incl. Adam7)
     (:func:`decode_png` — stdlib zlib only), a GIF first frame
     (:func:`decode_gif` — pure LZW) or a baseline sequential
     JPEG (:func:`decode_jpeg` — stdlib struct + numpy), else a

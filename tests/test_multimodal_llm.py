@@ -802,7 +802,9 @@ def test_png_decode_rejects_unsupported():
         ) + good[i + 13 + 4 :]
 
     assert decode_png(with_ihdr(16, 0)) is None  # 16-bit
-    assert decode_png(with_ihdr(8, 1)) is None   # interlaced
+    # header claims Adam7 but the stream is the non-interlaced layout:
+    # the pass-size accounting must reject it, not mis-scatter pixels
+    assert decode_png(with_ihdr(8, 1)) is None
     assert decode_png(good[:-20]) is None        # truncated (no full IDAT+IEND)
     assert decode_png(b"\x89PNG\r\n\x1a\njunk") is None
     assert decode_png(b"notapng") is None
@@ -841,3 +843,119 @@ def test_png_default_path_through_image_features(spark):
     assert row["mean_pixel"] == round(float(pix.mean()), 6)
     assert row["histogram8"] == np.bincount(pix >> 5, minlength=8).tolist()
     assert row["n_bytes"] == len(blob)
+
+
+def _png_encode_adam7(img, color_type, filters, plte=None):
+    """Adam7 writer for testing decode_png's interlaced path: splits the
+    (h, w*nch) image into the seven passes (RFC 2083 §2.6), forward-
+    filters EACH PASS independently with the given per-row filter types
+    (cycled), and concatenates into one IDAT stream."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    h, stride = img.shape
+    w = stride // nch
+    pix = img.reshape(h, w, nch)
+    passes = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+    raw = bytearray()
+    for xs, ys, xstep, ystep in passes:
+        sub = pix[ys::ystep, xs::xstep, :]
+        ph, pw = sub.shape[0], sub.shape[1]
+        if ph == 0 or pw == 0:
+            continue
+        rows = sub.reshape(ph, pw * nch)
+        prev = np.zeros(pw * nch, np.int64)
+        for y in range(ph):
+            f = filters[y % len(filters)]
+            line = rows[y].astype(np.int64)
+            enc = np.empty(pw * nch, np.int64)
+            for x in range(pw * nch):
+                a = line[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[x] = (line[x] - pred) & 0xFF
+            raw.append(f)
+            raw.extend(enc.astype(np.uint8).tobytes())
+            prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return out
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """decode_png reconstructs Adam7-interlaced images bit-for-bit
+    across color types, filters, and awkward sizes (sub-8x8 images where
+    several passes are empty; non-multiples of 8 where pass widths
+    differ) — pixels must equal the straight non-interlaced decode of
+    the same image."""
+    import numpy as np
+
+    from proteofav_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(37)
+    for color_type, nch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        for w, h in ((1, 1), (2, 3), (7, 5), (8, 8), (13, 11), (16, 9)):
+            img = rng.integers(0, 256, (h, w * nch)).astype(np.uint8)
+            inter = _png_encode_adam7(img, color_type, [0, 1, 2, 3, 4])
+            got = decode_png(inter)
+            assert got is not None, (color_type, w, h)
+            assert np.array_equal(got, img.reshape(-1)), (color_type, w, h)
+            # parity with the non-interlaced encoding of the same pixels
+            straight = decode_png(_png_encode(img, color_type, [0, 2, 4]))
+            assert np.array_equal(got, straight), (color_type, w, h)
+
+    # palette + Adam7 together
+    plte = rng.integers(0, 256, (32, 3)).astype(np.uint8)
+    idx = rng.integers(0, 32, (10, 9)).astype(np.uint8)
+    got = decode_png(_png_encode_adam7(idx, 3, [0, 3, 1], plte=plte))
+    assert np.array_equal(got, plte[idx.reshape(-1)].reshape(-1))
+
+    # truncated interlaced stream degrades to None, never raises
+    full = _png_encode_adam7(
+        rng.integers(0, 256, (9, 9)).astype(np.uint8), 0, [4]
+    )
+    import struct
+    import zlib
+
+    i = full.index(b"IDAT") - 4
+    (ln,) = struct.unpack(">I", full[i : i + 4])
+    payload = zlib.decompress(full[i + 8 : i + 8 + ln])
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    cut = full[:i] + chunk(
+        b"IDAT", zlib.compress(payload[:-5])
+    ) + chunk(b"IEND", b"")
+    assert decode_png(cut) is None
