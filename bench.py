@@ -60,20 +60,29 @@ HEADLINE = [
 ]
 
 
+def _recorded_rounds() -> list[tuple[int, str]]:
+    """(round, path) for every recorded BENCH_r{N}.json next to this
+    script, ascending — the ONE place that knows the record naming, used
+    by both the regression baseline and the scaling sidecar."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            out.append((int(m.group(1)), path))
+    return sorted(out)
+
+
 def _load_previous_bench(sf: float | str) -> dict[str, float]:
     """Per-query timings from the highest-numbered BENCH_r{N}.json next to
     this script (the driver records one per round) recorded at the SAME
     scale factor — cross-SF comparisons would flag everything. Empty dict
     if none."""
-    import glob
-    import re
-
-    here = os.path.dirname(os.path.abspath(__file__))
     best: tuple[int, dict] | None = None
-    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if not m:
-            continue
+    for n, path in _recorded_rounds():
         try:
             with open(path) as fh:
                 payload = json.load(fh)
@@ -84,7 +93,6 @@ def _load_previous_bench(sf: float | str) -> dict[str, float]:
             continue
         if prev_sf != sf:
             continue
-        n = int(m.group(1))
         if queries and (best is None or n > best[0]):
             best = (n, queries)
     return best[1] if best else {}
@@ -490,16 +498,9 @@ def _scaling_sidecar_path() -> str:
     """``SCALING_r{N}.json`` next to this script, N = one past the
     highest recorded ``BENCH_r{N}.json`` (i.e. the round currently being
     measured; the recorder writes BENCH_r{N} after this run)."""
-    import glob
-    import re
-
+    rounds = _recorded_rounds()
+    n = (rounds[-1][0] + 1) if rounds else 1
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
-    n = (max(rounds) + 1) if rounds else 1
     return os.path.join(here, f"SCALING_r{n:02d}.json")
 
 

@@ -2150,7 +2150,13 @@ def q_fuzzy_name_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection equal multiset intersection, and under any shared
     total key order the first |G(s)|-t+1 <= qD+1 keys of each side
     must then intersect (standard prefix-filter theorem; needs
-    |s| >= q(D+1), and 18-char names >= 4 here). Keys are ordered by
+    max(|a|,|b|) >= q(D+1)). Pairs where BOTH strings are shorter than
+    q(D+1) chars fall outside the theorem (t < 1) — those strings go
+    through a dedicated single-block short-string candidate stream
+    instead (bounded: such strings are a corpus-statistics handful;
+    zero in this fixed-18-char corpus), and a string long enough to
+    have grams but shorter than the prefix length simply keeps ALL its
+    grams (row_number <= prefix covers it). Keys are ordered by
     (global frequency, gram, occ) — rarest first — so candidate
     buckets are the rarest grams in the corpus and bucket sizes stay
     bounded. Measured at sf0.01: 152,762 candidate pairs vs 1,124,250
@@ -2170,16 +2176,22 @@ def q_fuzzy_name_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-invariant test pins zero BroadcastNestedLoopJoin."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     q, prefix_len = FUZZY_BLOCK_Q, _FUZZY_BLOCK_PREFIX
+    # strings with no q-grams (len < q) would make sequence() descend and
+    # emit garbage grams; strings below q(D+1) can't satisfy the theorem
+    # against each other at all — gate gram generation to len >= q and
+    # route the short band through its own block below
+    gram_arr = F.when(
+        F.length("c_name") >= q,
+        F.expr(
+            f"transform(sequence(1, length(c_name) - {q - 1}),"
+            f" i -> substring(c_name, i, {q}))"
+        ),
+    ).otherwise(F.array())
     grams = (
         c.select(
             "c_custkey",
             "c_name",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, length(c_name) - {q - 1}),"
-                    f" i -> substring(c_name, i, {q}))"
-                )
-            ).alias("pos", "gram"),
+            F.posexplode(gram_arr).alias("pos", "gram"),
         )
     )
     w_occ = W.partitionBy("c_custkey", "gram").orderBy("pos")
@@ -2210,8 +2222,40 @@ def q_fuzzy_name_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["gram", "occ"])
         .where(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b", "name_a", "name_b")
-        .distinct()
     )
+    # short band: strings below q(D+1) chars pair among themselves
+    # through a LENGTH-band equi-join (ed <= D forces |len_a - len_b|
+    # <= D, so each side emits its length and length+1 as block keys —
+    # every within-band pair meets on at least one key; a LONGER
+    # partner of a short string is covered by the prefix join, whose
+    # theorem only needs the longer side's length). The key is
+    # data-derived, so Catalyst can't constant-fold it away into a
+    # nested-loop join the way a literal key would be.
+    short = c.where(
+        F.length("c_name") <= q * (FUZZY_BLOCK_MAX_DIST + 1) - 1
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.array(F.length("c_name"), F.length("c_name") + 1)
+        ).alias("blk"),
+    )
+    sa = short.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        "blk",
+    )
+    sb = short.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        "blk",
+    )
+    cand_short = (
+        sa.join(sb, "blk")
+        .where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "name_a", "name_b")
+    )
+    cand = cand.unionByName(cand_short).distinct()
     return (
         cand.select(
             "key_a",

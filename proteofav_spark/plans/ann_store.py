@@ -238,15 +238,19 @@ def compact_ivf_store(
         .where(F.col("list_label").isin(sorted(todo)))
         .localCheckpoint()
     )
-    # per-list target file count as a literal CASE chain (bounded by the
-    # hot set — no UDF, stays in codegen)
-    n_of = F.lit(1)
-    for label, n in sorted(todo.items()):
-        n_of = F.when(F.col("list_label") == label, F.lit(n)).otherwise(n_of)
-    bucketed = members.withColumn(
-        "bucket", F.pmod(F.xxhash64("vec_id"), n_of)
+    # per-list target file count via a broadcast join against the tiny
+    # (list_label, n_target) frame — after a broad append cadence todo
+    # can be ALL K lists, and a K-deep CASE chain would cost O(rows x K)
+    # comparisons (and Catalyst analysis depth); the join is O(rows)
+    targets = spark.createDataFrame(
+        sorted(todo.items()), "list_label int, n_target int"
     )
-    out = bucketed.repartition("list_label", "bucket").drop("bucket")
+    bucketed = members.join(F.broadcast(targets), "list_label").withColumn(
+        "bucket", F.pmod(F.xxhash64("vec_id"), F.col("n_target"))
+    )
+    out = bucketed.repartition("list_label", "bucket").drop(
+        "bucket", "n_target"
+    )
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -342,15 +346,19 @@ def rebalance_ivf_store(
     a list hot typically ALSO left a small-file trail across the cold
     lists, and one maintenance window should fix both (the "compaction"
     key in the result carries the per-list before/after file stats)."""
+    def _with_compaction(result: dict) -> dict:
+        # shared maintenance tail for both the no-hot-lists early return
+        # and the post-split exit
+        if compact_target_file_bytes is not None:
+            result["compaction"] = compact_ivf_store(
+                spark, path, compact_target_file_bytes
+            )
+        return result
+
     report = ivf_skew_report(spark, path, row_budget)
     hot = report["hot"]
     if not hot:
-        out: dict = {"split": {}, "unsplit": []}
-        if compact_target_file_bytes is not None:
-            out["compaction"] = compact_ivf_store(
-                spark, path, compact_target_file_bytes
-            )
-        return out
+        return _with_compaction({"split": {}, "unsplit": []})
 
     cents_all = spark.read.parquet(f"{path}/centroids").collect()
     max_label = max(r["list_label"] for r in cents_all)
@@ -523,15 +531,10 @@ def rebalance_ivf_store(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     spark.catalog.refreshByPath(f"{path}/lists")
 
-    result = {
+    return _with_compaction({
         "split": {old: new_label_of[old] for old in sorted(split_ok)},
         "unsplit": unsplit,
-    }
-    if compact_target_file_bytes is not None:
-        result["compaction"] = compact_ivf_store(
-            spark, path, compact_target_file_bytes
-        )
-    return result
+    })
 
 
 def probe_ivf_store(

@@ -91,3 +91,11 @@ def test_mistyped_nested_oracle_fails_the_sweep(spark, tmp_path):
     rel_ok = duckdb.sql("SELECT {'a': 1::BIGINT} AS s")
     dtype_ok = str(dict(zip(rel_ok.columns, rel_ok.types))["s"])
     assert type_parity(stype, dtype_ok) is True
+
+
+def test_struct_quoted_field_name_with_space():
+    # a quoted DuckDB field name may contain spaces — must parse the
+    # full quoted token, not split at the first space
+    assert type_parity('struct<a b:bigint>', 'STRUCT("a b" BIGINT)') is True
+    assert type_parity('struct<a b:bigint>', 'STRUCT("a b" HUGEINT)') is False
+    assert type_parity('struct<a c:bigint>', 'STRUCT("a b" BIGINT)') is False

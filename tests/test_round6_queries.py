@@ -203,3 +203,38 @@ def test_q9_plan_single_fact_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_blocked_handles_short_names(spark, tmp_path):
+    """Names shorter than q(D+1) chars fall outside the prefix-filter
+    theorem (and 1-char names have no grams at all): the short-band
+    block must keep the operator lossless on them, and the plan must
+    stay free of theta joins."""
+    import os
+
+    from proteofav_spark.operators.analytics_queries import (
+        q_fuzzy_name_match_blocked,
+    )
+
+    names = ["a", "b", "ab", "ac", "abc", "abd", "abcd", "abce",
+             "abcde", "zzzzz", "Customer#000000001"]
+    rows = [(i, n) for i, n in enumerate(names)]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "c_custkey long, c_name string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sf, "customer.parquet"))
+
+    want = {
+        (a, b, _levenshtein(names[a], names[b]))
+        for a in range(len(names))
+        for b in range(a + 1, len(names))
+        if _levenshtein(names[a], names[b]) <= FUZZY_BLOCK_MAX_DIST
+    }
+    out = q_fuzzy_name_match_blocked(spark, sf)
+    got = {(r["key_a"], r["key_b"], r["dist"]) for r in out.collect()}
+    assert got == want
+    # the short cases really occur: 1-char pair, 2-char pair, 2-vs-3
+    assert (0, 1, 1) in want and (2, 3, 1) in want and (2, 4, 1) in want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

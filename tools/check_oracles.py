@@ -100,11 +100,15 @@ def type_parity(spark_simple: str, duck_type: str):
             return False
         ok: bool | None = True
         for sf, df in zip(s_fields, d_fields):
-            # spark: name:type       duckdb: name TYPE (name may be quoted)
+            # spark: name:type       duckdb: name TYPE (name may be
+            # quoted, and a quoted name may itself contain spaces)
             s_name, _, s_type = sf.partition(":")
-            d_name, _, d_type = df.strip().partition(" ")
-            if d_name.startswith('"') and d_name.endswith('"'):
-                d_name = d_name[1:-1]
+            df = df.strip()
+            if df.startswith('"'):
+                close = df.index('"', 1)
+                d_name, d_type = df[1:close], df[close + 1 :].strip()
+            else:
+                d_name, _, d_type = df.partition(" ")
             if s_name.strip().lower() != d_name.strip().lower():
                 return False
             sub = type_parity(s_type, d_type)
