@@ -208,10 +208,10 @@ def run_scaling(spark, qs, base_timings: dict[str, float]) -> dict:
             file=sys.stderr,
         )
 
-        def timed(name: str, sf_dir: str) -> float:
+        def timed(name: str, sf_dir: str, n_runs: int = 2) -> float:
             fn = qs[name]
             runs = []
-            for _ in range(2):
+            for _ in range(n_runs):
                 s = time.perf_counter()
                 fn(spark, sf_dir).count()
                 runs.append(time.perf_counter() - s)
@@ -230,7 +230,10 @@ def run_scaling(spark, qs, base_timings: dict[str, float]) -> dict:
             ]
             t_x10 = None
             if name in deep:
-                t_x10 = timed(name, x10_dir)
+                # one run: at ~1 GB the measurement is minutes of data-
+                # dependent work, far above the noise floor, and a second
+                # run of 5 heavy queries would double the sweep's tail
+                t_x10 = timed(name, x10_dir, n_runs=1)
                 pts.append((10 * sf_base, t_x10))
             overhead_bound = t_base < _EXPONENT_FLOOR_S
             exp = None if overhead_bound else _fit_exponent(pts)
