@@ -389,6 +389,10 @@ EXTRA = [
     "dedup_semantic_clusters",
     "agg_exact_median_groups",
     "fuzzy_name_match_pairs",
+    # round-6 additions
+    "fuzzy_name_match_blocked",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_profit_rollup",
 ]
 
 
