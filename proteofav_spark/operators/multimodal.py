@@ -6,11 +6,12 @@ The DEFAULT decode kernels handle the real formats parseable with zero
 dependencies — RIFF/WAVE PCM audio (``wave``), binary PGM/PPM images
 (netpbm), 8-bit PNG incl. Adam7 interlace (``zlib`` + ``struct``,
 all five scanline filters), GIF87a/89a first frames (pure LZW with variable-
-width codes and the KwK case), and baseline sequential JPEG (``struct``
-+ numpy: huffman entropy decode, dequant, IDCT, 4:4:4/4:2:2/4:2:0
-chroma upsampling, restart intervals) — and fall back to clearly-marked
-deterministic STUBS for formats that need codec libraries the container
-doesn't ship (progressive JPEG, WebP, MP3/AAC/...); everything
+width codes and the KwK case), and both baseline-sequential and
+progressive DCT JPEG (``struct`` + numpy: huffman entropy decode incl.
+spectral-selection/successive-approximation scans, dequant, IDCT,
+4:4:4/4:2:2/4:2:0 chroma upsampling, restart intervals) — and fall back
+to clearly-marked deterministic STUBS for formats that need codec
+libraries the container doesn't ship (WebP, MP3/AAC/...); everything
 Spark-side — schemas, batch
 iteration, partitioning, UDF signatures — is real and tested. Each feature extractor takes an injectable ``decode_fn`` /
 ``frame_fn`` (the codec seam): a deployment passes its PIL/cv2/soundfile
@@ -316,15 +317,19 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray | None:
-    """REAL codec, zero dependencies: baseline sequential DCT JPEG
-    (SOF0) via stdlib ``struct`` + numpy — grayscale and YCbCr with any
-    1-2x sampling factors (4:4:4 / 4:2:2 / 4:2:0), quant + huffman
-    tables read from the file's own DQT/DHT markers, byte stuffing and
-    DRI/RSTn restart intervals per ITU-T T.81. Returns the flat uint8
-    pixel array (gray, or interleaved RGB via the JFIF YCbCr
-    transform), or None for anything else (progressive SOF2,
-    arithmetic coding, 12-bit) — like :func:`decode_png`, a
-    non-baseline payload degrades to the stub, never fails the batch.
+    """REAL codec, zero dependencies: sequential-baseline (SOF0) AND
+    progressive (SOF2) DCT JPEG via stdlib ``struct`` + numpy —
+    grayscale and YCbCr with any 1-2x sampling factors (4:4:4 / 4:2:2 /
+    4:2:0), quant + huffman tables read from the file's own DQT/DHT
+    markers, byte stuffing and DRI/RSTn restart intervals per ITU-T
+    T.81. Progressive streams accumulate quantized coefficients across
+    their scans (spectral-selection bands, successive-approximation DC/
+    AC first and refinement passes with EOB-run decoding, T.81 Annex G)
+    and dequantize + IDCT once at EOI. Returns the flat uint8 pixel
+    array (gray, or interleaved RGB via the JFIF YCbCr transform), or
+    None for anything else (arithmetic coding, 12-bit, lossless) — like
+    :func:`decode_png`, an unsupported payload degrades to the stub,
+    never fails the batch.
 
     The entropy decode is a per-block Python loop (bit-serial huffman
     is irreducibly sequential); dequantize/IDCT/upsample/color are
@@ -338,6 +343,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray | None:
         qt: dict[int, np.ndarray] = {}
         huff: dict[tuple[int, int], dict] = {}
         frame = None
+        progressive = False
+        coeffs: list[np.ndarray] | None = None
         ri = 0
         pos = 2
         data = bytes(blob)
@@ -350,6 +357,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray | None:
             while data[pos + 1] == 0xFF and pos + 4 <= len(data):
                 pos += 1
             marker = data[pos + 1]
+            if marker == 0xD9:  # EOI: no length payload
+                break
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue
@@ -382,10 +391,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray | None:
                         code <<= 1
                     huff[(tc, th)] = table
                     i += 17 + sum(counts)
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
                 depth, h, w, nc = struct.unpack(">BHHB", seg[:6])
                 if depth != 8 or nc not in (1, 3):
                     return None
+                progressive = marker == 0xC2
                 comps = []
                 for ci in range(nc):
                     cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
@@ -397,9 +407,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray | None:
                 ):
                     return None
                 frame = (h, w, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # extended/progressive/lossless/arithmetic
+                return None  # extended/lossless/arithmetic
             elif marker == 0xDD:  # DRI
                 (ri,) = struct.unpack(">H", seg[:2])
             elif marker == 0xDA:  # SOS: scan follows
@@ -410,10 +420,24 @@ def decode_jpeg(blob: bytes) -> np.ndarray | None:
                 for si in range(ns):
                     cs, tt = seg[1 + 2 * si : 3 + 2 * si]
                     scan[cs] = (tt >> 4, tt & 0xF)
-                return _jpeg_scan(
-                    data, pos + 2 + seglen, frame, scan, qt, huff, ri
+                if not progressive:
+                    return _jpeg_scan(
+                        data, pos + 2 + seglen, frame, scan, qt, huff, ri
+                    )
+                # progressive: accumulate this scan's coefficients and
+                # continue the marker loop at the next real marker
+                ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                if coeffs is None:
+                    coeffs = _jpeg_coeff_arrays(frame)
+                end = _jpeg_progressive_scan(
+                    data, pos + 2 + seglen, frame, scan,
+                    ss, se, ahal >> 4, ahal & 0xF, huff, ri, coeffs,
                 )
+                pos = _jpeg_next_marker(data, end)
+                continue
             pos += 2 + seglen
+        if progressive and coeffs is not None:
+            return _jpeg_finalize(frame, coeffs, qt)
         return None
     except (ValueError, IndexError, KeyError, struct.error):
         return None
@@ -467,6 +491,13 @@ def _jpeg_scan(data, pos, frame, scan, qt, huff, ri) -> np.ndarray | None:
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    return _jpeg_assemble(planes, h, w, comps, hmax, vmax)
+
+
+def _jpeg_assemble(planes, h, w, comps, hmax, vmax) -> np.ndarray:
+    """Level-shift, chroma-upsample, crop and color-convert decoded
+    component planes into the flat uint8 output (shared by the baseline
+    single-scan path and the progressive finalize)."""
     out = []
     for ci, c in enumerate(comps):
         p = planes[ci] + 128.0
@@ -482,6 +513,209 @@ def _jpeg_scan(data, pos, frame, scan, qt, huff, ri) -> np.ndarray | None:
         axis=-1,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2, T.81 Annex G): per-scan coefficient
+# accumulation — spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_geom(frame):
+    """(hmax, vmax, mcux, mcuy) for a parsed frame."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    return hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+
+def _jpeg_comp_blocks(h, w, c, hmax, vmax) -> tuple[int, int]:
+    """(blocks_wide, blocks_high) of a component's TRUE extent — the
+    block coverage of a non-interleaved scan (A.2.2: ceil of the scaled
+    dimension over 8, NOT the MCU-padded grid)."""
+    cw = -(-w * c["h"] // hmax)
+    ch = -(-h * c["v"] // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _jpeg_coeff_arrays(frame) -> list:
+    """Per-component quantized-coefficient store in ZIGZAG index order,
+    sized to the MCU-PADDED block grid (interleaved scans really code
+    the edge-padding blocks; non-interleaved scans cover only the
+    component's true block extent — see _jpeg_progressive_scan)."""
+    _, _, mcux, mcuy = _jpeg_geom(frame)
+    _, _, comps = frame
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64) for c in comps
+    ]
+
+
+def _jpeg_next_marker(data: bytes, pos: int) -> int:
+    """First real marker at/after ``pos``: 0xFF followed by neither a
+    stuffing 0x00 nor a fill 0xFF nor an RSTn (T.81 F.2.2.5)."""
+    n = len(data)
+    while pos + 1 < n:
+        if (
+            data[pos] == 0xFF
+            and data[pos + 1] not in (0x00, 0xFF)
+            and not (0xD0 <= data[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    return n  # no marker found: past the end; the caller's loop bound exits
+
+
+def _jpeg_progressive_scan(
+    data, pos, frame, scan, ss, se, ah, al, huff, ri, coeffs
+) -> int:
+    """Decode ONE progressive scan into ``coeffs`` and return the
+    position where entropy-coded data ended. Dispatch per T.81 G.1.2:
+    DC scans (ss == 0, may be interleaved) carry first (ah == 0) or
+    refinement bits of coefficient 0; AC scans (single component by
+    G.1.1) carry a spectral band [ss, se] of first values or refinement
+    correction bits, with shared EOB-run state across blocks."""
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy = _jpeg_geom(frame)
+    sel = [(ci, c) for ci, c in enumerate(comps) if c["id"] in scan]
+    br = _BitReader(data, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan with nonzero Se")
+        pred = {ci: 0 for ci, _ in sel}
+
+        def dc_block(ci, c, by, bx):
+            coef = coeffs[ci]
+            if ah == 0:
+                t = _huff_decode(br, huff[(0, scan[c["id"]][0])])
+                pred[ci] += _extend(br.read(t), t)
+                coef[by, bx, 0] = pred[ci] << al
+            elif br.read(1):
+                # refinement: append one magnitude bit; arbitrary-
+                # precision ints make |= correct for negatives too
+                coef[by, bx, 0] |= 1 << al
+
+        if len(sel) > 1:
+            n_mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if ri and n_mcu and n_mcu % ri == 0:
+                        br.sync_restart()
+                        pred = {ci: 0 for ci, _ in sel}
+                    n_mcu += 1
+                    for ci, c in sel:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(
+                                    ci, c, my * c["v"] + by, mx * c["h"] + bx
+                                )
+        else:
+            ci, c = sel[0]
+            bw, bh = _jpeg_comp_blocks(h, w, c, hmax, vmax)
+            n_blk = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if ri and n_blk and n_blk % ri == 0:
+                        br.sync_restart()
+                        pred = {ci: 0}
+                    n_blk += 1
+                    dc_block(ci, c, by, bx)
+        return br.pos
+
+    # AC scan: exactly one component (T.81 G.1.1)
+    if len(sel) != 1:
+        raise ValueError("interleaved AC scan")
+    ci, c = sel[0]
+    table = huff[(1, scan[c["id"]][1])]
+    bw, bh = _jpeg_comp_blocks(h, w, c, hmax, vmax)
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    n_blk = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if ri and n_blk and n_blk % ri == 0:
+                br.sync_restart()
+                eobrun = 0
+            n_blk += 1
+            blk = coeffs[ci][by, bx]
+            if ah == 0:  # AC first (G.1.2.2)
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(br, table)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band")
+                    blk[k] = _extend(br.read(s), s) << al
+                    k += 1
+            else:  # AC refinement (G.1.2.3, the jdphuff structure)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff_decode(br, table)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.read(r)
+                                break
+                            val = 0  # ZRL: 16 zero-history positions
+                        elif s == 1:
+                            val = p1 if br.read(1) else m1
+                        else:
+                            raise ValueError("refinement size > 1")
+                        # advance past r zero-history coefficients,
+                        # reading correction bits for nonzero history
+                        while k <= se:
+                            cur = blk[k]
+                            if cur != 0:
+                                if br.read(1) and (cur & p1) == 0:
+                                    blk[k] = cur + (p1 if cur > 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    # inside an EOB run: only correction bits remain
+                    while k <= se:
+                        cur = blk[k]
+                        if cur != 0 and br.read(1) and (cur & p1) == 0:
+                            blk[k] = cur + (p1 if cur > 0 else m1)
+                        k += 1
+                    eobrun -= 1
+    return br.pos
+
+
+def _jpeg_finalize(frame, coeffs, qt) -> np.ndarray:
+    """Dequantize + IDCT every accumulated block (vectorized over the
+    whole component grid) and assemble the pixels — run once at EOI."""
+    h, w, comps = frame
+    hmax, vmax, _, _ = _jpeg_geom(frame)
+    planes = []
+    for ci, c in enumerate(comps):
+        zz = coeffs[ci]  # (BY, BX, 64) in zigzag order
+        by, bx = zz.shape[0], zz.shape[1]
+        nat = np.zeros_like(zz)
+        nat[:, :, _ZIGZAG] = zz
+        m = nat.reshape(by, bx, 8, 8).astype(np.float64) * qt[c["tq"]]
+        blocks = np.einsum("ua,yxuv,vb->yxab", _DCT_C, m, _DCT_C)
+        planes.append(blocks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+    return _jpeg_assemble(planes, h, w, comps, hmax, vmax)
 
 
 def gif_frames(blob: bytes, limit: int | None = None) -> list | None:
@@ -617,12 +851,12 @@ def _decode_image_stub(blob: bytes, width: int, height: int) -> np.ndarray:
     """Default decode: REAL container parsing when the payload is a
     binary PGM/PPM (:func:`decode_pnm`), an 8-bit PNG (incl. Adam7)
     (:func:`decode_png` — stdlib zlib only), a GIF first frame
-    (:func:`decode_gif` — pure LZW) or a baseline sequential
-    JPEG (:func:`decode_jpeg` — stdlib struct + numpy), else a
-    deterministic fake pixel array derived from the bytes (STUB for the
-    remaining codec-library formats, e.g. progressive JPEG or WebP —
-    pass a PIL/cv2 ``decode_fn`` in deployment; signature and batch
-    shape are the contract)."""
+    (:func:`decode_gif` — pure LZW) or a baseline-sequential OR
+    progressive JPEG (:func:`decode_jpeg` — stdlib struct + numpy),
+    else a deterministic fake pixel array derived from the bytes (STUB
+    for the remaining codec-library formats, e.g. WebP — pass a
+    PIL/cv2 ``decode_fn`` in deployment; signature and batch shape are
+    the contract)."""
     real = decode_pnm(bytes(blob)) if len(blob) >= 2 else None
     if real is None and len(blob) >= 8:
         real = decode_png(bytes(blob))

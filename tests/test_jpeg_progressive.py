@@ -1,0 +1,408 @@
+"""Progressive-JPEG decoder proofs (operators/multimodal.py:
+decode_jpeg, SOF2 path).
+
+Same two-channel evidence strategy as test_jpeg_decode.py:
+
+1. a HAND-ASSEMBLED spec fixture — scans and entropy bits derived
+   directly from ITU-T T.81 Annex G for a uniform block — pins the
+   scan-header parsing, the DC successive-approximation shift/refine
+   and the AC EOB path without any encoder in the loop;
+2. a self-contained progressive test ENCODER (spectral selection +
+   successive approximation with EOB-run accumulation and buffered
+   correction bits, mirroring the public libjpeg jcphuff structure)
+   whose output must decode EXACTLY equal to the baseline encoding of
+   the same image: both pipelines quantize identically, so any
+   disagreement in the scan algebra shows up as a coefficient
+   mismatch, not a tolerance miss.
+
+No codec library exists in this container (PIL/cv2 absent), so the
+encoder is the only way to synthesize multi-scan streams.
+"""
+
+import numpy as np
+
+from proteofav_spark.operators.multimodal import _ZIGZAG, decode_jpeg
+from tests.test_jpeg_decode import (
+    _BitWriter,
+    _C,
+    _dht,
+    _dqt,
+    _marker,
+    _put_coef,
+    _size_cat,
+    _univ_code,
+    encode_jpeg,
+)
+
+
+def _emit_sym(bw: _BitWriter, sym: int) -> None:
+    length, code = _univ_code(sym)
+    bw.put(code, length)
+
+
+def _quant_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(BH, BW, 64) quantized zigzag coefficients of a padded plane —
+    the identical forward path the baseline test encoder uses."""
+    ph, pw = plane.shape
+    bh, bw_ = ph // 8, pw // 8
+    out = np.zeros((bh, bw_, 64), np.int64)
+    for by in range(bh):
+        for bx in range(bw_):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = _C @ (block.astype(np.float64) - 128.0) @ _C.T
+            qz = np.round(coef / q).astype(np.int64)
+            out[by, bx] = qz.reshape(-1)[_ZIGZAG]
+    return out
+
+
+class _EobState:
+    """EOB-run accumulator with the buffered correction bits that must
+    trail the EOBRUN symbol (jcphuff's EOBRUN/BE pair)."""
+
+    def __init__(self, bw: _BitWriter):
+        self.bw = bw
+        self.run = 0
+        self.corr: list[int] = []
+
+    def bump(self, bits: list[int]) -> None:
+        self.run += 1
+        self.corr.extend(bits)
+        if self.run == 0x7FFF:
+            self.flush()
+
+    def flush(self) -> None:
+        if self.run > 0:
+            nbits = self.run.bit_length() - 1
+            _emit_sym(self.bw, nbits << 4)
+            if nbits:
+                self.bw.put(self.run - (1 << nbits), nbits)
+            self.run = 0
+        for b in self.corr:
+            self.bw.put(b, 1)
+        self.corr = []
+
+
+def _sos(comp_specs: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+    body = bytes([len(comp_specs)])
+    for cid, dc_t, ac_t in comp_specs:
+        body += bytes([cid, (dc_t << 4) | ac_t])
+    body += bytes([ss, se, (ah << 4) | al])
+    return _marker(0xDA, body)
+
+
+def _dc_first_scan(comps, zz, al) -> bytes:
+    """Interleaved DC-first scan over every component (Al-shifted
+    differences, arithmetic shift as T.81 prescribes for DC)."""
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    mcuy = zz[0].shape[0] // comps[0][2]
+    mcux = zz[0].shape[1] // comps[0][1]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, ch_, cv, _p) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch_):
+                        v = int(zz[ci][my * cv + by, mx * ch_ + bx, 0]) >> al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s = _size_cat(diff)
+                        _emit_sym(bw, s)
+                        _put_coef(bw, diff, s)
+    return bw.flush_stuffed()
+
+
+def _dc_refine_scan(comps, zz, al) -> bytes:
+    """Interleaved DC refinement: one magnitude bit (bit ``al``) per
+    block in MCU order."""
+    bw = _BitWriter()
+    mcuy = zz[0].shape[0] // comps[0][2]
+    mcux = zz[0].shape[1] // comps[0][1]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, ch_, cv, _p) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch_):
+                        v = int(zz[ci][my * cv + by, mx * ch_ + bx, 0])
+                        # DC refinement is TWO'S-COMPLEMENT bit al of the
+                        # arithmetic-shifted value (T.81 G.1.2.1), unlike
+                        # AC refinement which works on magnitudes; the two
+                        # only coincide at the lowest bit plane
+                        bw.put((v >> al) & 1, 1)
+    return bw.flush_stuffed()
+
+
+def _ac_first_scan(zz_c, true_bh, true_bw, ss, se, al) -> bytes:
+    """Single-component AC-first scan over [ss, se]: magnitudes
+    truncated toward zero by Al (T.81 G.1.2.2) with EOB-run
+    accumulation."""
+    bw = _BitWriter()
+    eob = _EobState(bw)
+    for by in range(true_bh):
+        for bx in range(true_bw):
+            blk = zz_c[by, bx]
+            tv = {}
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                t = abs(v) >> al
+                if t:
+                    tv[k] = t if v > 0 else -t
+            if not tv:
+                eob.bump([])
+                continue
+            eob.flush()
+            r = 0
+            last = max(tv)
+            for k in range(ss, se + 1):
+                if k not in tv:
+                    if k < last:
+                        r += 1
+                    continue
+                while r > 15:
+                    _emit_sym(bw, 0xF0)  # ZRL
+                    r -= 16
+                s = _size_cat(tv[k])
+                _emit_sym(bw, (r << 4) | s)
+                _put_coef(bw, tv[k], s)
+                r = 0
+            if last < se:
+                eob.bump([])
+    eob.flush()
+    return bw.flush_stuffed()
+
+
+def _ac_refine_scan(zz_c, true_bh, true_bw, ss, se, al) -> bytes:
+    """Single-component AC refinement over [ss, se] (G.1.2.3): newly-
+    significant coefficients as (run, 1)+sign, history-significant ones
+    as buffered correction bits, EOB runs carrying their bits."""
+    bw = _BitWriter()
+    eob = _EobState(bw)
+    for by in range(true_bh):
+        for bx in range(true_bw):
+            blk = zz_c[by, bx]
+            t = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            newly = [i for i, x in enumerate(t) if x == 1]
+            last_new = newly[-1] if newly else -1
+            r = 0
+            pend: list[int] = []
+            for i, x in enumerate(t):
+                if x == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= last_new:
+                    eob.flush()
+                    _emit_sym(bw, 0xF0)
+                    r -= 16
+                    for b in pend:
+                        bw.put(b, 1)
+                    pend = []
+                if x > 1:  # history-significant: correction bit
+                    pend.append(x & 1)
+                    continue
+                # newly significant
+                eob.flush()
+                _emit_sym(bw, (r << 4) | 1)
+                bw.put(1 if int(blk[ss + i]) > 0 else 0, 1)
+                for b in pend:
+                    bw.put(b, 1)
+                pend = []
+                r = 0
+            if r > 0 or pend:
+                eob.bump(pend)
+    eob.flush()
+    return bw.flush_stuffed()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, q_val: int = 2, subsample: bool = False,
+    al_dc: int = 1, al_ac: int = 1, band_split: int = 5,
+) -> bytes:
+    """Progressive-encode (SOF2) the same pixels the baseline test
+    encoder handles, through a 6-stage scan script: interleaved DC
+    first (Al=al_dc), per-component AC first in two spectral bands
+    (Al=al_ac), interleaved DC refinements down to bit 0, and
+    per-component AC refinements per band down to bit 0."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    q = np.full((8, 8), q_val, np.int32)
+    if gray:
+        comps = [(1, 1, 1, np.asarray(img, np.float64))]
+    else:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = (128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1]
+              + 0.5 * rgb[..., 2])
+        cr = (128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1]
+              - 0.081312 * rgb[..., 2])
+        if subsample:
+            def box(p):
+                ph = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+                return (ph[0::2, 0::2] + ph[1::2, 0::2]
+                        + ph[0::2, 1::2] + ph[1::2, 1::2]) / 4.0
+            comps = [(1, 2, 2, y), (2, 1, 1, box(cb)), (3, 1, 1, box(cr))]
+        else:
+            comps = [(1, 1, 1, y), (2, 1, 1, cb), (3, 1, 1, cr)]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    zz = []
+    true_dims = []
+    for cid, ch_, cv, plane in comps:
+        pw, ph = mcux * ch_ * 8, mcuy * cv * 8
+        p = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+        zz.append(_quant_zz(p, q))
+        cw = -(-w * ch_ // hmax)
+        chh = -(-h * cv // vmax)
+        true_dims.append((-(-chh // 8), -(-cw // 8)))
+
+    out = [_marker(0xD8), _dqt(0, q), _dht(0, 0), _dht(1, 0)]
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([len(comps)])
+    for cid, ch_, cv, _ in comps:
+        sof += bytes([cid, (ch_ << 4) | cv, 0])
+    out.append(_marker(0xC2, sof))  # SOF2: progressive
+
+    # 1. DC first, interleaved
+    out.append(_sos([(c[0], 0, 0) for c in comps], 0, 0, 0, al_dc))
+    out.append(_dc_first_scan(comps, zz, al_dc))
+    # 2+3. AC first per component, two bands
+    for ci, (cid, *_rest) in enumerate(comps):
+        tb, tw = true_dims[ci]
+        out.append(_sos([(cid, 0, 0)], 1, band_split, 0, al_ac))
+        out.append(_ac_first_scan(zz[ci], tb, tw, 1, band_split, al_ac))
+        out.append(_sos([(cid, 0, 0)], band_split + 1, 63, 0, al_ac))
+        out.append(_ac_first_scan(zz[ci], tb, tw, band_split + 1, 63, al_ac))
+    # 4. DC refinements down to bit 0
+    for a in range(al_dc - 1, -1, -1):
+        out.append(_sos([(c[0], 0, 0) for c in comps], 0, 0, a + 1, a))
+        out.append(_dc_refine_scan(comps, zz, a))
+    # 5. AC refinements per component per band down to bit 0
+    for a in range(al_ac - 1, -1, -1):
+        for ci, (cid, *_rest) in enumerate(comps):
+            tb, tw = true_dims[ci]
+            out.append(_sos([(cid, 0, 0)], 1, band_split, a + 1, a))
+            out.append(_ac_refine_scan(zz[ci], tb, tw, 1, band_split, a))
+            out.append(_sos([(cid, 0, 0)], band_split + 1, 63, a + 1, a))
+            out.append(_ac_refine_scan(zz[ci], tb, tw, band_split + 1, 63, a))
+    out.append(_marker(0xD9))
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# 1. hand-assembled spec fixture (no encoder involved)
+# ---------------------------------------------------------------------------
+
+def test_hand_assembled_progressive_uniform():
+    """8x8 uniform gray 130, q=1: the only nonzero coefficient is
+    DC = 16. Three scans assembled by hand from T.81 Annex G:
+
+    - DC first Al=1: sends 16>>1 = 8 -> size 4 (universal 9-bit code
+      for symbol 4: 000000100) + 4 magnitude bits 1000;
+    - AC first Ss=1 Se=63 Al=0: all zero -> EOB0 (symbol 0: nine 0s);
+    - DC refine Ah=1 Al=0: one bit, 16 & 1 = 0.
+
+    Decoded pixels must be uniform 130 exactly (IDCT of DC 16 on a
+    q=1 table is +2 over the level shift)."""
+    q = np.ones((8, 8), np.int32)
+    scan1 = _BitWriter()
+    _emit_sym(scan1, 4)
+    _put_coef(scan1, 8, 4)
+    scan2 = _BitWriter()
+    _emit_sym(scan2, 0)
+    scan3 = _BitWriter()
+    scan3.put(0, 1)
+
+    sof = bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") \
+        + bytes([1, 1, 0x11, 0])
+    blob = (
+        _marker(0xD8) + _dqt(0, q) + _dht(0, 0) + _dht(1, 0)
+        + _marker(0xC2, sof)
+        + _sos([(1, 0, 0)], 0, 0, 0, 1) + scan1.flush_stuffed()
+        + _sos([(1, 0, 0)], 1, 63, 0, 0) + scan2.flush_stuffed()
+        + _sos([(1, 0, 0)], 0, 0, 1, 0) + scan3.flush_stuffed()
+        + _marker(0xD9)
+    )
+    got = decode_jpeg(blob)
+    assert got is not None
+    assert np.array_equal(got, np.full(64, 130, np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# 2. encoder round-trips: progressive must EXACTLY equal baseline
+# ---------------------------------------------------------------------------
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+
+
+def _check_equal_to_baseline(img, **kw):
+    base = decode_jpeg(encode_jpeg(img, q_val=kw.pop("q_val", 2),
+                                   subsample=kw.get("subsample", False)))
+    prog = decode_jpeg(encode_jpeg_progressive(img, **kw))
+    assert base is not None and prog is not None
+    assert np.array_equal(prog, base), (
+        np.abs(prog.astype(int) - base.astype(int)).max()
+    )
+
+
+def test_progressive_grayscale_multiblock():
+    _check_equal_to_baseline(_gradient(24, 16))
+
+
+def test_progressive_nonmultiple_of_8_dims():
+    _check_equal_to_baseline(_gradient(13, 21))
+
+
+def test_progressive_color_444():
+    img = np.stack(
+        [_gradient(16, 16), _gradient(16, 16).T, 255 - _gradient(16, 16)],
+        axis=-1,
+    )
+    _check_equal_to_baseline(img)
+
+
+def test_progressive_color_420_subsampled():
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, (20, 28, 3)).astype(np.uint8)
+    _check_equal_to_baseline(img, subsample=True)
+
+
+def test_progressive_deeper_successive_approximation():
+    """Al=2 for both DC and AC: two refinement passes per coefficient
+    bit-plane — exercises repeated correction-bit scans."""
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+    _check_equal_to_baseline(img, al_dc=2, al_ac=2)
+
+
+def test_progressive_eob_runs_across_blocks():
+    """A mostly-flat image with two isolated features: long EOB runs
+    must span many all-zero blocks in the AC scans (the EOBRUN path,
+    including its buffered correction bits in refinement)."""
+    img = np.full((40, 48), 128, np.uint8)
+    img[4:7, 4:7] = 250
+    img[33:36, 40:43] = 10
+    _check_equal_to_baseline(img)
+    # and in color with subsampling
+    rgb = np.stack([img, img[::-1], img[:, ::-1]], axis=-1)
+    _check_equal_to_baseline(rgb, subsample=True)
+
+
+def test_progressive_band_split_variants():
+    img = _gradient(16, 16)
+    for split in (1, 9, 32, 62):
+        _check_equal_to_baseline(img, band_split=split)
+
+
+def test_truncated_progressive_never_raises():
+    """Truncation at any marker/entropy boundary must degrade (None, or
+    a coarser image from the scans that did complete) — never raise."""
+    blob = encode_jpeg_progressive(_gradient(16, 16))
+    for cut in (len(blob) // 4, len(blob) // 2, 3 * len(blob) // 4):
+        out = decode_jpeg(blob[:cut])
+        assert out is None or isinstance(out, np.ndarray)
