@@ -406,3 +406,34 @@ def test_truncated_progressive_never_raises():
     for cut in (len(blob) // 4, len(blob) // 2, 3 * len(blob) // 4):
         out = decode_jpeg(blob[:cut])
         assert out is None or isinstance(out, np.ndarray)
+
+
+def test_progressive_default_path_through_image_features(spark):
+    """A progressive-JPEG payload flows through image_features with NO
+    injected decode_fn and the features match the numpy reference on
+    the true decoded pixels — progressive is a DEFAULT format now."""
+    from pyspark.sql import types as T
+
+    from proteofav_spark.operators.multimodal import (
+        IMAGE_META_SCHEMA,
+        image_features,
+    )
+
+    img = _gradient(24, 16)
+    blob = encode_jpeg_progressive(img)
+    pix = decode_jpeg(blob)
+    assert pix is not None
+
+    ischema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", IMAGE_META_SCHEMA),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, bytes(blob), (16, 24, 1, "image/jpeg"))], ischema
+    )
+    row = image_features(df).collect()[0]
+    assert row["mean_pixel"] == round(float(pix.mean()), 6)
+    assert row["histogram8"] == np.bincount(pix >> 5, minlength=8).tolist()
