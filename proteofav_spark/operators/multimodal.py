@@ -724,9 +724,10 @@ def gif_frames(blob: bytes, limit: int | None = None) -> list | None:
     codes, CLEAR/EOI handling including the KwK (code == next unassigned
     entry) case, extension blocks skipped. Returns the per-descriptor
     flat interleaved RGB uint8 rasters (raw frame content, no disposal
-    compositing — the frame-SAMPLING contract, not playback), up to
-    ``limit``; None for interlaced frames or malformed streams (degrades
-    to the stub like the other decoders).
+    compositing — the frame-SAMPLING contract, not playback; interlaced
+    frames are de-interlaced via the 4-pass row scatter), up to
+    ``limit``; None for malformed streams (degrades to the stub like
+    the other decoders).
 
     The LZW loop is sequential Python by nature (each code extends the
     dictionary the next code may reference); the color-table map at the
@@ -763,8 +764,9 @@ def gif_frames(blob: bytes, limit: int | None = None) -> list | None:
                 n = 2 << (iflags & 0x07)
                 ct = np.frombuffer(blob[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
                 pos += 3 * n
-            if iflags & 0x40 or ct is None or w <= 0 or h <= 0:
-                return None  # interlaced / no color table
+            if ct is None or w <= 0 or h <= 0:
+                return None  # no color table / degenerate descriptor
+            interlaced = bool(iflags & 0x40)
             min_code = blob[pos]
             pos += 1
             if not (1 <= min_code <= 11):
@@ -830,6 +832,18 @@ def gif_frames(blob: bytes, limit: int | None = None) -> list | None:
             if len(out) != w * h:
                 return None
             idx = np.asarray(out, np.int32)
+            if interlaced:
+                # GIF 4-pass interlace (89a spec appendix E): stored row
+                # order is passes 0::8, 4::8, 2::4, 1::2 — scatter the
+                # decoded rows back with strided assignment
+                arr = idx.reshape(h, w)
+                deint = np.empty_like(arr)
+                src = 0
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    cnt = len(range(start, h, step))
+                    deint[start::step] = arr[src : src + cnt]
+                    src += cnt
+                idx = deint.reshape(-1)
             if int(idx.max(initial=0)) >= len(ct):
                 return None
             frames.append(ct[idx].reshape(-1))

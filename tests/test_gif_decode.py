@@ -159,10 +159,22 @@ def test_extension_blocks_skipped_and_malformed_none():
     px = decode_gif(spliced)
     want = palette[pat.reshape(-1)].reshape(-1)
     assert px is not None and (px == want).all()
-    # interlaced flag -> None (unsupported, degrades to stub)
+    # interlace flag on a sequential stream: decodes via the 4-pass row
+    # scatter, so the rows land permuted exactly per the spec table
     interlaced = bytearray(blob)
     interlaced[idx + 9] |= 0x40
-    assert decode_gif(bytes(interlaced)) is None
+    px_i = decode_gif(bytes(interlaced))
+    perm = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for r in range(start, 8, step)]
+    scattered = np.empty_like(pat)
+    src = 0
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        cnt = len(range(start, 8, step))
+        scattered[start::step] = pat[src : src + cnt]
+        src += cnt
+    assert px_i is not None
+    assert (px_i == palette[scattered.reshape(-1)].reshape(-1)).all()
+    assert len(perm) == 8  # permutation sanity
     assert decode_gif(b"GIF89a\x00") is None
     assert decode_gif(b"not a gif") is None
 
@@ -256,3 +268,31 @@ def test_hostile_blobs_rejected_fast():
     lied = bytearray(bigblob)
     lied[bidx + 5 : bidx + 9] = (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
     assert decode_gif(bytes(lied)) is None
+
+
+def test_interlaced_gif_roundtrip():
+    """A genuinely interlaced frame: rows stored in 4-pass order (0::8, 4::8,
+    2::4, 1::2) with the interlace flag set must decode back to the
+    ORIGINAL raster — strided-scatter de-interlacing, heights that
+    leave some passes short or empty included."""
+    from proteofav_spark.operators.multimodal import decode_gif
+
+    palette = np.array(
+        [[i * 23 % 256, i * 47 % 256, i * 91 % 256] for i in range(8)],
+        np.uint8,
+    )
+    for h, w in ((1, 5), (3, 4), (8, 8), (11, 6), (17, 3)):
+        pat = ((np.mgrid[0:h, 0:w][0] * 3 + np.mgrid[0:h, 0:w][1]) % 8)
+        pat = pat.astype(np.int64)
+        # pass-order storage: concatenate the rows each pass covers
+        stored = np.concatenate(
+            [pat[start::step] for start, step in
+             ((0, 8), (4, 8), (2, 4), (1, 2))],
+            axis=0,
+        )
+        blob = bytearray(encode_gif(stored, palette))
+        idx = blob.index(b"\x2c")
+        blob[idx + 9] |= 0x40  # interlace flag
+        px = decode_gif(bytes(blob))
+        want = palette[pat.reshape(-1)].reshape(-1)
+        assert px is not None and (px == want).all(), (h, w)
