@@ -445,10 +445,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray | None:
 
 def _jpeg_scan(data, pos, frame, scan, qt, huff, ri) -> np.ndarray | None:
     h, w, comps = frame
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    hmax, vmax, mcux, mcuy = _jpeg_geom(frame)
     planes = []
     for c in comps:
         cw, ch = mcux * c["h"] * 8, mcuy * c["v"] * 8

@@ -164,8 +164,6 @@ def test_extension_blocks_skipped_and_malformed_none():
     interlaced = bytearray(blob)
     interlaced[idx + 9] |= 0x40
     px_i = decode_gif(bytes(interlaced))
-    perm = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
-            for r in range(start, 8, step)]
     scattered = np.empty_like(pat)
     src = 0
     for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
@@ -174,7 +172,6 @@ def test_extension_blocks_skipped_and_malformed_none():
         src += cnt
     assert px_i is not None
     assert (px_i == palette[scattered.reshape(-1)].reshape(-1)).all()
-    assert len(perm) == 8  # permutation sanity
     assert decode_gif(b"GIF89a\x00") is None
     assert decode_gif(b"not a gif") is None
 
