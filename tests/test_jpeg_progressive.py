@@ -437,3 +437,167 @@ def test_progressive_default_path_through_image_features(spark):
     row = image_features(df).collect()[0]
     assert row["mean_pixel"] == round(float(pix.mean()), 6)
     assert row["histogram8"] == np.bincount(pix >> 5, minlength=8).tolist()
+
+
+def test_progressive_with_restart_intervals():
+    """DRI/RSTn inside progressive scans: predictions and EOB runs must
+    reset at every restart marker (T.81 G.1.2 + F.2.1.3.1). The encoder
+    here emits RSTn every 2 MCUs (DC scan) / every 2 blocks
+    (non-interleaved AC scans), mirroring the decoder's block counting."""
+    img = _gradient(24, 24)
+    q = np.full((8, 8), 2, np.int32)
+    comps = [(1, 1, 1, np.asarray(img, np.float64))]
+    zz = [_quant_zz(np.asarray(img, np.float64), q)]
+    ri = 2
+    al = 1
+
+    def stuff(bw):
+        return bw.flush_stuffed()
+
+    # DC first with restarts every `ri` MCUs
+    bw = _BitWriter()
+    parts = []
+    pred = 0
+    n = 0
+    rst = 0
+    for by in range(3):
+        for bx in range(3):
+            if n and n % ri == 0:
+                parts.append(stuff(bw))
+                parts.append(bytes([0xFF, 0xD0 + rst % 8]))
+                rst += 1
+                pred = 0
+                bw = _BitWriter()
+            n += 1
+            v = int(zz[0][by, bx, 0]) >> al
+            diff = v - pred
+            pred = v
+            s = _size_cat(diff)
+            _emit_sym(bw, s)
+            _put_coef(bw, diff, s)
+    parts.append(stuff(bw))
+    dc_scan = b"".join(parts)
+
+    # AC first (full band, al) with restarts every `ri` blocks: encode
+    # each restart segment independently (EOB runs cannot cross RSTn)
+    def ac_first_restart(al_):
+        parts = []
+        rst = 0
+        blocks = [(by, bx) for by in range(3) for bx in range(3)]
+        for seg_start in range(0, len(blocks), ri):
+            seg = blocks[seg_start : seg_start + ri]
+            bw = _BitWriter()
+            eob = _EobState(bw)
+            for by, bx in seg:
+                blk = zz[0][by, bx]
+                tv = {}
+                for k in range(1, 64):
+                    v = int(blk[k])
+                    t = abs(v) >> al_
+                    if t:
+                        tv[k] = t if v > 0 else -t
+                if not tv:
+                    eob.bump([])
+                    continue
+                eob.flush()
+                r = 0
+                last = max(tv)
+                for k in range(1, 64):
+                    if k not in tv:
+                        if k < last:
+                            r += 1
+                        continue
+                    while r > 15:
+                        _emit_sym(bw, 0xF0)
+                        r -= 16
+                    s = _size_cat(tv[k])
+                    _emit_sym(bw, (r << 4) | s)
+                    _put_coef(bw, tv[k], s)
+                    r = 0
+                if last < 63:
+                    eob.bump([])
+            eob.flush()
+            parts.append(stuff(bw))
+            if seg_start + ri < len(blocks):
+                parts.append(bytes([0xFF, 0xD0 + rst % 8]))
+                rst += 1
+        return b"".join(parts)
+
+    # DC refine + AC refine with restarts
+    bw = _BitWriter()
+    parts = []
+    n = 0
+    rst = 0
+    for by in range(3):
+        for bx in range(3):
+            if n and n % ri == 0:
+                parts.append(stuff(bw))
+                parts.append(bytes([0xFF, 0xD0 + rst % 8]))
+                rst += 1
+                bw = _BitWriter()
+            n += 1
+            bw.put((int(zz[0][by, bx, 0]) >> 0) & 1, 1)
+    parts.append(stuff(bw))
+    dc_ref = b"".join(parts)
+
+    def ac_refine_restart(al_):
+        parts = []
+        rst = 0
+        blocks = [(by, bx) for by in range(3) for bx in range(3)]
+        for seg_start in range(0, len(blocks), ri):
+            seg = blocks[seg_start : seg_start + ri]
+            bw = _BitWriter()
+            eob = _EobState(bw)
+            for by, bx in seg:
+                blk = zz[0][by, bx]
+                t = [abs(int(blk[k])) >> al_ for k in range(1, 64)]
+                newly = [i for i, x in enumerate(t) if x == 1]
+                last_new = newly[-1] if newly else -1
+                r = 0
+                pend = []
+                for i, x in enumerate(t):
+                    if x == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= last_new:
+                        eob.flush()
+                        _emit_sym(bw, 0xF0)
+                        r -= 16
+                        for b in pend:
+                            bw.put(b, 1)
+                        pend = []
+                    if x > 1:
+                        pend.append(x & 1)
+                        continue
+                    eob.flush()
+                    _emit_sym(bw, (r << 4) | 1)
+                    bw.put(1 if int(blk[1 + i]) > 0 else 0, 1)
+                    for b in pend:
+                        bw.put(b, 1)
+                    pend = []
+                    r = 0
+                if r > 0 or pend:
+                    eob.bump(pend)
+            eob.flush()
+            parts.append(stuff(bw))
+            if seg_start + ri < len(blocks):
+                parts.append(bytes([0xFF, 0xD0 + rst % 8]))
+                rst += 1
+        return b"".join(parts)
+
+    sof = bytes([8]) + (24).to_bytes(2, "big") + (24).to_bytes(2, "big") \
+        + bytes([1, 1, 0x11, 0])
+    blob = (
+        _marker(0xD8) + _dqt(0, q) + _dht(0, 0) + _dht(1, 0)
+        + _marker(0xDD, (ri).to_bytes(2, "big"))
+        + _marker(0xC2, sof)
+        + _sos([(1, 0, 0)], 0, 0, 0, al) + dc_scan
+        + _sos([(1, 0, 0)], 1, 63, 0, al) + ac_first_restart(al)
+        + _sos([(1, 0, 0)], 0, 0, 1, 0) + dc_ref
+        + _sos([(1, 0, 0)], 1, 63, 1, 0) + ac_refine_restart(0)
+        + _marker(0xD9)
+    )
+    got = decode_jpeg(blob)
+    base = decode_jpeg(encode_jpeg(img, q_val=2))
+    assert got is not None and base is not None
+    assert np.array_equal(got, base)
