@@ -1012,9 +1012,12 @@ def attach_audio_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def decode_wav(blob: bytes) -> np.ndarray | None:
     """REAL codec, zero dependencies: RIFF/WAVE PCM via the stdlib
-    ``wave`` module (16-bit mono/interleaved). Returns int16 samples, or
-    None when the payload is not a parseable WAV (caller falls back to
-    the stub)."""
+    ``wave`` module — 8-bit (unsigned), 16-bit, 24-bit and 32-bit
+    integer PCM, mono or interleaved. Everything normalizes to int16
+    samples (the feature extractor's unit): 8-bit shifts up, 24/32-bit
+    keep their top 16 bits — so RMS/ZCR features are comparable across
+    source bit depths. None for unparseable payloads (caller falls back
+    to the stub)."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         return None
     import io
@@ -1022,9 +1025,27 @@ def decode_wav(blob: bytes) -> np.ndarray | None:
 
     try:
         with _wave.open(io.BytesIO(blob), "rb") as w:
-            if w.getsampwidth() != 2:
-                return None
-            return np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+            sw = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+            if sw == 2:
+                return np.frombuffer(raw, dtype="<i2")
+            if sw == 1:  # unsigned 8-bit -> centered int16
+                u = np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
+                return ((u - 128) << 8).astype(np.int16)
+            if sw == 4:
+                return (
+                    np.frombuffer(raw, dtype="<i4") >> 16
+                ).astype(np.int16)
+            if sw == 3:  # packed little-endian 24-bit: top 2 bytes
+                b = np.frombuffer(raw, dtype=np.uint8)
+                if len(b) % 3:
+                    return None
+                b = b.reshape(-1, 3)
+                return (
+                    b[:, 1].astype(np.int16)
+                    | (b[:, 2].view(np.int8).astype(np.int16) << 8)
+                )
+            return None
     except (_wave.Error, EOFError):
         return None
 

@@ -959,3 +959,49 @@ def test_png_adam7_interlaced_roundtrip():
         b"IDAT", zlib.compress(payload[:-5])
     ) + chunk(b"IEND", b"")
     assert decode_png(cut) is None
+
+
+def test_wav_depths_normalize_to_int16():
+    """decode_wav handles 8/16/24/32-bit integer PCM, normalizing every
+    depth to int16 (top bits) so downstream features are comparable
+    across sources; 24-bit is packed little-endian with a signed top
+    byte."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from proteofav_spark.operators.multimodal import decode_wav
+
+    def make_wav(samples_bytes, sw, nch=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(sw)
+            w.setframerate(8000)
+            w.writeframes(samples_bytes)
+        return buf.getvalue()
+
+    s16 = np.array([0, 1000, -1000, 32767, -32768], "<i2")
+    assert np.array_equal(decode_wav(make_wav(s16.tobytes(), 2)), s16)
+
+    u8 = np.array([0, 128, 255, 64], np.uint8)
+    got = decode_wav(make_wav(u8.tobytes(), 1))
+    assert np.array_equal(got, (u8.astype(np.int16) - 128) << 8)
+
+    s32 = np.array([0, 1 << 20, -(1 << 20), 2**31 - 1, -(2**31)], "<i4")
+    got = decode_wav(make_wav(s32.tobytes(), 4))
+    assert np.array_equal(got, (s32 >> 16).astype(np.int16))
+
+    vals = [0, 1, -1, 8388607, -8388608, 123456, -123456]
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    got = decode_wav(make_wav(raw, 3))
+    assert np.array_equal(got, np.array([v >> 8 for v in vals], np.int16))
+
+    # stereo interleave preserved (frames x channels flattened)
+    st = np.array([1, -1, 2, -2, 3, -3], "<i2")
+    assert np.array_equal(decode_wav(make_wav(st.tobytes(), 2, nch=2)), st)
+
+    # unsupported width and garbage degrade to None, never raise
+    assert decode_wav(b"RIFFxxxxWAVEjunk") is None
+    assert decode_wav(b"not audio") is None
