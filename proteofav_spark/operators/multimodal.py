@@ -4,7 +4,7 @@ columns with typed metadata structs, processed via Arrow-batched
 
 The DEFAULT decode kernels handle the real formats parseable with zero
 dependencies — RIFF/WAVE PCM audio (``wave``), binary PGM/PPM images
-(netpbm), 8-bit PNG incl. Adam7 interlace (``zlib`` + ``struct``,
+(netpbm), 8/16-bit PNG incl. Adam7 interlace (``zlib`` + ``struct``,
 all five scanline filters), GIF87a/89a first frames (pure LZW with variable-
 width codes and the KwK case), and both baseline-sequential and
 progressive DCT JPEG (``struct`` + numpy: huffman entropy decode incl.
@@ -149,15 +149,17 @@ _ADAM7 = (
 
 def decode_png(blob: bytes) -> np.ndarray | None:
     """REAL codec, zero dependencies: PNG via stdlib ``zlib`` + ``struct``
-    — 8-bit gray / gray+alpha / RGB / RGBA / palette, non-interlaced AND
-    Adam7-interlaced, all five scanline filters (None/Sub/Up/Average/
-    Paeth, RFC 2083 §6). Interlaced images decode as seven
-    independently-filtered sub-images (each unfiltered with the same
-    core) scattered into place with strided numpy assignment. Returns
-    the flat uint8 pixel array (palette entries expanded to RGB), or
-    None for anything else (16-bit, malformed chunks, pass-layout size
-    mismatches) — like :func:`decode_pnm`, a bad payload degrades to
-    the stub, never fails the batch."""
+    — 8- and 16-bit gray / gray+alpha / RGB / RGBA / 8-bit palette,
+    non-interlaced AND Adam7-interlaced, all five scanline filters
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6). Interlaced images decode
+    as seven independently-filtered sub-images (each unfiltered with
+    the same core) scattered into place with strided numpy assignment;
+    16-bit samples reduce to their high byte (the standard 16->8
+    conversion). Returns the flat uint8 pixel array (palette entries
+    expanded to RGB), or None for anything else (sub-byte depths,
+    malformed chunks, pass-layout size mismatches) — like
+    :func:`decode_pnm`, a bad payload degrades to the stub, never fails
+    the batch."""
     if blob[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     import struct
@@ -187,29 +189,42 @@ def decode_png(blob: bytes) -> np.ndarray | None:
             return None
         w, h, depth, color_type, comp, filt, interlace = ihdr
         nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-        if depth != 8 or comp or filt or interlace not in (0, 1) or nch is None:
+        if (
+            depth not in (8, 16) or comp or filt
+            or interlace not in (0, 1) or nch is None
+        ):
             return None
+        if depth == 16 and color_type == 3:
+            return None  # palette entries are 8-bit only (RFC 2083 §4.1.2)
         if w <= 0 or h <= 0 or (color_type == 3 and plte is None):
             return None
-        stride = w * nch
+        # scanline filters operate BYTEWISE with the previous-pixel
+        # distance bpp = channels x bytes-per-sample (§6.2), so 16-bit
+        # reuses the same unfilter core with doubled offsets; samples
+        # are big-endian and the high byte is the standard 16->8
+        # conversion taken at the end
+        bpp = nch * (depth // 8)
+        stride = w * bpp
         raw = zlib.decompress(bytes(idat))
         if interlace == 0:
             if len(raw) != h * (stride + 1):
                 return None
             rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
-            out = _png_unfilter(rows, nch)
+            out = _png_unfilter(rows, bpp)
             if out is None:
                 return None
-            flat = out.reshape(-1)
+            if depth == 16:
+                out = out.reshape(h, w * nch, 2)[:, :, 0]
+            flat = out.reshape(-1).copy()
         else:  # Adam7: seven independently-filtered sub-images
-            img = np.zeros((h, w, nch), np.uint8)
+            img = np.zeros((h, w, bpp), np.uint8)
             off = 0
             for xs, ys, xstep, ystep in _ADAM7:
                 pw = (w - xs + xstep - 1) // xstep
                 ph = (h - ys + ystep - 1) // ystep
                 if pw <= 0 or ph <= 0:
                     continue  # empty pass emits no bytes (RFC 2083 §2.6)
-                pstride = pw * nch
+                pstride = pw * bpp
                 need = ph * (pstride + 1)
                 if off + need > len(raw):
                     return None
@@ -217,13 +232,15 @@ def decode_png(blob: bytes) -> np.ndarray | None:
                     raw[off : off + need], np.uint8
                 ).reshape(ph, pstride + 1)
                 off += need
-                sub = _png_unfilter(prows, nch)
+                sub = _png_unfilter(prows, bpp)
                 if sub is None:
                     return None
-                img[ys::ystep, xs::xstep, :] = sub.reshape(ph, pw, nch)
+                img[ys::ystep, xs::xstep, :] = sub.reshape(ph, pw, bpp)
             if off != len(raw):
                 return None  # pass layout disagrees with the stream
-            flat = img.reshape(-1)
+            if depth == 16:
+                img = img.reshape(h, w, nch, 2)[:, :, :, 0]
+            flat = img.reshape(-1).copy()
         if color_type == 3:
             if int(flat.max(initial=0)) >= len(plte):
                 return None

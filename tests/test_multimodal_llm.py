@@ -779,7 +779,8 @@ def test_png_decode_all_filters_and_color_types():
 
 def test_png_decode_rejects_unsupported():
     """Unsupported or malformed PNGs degrade to None (stub fallback),
-    never raise: 16-bit depth, Adam7 interlace, truncated IDAT,
+    never raise: a 16-bit header over an 8-bit-sized stream, an
+    interlaced header over a sequential stream, truncated IDAT,
     out-of-range palette index, wrong magic."""
     import struct
     import zlib
@@ -801,7 +802,10 @@ def test_png_decode_rejects_unsupported():
             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
         ) + good[i + 13 + 4 :]
 
-    assert decode_png(with_ihdr(16, 0)) is None  # 16-bit
+    # header claims 16-bit but the stream is 8-bit-sized: the stride
+    # accounting must reject it (16-bit with matching data DOES decode
+    # now — test_png_16bit_decodes_high_bytes)
+    assert decode_png(with_ihdr(16, 0)) is None
     # header claims Adam7 but the stream is the non-interlaced layout:
     # the pass-size accounting must reject it, not mis-scatter pixels
     assert decode_png(with_ihdr(8, 1)) is None
@@ -1005,3 +1009,76 @@ def test_wav_depths_normalize_to_int16():
     # unsupported width and garbage degrade to None, never raise
     assert decode_wav(b"RIFFxxxxWAVEjunk") is None
     assert decode_wav(b"not audio") is None
+
+
+def _png_encode16(img16, color_type, filters):
+    """16-bit PNG writer for testing decode_png's high-depth path:
+    big-endian samples, scanline filters applied BYTEWISE with
+    bpp = 2 x channels (RFC 2083 §6.2). img16 is (h, w*nch) uint16."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    h, stride_s = img16.shape
+    w = stride_s // nch
+    rows_bytes = img16.astype(">u2").reshape(h, -1).view(np.uint8)
+    bpp = 2 * nch
+    stride = stride_s * 2
+    raw = bytearray()
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = rows_bytes[y].astype(np.int64)
+        enc = np.empty(stride, np.int64)
+        for x in range(stride):
+            a = line[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc[x] = (line[x] - pred) & 0xFF
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_16bit_decodes_high_bytes():
+    """16-bit PNGs decode through the same bytewise unfilter core with
+    doubled pixel offsets; output is the standard high-byte 16->8
+    conversion — across color types, all five filters, odd dims."""
+    import numpy as np
+
+    from proteofav_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(47)
+    for color_type, nch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        for w, h in ((1, 1), (5, 3), (9, 7)):
+            img16 = rng.integers(0, 65536, (h, w * nch)).astype(np.uint16)
+            got = decode_png(_png_encode16(img16, color_type, [0, 1, 2, 3, 4]))
+            assert got is not None, (color_type, w, h)
+            want = (img16 >> 8).astype(np.uint8).reshape(-1)
+            assert np.array_equal(got, want), (color_type, w, h)
