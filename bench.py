@@ -120,7 +120,20 @@ def synthesize_scaled_dir(spark, src_dir: str, out_dir: str, copies: int = 3):
     """Materialize a ~copies× scale-up of ``src_dir`` by unioning offset
     copies: entity keys shift by i·OFFSET per copy so key cardinality
     scales with the data (verbatim duplication would triple rows per
-    group instead, which benchmarks a different workload)."""
+    group instead, which benchmarks a different workload).
+
+    Embedding vectors additionally get a per-copy deterministic SIGN
+    PATTERN (element d multiplied by ±1 from a hash of (copy, d)):
+    verbatim-copied vectors make every cross-copy pair a TRUE
+    near-duplicate, so a similarity join's OUTPUT — not its candidate
+    machinery — grows quadratically in the copy count and the fitted
+    exponent measures an adversarial all-duplicates corpus instead of
+    scale behavior (observed: the 10x point put dedup_embedding_cosine
+    at hi-exponent 1.58 / 27 s before this). Sign-flipping preserves
+    norms and all WITHIN-copy cosines exactly (s(d)^2 = 1) while
+    cross-copy cosines become sign-scrambled sums that decorrelate for
+    ANY vector structure — unlike a dimension rotation, which leaves
+    smooth/low-rank synthetic vectors mutually similar."""
     from pyspark.sql import functions as F
 
     tables = (
@@ -140,12 +153,20 @@ def synthesize_scaled_dir(spark, src_dir: str, out_dir: str, copies: int = 3):
             ]
             parts = []
             for i in range(copies):
-                sel = [
-                    (F.col(c) + i * _SCALE_OFFSET).alias(c)
-                    if c in offset_cols
-                    else F.col(c)
-                    for c in df.columns
-                ]
+                sel = []
+                for c in df.columns:
+                    if c in offset_cols:
+                        sel.append((F.col(c) + i * _SCALE_OFFSET).alias(c))
+                    elif c == "embedding" and i > 0:
+                        sel.append(
+                            F.expr(
+                                f"transform({c}, (x, d) -> CAST(x * (1 - 2 *"
+                                f" pmod(xxhash64(d * 1000003 + {i}), 2))"
+                                f" AS FLOAT))"
+                            ).alias(c)
+                        )
+                    else:
+                        sel.append(F.col(c))
                 parts.append(df.select(*sel))
             out = parts[0]
             for p in parts[1:]:
