@@ -225,3 +225,84 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri_v.groupBy(F.col("v").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive-CTE shape: hierarchical subtree rollup over a derived tree
+# ---------------------------------------------------------------------------
+
+_TREE_ROLLUP_SQL = """
+    WITH RECURSIVE anc AS (
+      SELECT c_custkey AS node, c_custkey AS ancestor FROM customer
+      UNION ALL
+      SELECT node, ancestor // 10 FROM anc WHERE ancestor > 0
+    ), rev AS (
+      SELECT o_custkey AS node,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT a.ancestor,
+           count(*) AS n_customers,
+           round(CAST(CAST(sum(r.cents) AS BIGINT) AS DOUBLE) / 100, 2)
+             AS subtree_revenue
+    FROM anc a JOIN rev r ON r.node = a.node
+    GROUP BY 1
+"""
+
+
+@register("tree_rollup_recursive", _TREE_ROLLUP_SQL)
+def q_tree_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE query shape (WITH RECURSIVE — the one relational
+    construct Spark SQL lacks): roll order revenue up a hierarchy, here
+    the derived decimal tree parent(c) = c DIV 10 so both engines build
+    the identical structure from the driver tables (an org chart / BOM /
+    category taxonomy stand-in). The oracle is DuckDB's literal
+    recursive CTE; each output row is one tree node with the customer
+    count and exact-cents revenue of its whole subtree.
+
+    Spark-first: the recursion's step function is a PROJECTION
+    (ancestor DIV 10), so the ancestor closure unfolds as a FIXED-DEPTH
+    union of narrow map-only frames — depth = digits of max(c_custkey),
+    one bounded driver scalar, no joins, no shuffles, and no
+    per-iteration actions (same closed-form discipline as the PageRank
+    oracle). General edge-table recursions use the same loop with a
+    keyed self-join per level (see star_components for the
+    checkpoint-every-round variant); for 100 TB the closure here is
+    depth x |customers| rows of two BIGINTs from map-only work, then
+    ONE node-keyed join against the per-customer revenue aggregate and
+    one ancestor-keyed rollup — three keyed exchanges total."""
+    from functools import reduce
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node")
+    )
+    max_key = cust.agg(F.max("node")).collect()[0][0]  # bounded scalar
+    depth = len(str(max(int(max_key), 1)))
+    level = cust.select("node", F.col("node").alias("ancestor"))
+    parts = [level]
+    for _ in range(depth):
+        level = level.where(F.col("ancestor") > 0).select(
+            "node", F.expr("ancestor DIV 10").alias("ancestor")
+        )
+        parts.append(level)
+    closure = reduce(lambda a, b: a.unionAll(b), parts)
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("node"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    return (
+        closure.join(rev, "node")
+        .groupBy("ancestor")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("cents").cast("double") / 100, 2).alias(
+                "subtree_revenue"
+            ),
+        )
+    )

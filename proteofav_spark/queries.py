@@ -114,12 +114,13 @@ _FAN_OUT_PROBES: dict[tuple, bool] = {}
 ATTEST_WINDOW = 50
 _PRIORITY: list[str] = [
     # round-6 rotation, as VERDICT r5 prescribed: every catalog query
-    # must keep a driver row <= 2 rounds old. Slots 1-3: NEW round-6
+    # must keep a driver row <= 2 rounds old. Slots 1-4: NEW round-6
     # queries (no driver row can exist yet).
     "fuzzy_name_match_blocked",
     "tpch_q2_min_cost_supplier",
     "tpch_q9_profit_rollup",
-    # Slots 4-29: the r3-attested set — three rounds stale by r6, the
+    "tree_rollup_recursive",
+    # Slots 5-30: the r3-attested set — three rounds stale by r6, the
     # oldest signatures in the catalog; all of them MUST re-attest.
     "customer_ltv_cohort",
     "skew_heavy_hitters",
@@ -147,7 +148,7 @@ _PRIORITY: list[str] = [
     "embedding_quantize_int8",
     "embedding_dim_stats",
     "text_unigram_logprob",
-    # Slots 30-50: the riskiest half of the r4-attested set (two rounds
+    # Slots 31-50: the riskiest 20 of the r4-attested set (two rounds
     # stale) — ANN/index, curation, events, multi-shuffle joins before
     # single-exchange scalar kits. The remaining r4 queries and the
     # whole fresh r5 set fall below the fold, re-verified by
@@ -173,7 +174,6 @@ _PRIORITY: list[str] = [
     "split_train_val_test",
     "join_merge_tree",
     "agg_pricing_summary",
-    "agg_quantiles_value",
 ]
 
 

@@ -238,3 +238,61 @@ def test_fuzzy_blocked_handles_short_names(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# tree_rollup_recursive
+# ---------------------------------------------------------------------------
+
+
+def test_tree_rollup_matches_literal_recursion(spark):
+    """Recursive-CTE semantics re-derived literally driver-side: every
+    ancestor's subtree customer count and exact-cents revenue."""
+    from proteofav_spark.operators.graph_queries import (
+        q_tree_rollup_recursive,
+    )
+
+    cust = [
+        r["c_custkey"]
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    ]
+    rev: dict[int, int] = {}
+    for r in spark.read.parquet(f"{SF}/orders.parquet").collect():
+        rev[r["o_custkey"]] = rev.get(r["o_custkey"], 0) + round(
+            r["o_totalprice"] * 100
+        )
+    want: dict[int, tuple[int, int]] = {}
+    for c in cust:
+        if c not in rev:
+            continue
+        node = c
+        ancs = [node]
+        while node > 0:
+            node //= 10
+            ancs.append(node)
+        for a in ancs:
+            n, s = want.get(a, (0, 0))
+            want[a] = (n + 1, s + rev[c])
+    got = {
+        r["ancestor"]: (r["n_customers"], r["subtree_revenue"])
+        for r in q_tree_rollup_recursive(spark, SF).collect()
+    }
+    assert got == {
+        a: (n, round(s / 100, 2)) for a, (n, s) in want.items()
+    }
+    assert 0 in got  # the root aggregates every customer with orders
+
+
+def test_tree_rollup_plan_is_map_only_closure(spark):
+    """The scale claim: the ancestor closure is a fixed-depth union of
+    projections — no joins, no shuffles until the revenue join; the
+    whole plan carries a bounded number of keyed exchanges and no
+    cartesian/nested-loop operators."""
+    from proteofav_spark.operators.graph_queries import (
+        q_tree_rollup_recursive,
+    )
+
+    plan = _plan(q_tree_rollup_recursive(spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

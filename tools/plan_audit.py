@@ -393,6 +393,7 @@ EXTRA = [
     "fuzzy_name_match_blocked",
     "tpch_q2_min_cost_supplier",
     "tpch_q9_profit_rollup",
+    "tree_rollup_recursive",
 ]
 
 
