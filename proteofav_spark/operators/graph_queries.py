@@ -278,7 +278,7 @@ def q_tree_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("node")
     )
     max_key = cust.agg(F.max("node")).collect()[0][0]  # bounded scalar
-    depth = len(str(max(int(max_key), 1)))
+    depth = len(str(max(int(max_key or 0), 1)))  # empty table -> depth 1
     level = cust.select("node", F.col("node").alias("ancestor"))
     parts = [level]
     for _ in range(depth):

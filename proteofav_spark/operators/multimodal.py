@@ -92,14 +92,16 @@ def decode_pnm(blob: bytes) -> np.ndarray | None:
         return None
 
 
-def _png_unfilter(rows: np.ndarray, nch: int) -> np.ndarray | None:
+def _png_unfilter(rows: np.ndarray, bpp: int) -> np.ndarray | None:
     """Reverse the five PNG scanline filters (None/Sub/Up/Average/Paeth,
     RFC 2083 §6) over a (h, stride+1) filtered array; returns the
     (h, stride) reconstructed rows or None on an unknown filter byte.
-    Filters Sub/Average/Paeth carry a per-pixel dependency on the
-    previous pixel, so those rows decode in a Python loop — fine for
-    the Arrow-batch path where decode cost dominates anyway; None/Up
-    rows (the common emitter default) stay vectorized."""
+    ``bpp`` is the filter's previous-pixel byte distance — channels x
+    bytes-per-sample (§6.2), NOT the channel count. Filters Sub/
+    Average/Paeth carry a per-pixel dependency on the previous pixel,
+    so those rows decode in a Python loop — fine for the Arrow-batch
+    path where decode cost dominates anyway; None/Up rows (the common
+    emitter default) stay vectorized."""
     h, stridep1 = rows.shape
     stride = stridep1 - 1
     out = np.zeros((h, stride), np.int32)
@@ -114,9 +116,9 @@ def _png_unfilter(rows: np.ndarray, nch: int) -> np.ndarray | None:
         elif ftype in (1, 3, 4):  # Sub / Average / Paeth
             cur = out[y]
             for x in range(stride):
-                a = cur[x - nch] if x >= nch else 0
+                a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                c = prev[x - nch] if x >= nch else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 if ftype == 1:
                     pred = a
                 elif ftype == 3:
@@ -215,7 +217,7 @@ def decode_png(blob: bytes) -> np.ndarray | None:
                 return None
             if depth == 16:
                 out = out.reshape(h, w * nch, 2)[:, :, 0]
-            flat = out.reshape(-1).copy()
+            flat = out.reshape(-1)
         else:  # Adam7: seven independently-filtered sub-images
             img = np.zeros((h, w, bpp), np.uint8)
             off = 0
@@ -240,7 +242,7 @@ def decode_png(blob: bytes) -> np.ndarray | None:
                 return None  # pass layout disagrees with the stream
             if depth == 16:
                 img = img.reshape(h, w, nch, 2)[:, :, :, 0]
-            flat = img.reshape(-1).copy()
+            flat = img.reshape(-1)
         if color_type == 3:
             if int(flat.max(initial=0)) >= len(plte):
                 return None
@@ -877,7 +879,7 @@ def decode_gif(blob: bytes) -> np.ndarray | None:
 
 def _decode_image_stub(blob: bytes, width: int, height: int) -> np.ndarray:
     """Default decode: REAL container parsing when the payload is a
-    binary PGM/PPM (:func:`decode_pnm`), an 8-bit PNG (incl. Adam7)
+    binary PGM/PPM (:func:`decode_pnm`), an 8/16-bit PNG (incl. Adam7)
     (:func:`decode_png` — stdlib zlib only), a GIF first frame
     (:func:`decode_gif` — pure LZW) or a baseline-sequential OR
     progressive JPEG (:func:`decode_jpeg` — stdlib struct + numpy),
@@ -1044,6 +1046,8 @@ def decode_wav(blob: bytes) -> np.ndarray | None:
         with _wave.open(io.BytesIO(blob), "rb") as w:
             sw = w.getsampwidth()
             raw = w.readframes(w.getnframes())
+            if sw in (2, 4) and len(raw) % sw:
+                return None  # truncated final sample
             if sw == 2:
                 return np.frombuffer(raw, dtype="<i2")
             if sw == 1:  # unsigned 8-bit -> centered int16
@@ -1063,7 +1067,7 @@ def decode_wav(blob: bytes) -> np.ndarray | None:
                     | (b[:, 2].view(np.int8).astype(np.int16) << 8)
                 )
             return None
-    except (_wave.Error, EOFError):
+    except (_wave.Error, EOFError, ValueError):
         return None
 
 

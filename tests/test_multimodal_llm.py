@@ -1082,3 +1082,36 @@ def test_png_16bit_decodes_high_bytes():
             assert got is not None, (color_type, w, h)
             want = (img16 >> 8).astype(np.uint8).reshape(-1)
             assert np.array_equal(got, want), (color_type, w, h)
+
+
+def test_wav_truncated_sample_degrades_to_none():
+    """A WAV whose data chunk ends mid-sample (odd byte count for 16/32
+    bit) must return None, not leak a buffer-size ValueError into the
+    batch."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from proteofav_spark.operators.multimodal import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.array([1, 2, 3], "<i2").tobytes())
+    blob = bytearray(buf.getvalue())
+    # shave the final byte but leave the declared data size intact: the
+    # wave module then hands back an odd-length (mid-sample) payload
+    blob = blob[:-1]
+    blob[4:8] = struct.pack("<I", len(blob) - 8)
+    assert decode_wav(bytes(blob)) is None
+    # declared size rounding down to whole frames is also acceptable
+    # behavior and must not raise either way
+    i = bytes(blob).index(b"data")
+    blob2 = bytearray(blob)
+    blob2[i + 4 : i + 8] = struct.pack("<I", len(blob2) - i - 8)
+    out = decode_wav(bytes(blob2))
+    assert out is None or list(out) == [1, 2]
