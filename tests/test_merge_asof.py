@@ -1,0 +1,143 @@
+"""merge_asof (operators/pipeline_queries.py) vs pandas.merge_asof —
+the reference implementation IS the oracle: randomized keyed series are
+joined in all three directions, with and without tolerance, and the
+results must agree row-for-row (pandas' input-order duplicate handling
+reproduced via an explicit sequence tiebreak column). Plan invariants
+pin the one-exchange, no-join shape."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from proteofav_spark.operators.pipeline_queries import merge_asof
+
+
+def _random_frames(seed: int, n_left=200, n_right=150, n_keys=5):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_left),
+            "t": rng.integers(0, 1000, n_left).astype("int64"),
+            "lv": rng.integers(0, 100, n_left),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_right),
+            "t": rng.integers(0, 1000, n_right).astype("int64"),
+            "v": rng.integers(0, 10_000, n_right),
+        }
+    )
+    right["seq"] = np.arange(len(right))  # pandas' input order, explicit
+    return left, right
+
+
+def _expected(left, right, direction, tolerance):
+    kw = {"direction": direction}
+    if tolerance is not None:
+        kw["tolerance"] = tolerance
+    exp = pd.merge_asof(
+        left.sort_values(["t", "k"], kind="stable"),
+        right.sort_values(["t", "seq"], kind="stable"),
+        on="t",
+        by="k",
+        **kw,
+    )
+    return {
+        (r.k, r.t, r.lv): (None if pd.isna(r.v) else int(r.v))
+        for r in exp.itertuples()
+    }
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("tolerance", [None, 50])
+def test_matches_pandas(spark, direction, tolerance):
+    left, right = _random_frames(seed=11)
+    # drop duplicate (k, t, lv) left rows so the comparison dict keys
+    # are unique (duplicates would collapse identical matches anyway)
+    left = left.drop_duplicates(["k", "t", "lv"])
+    want = _expected(left, right, direction, tolerance)
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    out = merge_asof(
+        sl, sr, on="t", by=["k"], direction=direction,
+        tolerance=tolerance, tiebreak=["seq"],
+    ).collect()
+    got = {(r["k"], r["t"], r["lv"]): r["v"] for r in out}
+    assert got == want
+    # the matched right time is consistent with the direction
+    for r in out:
+        if r["t_right"] is None:
+            continue
+        if direction == "backward":
+            assert r["t_right"] <= r["t"]
+        elif direction == "forward":
+            assert r["t_right"] >= r["t"]
+        if tolerance is not None:
+            assert abs(r["t_right"] - r["t"]) <= tolerance
+
+
+def test_duplicate_right_timestamps_match_pandas(spark):
+    """Backward picks the LAST duplicate at a time, forward the FIRST —
+    pandas' stable input-order behavior under the seq tiebreak."""
+    left = pd.DataFrame({"k": [1, 1, 1], "t": [10, 20, 30], "lv": [0, 1, 2]})
+    right = pd.DataFrame(
+        {"k": [1, 1], "t": [20, 20], "v": [111, 222], "seq": [0, 1]}
+    )
+    for direction in ("backward", "forward", "nearest"):
+        want = _expected(left, right, direction, None)
+        out = merge_asof(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="t", by=["k"], direction=direction, tiebreak=["seq"],
+        ).collect()
+        got = {(r["k"], r["t"], r["lv"]): r["v"] for r in out}
+        assert got == want, direction
+
+
+def test_nearest_tie_goes_backward(spark):
+    left = pd.DataFrame({"k": [1], "t": [20], "lv": [0]})
+    right = pd.DataFrame(
+        {"k": [1, 1], "t": [15, 25], "v": [1, 2], "seq": [0, 1]}
+    )
+    out = merge_asof(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="t", by=["k"], direction="nearest", tiebreak=["seq"],
+    ).collect()
+    assert out[0]["v"] == 1 and out[0]["t_right"] == 15
+
+
+def test_name_collision_suffix_and_reserved_guard(spark):
+    left = pd.DataFrame({"k": [1], "t": [10], "v": [5]})
+    right = pd.DataFrame({"k": [1], "t": [8], "v": [7]})
+    out = merge_asof(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="t", by=["k"],
+    ).collect()[0]
+    assert out["v"] == 5 and out["v_right"] == 7 and out["t_right"] == 8
+    with pytest.raises(ValueError, match="reserved"):
+        merge_asof(
+            spark.createDataFrame(pd.DataFrame({"k": [1], "t": [1], "_tag": [0]})),
+            spark.createDataFrame(right),
+            on="t", by=["k"],
+        )
+    with pytest.raises(ValueError, match="direction"):
+        merge_asof(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="t", by=["k"], direction="sideways",
+        )
+
+
+def test_plan_one_keyed_exchange_no_join(spark):
+    """The scale claim: both direction scans share the by-partitioning —
+    ONE hash exchange over the unioned frame, zero join operators, even
+    for nearest."""
+    left, right = _random_frames(seed=13)
+    out = merge_asof(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="t", by=["k"], direction="nearest", tiebreak=["seq"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, op
