@@ -493,9 +493,23 @@ def main() -> None:
         print(f"# scaling written to {sidecar}", file=sys.stderr)
 
     # the FINAL stdout line — and the only one: compact, parseable on
-    # its own, pinned < 2000 bytes by tests/test_bench_contract.py
+    # its own, pinned < 2000 bytes by tests/test_bench_contract.py.
+    # The size pin is enforced in that test, NOT here: a runtime abort
+    # after the multi-minute sweep but before printing would destroy the
+    # whole round's record. If the payload ever outgrows the recorder's
+    # capture window, print a trimmed fallback (headline metric only —
+    # still a valid record) and report the overflow on stderr.
     line = json.dumps(payload)
-    assert len(line) < 2000, f"bench stdout line too long: {len(line)}B"
+    if len(line) >= 2000:
+        print(
+            f"# bench stdout payload overflow: {len(line)}B >= 2000B; "
+            "printing trimmed fallback (full payload above on stderr)",
+            file=sys.stderr,
+        )
+        print(line, file=sys.stderr)
+        line = json.dumps(
+            {k: payload[k] for k in ("metric", "value", "unit", "sf")}
+        )
     print(line)
 
 

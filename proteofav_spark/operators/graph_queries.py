@@ -271,7 +271,10 @@ def q_tree_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint-every-round variant); for 100 TB the closure here is
     depth x |customers| rows of two BIGINTs from map-only work, then
     ONE node-keyed join against the per-customer revenue aggregate and
-    one ancestor-keyed rollup — three keyed exchanges total."""
+    one ancestor-keyed rollup. Exchange budget: 2 keyed exchanges
+    audited at sf0.1 (PLANS.md — the revenue-side aggregate broadcasts
+    into the closure join); 3 keyed exchanges at scale when that
+    broadcast falls back to a shuffle join."""
     from functools import reduce
 
     cust = load(spark, sf_dir, "customer").select(

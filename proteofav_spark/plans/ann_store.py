@@ -221,7 +221,16 @@ def compact_ivf_store(
     file sizing in ONE job, no per-list loop. The selected rows are
     localCheckpoint-ed before the overwrite (plain parquet cannot read
     and replace the same files in one job). Returns before/after
-    (files, bytes) per rewritten list."""
+    (files, bytes) per rewritten list.
+
+    Concurrency contract: PROBES are safe mid-compaction (untouched
+    partitions stay byte-identical; a rewritten partition is swapped
+    atomically by dynamic partition overwrite), but APPENDS into a
+    selected list must be quiesced for the duration — a file appended
+    between the localCheckpoint snapshot and the overwrite is not in
+    the snapshot and is deleted by the overwrite, silently dropping its
+    rows. Run compaction from the same single-writer maintenance slot
+    as ``rebalance_ivf_store`` (which already holds that contract)."""
     import math
 
     stats = ivf_file_stats(path)

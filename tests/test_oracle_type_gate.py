@@ -99,3 +99,39 @@ def test_struct_quoted_field_name_with_space():
     assert type_parity('struct<a b:bigint>', 'STRUCT("a b" BIGINT)') is True
     assert type_parity('struct<a b:bigint>', 'STRUCT("a b" HUGEINT)') is False
     assert type_parity('struct<a c:bigint>', 'STRUCT("a b" BIGINT)') is False
+
+
+def test_struct_quoted_field_name_with_escaped_quote():
+    # DuckDB doubles a literal quote inside a quoted identifier: a field
+    # named a"b renders as "a""b" TYPE. The parser must skip the escape
+    # when finding the closing quote and unescape before comparing.
+    assert type_parity('struct<a"b:bigint>', 'STRUCT("a""b" BIGINT)') is True
+    assert type_parity('struct<a"b:bigint>', 'STRUCT("a""b" HUGEINT)') is False
+    assert type_parity('struct<a"c:bigint>', 'STRUCT("a""b" BIGINT)') is False
+    # end-to-end against a real DuckDB result type string
+    import duckdb
+
+    rel = duckdb.sql('SELECT {\'a"b\': 1::BIGINT} AS s')
+    dtype = str(dict(zip(rel.columns, rel.types))["s"])
+    assert type_parity('struct<a"b:bigint>', dtype) is True
+
+
+def test_unknown_scalar_type_raises():
+    """An unmapped scalar type must RAISE (recorded as FAIL by the
+    sweep), never skip the gate: a DECIMAL-width drift or BINARY/
+    INTERVAL oracle column diverges in the driver's Arrow hash exactly
+    like HUGEINT does (VERDICT r6 'What's wrong' #2)."""
+    import duckdb
+    import pytest
+
+    with pytest.raises(check_oracles.UnknownTypeError):
+        type_parity("interval", "INTERVAL")
+    # a deliberately-mistyped oracle: DuckDB emits HUGEINT for SUM(int);
+    # an unmapped spark-side type must fail just as loudly nested
+    with pytest.raises(check_oracles.UnknownTypeError):
+        type_parity("struct<a:interval>", "STRUCT(a INTERVAL)")
+    # real DuckDB DECIMAL drift still hard-fails via the decimal branch
+    rel = duckdb.sql("SELECT 1.5::DECIMAL(12,2) AS d")
+    dtype = str(dict(zip(rel.columns, rel.types))["d"])
+    assert type_parity("decimal(12,2)", dtype) is True
+    assert type_parity("decimal(18,2)", dtype) is False

