@@ -1397,15 +1397,30 @@ def merge_asof(
     left row/column plus the matched right payload (suffixed on name
     collisions) and the matched right time as ``{on}{right_suffix}``.
 
-    ``_time``/``_tag``/``_rp``/``_o<i>`` are reserved internal names."""
+    ``_time``/``_tag``/``_rp``/``_bwd``/``_fwd``/``_o<i>`` are reserved
+    internal names."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
     payload = [c for c in right.columns if c not in set(by) and c != on]
     ords = tiebreak if tiebreak is not None else payload
-    reserved = {"_time", "_tag", "_rp"} | {f"_o{i}" for i in range(len(ords))}
+    reserved = {"_time", "_tag", "_rp", "_bwd", "_fwd"} | {
+        f"_o{i}" for i in range(len(ords))
+    }
     clash = reserved.intersection(left.columns)
     if clash:
         raise ValueError(f"left columns collide with reserved names: {clash}")
+    left_cols = set(left.columns)
+    out_names = [f"{on}{right_suffix}"] + [
+        c + right_suffix if c in left_cols else c for c in payload
+    ]
+    dup = sorted(
+        {n for n in out_names if n in left_cols or out_names.count(n) > 1}
+    )
+    if dup:
+        raise ValueError(
+            f"output columns {dup} collide with left columns or each "
+            f"other; pass a different right_suffix"
+        )
 
     rp = F.struct(
         F.col(on).alias("_t"), *[F.col(c).alias(c) for c in payload]
@@ -1451,17 +1466,44 @@ def merge_asof(
         out.schema["_bwd" if need_b else "_fwd"].dataType
     )
 
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    int_on = isinstance(
+        left.schema[on].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+
+    def _dist(a: F.Column, b: F.Column) -> F.Column:
+        # the span between two int64 instants can reach 2^64, which
+        # overflows BIGINT subtraction (ANSI mode raises) — widen
+        # integral on-columns to decimal for the distance arithmetic
+        # only; float on-columns saturate to inf instead of
+        # overflowing and a decimal cast would truncate them
+        if int_on:
+            return a.cast("decimal(20,0)") - b.cast("decimal(20,0)")
+        return a - b
+
+    if tolerance is not None and int_on:
+        from decimal import Decimal
+
+        # a tolerance spanning the full int64 range (up to 2^64) does
+        # not fit a LongType literal — lit it as decimal like the
+        # distances it compares against
+        tol_lit = F.lit(Decimal(tolerance))
+    else:
+        tol_lit = F.lit(tolerance)
+
     def _tol(cand, dt):
         if tolerance is None:
             return cand
         return F.when(
-            cand.isNotNull() & (dt <= F.lit(tolerance)), cand
+            cand.isNotNull() & (dt <= tol_lit), cand
         ).otherwise(null_rp)
 
     if need_b:
-        bwd = _tol(F.col("_bwd"), F.col("_time") - F.col("_bwd._t"))
+        bwd = _tol(F.col("_bwd"), _dist(F.col("_time"), F.col("_bwd._t")))
     if need_f:
-        fwd = _tol(F.col("_fwd"), F.col("_fwd._t") - F.col("_time"))
+        fwd = _tol(F.col("_fwd"), _dist(F.col("_fwd._t"), F.col("_time")))
     if direction == "backward":
         chosen = bwd
     elif direction == "forward":
@@ -1471,16 +1513,129 @@ def merge_asof(
             F.when(bwd.isNull(), fwd)
             .when(fwd.isNull(), bwd)
             .when(
-                (F.col("_time") - bwd["_t"]) > (fwd["_t"] - F.col("_time")),
+                _dist(F.col("_time"), bwd["_t"])
+                > _dist(fwd["_t"], F.col("_time")),
                 fwd,
             )
             .otherwise(bwd)  # exact-distance tie -> backward (pandas)
         )
 
-    left_cols = set(left.columns)
     sel = [F.col(c) for c in left.columns]
     sel.append(chosen["_t"].alias(f"{on}{right_suffix}"))
     for c in payload:
         out_name = c + right_suffix if c in left_cols else c
         sel.append(chosen[c].alias(out_name))
     return out.select(*sel)
+
+
+# ---------------------------------------------------------------------------
+# merge_asof under the driver's oracle gate (VERDICT r6 item #2): the
+# general operator was previously tested only against pandas.merge_asof;
+# these two catalog queries put backward+tolerance+by-key and
+# nearest+by-key through DuckDB — backward via its native ASOF JOIN,
+# forward via the mirrored `<=` ASOF, nearest composed from both with
+# the pandas tie rule (exact-distance tie -> backward). Right rows are
+# pre-deduplicated to one per (key, time) so the pick at duplicated
+# right timestamps is deterministic in both engines (the operator's
+# tiebreak handles dup times; an oracle can't observe input order).
+# ---------------------------------------------------------------------------
+
+ASOF_TOL_US = 3_600_000_000  # backward-match tolerance: 1 hour in us
+
+_MERGE_ASOF_TOL_SQL = f"""
+    WITH e AS (SELECT event_id, user_id, event_type, value,
+                      epoch_us(ts) AS t_us
+               FROM events),
+    p AS (SELECT user_id, event_id AS purchase_id, t_us
+          FROM e WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, t_us, MAX(event_id) AS view_id,
+                 round(MAX(value), 2) AS view_value
+          FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+    m AS (SELECT p.purchase_id, p.user_id, p.t_us,
+                 v.t_us AS vt, v.view_id, v.view_value
+          FROM p ASOF LEFT JOIN v
+            ON p.user_id = v.user_id AND v.t_us <= p.t_us)
+    SELECT purchase_id, user_id, t_us,
+           CASE WHEN t_us - vt <= {ASOF_TOL_US} THEN vt END AS t_us_right,
+           CASE WHEN t_us - vt <= {ASOF_TOL_US} THEN view_id END AS view_id,
+           CASE WHEN t_us - vt <= {ASOF_TOL_US} THEN view_value END
+               AS view_value
+    FROM m
+"""
+
+
+@register("events_merge_asof_tolerance", _MERGE_ASOF_TOL_SQL)
+def q_events_merge_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_asof(direction='backward', tolerance=1h) on the events
+    table: every purchase picks the latest view by the same user
+    at-or-before it, but only if that view is within the last hour —
+    otherwise the matched payload is NULL (pandas.merge_asof tolerance
+    semantics). Exercises the general operator's single-exchange
+    union + carry-forward plan against DuckDB's native ASOF JOIN with a
+    post-join tolerance mask (an algorithm-independent oracle)."""
+    e = load(spark, sf_dir, "events").withColumn("t_us", _t_us())
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "t_us")
+        .agg(
+            F.max("event_id").alias("view_id"),
+            F.round(F.max("value"), 2).alias("view_value"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "t_us"
+    )
+    return merge_asof(
+        purchases, views, on="t_us", by=["user_id"],
+        direction="backward", tolerance=ASOF_TOL_US,
+    )
+
+
+_MERGE_ASOF_NEAR_SQL = """
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
+               FROM events),
+    err AS (SELECT user_id, event_id AS error_id, t_us
+            FROM e WHERE event_type = 'error'),
+    c AS (SELECT user_id, t_us, MAX(event_id) AS click_id
+          FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+    b AS (SELECT err.error_id, err.user_id, err.t_us,
+                 c.t_us AS bt, c.click_id AS b_id
+          FROM err ASOF LEFT JOIN c
+            ON err.user_id = c.user_id AND c.t_us <= err.t_us),
+    f AS (SELECT err.error_id, c.t_us AS ft, c.click_id AS f_id
+          FROM err ASOF LEFT JOIN c
+            ON err.user_id = c.user_id AND c.t_us >= err.t_us)
+    SELECT b.error_id, b.user_id, b.t_us,
+           CASE WHEN bt IS NULL THEN ft
+                WHEN ft IS NULL THEN bt
+                WHEN (b.t_us - bt) > (ft - b.t_us) THEN ft
+                ELSE bt END AS t_us_right,
+           CASE WHEN bt IS NULL THEN f_id
+                WHEN ft IS NULL THEN b_id
+                WHEN (b.t_us - bt) > (ft - b.t_us) THEN f_id
+                ELSE b_id END AS click_id
+    FROM b JOIN f USING (error_id)
+"""
+
+
+@register("events_merge_asof_nearest", _MERGE_ASOF_NEAR_SQL)
+def q_events_merge_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_asof(direction='nearest') on the events table: every error
+    picks the temporally CLOSEST click by the same user, before or
+    after, exact-distance ties resolving backward (pandas' rule). The
+    operator computes both direction scans over ONE keyed exchange
+    (two partition-local sorts, no join); the oracle composes DuckDB's
+    backward and forward ASOF JOINs and applies the same tie rule —
+    structurally different algorithms, identical answers."""
+    e = load(spark, sf_dir, "events").withColumn("t_us", _t_us())
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "t_us")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), "t_us"
+    )
+    return merge_asof(
+        errors, clicks, on="t_us", by=["user_id"], direction="nearest"
+    )

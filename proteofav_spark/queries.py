@@ -113,67 +113,66 @@ _FAN_OUT_PROBES: dict[tuple, bool] = {}
 # oracle in CI, so a regression in a displaced query still fails the suite.
 ATTEST_WINDOW = 50
 _PRIORITY: list[str] = [
-    # round-6 rotation, as VERDICT r5 prescribed: every catalog query
-    # must keep a driver row <= 2 rounds old. Slots 1-4: NEW round-6
-    # queries (no driver row can exist yet).
-    "fuzzy_name_match_blocked",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_profit_rollup",
-    "tree_rollup_recursive",
-    # Slots 5-30: the r3-attested set — three rounds stale by r6, the
-    # oldest signatures in the catalog; all of them MUST re-attest.
-    "customer_ltv_cohort",
-    "skew_heavy_hitters",
-    "agg_salted_two_stage",
-    "agg_cube_all_margins",
-    "agg_rollup_hierarchy",
-    "agg_pivot_status",
-    "agg_stats_moments",
-    "text_bm25_search",
-    "binary_payload_ops",
-    "distinct_scan",
-    "array_zip_mismatch",
-    "set_intersect_except",
-    "approx_distinct_parts",
-    "topk_per_group",
-    "window_moving_avg",
-    "agg_monthly_revenue",
-    "join_null_safe",
-    "array_hof_kit",
-    "orders_shipping_priority",
-    "docs_length_histogram",
-    "nation_trade_volume",
-    "text_token_stats",
-    "text_quality_score",
-    "embedding_quantize_int8",
-    "embedding_dim_stats",
-    "text_unigram_logprob",
-    # Slots 31-50: the riskiest 20 of the r4-attested set (two rounds
-    # stale) — ANN/index, curation, events, multi-shuffle joins before
-    # single-exchange scalar kits. The remaining r4 queries and the
-    # whole fresh r5 set fall below the fold, re-verified by
-    # tests/test_oracles_below_fold.py in CI; the r4 remainder rotates
-    # back inside at r7.
-    "knn_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf_coarse",
-    "embedding_kmeans",
-    "events_asof_join",
-    "events_range_join_bucketed",
-    "events_tumbling_window",
-    "pack_token_shards",
-    "shard_concat_digest",
-    "text_repetition_metrics",
-    "contamination_ngram_overlap",
-    "dedup_consensus",
-    "vocab_top_ngrams",
-    "text_pii_scrub",
-    "sample_weighted_hash",
-    "source_mixture_rebalance",
-    "sample_stratified_hash",
-    "split_train_val_test",
-    "join_merge_tree",
-    "agg_pricing_summary",
+    # ------- round-7 rotation (VERDICT r6 item #1) -------
+    # Slots 1-2: NEW r7 queries (no driver row can exist yet) — the
+    # merge_asof operator finally under the driver's oracle gate.
+    "events_merge_asof_tolerance",
+    "events_merge_asof_nearest",
+    # Slots 3-30: the 28 queries whose newest driver row is r4 — two
+    # rounds stale at r7, the oldest signatures in the catalog; all
+    # MUST re-attest this round.
+    "promo_revenue_share",
+    "disjunctive_predicate_revenue",
+    "orders_exists_semi",
+    "customer_order_distribution",
+    "customers_above_avg_no_orders",
+    "parts_supplier_breadth",
+    "docs_token_chunking",
+    "text_char_entropy",
+    "embedding_label_centroids",
+    "agg_quantiles_value",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_bpe_token_count",
+    "filter_isin",
+    "filter_first_value",
+    "project_exclude_columns",
+    "type_constrain_try_cast",
+    "agg_residue_rollup",
+    "agg_collapse_by_key",
+    "agg_duplicate_check",
+    "agg_preferred_argmax",
+    "agg_single_value_probe",
+    "window_reset_id",
+    "window_dedup_adjacent",
+    "window_segment_counter",
+    "window_carry_forward",
+    "scalar_string_kit",
+    "scalar_map_lookup",
+    # Slots 31-50: the riskiest 20 of the r5-attested set (one round
+    # stale; the whole set must re-attest by r8 — taking the iterative/
+    # similarity/multi-shuffle half now leaves the 30 single-exchange
+    # queries plus r8's new queries to fit r8's window).
+    "dedup_cc_clusters",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_semantic_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_crosssource_overlap",
+    "dedup_substring_span",
+    "dedup_exact_hash",
+    "graph_pagerank_fixed",
+    "graph_triangle_count",
+    "join_star_revenue",
+    "spatial_contacts_grid",
+    "agg_exact_median_groups",
+    "fuzzy_name_match_pairs",
+    "events_twap",
+    "events_session_transitions",
+    "sessionize_events_gap",
+    "cdc_upsert_apply",
+    "agg_grouping_sets",
 ]
 
 
