@@ -9,9 +9,11 @@ all five scanline filters), GIF87a/89a first frames (pure LZW with variable-
 width codes and the KwK case), and both baseline-sequential and
 progressive DCT JPEG (``struct`` + numpy: huffman entropy decode incl.
 spectral-selection/successive-approximation scans, dequant, IDCT,
-4:4:4/4:2:2/4:2:0 chroma upsampling, restart intervals) — and fall back
-to clearly-marked deterministic STUBS for formats that need codec
-libraries the container doesn't ship (WebP, MP3/AAC/...); everything
+4:4:4/4:2:2/4:2:0 chroma upsampling, restart intervals), lossless WebP
+(``..vp8l`` — prefix codes, LZ77, color cache, all four reversible
+transforms) — and fall back to clearly-marked deterministic STUBS for
+formats that genuinely need codec libraries the container doesn't ship
+(lossy VP8, MP4/WebM, MP3/AAC); everything
 Spark-side — schemas, batch
 iteration, partitioning, UDF signatures — is real and tested. Each feature extractor takes an injectable ``decode_fn`` /
 ``frame_fn`` (the codec seam): a deployment passes its PIL/cv2/soundfile
@@ -881,12 +883,16 @@ def _decode_image_stub(blob: bytes, width: int, height: int) -> np.ndarray:
     """Default decode: REAL container parsing when the payload is a
     binary PGM/PPM (:func:`decode_pnm`), an 8/16-bit PNG (incl. Adam7)
     (:func:`decode_png` — stdlib zlib only), a GIF first frame
-    (:func:`decode_gif` — pure LZW) or a baseline-sequential OR
-    progressive JPEG (:func:`decode_jpeg` — stdlib struct + numpy),
-    else a deterministic fake pixel array derived from the bytes (STUB
-    for the remaining codec-library formats, e.g. WebP — pass a
-    PIL/cv2 ``decode_fn`` in deployment; signature and batch shape are
-    the contract)."""
+    (:func:`decode_gif` — pure LZW), a baseline-sequential OR
+    progressive JPEG (:func:`decode_jpeg` — stdlib struct + numpy) or a
+    LOSSLESS WebP (:func:`..vp8l.decode_webp` — prefix codes + LZ77 +
+    reversible transforms, no codec math), else a deterministic fake
+    pixel array derived from the bytes (STUB for the remaining
+    codec-library formats: lossy VP8, MP4/WebM, MP3 — pass a PIL/cv2
+    ``decode_fn`` in deployment; signature and batch shape are the
+    contract)."""
+    from proteofav_spark.operators.vp8l import decode_webp
+
     real = decode_pnm(bytes(blob)) if len(blob) >= 2 else None
     if real is None and len(blob) >= 8:
         real = decode_png(bytes(blob))
@@ -894,6 +900,8 @@ def _decode_image_stub(blob: bytes, width: int, height: int) -> np.ndarray:
         real = decode_gif(bytes(blob))
     if real is None and len(blob) >= 4:
         real = decode_jpeg(bytes(blob))
+    if real is None and len(blob) >= 12:
+        real = decode_webp(bytes(blob))
     if real is not None:
         return real
     rng = np.frombuffer(blob, dtype=np.uint8)
