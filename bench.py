@@ -52,6 +52,7 @@ HEADLINE = [
     "spatial_contacts_grid",  # grid-bucketed distance self-join
     "sessionize_events_gap",  # gap-based sessionization
     "events_asof_join",       # union + carry-forward as-of join
+    "events_merge_asof_tolerance",  # general merge_asof (backward+tol)
     "events_range_join_bucketed",  # time-banded interval join
     "dedup_cc_clusters",      # iterative connected-components resolution
     "shard_concat_digest",    # token-budget packing + ordered concat

@@ -2393,13 +2393,23 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q9_SQL = f"""
     WITH {_PARTSUPP_CTE}
-    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-           round(CAST(CAST(sum(
-               CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
-               - ps.ps_supplycost_c
-                 * CAST(round(l.l_quantity) AS BIGINT) * 100
-             ) AS BIGINT) AS DOUBLE) / 10000, 2) AS sum_profit
+    SELECT nation, o_year,
+           -- round the exact 1e-4-dollar integer to cents in INTEGER
+           -- arithmetic (half away from zero), then one exact /100:
+           -- round(sum/10000.0, 2) hits double .xx5 boundaries where
+           -- the engines' float-rounding paths diverge (caught by the
+           -- below-fold sweep at sf0.001)
+           CAST(CASE WHEN su >= 0 THEN (su + 50) // 100
+                     ELSE -((-su + 50) // 100) END AS DOUBLE) / 100
+               AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+               CAST(sum(
+                   CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                   - ps.ps_supplycost_c
+                     * CAST(round(l.l_quantity) AS BIGINT) * 100
+                 ) AS BIGINT) AS su
     FROM lineitem l
     JOIN partsupp ps ON l.l_partkey = ps.ps_partkey
                     AND l.l_suppkey = ps.ps_suppkey
@@ -2409,6 +2419,7 @@ _Q9_SQL = f"""
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE p.p_name LIKE 'blue%'
     GROUP BY 1, 2
+    ) grouped
 """
 
 
@@ -2465,13 +2476,21 @@ def q_tpch_q9_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
     )
+    su = F.col("su")
+    cents = F.when(su >= 0, F.expr("(su + 50) div 100")).otherwise(
+        -F.expr("(-su + 50) div 100")
+    )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s_n), l.l_suppkey == s_n.s_suppkey)
         .groupBy("nation", "o_year")
-        .agg(
-            F.round(
-                F.sum("amount_u").cast("double") / 10000, 2
-            ).alias("sum_profit")
+        .agg(F.sum("amount_u").alias("su"))
+        # integer half-away-from-zero to cents, then ONE exact /100 —
+        # float round(su/10000.0, 2) diverges between engines on .xx5
+        # boundaries (first seen at sf0.001 after the r7 rotation put
+        # this query under the below-fold sweep)
+        .select(
+            "nation", "o_year",
+            (cents.cast("double") / 100).alias("sum_profit"),
         )
     )

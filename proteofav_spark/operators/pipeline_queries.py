@@ -1401,7 +1401,23 @@ def merge_asof(
     internal names."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be non-negative, got {tolerance}")
+    if left.schema[on].dataType != right.schema[on].dataType:
+        # pandas.merge_asof raises on mismatched key dtypes too: a mixed
+        # integral/float on-column would otherwise round the float side
+        # through the decimal distance widening and silently mis-match
+        raise ValueError(
+            f"on-column {on!r} type mismatch: left "
+            f"{left.schema[on].dataType.simpleString()} vs right "
+            f"{right.schema[on].dataType.simpleString()}"
+        )
     payload = [c for c in right.columns if c not in set(by) and c != on]
+    if "_t" in payload:
+        # "_t" is the matched-time field inside the internal payload
+        # struct; a right column with that name would duplicate the
+        # struct field and fail later with an ambiguous-reference error
+        raise ValueError("right column '_t' collides with a reserved name")
     ords = tiebreak if tiebreak is not None else payload
     reserved = {"_time", "_tag", "_rp", "_bwd", "_fwd"} | {
         f"_o{i}" for i in range(len(ords))

@@ -159,7 +159,20 @@ def dedup_store_merger(store_path: str):
                 F.col("hash_prefix").isin(prefixes)
             ).select("hash_prefix", "text_hash")
             new = new.join(seen, ["hash_prefix", "text_hash"], "left_anti")
-        new.write.mode("append").partitionBy("hash_prefix").parquet(store_path)
+        # cluster on the partition column before the partitioned write:
+        # without this every shuffle task writes a file into every
+        # prefix directory it touches — up to tasks x 256 small files
+        # PER BATCH, which is the store-side small-files failure mode at
+        # any scale (probe latency goes footer-bound; see
+        # compact_ivf_store for the same argument). One exchange keyed
+        # on hash_prefix bounds it to one file per touched prefix per
+        # batch; crypto-uniform prefixes make the exchange skew-free.
+        (
+            new.repartition(F.col("hash_prefix"))
+            .write.mode("append")
+            .partitionBy("hash_prefix")
+            .parquet(store_path)
+        )
         spark.catalog.refreshByPath(store_path)
 
     return merge_batch

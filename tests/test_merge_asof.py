@@ -282,3 +282,22 @@ def test_output_name_collision_raises(spark):
             spark.createDataFrame(right),
             on="t", by=["k"],
         )
+
+
+def test_contract_guards_from_review(spark):
+    """Round-7 review findings: mismatched on-column dtypes, a right
+    payload named _t, and negative tolerance must all raise clearly."""
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [10], "lv": [0]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [8], "v": [7]}))
+    right_float = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "t": [8.0], "v": [7]})
+    )
+    with pytest.raises(ValueError, match="type mismatch"):
+        merge_asof(left, right_float, on="t", by=["k"])
+    with pytest.raises(ValueError, match="tolerance"):
+        merge_asof(left, right, on="t", by=["k"], tolerance=-1)
+    right_t = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "t": [8], "_t": [9], "v": [7]})
+    )
+    with pytest.raises(ValueError, match="_t"):
+        merge_asof(left, right_t, on="t", by=["k"])
