@@ -504,6 +504,11 @@ def _inv_color_indexing(
 # top level
 # ---------------------------------------------------------------------------
 
+# upper bound on pixels the pure-Python decode path will attempt (4M px
+# ≈ a 2048x2048 image): bounds both memory (pixel lists) and CPU for a
+# batch of adversarial payloads — beyond it decode degrades to the stub
+_MAX_PIXELS = 1 << 22
+
 
 def decode_vp8l_stream(data: bytes) -> np.ndarray | None:
     """Decode a raw VP8L payload (the chunk body, starting at the 0x2F
@@ -517,6 +522,12 @@ def decode_vp8l_stream(data: bytes) -> np.ndarray | None:
         h = br.read(14) + 1
         br.read(1)  # alpha-used hint
         if br.read(3) != 0:  # version must be 0
+            return None
+        if w * h > _MAX_PIXELS:
+            # a 10-byte stream can CLAIM 16383x16383 (268M pixels) and
+            # force a ~2 GB allocation before the bitstream runs dry —
+            # cap the pure-Python path well below that; deployments
+            # decode large images through the injected codec seam
             return None
 
         transforms = []  # (type, payload) in reading order

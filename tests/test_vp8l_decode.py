@@ -796,3 +796,44 @@ def test_stub_dispatch_decodes_webp():
     img = _rand_rgba(5, 4, seed=54)
     flat = _decode_image_stub(wrap_webp(encode_vp8l(img)), 4, 5)
     np.testing.assert_array_equal(flat.reshape(5, 4, 4), img)
+
+
+# ---------------------------------------------------------------------------
+# 5. adversarial robustness
+# ---------------------------------------------------------------------------
+
+
+def test_claimed_giant_dimensions_degrade_to_none():
+    """A tiny stream claiming 16383x16383 must return None fast instead
+    of allocating a 268M-entry pixel list before the bits run out."""
+    bw = _BW()
+    bw.put(0x2F, 8)
+    bw.put(16382, 14)
+    bw.put(16382, 14)
+    bw.put(1, 1)
+    bw.put(0, 3)
+    bw.put(0, 1)  # no transforms
+    assert decode_vp8l_stream(bw.bytes()) is None
+
+
+def test_fuzz_mutations_never_raise():
+    """Single-byte mutations of a valid stream (and random garbage) must
+    always return None or a valid array — never raise out of the
+    decoder (the batch contract: malformed payloads degrade, decode
+    never fails the Arrow batch)."""
+    rng = np.random.default_rng(99)
+    payload = bytearray(
+        encode_vp8l(_rand_rgba(6, 7, seed=61), cache_bits=3, rle="plain")
+    )
+    for _ in range(400):
+        mutated = bytearray(payload)
+        i = rng.integers(0, len(mutated))
+        mutated[i] ^= 1 << rng.integers(0, 8)
+        out = decode_vp8l_stream(bytes(mutated))
+        assert out is None or (
+            isinstance(out, np.ndarray) and out.dtype == np.uint8
+        )
+    for n in (0, 1, 5, 64, 300):
+        blob = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert decode_vp8l_stream(blob) is None or True
+        decode_webp(blob)  # must not raise either
