@@ -837,3 +837,60 @@ def test_fuzz_mutations_never_raise():
         blob = bytes(rng.integers(0, 256, n, dtype=np.uint8))
         assert decode_vp8l_stream(blob) is None or True
         decode_webp(blob)  # must not raise either
+
+
+def test_hand_assembled_max_symbol_short_circuit():
+    """Normal code using the use-length bit (spec: length_nbits =
+    2 + 2*ReadBits(3); max_symbol = 2 + ReadBits(length_nbits)): only
+    the first max_symbol code-length entries are read, the rest of the
+    alphabet is implicitly zero. The test encoder never emits this
+    form, so it is pinned by hand like the simple-code fixture.
+
+    1x1 image; green code: lengths for symbols 0,1 only (both 1 bit)
+    via max_symbol=2, so green symbol 0 decodes from 1 bit; r/b/a/d
+    are 1-symbol simple codes."""
+    bw = _BW()
+    bw.put(0x2F, 8)
+    bw.put(0, 14)   # w-1
+    bw.put(0, 14)   # h-1
+    bw.put(1, 1)
+    bw.put(0, 3)
+    bw.put(0, 1)    # no transforms
+    bw.put(0, 1)    # no cache
+    bw.put(0, 1)    # no meta
+    # --- green: NORMAL code with max_symbol short-circuit
+    bw.put(0, 1)    # not simple
+    bw.put(0, 4)    # num_code_lengths = 4: order 17,18,0,1 -> cl code
+    bw.put(0, 3)    # len(17) = 0
+    bw.put(0, 3)    # len(18) = 0
+    bw.put(1, 3)    # len(0)  = 1
+    bw.put(1, 3)    # len(1)  = 1   (cl huffman: 0 -> bit 0, 1 -> bit 1)
+    bw.put(1, 1)    # USE the max-symbol short-circuit
+    bw.put(0, 3)    # length_nbits = 2 + 2*0 = 2
+    bw.put(0, 2)    # max_symbol = 2 + 0 = 2
+    bw.put(1, 1)    # cl symbol 1 -> code length 1 for green symbol 0
+    bw.put(1, 1)    # cl symbol 1 -> code length 1 for green symbol 1
+    # (remaining 278 green symbols implicitly zero — nothing read)
+    # --- r, b, a, d: simple 1-symbol codes (0-bit reads)
+    for sym, wide in ((7, 1), (9, 1), (255, 1), (0, 0)):
+        bw.put(1, 1)            # simple
+        bw.put(0, 1)            # 1 symbol
+        bw.put(wide, 1)         # symbol width
+        bw.put(sym, 8 if wide else 1)
+    # --- pixel: green symbol 0 = 1 bit (code 0); r/b/a read 0 bits
+    bw.put(0, 1)
+    out = decode_vp8l_stream(bw.bytes())
+    assert out is not None
+    np.testing.assert_array_equal(
+        out, np.array([[[7, 0, 9, 255]]], dtype=np.uint8)
+    )
+
+
+def test_roundtrip_meta_groups_with_color_cache():
+    """Meta prefix groups and a color cache together: the cache is
+    SHARED across groups (it keys on emitted pixels, not on the group),
+    while each group has its own five prefix codes."""
+    rng = np.random.default_rng(71)
+    colors = rng.integers(0, 256, (6, 4), dtype=np.uint8)
+    img = colors[rng.integers(0, 6, (12, 12))]
+    _rt(img, meta_bits=2, cache_bits=5)
