@@ -301,3 +301,59 @@ def test_contract_guards_from_review(spark):
     )
     with pytest.raises(ValueError, match="_t"):
         merge_asof(left, right_t, on="t", by=["k"])
+
+
+# ---------------------------------------------------------------------------
+# Property-based parity (hypothesis): randomized series, all directions
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ts = st.integers(min_value=-20, max_value=20)  # tight range -> many dups
+
+
+@given(
+    left_rows=st.lists(
+        st.tuples(st.integers(0, 2), _ts), min_size=1, max_size=12
+    ),
+    right_rows=st.lists(
+        st.tuples(st.integers(0, 2), _ts, st.integers(0, 99)), max_size=12
+    ),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tolerance=st.sampled_from([None, 0, 3]),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_property_matches_pandas(spark, left_rows, right_rows, direction,
+                                 tolerance):
+    """Hypothesis-shrunk parity with pandas.merge_asof over tiny dup-heavy
+    keyed series: the discrete adversarial tests above pin known traps;
+    this hunts for unknown ones (empty right, all-dup times, keys on one
+    side only, zero tolerance all arise naturally here)."""
+    left = pd.DataFrame(
+        {"k": [r[0] for r in left_rows], "t": [r[1] for r in left_rows]}
+    ).drop_duplicates(["k", "t"])
+    left["lv"] = range(len(left))
+    right = pd.DataFrame(
+        {"k": [r[0] for r in right_rows], "t": [r[1] for r in right_rows],
+         "v": [r[2] for r in right_rows]}
+    )
+    right["seq"] = range(len(right))
+    left = left.astype({"k": "int64", "t": "int64"})
+    right = right.astype({"k": "int64", "t": "int64", "v": "int64"})
+    want = _expected(left, right, direction, tolerance)
+    sr = (
+        spark.createDataFrame(right)
+        if len(right)
+        else spark.createDataFrame([], "k bigint, t bigint, v bigint, seq bigint")
+    )
+    out = merge_asof(
+        spark.createDataFrame(left), sr, on="t", by=["k"],
+        direction=direction, tolerance=tolerance, tiebreak=["seq"],
+    ).collect()
+    got = {(r["k"], r["t"], r["lv"]): r["v"] for r in out}
+    assert got == want
