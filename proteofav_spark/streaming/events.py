@@ -204,3 +204,70 @@ def stream_stream_click_error_join(
         & (F.col("click_ts") >= F.col("error_ts") - F.expr(f"INTERVAL {within_s} SECONDS"))
         & (F.col("click_ts") <= F.col("error_ts") + F.expr(f"INTERVAL {within_s} SECONDS")),
     ).select("error_id", "e_user", "error_ts", "click_id", "click_ts")
+
+
+def asof_enrich_merger(
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    out_path: str,
+    direction: str = "backward",
+    tolerance: int | None = None,
+):
+    """``foreachBatch`` body for streaming as-of enrichment against a
+    STATIC right side: each micro-batch runs the general
+    :func:`..operators.pipeline_queries.merge_asof` (same single keyed
+    exchange per batch) and appends to a parquet sink.
+
+    Why per-batch application is EXACT, not approximate: with a static
+    right side an as-of match is row-local on the left — each left
+    row's matched right row depends only on that row and ``right``,
+    never on other left rows — so enriching micro-batches independently
+    computes the identical function to one batch merge_asof over the
+    full stream history (pinned value-for-value against the
+    DuckDB-oracled ``events_merge_asof_tolerance`` catalog query in
+    tests/test_streaming_parity.py). Contrast the watermark-bounded
+    stream-stream join (stream_stream_click_error_join), where BOTH
+    sides move.
+
+    100 TB shape: ``right`` is re-broadcast per batch only if it fits
+    (merge_asof plans one hash exchange on ``by``, no join); a large
+    dimension side shuffles once per batch on the same keys — the
+    standard Flink temporal-join layout re-expressed as micro-batches."""
+    from proteofav_spark.operators.pipeline_queries import merge_asof
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        merge_asof(
+            batch_df, right, on=on, by=by,
+            direction=direction, tolerance=tolerance,
+        ).write.mode("append").parquet(out_path)
+
+    return enrich
+
+
+def run_asof_enrich(
+    stream: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    out_path: str,
+    checkpoint: str,
+    direction: str = "backward",
+    tolerance: int | None = None,
+):
+    """Drive streaming as-of enrichment with Trigger.AvailableNow (process
+    the backlog in micro-batches, then stop). At-least-once on crash
+    replay — the enriched rows carry their input row identity, so a
+    downstream exactly-once consumer dedupes on it (or wrap the write in
+    the anti-join MERGE pattern of corpus.dedup_store_merger)."""
+    return (
+        stream.writeStream.foreachBatch(
+            asof_enrich_merger(
+                right, on, by, out_path,
+                direction=direction, tolerance=tolerance,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

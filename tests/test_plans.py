@@ -241,6 +241,7 @@ EXCHANGE_BUDGET = {
     "spatial_contacts_grid": 2,
     "sessionize_events_gap": 1,
     "events_asof_join": 2,
+    "events_merge_asof_tolerance": 2,  # right-dedup agg + the asof window
     "events_range_join_bucketed": 3,
     "dedup_cc_clusters": 3,
     "shard_concat_digest": 5,

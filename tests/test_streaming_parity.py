@@ -142,3 +142,57 @@ def test_stream_collision_candidates_value_parity(spark):
     }
     assert got == batch
     assert len(got) > 0  # the sf0.001 corpus is a subset slice — overlaps exist
+
+
+def test_stream_asof_enrich_parity_with_oracled_batch_query(spark, tmp_path):
+    """Streaming as-of enrichment (foreachBatch merge_asof against a
+    static right side) over a MULTI-batch source equals the
+    DuckDB-oracled events_merge_asof_tolerance batch query value for
+    value — proving per-batch application preserves as-of semantics
+    (row-local on the left when the right side is static)."""
+    from proteofav_spark.operators.pipeline_queries import ASOF_TOL_US
+    from proteofav_spark.streaming.events import run_asof_enrich
+
+    e = load(spark, SF, "events").withColumn(
+        "t_us", F.expr("unix_micros(cast(ts as timestamp))")
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "t_us")
+        .agg(
+            F.max("event_id").alias("view_id"),
+            F.round(F.max("value"), 2).alias("view_value"),
+        )
+    )
+    src = str(tmp_path / "src")
+    # 4 source files -> 4 micro-batches under maxFilesPerTrigger=1
+    e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "t_us"
+    ).repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id bigint, purchase_id bigint, t_us bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = run_asof_enrich(
+        stream, views, on="t_us", by=["user_id"], out_path=out,
+        checkpoint=str(tmp_path / "ckpt"),
+        direction="backward", tolerance=ASOF_TOL_US,
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p.numInputRows > 0])
+    assert n_batches >= 2, "source did not split into micro-batches"
+
+    got = {
+        tuple(r) for r in spark.read.parquet(out)
+        .select("purchase_id", "user_id", "t_us", "t_us_right",
+                "view_id", "view_value").collect()
+    }
+    batch = {
+        tuple(r)
+        for r in all_queries()["events_merge_asof_tolerance"](spark, SF)
+        .select("purchase_id", "user_id", "t_us", "t_us_right",
+                "view_id", "view_value").collect()
+    }
+    assert got == batch

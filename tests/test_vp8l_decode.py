@@ -894,3 +894,34 @@ def test_roundtrip_meta_groups_with_color_cache():
     colors = rng.integers(0, 256, (6, 4), dtype=np.uint8)
     img = colors[rng.integers(0, 6, (12, 12))]
     _rt(img, meta_bits=2, cache_bits=5)
+
+
+def test_webp_default_path_through_image_features(spark):
+    """A real lossless-WebP payload flows through image_features with NO
+    injected decode_fn and the features match the driver-side numpy
+    reference on the true RGBA pixels — WebP(VP8L) is a DEFAULT decoded
+    format now, like PNG/GIF/JPEG."""
+    from pyspark.sql import types as T
+
+    from proteofav_spark.operators.multimodal import (
+        IMAGE_META_SCHEMA,
+        image_features,
+    )
+
+    img = _rand_rgba(9, 7, seed=81)
+    blob = wrap_webp(encode_vp8l(img, cache_bits=3))
+    ischema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", IMAGE_META_SCHEMA),
+        ]
+    )
+    idf = spark.createDataFrame(
+        [(1, blob, (7, 9, 4, "image/webp"))], ischema
+    )
+    row = image_features(idf).collect()[0]
+    pix = img.reshape(-1)
+    assert row["mean_pixel"] == round(float(pix.mean()), 6)
+    assert row["histogram8"] == np.bincount(pix >> 5, minlength=8).tolist()
+    assert row["n_bytes"] == len(blob)
