@@ -1366,6 +1366,66 @@ def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def validate_merge_asof_args(
+    left_schema,
+    right_schema,
+    *,
+    on: str,
+    by: list[str],
+    direction: str = "backward",
+    tolerance: int | None = None,
+    tiebreak: list[str] | None = None,
+    right_suffix: str = "_right",
+) -> tuple[list[str], list[str]]:
+    """The cheap schema/argument contract checks of :func:`merge_asof`,
+    callable EAGERLY from wrappers that would otherwise surface them
+    mid-run (the streaming enrichment wires merge_asof into a
+    foreachBatch, where a bad direction would kill batch 0 inside a
+    py4j-wrapped StreamingQueryException instead of a clear ValueError
+    at wiring time). Returns (payload columns, tiebreak ordering)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be non-negative, got {tolerance}")
+    if left_schema[on].dataType != right_schema[on].dataType:
+        # pandas.merge_asof raises on mismatched key dtypes too: a mixed
+        # integral/float on-column would otherwise round the float side
+        # through the decimal distance widening and silently mis-match
+        raise ValueError(
+            f"on-column {on!r} type mismatch: left "
+            f"{left_schema[on].dataType.simpleString()} vs right "
+            f"{right_schema[on].dataType.simpleString()}"
+        )
+    payload = [
+        f.name for f in right_schema if f.name not in set(by) and f.name != on
+    ]
+    if "_t" in payload:
+        # "_t" is the matched-time field inside the internal payload
+        # struct; a right column with that name would duplicate the
+        # struct field and fail later with an ambiguous-reference error
+        raise ValueError("right column '_t' collides with a reserved name")
+    ords = tiebreak if tiebreak is not None else payload
+    reserved = {"_time", "_tag", "_rp", "_bwd", "_fwd"} | {
+        f"_o{i}" for i in range(len(ords))
+    }
+    left_cols = [f.name for f in left_schema]
+    clash = reserved.intersection(left_cols)
+    if clash:
+        raise ValueError(f"left columns collide with reserved names: {clash}")
+    out_names = [f"{on}{right_suffix}"] + [
+        c + right_suffix if c in set(left_cols) else c for c in payload
+    ]
+    dup = sorted(
+        {n for n in out_names if n in left_cols or out_names.count(n) > 1}
+    )
+    if dup:
+        raise ValueError(
+            f"output columns {dup} collide with left columns or each "
+            f"other; pass a different right_suffix"
+        )
+    return payload, ords
+
+
 def merge_asof(
     left: DataFrame,
     right: DataFrame,
@@ -1399,44 +1459,11 @@ def merge_asof(
 
     ``_time``/``_tag``/``_rp``/``_bwd``/``_fwd``/``_o<i>`` are reserved
     internal names."""
-    if direction not in ("backward", "forward", "nearest"):
-        raise ValueError(f"unknown direction {direction!r}")
-    if tolerance is not None and tolerance < 0:
-        raise ValueError(f"tolerance must be non-negative, got {tolerance}")
-    if left.schema[on].dataType != right.schema[on].dataType:
-        # pandas.merge_asof raises on mismatched key dtypes too: a mixed
-        # integral/float on-column would otherwise round the float side
-        # through the decimal distance widening and silently mis-match
-        raise ValueError(
-            f"on-column {on!r} type mismatch: left "
-            f"{left.schema[on].dataType.simpleString()} vs right "
-            f"{right.schema[on].dataType.simpleString()}"
-        )
-    payload = [c for c in right.columns if c not in set(by) and c != on]
-    if "_t" in payload:
-        # "_t" is the matched-time field inside the internal payload
-        # struct; a right column with that name would duplicate the
-        # struct field and fail later with an ambiguous-reference error
-        raise ValueError("right column '_t' collides with a reserved name")
-    ords = tiebreak if tiebreak is not None else payload
-    reserved = {"_time", "_tag", "_rp", "_bwd", "_fwd"} | {
-        f"_o{i}" for i in range(len(ords))
-    }
-    clash = reserved.intersection(left.columns)
-    if clash:
-        raise ValueError(f"left columns collide with reserved names: {clash}")
-    left_cols = set(left.columns)
-    out_names = [f"{on}{right_suffix}"] + [
-        c + right_suffix if c in left_cols else c for c in payload
-    ]
-    dup = sorted(
-        {n for n in out_names if n in left_cols or out_names.count(n) > 1}
+    payload, ords = validate_merge_asof_args(
+        left.schema, right.schema, on=on, by=by, direction=direction,
+        tolerance=tolerance, tiebreak=tiebreak, right_suffix=right_suffix,
     )
-    if dup:
-        raise ValueError(
-            f"output columns {dup} collide with left columns or each "
-            f"other; pass a different right_suffix"
-        )
+    left_cols = set(left.columns)
 
     rp = F.struct(
         F.col(on).alias("_t"), *[F.col(c).alias(c) for c in payload]

@@ -510,9 +510,16 @@ def _inv_color_indexing(
 _MAX_PIXELS = 1 << 22
 
 
-def decode_vp8l_stream(data: bytes) -> np.ndarray | None:
+def decode_vp8l_stream(
+    data: bytes, max_pixels: int = _MAX_PIXELS
+) -> np.ndarray | None:
     """Decode a raw VP8L payload (the chunk body, starting at the 0x2F
-    signature) to an (h, w, 4) RGBA uint8 array, or None if malformed."""
+    signature) to an (h, w, 4) RGBA uint8 array, or None if malformed
+    OR larger than ``max_pixels`` (default ~4.2M px / 2048x2048: this
+    pure-Python path is a correctness/fixture decoder — images past the
+    cap degrade to the stub like any other non-default format, and a
+    deployment decodes them through the injected codec seam or raises
+    the cap explicitly)."""
     try:
         if not data or data[0] != 0x2F:
             return None
@@ -523,7 +530,7 @@ def decode_vp8l_stream(data: bytes) -> np.ndarray | None:
         br.read(1)  # alpha-used hint
         if br.read(3) != 0:  # version must be 0
             return None
-        if w * h > _MAX_PIXELS:
+        if w * h > max_pixels:
             # a 10-byte stream can CLAIM 16383x16383 (268M pixels) and
             # force a ~2 GB allocation before the bitstream runs dry —
             # cap the pure-Python path well below that; deployments
@@ -585,11 +592,14 @@ def decode_vp8l_stream(data: bytes) -> np.ndarray | None:
         return None
 
 
-def decode_webp(blob: bytes) -> np.ndarray | None:
+def decode_webp(
+    blob: bytes, max_pixels: int = _MAX_PIXELS
+) -> np.ndarray | None:
     """Lossless WebP to a flat RGBA uint8 array (matching the other
     stdlib decoders' flat-pixel convention), or None: not a RIFF/WEBP
-    container, or the payload is lossy VP8 / an animation — those need
-    a codec library via the ``decode_fn`` seam."""
+    container, the payload is lossy VP8 / an animation (those need a
+    codec library via the ``decode_fn`` seam), or the image exceeds
+    ``max_pixels`` (see :func:`decode_vp8l_stream`)."""
     if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
         return None
     pos = 12
@@ -598,7 +608,7 @@ def decode_webp(blob: bytes) -> np.ndarray | None:
         (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
         body = blob[pos + 8 : pos + 8 + size]
         if fourcc == b"VP8L" and len(body) == size:
-            out = decode_vp8l_stream(bytes(body))
+            out = decode_vp8l_stream(bytes(body), max_pixels=max_pixels)
             return None if out is None else out.reshape(-1)
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
     return None

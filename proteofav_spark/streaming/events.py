@@ -230,10 +230,14 @@ def asof_enrich_merger(
     stream-stream join (stream_stream_click_error_join), where BOTH
     sides move.
 
-    100 TB shape: ``right`` is re-broadcast per batch only if it fits
-    (merge_asof plans one hash exchange on ``by``, no join); a large
-    dimension side shuffles once per batch on the same keys — the
-    standard Flink temporal-join layout re-expressed as micro-batches."""
+    100 TB shape: merge_asof never broadcasts — both sides union into
+    ONE hash exchange on ``by`` per micro-batch, so the right side is
+    re-shuffled every batch regardless of its size. Size deployments
+    accordingly: per-batch network cost is O(|batch| + |right|); when
+    ``right`` is large relative to the batch cadence, persist it
+    pre-partitioned on ``by`` (bucketing) so its exchange is a reuse,
+    or lengthen the trigger interval — the standard Flink temporal-join
+    trade re-expressed as micro-batches."""
     from proteofav_spark.operators.pipeline_queries import merge_asof
 
     def enrich(batch_df: DataFrame, batch_id: int) -> None:
@@ -259,7 +263,19 @@ def run_asof_enrich(
     the backlog in micro-batches, then stop). At-least-once on crash
     replay — the enriched rows carry their input row identity, so a
     downstream exactly-once consumer dedupes on it (or wrap the write in
-    the anti-join MERGE pattern of corpus.dedup_store_merger)."""
+    the anti-join MERGE pattern of corpus.dedup_store_merger).
+
+    Argument/schema contract errors raise HERE, before the query
+    starts — not as a py4j-wrapped StreamingQueryException out of
+    batch 0."""
+    from proteofav_spark.operators.pipeline_queries import (
+        validate_merge_asof_args,
+    )
+
+    validate_merge_asof_args(
+        stream.schema, right.schema, on=on, by=by,
+        direction=direction, tolerance=tolerance,
+    )
     return (
         stream.writeStream.foreachBatch(
             asof_enrich_merger(

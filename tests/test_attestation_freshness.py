@@ -28,10 +28,13 @@ def _attestations() -> tuple[dict[str, int], int]:
     latest = 0
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:  # stray file (e.g. a _backup copy) — not a record
+            continue
         rnd = int(m.group(1))
         latest = max(latest, rnd)
-        for name in json.load(open(path)):
-            newest[name] = max(newest.get(name, 0), rnd)
+        with open(path) as fh:
+            for name in json.load(fh):
+                newest[name] = max(newest.get(name, 0), rnd)
     return newest, latest
 
 

@@ -247,6 +247,14 @@ EXCHANGE_BUDGET = {
     "shard_concat_digest": 5,
     "text_repetition_metrics": 0,
     "contamination_ngram_overlap": 5,
+    # non-headline, budget-pinned after PLANS.md recorded a statistics-
+    # driven 2->3 keyed-exchange drift (the region-pruned customer join
+    # flipped from broadcast to shuffle when its derived-size estimate
+    # crossed the threshold): 3 keyed + 5 broadcast exchanges is the
+    # honest at-scale shape — customer is NOT broadcastable at 100 TB —
+    # and this pin catches any further growth (this count includes
+    # BroadcastExchange nodes, like every entry above)
+    "nation_market_share": 8,
 }
 
 

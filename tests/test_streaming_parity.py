@@ -196,3 +196,32 @@ def test_stream_asof_enrich_parity_with_oracled_batch_query(spark, tmp_path):
                 "view_id", "view_value").collect()
     }
     assert got == batch
+
+
+def test_stream_asof_enrich_validates_eagerly(spark, tmp_path):
+    """Contract errors surface at wiring time as plain ValueErrors, not
+    out of batch 0 as wrapped StreamingQueryExceptions."""
+    import pytest
+
+    from proteofav_spark.streaming.events import run_asof_enrich
+
+    right = load(spark, SF, "events").select(
+        "user_id", F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+        F.col("event_id").alias("rid"),
+    ).limit(10)
+    stream = (
+        spark.readStream.schema("user_id bigint, t_us bigint")
+        .parquet(str(tmp_path))  # never started — validation fires first
+    )
+    with pytest.raises(ValueError, match="direction"):
+        run_asof_enrich(
+            stream, right, on="t_us", by=["user_id"],
+            out_path=str(tmp_path / "o"), checkpoint=str(tmp_path / "c"),
+            direction="backwards",
+        )
+    with pytest.raises(ValueError, match="tolerance"):
+        run_asof_enrich(
+            stream, right, on="t_us", by=["user_id"],
+            out_path=str(tmp_path / "o"), checkpoint=str(tmp_path / "c"),
+            tolerance=-5,
+        )

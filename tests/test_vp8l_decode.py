@@ -835,8 +835,14 @@ def test_fuzz_mutations_never_raise():
         )
     for n in (0, 1, 5, 64, 300):
         blob = bytes(rng.integers(0, 256, n, dtype=np.uint8))
-        assert decode_vp8l_stream(blob) is None or True
-        decode_webp(blob)  # must not raise either
+        out = decode_vp8l_stream(blob)
+        assert out is None or (
+            isinstance(out, np.ndarray) and out.dtype == np.uint8
+        )
+        out2 = decode_webp(blob)  # must not raise either
+        assert out2 is None or (
+            isinstance(out2, np.ndarray) and out2.dtype == np.uint8
+        )
 
 
 def test_hand_assembled_max_symbol_short_circuit():
