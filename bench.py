@@ -48,6 +48,8 @@ HEADLINE = [
     "knn_cosine_topk",        # brute-force cosine top-k
     "ann_lsh_bucketed",       # hyperplane-LSH bucketed ANN
     "ann_ivf_coarse",         # IVF coarse-quantizer ANN
+    "knn_quantized_rescore",  # int8 compressed-scan prefilter + exact rescore
+    "ann_pq_topk",            # product-quantization ADC scan + exact rerank
     "dedup_embedding_cosine", # LSH-candidate cosine near-dup pairs
     "spatial_contacts_grid",  # grid-bucketed distance self-join
     "sessionize_events_gap",  # gap-based sessionization

@@ -118,6 +118,13 @@ _PRIORITY: list[str] = [
     # merge_asof operator finally under the driver's oracle gate.
     "events_merge_asof_tolerance",
     "events_merge_asof_nearest",
+    # r7 additions #3-4: the quantized-retrieval tier (two-stage int8
+    # prefilter+rescore, PQ/ADC) — never attested, must land in-window.
+    # Displaced to make room: agg_grouping_sets, agg_exact_median_groups
+    # (r5-attested single-exchange aggs — still fresh after this round;
+    # they rejoin the r8 rotation with the rest of the r5 set).
+    "knn_quantized_rescore",
+    "ann_pq_topk",
     # Slots 3-30: the 28 queries whose newest driver row is r4 — two
     # rounds stale at r7, the oldest signatures in the catalog; all
     # MUST re-attest this round.
@@ -166,13 +173,11 @@ _PRIORITY: list[str] = [
     "graph_triangle_count",
     "join_star_revenue",
     "spatial_contacts_grid",
-    "agg_exact_median_groups",
     "fuzzy_name_match_pairs",
     "events_twap",
     "events_session_transitions",
     "sessionize_events_gap",
     "cdc_upsert_apply",
-    "agg_grouping_sets",
 ]
 
 

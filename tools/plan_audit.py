@@ -64,6 +64,20 @@ SCALE_NOTES = {
         "corpus. Centroids AND inverted lists are trained-index "
         "artifacts, checkpointed once per (session, corpus)."
     ),
+    "knn_quantized_rescore": (
+        "prefilter scans the int8 CODES projection (4× smaller than "
+        "float32) against a broadcast query set — exact integer dot "
+        "product, JVM codegen; only the |Q|×50 prefilter survivors touch "
+        "the full-precision store, via broadcast joins of the tiny "
+        "candidate list. Both top-k windows partition by qid."
+    ),
+    "ann_pq_topk": (
+        "corpus pass is map-only: encode to NSUB PQ cells + LUT-sum per "
+        "row (production scans NSUB bytes/vector — 32× compression), zero "
+        "joins until the |Q|×100 rerank candidates broadcast back to the "
+        "full-precision store. Codebook and per-query LUTs are bounded "
+        "driver literals (16 + |Q| rows)."
+    ),
     "shard_concat_digest": (
         "packing window partitioned by the composite (lang, stream) key — "
         "stream = doc_id div STRIDE bounds every sort task to STRIDE docs; "
