@@ -443,6 +443,8 @@ def main() -> None:
         "ann_lsh_bucketed",
         "ann_ivf_coarse",
         "dedup_embedding_cosine",
+        "knn_quantized_rescore",   # SQ8 codes artifact
+        "ann_pq_topk",             # PQ assignment artifact + codebook LUTs
     }
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}

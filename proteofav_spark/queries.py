@@ -125,7 +125,7 @@ _PRIORITY: list[str] = [
     # they rejoin the r8 rotation with the rest of the r5 set).
     "knn_quantized_rescore",
     "ann_pq_topk",
-    # Slots 3-30: the 28 queries whose newest driver row is r4 — two
+    # Slots 5-32: the 28 queries whose newest driver row is r4 — two
     # rounds stale at r7, the oldest signatures in the catalog; all
     # MUST re-attest this round.
     "promo_revenue_share",
@@ -156,10 +156,11 @@ _PRIORITY: list[str] = [
     "window_carry_forward",
     "scalar_string_kit",
     "scalar_map_lookup",
-    # Slots 31-50: the riskiest 20 of the r5-attested set (one round
+    # Slots 33-50: the riskiest 18 of the r5-attested set (one round
     # stale; the whole set must re-attest by r8 — taking the iterative/
-    # similarity/multi-shuffle half now leaves the 30 single-exchange
-    # queries plus r8's new queries to fit r8's window).
+    # similarity/multi-shuffle half now leaves the 32 single-exchange
+    # r5 queries, incl. the two displaced for the retrieval tier, plus
+    # r8's new queries to fit r8's 50-slot window).
     "dedup_cc_clusters",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",

@@ -78,6 +78,95 @@ def test_retrieval_is_deterministic_across_rebuilds(spark, fn):
     assert a == b
 
 
+def test_driver_and_jvm_codes_agree_bitwise(spark):
+    """_py_codes (driver-side encoding of the collected codebook/query
+    vectors) and _codes_expr (JVM encoding of the corpus) must implement
+    the identical floor(v*127+0.5) arithmetic — a divergence would make
+    the Spark LUT disagree with the oracle's single-CTE codes. Checked
+    over the full corpus, not a sample."""
+    from proteofav_spark.operators.llm_queries import _codes_expr, _py_codes
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = e.select("vec_id", "embedding", _codes_expr().alias("codes")).collect()
+    assert rows
+    for r in rows:
+        assert _py_codes(r["embedding"]) == list(r["codes"]), r["vec_id"]
+
+
+def test_pq_numpy_encoder_matches_jvm_expression_twin(spark):
+    """The Arrow-batched PQ encoder (_pq_assign_udf) must agree row-for-row
+    with a pure-JVM expression twin of the same arithmetic (the form the
+    oracle SQL implements): int8 codes, exact-int64 subspace L2, FIRST
+    minimum = lowest centroid id. This is the bit-parity pin the kernel's
+    rationale promises — a numpy/IEEE divergence would silently skew the
+    ADC candidate sets away from the oracle."""
+    from pyspark.sql import functions as F2
+
+    from proteofav_spark.operators.llm_queries import (
+        NSUB,
+        PQ_CB_HI,
+        PQ_CB_LO,
+        PQ_K,
+        SUBDIM,
+        _codes_expr,
+        _pq_assign_udf,
+        _py_codes,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb_rows = sorted(
+        e.filter(
+            (F2.col("vec_id") >= PQ_CB_LO) & (F2.col("vec_id") < PQ_CB_HI)
+        ).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cb_codes = [_py_codes(r["embedding"]) for r in cb_rows]
+
+    def assign_s(s: int):
+        sub = F2.slice(F2.col("codes"), s * SUBDIM + 1, SUBDIM)
+
+        def dist_to(ci: int):
+            csub = F2.array(
+                *[F2.lit(cb_codes[ci][s * SUBDIM + j]) for j in range(SUBDIM)]
+            )
+            return F2.aggregate(
+                F2.zip_with(sub, csub, lambda a, b: (a - b) * (a - b)),
+                F2.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+
+        dists = F2.array(*[dist_to(ci) for ci in range(PQ_K)])
+        return F2.array_position(dists, F2.array_min(dists)).cast("int")
+
+    jvm = (
+        e.select("vec_id", _codes_expr().alias("codes"))
+        .select(
+            "vec_id", F2.array(*[assign_s(s) for s in range(NSUB)]).alias("asg")
+        )
+        .collect()
+    )
+    np_ = e.select(
+        "vec_id", _pq_assign_udf(cb_codes)("embedding").alias("asg")
+    ).collect()
+    jvm_map = {r["vec_id"]: list(r["asg"]) for r in jvm}
+    np_map = {r["vec_id"]: list(r["asg"]) for r in np_}
+    assert jvm_map == np_map
+
+
+def test_pq_codebook_guard_raises_on_missing_ids(spark):
+    """A corpus without the sampled-codebook vec_ids must fail loudly —
+    silently quantizing against a shorter codebook would diverge from the
+    oracle's adaptive cb CTE."""
+    from proteofav_spark.operators.llm_queries import q_ann_pq_topk as q
+    import tempfile
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with tempfile.TemporaryDirectory() as td:
+        e.filter("vec_id < 110").write.parquet(f"{td}/embeddings.parquet")
+        with pytest.raises(ValueError, match="PQ codebook"):
+            q(spark, td)
+
+
 @pytest.mark.parametrize("fn", [q_knn_quantized_rescore, q_ann_pq_topk])
 def test_no_shuffle_joins_in_plan(spark, fn):
     """Every join in both queries is a broadcast of a bounded side (the

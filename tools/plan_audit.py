@@ -65,18 +65,23 @@ SCALE_NOTES = {
         "artifacts, checkpointed once per (session, corpus)."
     ),
     "knn_quantized_rescore": (
-        "prefilter scans the int8 CODES projection (4× smaller than "
-        "float32) against a broadcast query set — exact integer dot "
-        "product, JVM codegen; only the |Q|×50 prefilter survivors touch "
-        "the full-precision store, via broadcast joins of the tiny "
-        "candidate list. Both top-k windows partition by qid."
+        "the int8 codes table is an index artifact checkpointed once per "
+        "(session, corpus) — repeat searches scan the compact codes "
+        "(persisted as an int8 projection in production: 4× smaller than "
+        "float32), never the float store; prefilter is an exact integer "
+        "dot against a broadcast query set, JVM codegen; only the |Q|×50 "
+        "survivors touch the full-precision store, via broadcast joins of "
+        "the tiny candidate list, with norms computed over survivors only."
     ),
     "ann_pq_topk": (
-        "corpus pass is map-only: encode to NSUB PQ cells + LUT-sum per "
-        "row (production scans NSUB bytes/vector — 32× compression), zero "
-        "joins until the |Q|×100 rerank candidates broadcast back to the "
-        "full-precision store. Codebook and per-query LUTs are bounded "
-        "driver literals (16 + |Q| rows)."
+        "PQ assignment is an index artifact checkpointed once per "
+        "(session, corpus) (Arrow-batched numpy encode — see "
+        "_pq_assign_udf's rationale); repeat searches scan (vec_id, 8 "
+        "cells) rows (NSUB bytes/vector in production — 32× compression) "
+        "with a LUT-sum per row, zero joins until the |Q|×100 rerank "
+        "candidates broadcast back to the full-precision store. Codebook "
+        "and per-query LUTs are bounded driver metadata (16 + |Q| rows), "
+        "also session-cached."
     ),
     "shard_concat_digest": (
         "packing window partitioned by the composite (lang, stream) key — "
