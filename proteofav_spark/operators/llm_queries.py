@@ -1652,6 +1652,35 @@ def _py_codes(vec: list) -> list[int]:
     return [int(math.floor(float(v) * 127 + 0.5)) for v in vec]
 
 
+TOPK_SALT = 32  # local top-k salt buckets per query (two-phase top-k)
+
+
+def _topk_per_query(scored: DataFrame, k: int, order: list) -> DataFrame:
+    """Two-phase per-query top-k over a corpus-wide scored frame. A window
+    partitioned only by qid funnels ALL N·|Q| scored rows into |Q| sort
+    partitions — the one per-query global sort that wouldn't survive 100 TB.
+    Phase 1 takes a LOCAL top-k inside (qid, salt) buckets (deterministic
+    hash salt, every sort bounded to N/TOPK_SALT rows); phase 2's per-qid
+    window then sees at most |Q|·TOPK_SALT·k rows. Output-identical to the
+    single-window form: the global top-k of a union is contained in the
+    union of per-bucket top-ks, and both phases share one total ordering
+    (tie-break vec_id), so ``prk`` matches the oracle's ROW_NUMBER exactly.
+    Same two-stage discipline as agg_salted_two_stage."""
+    salted = scored.withColumn(
+        "_salt", F.pmod(F.xxhash64("vec_id"), F.lit(TOPK_SALT))
+    )
+    w_loc = W.partitionBy("qid", "_salt").orderBy(*order)
+    local = (
+        salted.withColumn("_lrk", F.row_number().over(w_loc))
+        .filter(F.col("_lrk") <= k)
+        .drop("_salt", "_lrk")
+    )
+    w_glob = W.partitionBy("qid").orderBy(*order)
+    return local.withColumn("prk", F.row_number().over(w_glob)).filter(
+        F.col("prk") <= k
+    )
+
+
 def _rescore_exact(e: DataFrame, topm: DataFrame) -> DataFrame:
     """Exact-cosine rescore of a tiny (qid, vec_id, <score>) candidate
     list: broadcast it back to the full-precision store and compute the
@@ -1753,12 +1782,9 @@ def q_knn_quantized_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", iscore.alias("iscore"))
     )
-    w_pre = W.partitionBy("qid").orderBy(F.desc("iscore"), F.asc("vec_id"))
-    topm = (
-        cand.withColumn("prk", F.row_number().over(w_pre))
-        .filter(F.col("prk") <= RESCORE_M)
-        .select("qid", "vec_id", "iscore")
-    )
+    topm = _topk_per_query(
+        cand, RESCORE_M, [F.desc("iscore"), F.asc("vec_id")]
+    ).select("qid", "vec_id", "iscore")
     resc = _rescore_exact(e, topm)
     w_k = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -1879,8 +1905,9 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query rows, same contract as the k-means seeds) the corpus pass is
     MAP-ONLY — encode + NSUB LUT lookups per row, zero joins, scanning NSUB
     bytes/vector in production (32× compression over float32) — followed by
-    one top-PQ_RERANK window per query and a broadcast join of the tiny
-    candidate list back to the full-precision store. This is the missing
+    a salted two-phase top-PQ_RERANK per query (_topk_per_query — no
+    per-query global sort over the corpus) and a broadcast join of the
+    tiny candidate list back to the full-precision store. This is the missing
     compression tier between ann_lsh_bucketed (bucket pruning) and
     ann_ivf_coarse (partition pruning) in SURVEY §2's similarity-search
     path (reference has no vector ops — extension)."""
@@ -1958,12 +1985,9 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", approx.alias("approx_dist"))
     )
-    w_pre = W.partitionBy("qid").orderBy(F.asc("approx_dist"), F.asc("vec_id"))
-    topm = (
-        scored.withColumn("prk", F.row_number().over(w_pre))
-        .filter(F.col("prk") <= PQ_RERANK)
-        .select("qid", "vec_id", "approx_dist")
-    )
+    topm = _topk_per_query(
+        scored, PQ_RERANK, [F.asc("approx_dist"), F.asc("vec_id")]
+    ).select("qid", "vec_id", "approx_dist")
     resc = _rescore_exact(e, topm)
     w_k = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

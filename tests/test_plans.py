@@ -237,6 +237,10 @@ EXCHANGE_BUDGET = {
     "knn_cosine_topk": 2,
     "ann_lsh_bucketed": 5,
     "ann_ivf_coarse": 9,
+    # 2 keyed (salted local top-M + per-qid global) + 4 broadcast (query
+    # codes/LUTs, candidate list into the rescore, query vectors)
+    "knn_quantized_rescore": 6,
+    "ann_pq_topk": 6,
     "dedup_embedding_cosine": 4,
     "spatial_contacts_grid": 2,
     "sessionize_events_gap": 1,

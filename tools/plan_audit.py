@@ -69,18 +69,20 @@ SCALE_NOTES = {
         "(session, corpus) — repeat searches scan the compact codes "
         "(persisted as an int8 projection in production: 4× smaller than "
         "float32), never the float store; prefilter is an exact integer "
-        "dot against a broadcast query set, JVM codegen; only the |Q|×50 "
-        "survivors touch the full-precision store, via broadcast joins of "
-        "the tiny candidate list, with norms computed over survivors only."
+        "dot against a broadcast query set, JVM codegen; top-M is a salted "
+        "two-phase top-k (no per-query global sort over the corpus); only "
+        "the |Q|×50 survivors touch the full-precision store, via broadcast "
+        "joins of the tiny candidate list, with norms over survivors only."
     ),
     "ann_pq_topk": (
         "PQ assignment is an index artifact checkpointed once per "
         "(session, corpus) (Arrow-batched numpy encode — see "
         "_pq_assign_udf's rationale); repeat searches scan (vec_id, 8 "
         "cells) rows (NSUB bytes/vector in production — 32× compression) "
-        "with a LUT-sum per row, zero joins until the |Q|×100 rerank "
-        "candidates broadcast back to the full-precision store. Codebook "
-        "and per-query LUTs are bounded driver metadata (16 + |Q| rows), "
+        "with a LUT-sum per row and a salted two-phase top-k (no per-query "
+        "global sort), zero joins until the |Q|×100 rerank candidates "
+        "broadcast back to the full-precision store. Codebook and "
+        "per-query LUTs are bounded driver metadata (16 + |Q| rows), "
         "also session-cached."
     ),
     "shard_concat_digest": (
