@@ -720,8 +720,10 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the (tiny) query set, map-side
-    dot products via zip_with/aggregate, one top-k window per query.
-    This is the exact baseline the IVF/LSH variant approximates."""
+    dot products via zip_with/aggregate, then a salted two-phase top-k per
+    query (_topk_per_query — the per-qid window never sorts the whole
+    scored corpus). This is the exact baseline the IVF/LSH/SQ8/PQ variants
+    approximate."""
     e = load(spark, sf_dir, "embeddings")
     # norms once per vector (corpus side) and once per query — the old
     # inline form recomputed the query norm for every corpus row
@@ -737,11 +739,9 @@ def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "vec_id",
         pair_cosine_udf(4)("embedding", "qv", "enorm", "qnorm").alias("cosine"),
     )
-    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 10)
-        .select("qid", "vec_id", "cosine", "rk")
+    topk = _topk_per_query(scored, 10, [F.desc("cosine"), F.asc("vec_id")])
+    return topk.select(
+        "qid", "vec_id", "cosine", F.col("prk").cast("bigint").alias("rk")
     )
 
 

@@ -234,7 +234,8 @@ EXCHANGE_BUDGET = {
     "dedup_simhash": 1,
     "text_token_stats": 0,
     "text_fingerprint": 0,
-    "knn_cosine_topk": 2,
+    # 2 keyed (salted local top-k + per-qid global) + 1 broadcast (queries)
+    "knn_cosine_topk": 3,
     "ann_lsh_bucketed": 5,
     "ann_ivf_coarse": 9,
     # 2 keyed (salted local top-M + per-qid global) + 4 broadcast (query
