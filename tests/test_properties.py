@@ -344,3 +344,53 @@ def test_round_half_up_integer_identity(a, b):
     frac = q - floor_q
     expect = floor_q + (1 if frac >= Fraction(1, 2) else 0)
     assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # qid
+            st.integers(min_value=0, max_value=200),    # vec_id
+            st.integers(min_value=-50, max_value=50),   # score
+        ),
+        max_size=60,
+    ),
+    k=st.integers(min_value=1, max_value=8),
+)
+@settings(**SETTINGS)
+def test_two_phase_topk_equals_single_window(spark, rows, k):
+    """_topk_per_query (salted local top-k, then per-qid global) must be
+    OUTPUT-IDENTICAL to the single per-qid window it replaces — including
+    duplicate (qid, vec_id) rows and score ties, where the shared
+    (score, vec_id) ordering makes both forms deterministic only up to
+    duplicate-row interchangeability, so we compare as multisets of
+    (qid, vec_id, score, rank)."""
+    from collections import Counter
+
+    from proteofav_spark.operators.llm_queries import _topk_per_query
+    from pyspark.sql import Window as W
+
+    # dedup (qid, vec_id) so the tie-break key is unique per partition —
+    # the production contract (vec_id is a primary key)
+    seen = set()
+    uniq = []
+    for q, v, s in rows:
+        if (q, v) not in seen:
+            seen.add((q, v))
+            uniq.append((q, v, s))
+    if not uniq:
+        return
+    df = spark.createDataFrame(uniq, "qid int, vec_id int, score int")
+    order = [F.desc("score"), F.asc("vec_id")]
+    got = Counter(
+        (r["qid"], r["vec_id"], r["score"], r["prk"])
+        for r in _topk_per_query(df, k, order).collect()
+    )
+    w = W.partitionBy("qid").orderBy(*order)
+    ref = Counter(
+        (r["qid"], r["vec_id"], r["score"], r["prk"])
+        for r in df.withColumn("prk", F.row_number().over(w))
+        .filter(F.col("prk") <= k)
+        .collect()
+    )
+    assert got == ref
