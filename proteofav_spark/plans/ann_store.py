@@ -10,13 +10,18 @@ the scan — the engine never opens the other K-NPROBE directories. Store
 layout::
 
     <path>/centroids/            tiny: (list_label, cvec, cnorm)
-    <path>/lists/list_label=<k>/ (vec_id, embedding, enorm) per cell
+    <path>/lists/list_label=<k>/ (vec_id, embedding, enorm, codes) per cell
+    <path>/meta/                 one row: embedding type + has_codes flag
 
 Search cost is therefore |probed partitions| / K of the corpus per
 query batch, independent of total corpus size — the defining IVF
 property, here enforced by the storage layout instead of a runtime
-filter. All scoring is JVM-side (``zip_with`` dot products inside
-whole-stage codegen); no Python appears anywhere in the flow.
+filter. ``codes`` is the SQ8 compressed projection (1 byte/dim):
+:func:`probe_ivf_store_quantized` combines the partition prune with a
+column-pruned codes-only scan and rescores only the integer-dot
+survivors at full precision. All scoring is JVM-side (``zip_with`` dot
+products inside whole-stage codegen); no Python appears anywhere in
+the flow.
 """
 
 from __future__ import annotations
@@ -24,10 +29,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 from pyspark.sql import types as T
 
-from proteofav_spark.operators.llm_queries import _norm_col as _norm, label_centroids
+from proteofav_spark.operators.llm_queries import (
+    _norm_col as _norm,
+    _topk_per_query,
+    label_centroids,
+)
 
 NPROBE_DEFAULT = 4
 TOPK_DEFAULT = 5
+PREFILTER_M_DEFAULT = 50  # quantized-prefilter survivors per query
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -40,6 +50,27 @@ def _dot(a: Column, b: Column) -> Column:
 
 def _cosine(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return F.round(_dot(a, b) / (na * nb), 6)
+
+
+def _codes_i8(a: Column) -> Column:
+    """Symmetric int8 retrieval codes ``floor(v·127+0.5)`` SATURATED to
+    [-127, 127], as 1-byte tinyints — the same arithmetic as the
+    session-index SQ8 tier (operators/llm_queries._codes_expr) on the
+    unit-norm range, stored at 1/8 the bytes of the float64 zip_with
+    inputs. Saturation (the standard int8 scheme) keeps the store usable
+    for NON-normalized corpora too: out-of-range components clip, the
+    prefilter loses resolution only on those dims, and the exact rescore
+    stage is unaffected — vs. the ANSI tinyint cast failing the whole
+    write."""
+    return F.transform(
+        a,
+        lambda v: F.least(
+            F.greatest(
+                F.floor(v.cast("double") * 127 + F.lit(0.5)), F.lit(-127.0)
+            ),
+            F.lit(127.0),
+        ).cast("tinyint"),
+    )
 
 
 def _assign_to_centroids(vectors: DataFrame, cents: DataFrame) -> DataFrame:
@@ -107,16 +138,21 @@ def build_ivf_store(embeddings: DataFrame, path: str) -> None:
     ev = embeddings.select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("enorm")
     )
-    _assign_to_centroids(ev, c).write.mode("overwrite").partitionBy(
-        "list_label"
-    ).parquet(f"{path}/lists")
+    _assign_to_centroids(ev, c).withColumn(
+        "codes", _codes_i8(F.col("embedding"))
+    ).write.mode("overwrite").partitionBy("list_label").parquet(
+        f"{path}/lists"
+    )
     # persist the embedding element type so appends don't have to list
-    # the whole lists tree (thousands of partitions at scale) to learn it
+    # the whole lists tree (thousands of partitions at scale) to learn it;
+    # has_codes records whether list rows carry the SQ8 codes column, so
+    # appends into a pre-codes store never write mixed-schema files
     ddl = ev.schema["embedding"].dataType.simpleString()
     embeddings.sparkSession.createDataFrame(
-        [(ddl,)], "embedding_type string"
+        [(ddl, True)], "embedding_type string, has_codes boolean"
     ).write.mode("overwrite").parquet(f"{path}/meta")
     _EMBED_TYPE_CACHE[path] = ddl
+    _STORE_CODES_CACHE[path] = True
     # drop the session's cached file listing for the store paths: Spark
     # shares a FileStatusCache per session, so a reader created after a
     # rewrite would otherwise chase deleted part-files
@@ -134,18 +170,47 @@ def _store_embed_type(spark: SparkSession, path: str) -> str:
     repeated appends never re-list the data tree."""
     ddl = _EMBED_TYPE_CACHE.get(path)
     if ddl is None:
-        from pyspark.errors import AnalysisException
-
-        try:
-            ddl = spark.read.parquet(f"{path}/meta").collect()[0][
-                "embedding_type"
-            ]
-        except AnalysisException:
-            ddl = spark.read.parquet(f"{path}/lists").schema[
-                "embedding"
-            ].dataType.simpleString()
-        _EMBED_TYPE_CACHE[path] = ddl
+        _load_store_meta(spark, path)
+        ddl = _EMBED_TYPE_CACHE[path]
     return ddl
+
+
+_STORE_CODES_CACHE: dict[str, bool] = {}
+
+
+def _store_has_codes(spark: SparkSession, path: str) -> bool:
+    """Whether the store's list rows carry the SQ8 ``codes`` column —
+    from the meta flag (new builds), else False for pre-codes stores
+    (their meta lacks the column, or no meta exists at all)."""
+    has = _STORE_CODES_CACHE.get(path)
+    if has is None:
+        _load_store_meta(spark, path)
+        has = _STORE_CODES_CACHE[path]
+    return has
+
+
+def _load_store_meta(spark: SparkSession, path: str) -> None:
+    """Populate both per-path caches from the one-row ``meta`` table,
+    falling back to ONE full lists-schema inference for stores built
+    before meta existed — cached so repeated appends never re-list the
+    data tree."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        meta = spark.read.parquet(f"{path}/meta")
+        row = meta.collect()[0]
+        ddl = row["embedding_type"]
+        has = (
+            bool(row["has_codes"])
+            if "has_codes" in meta.schema.fieldNames()
+            else False
+        )
+    except AnalysisException:
+        schema = spark.read.parquet(f"{path}/lists").schema
+        ddl = schema["embedding"].dataType.simpleString()
+        has = "codes" in schema.fieldNames()
+    _EMBED_TYPE_CACHE[path] = ddl
+    _STORE_CODES_CACHE[path] = has
 
 
 def append_ivf_store(spark: SparkSession, path: str, batch: DataFrame) -> None:
@@ -168,9 +233,15 @@ def append_ivf_store(spark: SparkSession, path: str, batch: DataFrame) -> None:
         "vec_id",
         F.col("embedding").cast(stored_type).alias("embedding"),
     ).select("vec_id", "embedding", _norm(F.col("embedding")).alias("enorm"))
-    _assign_to_centroids(ev, cents).write.mode("append").partitionBy(
-        "list_label"
-    ).parquet(f"{path}/lists")
+    out = _assign_to_centroids(ev, cents)
+    # match the STORE's column set: a codes column appended into a
+    # pre-codes store (or vice versa) would leave mixed-schema files whose
+    # inferred lists schema depends on which footer Spark samples first
+    if _store_has_codes(spark, path):
+        out = out.withColumn("codes", _codes_i8(F.col("embedding")))
+    out.write.mode("append").partitionBy("list_label").parquet(
+        f"{path}/lists"
+    )
     spark.catalog.refreshByPath(f"{path}/lists")
 
 
@@ -527,6 +598,11 @@ def rebalance_ivf_store(
     out = final.select(
         "vec_id", "embedding", "enorm", remap.alias("list_label")
     )
+    if _store_has_codes(spark, path):
+        # the split rewrite rebuilds rows from the Lloyd state, which never
+        # carried codes — recompute them (a deterministic function of the
+        # embedding) or the rewritten partitions would drop the column
+        out = out.withColumn("codes", _codes_i8(F.col("embedding")))
 
     # dynamic partition overwrite: only the touched partitions (old hot
     # labels now holding child 0; fresh child-1 labels) are replaced
@@ -565,6 +641,35 @@ def probe_ivf_store(
     are pruned from the file listing, never opened. Returns
     (qid, vec_id, cosine, rk) with rk ≤ topk, ranked by
     (cosine DESC, vec_id) — the same contract as ``ann_ivf_coarse``."""
+    q, lists, probe_rows = _probe_selection(spark, path, queries, nprobe)
+    wr = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        lists.join(F.broadcast(probe_rows), "list_label")  # adds qid per probe
+        .join(F.broadcast(q), "qid")  # adds qvec, qnorm
+        .select(
+            "qid",
+            "vec_id",
+            _cosine(
+                F.col("embedding"), F.col("qvec"), F.col("enorm"), F.col("qnorm")
+            ).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= topk)
+    )
+
+
+def _probe_selection(
+    spark: SparkSession, path: str, queries: DataFrame, nprobe: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared probe-cell selection: score queries against the K-row
+    centroid table, keep each query's ``nprobe`` nearest lists, and
+    return (q with norms, the statically partition-pruned lists scan,
+    the per-query probed-cell membership frame). The probed label set is
+    collected driver-side (bounded by |queries|·nprobe — query batches
+    are small by contract) and applied as a LITERAL ``isin`` on the
+    partition column, so the lists scan carries a static
+    PartitionFilter: the other K-nprobe directories are pruned from the
+    file listing, never opened."""
     cents = F.broadcast(spark.read.parquet(f"{path}/centroids"))
     q = queries.select(
         "qid", "qvec", _norm(F.col("qvec")).alias("qnorm")
@@ -606,11 +711,62 @@ def probe_ivf_store(
         [(qid, lbl) for qid, ls in by_q.items() for lbl in sorted(ls)],
         probe_schema,
     )
+    return q, lists, probe_rows
+
+
+def probe_ivf_store_quantized(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = NPROBE_DEFAULT,
+    topk: int = TOPK_DEFAULT,
+    prefilter_m: int = PREFILTER_M_DEFAULT,
+) -> DataFrame:
+    """Two-stage probe combining the store's two scale levers: IVF
+    PARTITION pruning (only nprobe/K directories are listed) × SQ8
+    COMPRESSED scan (the prefilter reads vec_id + 1-byte-per-dim codes +
+    the partition column only — Parquet column pruning keeps the float
+    embedding and norm bytes on disk). The exact-integer dot prefilter
+    keeps ``prefilter_m`` candidates per query via the salted two-phase
+    top-k (no per-query global sort), and only those survivors' rows are
+    read at full precision for the exact cosine re-rank — the identical
+    (cosine DESC, vec_id) contract as :func:`probe_ivf_store`, to which
+    this is EXACTLY equal whenever prefilter_m covers the probed-cell
+    population (pinned by tests/test_ann_store.py).
+
+    Stores built before the codes column exist raise — run
+    :func:`backfill_codes` once (new builds persist codes always)."""
+    if not _store_has_codes(spark, path):
+        raise ValueError(
+            f"store at {path} has no SQ8 codes column: run "
+            "backfill_codes(spark, path) once, or rebuild"
+        )
+    q, lists, probe_rows = _probe_selection(spark, path, queries, nprobe)
+    qq = q.select("qid", _codes_i8(F.col("qvec")).alias("qcodes"))
+    iscore = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("qcodes"), lambda a, b: a.cast("bigint") * b
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        lists.select("vec_id", "list_label", "codes")  # compressed scan
+        .join(F.broadcast(probe_rows), "list_label")
+        .join(F.broadcast(qq), "qid")
+        .select("qid", "vec_id", iscore.alias("iscore"))
+    )
+    topm = _topk_per_query(
+        scored, prefilter_m, [F.desc("iscore"), F.asc("vec_id")]
+    ).select("qid", "vec_id")
+    surv = (
+        lists.select("vec_id", "embedding", "enorm")
+        .join(F.broadcast(topm), "vec_id")
+        .join(F.broadcast(q), "qid")
+    )
     wr = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        lists.join(F.broadcast(probe_rows), "list_label")  # adds qid per probe
-        .join(F.broadcast(q), "qid")  # adds qvec, qnorm
-        .select(
+        surv.select(
             "qid",
             "vec_id",
             _cosine(
@@ -620,6 +776,36 @@ def probe_ivf_store(
         .withColumn("rk", F.row_number().over(wr))
         .where(F.col("rk") <= topk)
     )
+
+
+def backfill_codes(spark: SparkSession, path: str) -> None:
+    """One-time migration for stores built before the SQ8 codes column:
+    rewrite every list partition with codes added, then flip the meta
+    flag. A full-store rewrite — run it from the same single-writer
+    maintenance slot as rebalance/compaction (appends must be quiesced,
+    same contract as compact_ivf_store)."""
+    lists = spark.read.parquet(f"{path}/lists")
+    if "codes" in lists.schema.fieldNames():
+        _STORE_CODES_CACHE[path] = True
+        return
+    out = lists.withColumn(
+        "codes", _codes_i8(F.col("embedding"))
+    ).localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("list_label").parquet(
+            f"{path}/lists"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    ddl = _store_embed_type(spark, path)
+    spark.createDataFrame(
+        [(ddl, True)], "embedding_type string, has_codes boolean"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    _STORE_CODES_CACHE[path] = True
+    spark.catalog.refreshByPath(f"{path}/lists")
+    spark.catalog.refreshByPath(f"{path}/meta")
 
 
 NEAR_DUP_TOPK = 50  # matches retained per new vector (see docstring)

@@ -409,3 +409,170 @@ def test_rebalance_can_finish_with_compaction(spark, tmp_path):
     assert res["compaction"]["compacted"]
     files = ivf_file_stats(path)
     assert max(n for n, _ in files.values()) == 1
+
+
+# ---------------------------------------------------------------------------
+# Quantized probe: IVF partition pruning x SQ8 compressed scan
+# ---------------------------------------------------------------------------
+
+
+def _queries(e):
+    return e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+
+def test_quantized_probe_exact_with_unbounded_prefilter(spark, tmp_path):
+    """With prefilter_m covering every probed-cell member the quantized
+    probe must EQUAL probe_ivf_store row-for-row — same candidates, same
+    6-dp cosine, same (cosine DESC, vec_id) ranks."""
+    from proteofav_spark.plans.ann_store import probe_ivf_store_quantized
+
+    path = str(tmp_path / "ivf")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_ivf_store(e, path)
+    q = _queries(e)
+    exact = sorted(map(tuple, probe_ivf_store(spark, path, q).collect()))
+    quant = sorted(
+        map(
+            tuple,
+            probe_ivf_store_quantized(
+                spark, path, q, prefilter_m=10**6
+            ).collect(),
+        )
+    )
+    assert quant == exact and exact
+
+
+def test_quantized_probe_compressed_scan_prunes_columns_and_partitions(
+    spark, tmp_path
+):
+    """The prefilter stage must read ONLY (vec_id, codes) from the pruned
+    partitions: the plan's scan set contains a codes-only ReadSchema (the
+    1-byte-per-dim compressed scan — float embedding bytes stay on disk)
+    and every lists scan carries the static partition filter."""
+    import re
+
+    from proteofav_spark.plans.ann_store import probe_ivf_store_quantized
+
+    path = str(tmp_path / "ivf")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_ivf_store(e, path)
+    out = probe_ivf_store_quantized(spark, path, _queries(e))
+    out.collect()
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    scans = re.findall(r"ReadSchema: struct<([^\n]*)>", plan)
+    codes_scans = [s for s in scans if "codes:array<tinyint>" in s]
+    assert codes_scans, scans
+    assert all("embedding" not in s for s in codes_scans), codes_scans
+    assert "PartitionFilters" in plan and re.search(
+        r"list_label#\d+ IN \(", plan
+    ), plan
+
+
+def test_quantized_probe_recall_and_store_lifecycle(spark, tmp_path):
+    """Default prefilter_m: measured recall 1.0 vs the exact probe on the
+    catalog corpus (floor 0.8 guards regressions). Codes survive append
+    and rebalance+compaction (every list-rewrite path), and the quantized
+    probe stays exactly equal to the exact probe with unbounded m after
+    maintenance."""
+    from proteofav_spark.plans.ann_store import (
+        append_ivf_store,
+        probe_ivf_store_quantized,
+        rebalance_ivf_store,
+    )
+
+    path = str(tmp_path / "ivf")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_ivf_store(e, path)
+    q = _queries(e)
+
+    ex = {}
+    for r in probe_ivf_store(spark, path, q).collect():
+        ex.setdefault(r["qid"], set()).add(r["vec_id"])
+    got = {}
+    for r in probe_ivf_store_quantized(spark, path, q).collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [len(got[k] & ex[k]) / len(ex[k]) for k in ex]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+    # append + hot-list split + compaction must all preserve codes
+    hot = e.where(F.col("vec_id") >= 400).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    append_ivf_store(spark, path, hot)
+    rebalance_ivf_store(
+        spark, path, row_budget=120, compact_target_file_bytes=1 << 20
+    )
+    lists = spark.read.parquet(f"{path}/lists")
+    assert "codes" in lists.schema.fieldNames()
+    assert lists.where(F.col("codes").isNull()).count() == 0
+    exact = sorted(map(tuple, probe_ivf_store(spark, path, q).collect()))
+    quant = sorted(
+        map(
+            tuple,
+            probe_ivf_store_quantized(
+                spark, path, q, prefilter_m=10**6
+            ).collect(),
+        )
+    )
+    assert quant == exact
+
+
+def test_old_store_raises_then_backfill_enables_quantized_probe(
+    spark, tmp_path
+):
+    """A pre-codes store (simulated by stripping the column and the meta
+    flag) must raise a clear error from the quantized probe, keep appends
+    schema-consistent (no codes written into the old layout), and upgrade
+    in place via backfill_codes."""
+    import pytest as _pytest
+
+    from proteofav_spark.plans import ann_store as A
+
+    path = str(tmp_path / "ivf")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    A.build_ivf_store(e, path)
+    old = (
+        spark.read.parquet(f"{path}/lists").drop("codes").localCheckpoint()
+    )
+    old.write.mode("overwrite").partitionBy("list_label").parquet(
+        f"{path}/lists"
+    )
+    spark.createDataFrame(
+        [(A._store_embed_type(spark, path),)], "embedding_type string"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    A._STORE_CODES_CACHE.pop(path, None)
+    A._EMBED_TYPE_CACHE.pop(path, None)
+    spark.catalog.refreshByPath(f"{path}/lists")
+    spark.catalog.refreshByPath(f"{path}/meta")
+
+    q = _queries(e)
+    with _pytest.raises(ValueError, match="no SQ8 codes"):
+        A.probe_ivf_store_quantized(spark, path, q).collect()
+    # append into the OLD layout must not write a codes column
+    A.append_ivf_store(
+        spark,
+        path,
+        e.where(F.col("vec_id") >= 495).select(
+            (F.col("vec_id") + 20_000).alias("vec_id"), "embedding"
+        ),
+    )
+    assert "codes" not in spark.read.parquet(f"{path}/lists").schema.fieldNames()
+
+    A.backfill_codes(spark, path)
+    assert "codes" in spark.read.parquet(f"{path}/lists").schema.fieldNames()
+    exact = sorted(map(tuple, probe_ivf_store(spark, path, q).collect()))
+    quant = sorted(
+        map(
+            tuple,
+            A.probe_ivf_store_quantized(
+                spark, path, q, prefilter_m=10**6
+            ).collect(),
+        )
+    )
+    assert quant == exact
