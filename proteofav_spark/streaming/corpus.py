@@ -192,3 +192,96 @@ def run_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming retrieval enrichment: query-vector stream x persisted IVF store
+# ---------------------------------------------------------------------------
+
+
+def knn_enrich_merger(
+    store_path: str,
+    out_path: str,
+    nprobe: int | None = None,
+    topk: int | None = None,
+    prefilter_m: int | None = None,
+):
+    """``foreachBatch`` body for streaming retrieval enrichment: each
+    micro-batch of query vectors (``qid``, ``qvec``) is searched against
+    the STATIC persisted IVF store with the quantized two-stage probe
+    and the (qid, vec_id, cosine, rk) matches append to a parquet sink.
+
+    Per-batch application is EXACT, not approximate, for the same reason
+    as the as-of enrichment (events.asof_enrich_merger): with a static
+    store each query's result is row-local — it depends only on that
+    query and the store, never on other stream rows — so enriching
+    micro-batches independently equals one batch probe over the full
+    stream history (pinned in tests/test_streaming_parity.py).
+
+    100 TB shape: the probe's per-batch driver work is the bounded
+    |batch|·nprobe centroid ranking; the cluster-side cost is the
+    partition-pruned, column-pruned codes scan of nprobe/K lists — the
+    store bytes never re-shuffle per batch (contrast merge_asof's
+    union exchange), so a small query cadence against a huge corpus is
+    the cheap direction for this join."""
+    from proteofav_spark.plans.ann_store import probe_ivf_store_quantized
+
+    kw = {}
+    if nprobe is not None:
+        kw["nprobe"] = nprobe
+    if topk is not None:
+        kw["topk"] = topk
+    if prefilter_m is not None:
+        kw["prefilter_m"] = prefilter_m
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        probe_ivf_store_quantized(
+            batch_df.sparkSession, store_path, batch_df, **kw
+        ).write.mode("append").parquet(out_path)
+
+    return enrich
+
+
+def run_knn_enrich(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    nprobe: int | None = None,
+    topk: int | None = None,
+    prefilter_m: int | None = None,
+):
+    """Drive streaming retrieval enrichment with Trigger.AvailableNow.
+    At-least-once on crash replay — matches carry their query identity
+    (``qid``), so a downstream exactly-once consumer dedupes on
+    (qid, vec_id) or wraps the write in the anti-join MERGE pattern of
+    :func:`dedup_store_merger`.
+
+    Contract errors raise HERE, before the query starts: the stream must
+    carry ``qid`` and ``qvec`` columns, and the store must exist with
+    the SQ8 codes column (pre-codes stores direct to backfill_codes) —
+    not as a py4j-wrapped StreamingQueryException out of batch 0."""
+    from proteofav_spark.plans.ann_store import _store_has_codes
+
+    missing = {"qid", "qvec"} - set(stream.schema.fieldNames())
+    if missing:
+        raise ValueError(
+            f"query stream must carry qid and qvec; missing {sorted(missing)}"
+        )
+    spark = stream.sparkSession
+    if not _store_has_codes(spark, store_path):
+        raise ValueError(
+            f"store at {store_path} has no SQ8 codes column: run "
+            "backfill_codes(spark, path) once, or rebuild"
+        )
+    return (
+        stream.writeStream.foreachBatch(
+            knn_enrich_merger(
+                store_path, out_path,
+                nprobe=nprobe, topk=topk, prefilter_m=prefilter_m,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

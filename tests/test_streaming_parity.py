@@ -225,3 +225,67 @@ def test_stream_asof_enrich_validates_eagerly(spark, tmp_path):
             out_path=str(tmp_path / "o"), checkpoint=str(tmp_path / "c"),
             tolerance=-5,
         )
+
+
+def test_stream_knn_enrich_parity_with_batch_probe(spark, tmp_path):
+    """Streaming retrieval enrichment (foreachBatch quantized probe
+    against the static persisted IVF store) over a MULTI-batch query
+    stream equals one batch probe over all queries, value for value —
+    per-batch application is exact when the store is static (each
+    query's matches are row-local)."""
+    from proteofav_spark.plans.ann_store import (
+        build_ivf_store,
+        probe_ivf_store_quantized,
+    )
+    from proteofav_spark.streaming.corpus import run_knn_enrich
+
+    e = load(spark, SF, "embeddings")
+    store = str(tmp_path / "store")
+    build_ivf_store(e, store)
+
+    queries = e.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    src = str(tmp_path / "src")
+    queries.repartition(3).write.parquet(src)  # 3 files -> 3 micro-batches
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = run_knn_enrich(
+        stream, store, out, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p.numInputRows > 0])
+    assert n_batches >= 2, "source did not split into micro-batches"
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    batch = {
+        tuple(r)
+        for r in probe_ivf_store_quantized(spark, store, queries).collect()
+    }
+    assert got == batch and got
+
+
+def test_stream_knn_enrich_validates_eagerly(spark, tmp_path):
+    """Contract errors (missing qid/qvec, pre-codes store) surface at
+    wiring time as plain ValueErrors, not out of batch 0."""
+    import pytest
+
+    from proteofav_spark.plans.ann_store import build_ivf_store
+    from proteofav_spark.streaming.corpus import run_knn_enrich
+
+    e = load(spark, SF, "embeddings")
+    store = str(tmp_path / "store")
+    build_ivf_store(e, store)
+    src = str(tmp_path / "badsrc")
+    e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"  # wrong: no qvec column
+    ).write.parquet(src)
+    bad = spark.readStream.schema("qid bigint, embedding array<float>").parquet(
+        src
+    )
+    with pytest.raises(ValueError, match="qvec"):
+        run_knn_enrich(bad, store, str(tmp_path / "o"), str(tmp_path / "c"))
