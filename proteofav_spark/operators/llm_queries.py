@@ -1208,11 +1208,9 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             pair_cosine_udf(4)("embedding", "qv", "enorm", "qnorm").alias("cosine"),
         )
     )
-    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 5)
-        .select("qid", "vec_id", "cosine", "rk")
+    topk = _topk_per_query(scored, 5, [F.desc("cosine"), F.asc("vec_id")])
+    return topk.select(
+        "qid", "vec_id", "cosine", F.col("prk").cast("bigint").alias("rk")
     )
 
 
@@ -1391,11 +1389,9 @@ def q_ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
             pair_cosine_udf(4)("qvec", "vvec", "qnorm", "vnorm").alias("cosine"),
         )
     )
-    wr = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        rer.withColumn("rk", F.row_number().over(wr).cast("bigint"))
-        .filter(F.col("rk") <= 5)
-        .select("qid", "vec_id", "cosine", "rk")
+    topk = _topk_per_query(rer, 5, [F.desc("cosine"), F.asc("vec_id")])
+    return topk.select(
+        "qid", "vec_id", "cosine", F.col("prk").cast("bigint").alias("rk")
     )
 
 

@@ -642,8 +642,7 @@ def probe_ivf_store(
     (qid, vec_id, cosine, rk) with rk ≤ topk, ranked by
     (cosine DESC, vec_id) — the same contract as ``ann_ivf_coarse``."""
     q, lists, probe_rows = _probe_selection(spark, path, queries, nprobe)
-    wr = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
+    scored = (
         lists.join(F.broadcast(probe_rows), "list_label")  # adds qid per probe
         .join(F.broadcast(q), "qid")  # adds qvec, qnorm
         .select(
@@ -653,9 +652,12 @@ def probe_ivf_store(
                 F.col("embedding"), F.col("qvec"), F.col("enorm"), F.col("qnorm")
             ).alias("cosine"),
         )
-        .withColumn("rk", F.row_number().over(wr))
-        .where(F.col("rk") <= topk)
     )
+    # salted two-phase top-k: a probed cell is ~corpus/K rows — a window
+    # partitioned by qid alone would globally sort it per query
+    return _topk_per_query(
+        scored, topk, [F.desc("cosine"), F.asc("vec_id")]
+    ).withColumnRenamed("prk", "rk")
 
 
 def _probe_selection(

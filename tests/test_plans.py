@@ -236,8 +236,8 @@ EXCHANGE_BUDGET = {
     "text_fingerprint": 0,
     # 2 keyed (salted local top-k + per-qid global) + 1 broadcast (queries)
     "knn_cosine_topk": 3,
-    "ann_lsh_bucketed": 5,
-    "ann_ivf_coarse": 9,
+    "ann_lsh_bucketed": 6,   # +1: salted local top-k before the per-qid window
+    "ann_ivf_coarse": 10,   # +1: salted local top-k before the per-qid window
     # 2 keyed (salted local top-M + per-qid global) + 4 broadcast (query
     # codes/LUTs, candidate list into the rescore, query vectors)
     "knn_quantized_rescore": 6,
