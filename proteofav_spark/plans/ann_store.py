@@ -140,9 +140,12 @@ def build_ivf_store(embeddings: DataFrame, path: str) -> None:
     )
     _assign_to_centroids(ev, c).withColumn(
         "codes", _codes_i8(F.col("embedding"))
-    ).write.mode("overwrite").partitionBy("list_label").parquet(
-        f"{path}/lists"
-    )
+    ).sortWithinPartitions("vec_id").write.mode("overwrite").partitionBy(
+        "list_label"
+    ).parquet(f"{path}/lists")
+    # vec_id-sorted within write tasks so each parquet file's row-group
+    # min/max stats on vec_id are selective — the quantized probe's
+    # rescore pushes a literal vec_id isin and skips non-candidate groups
     # persist the embedding element type so appends don't have to list
     # the whole lists tree (thousands of partitions at scale) to learn it;
     # has_codes records whether list rows carry the SQ8 codes column, so
@@ -239,9 +242,9 @@ def append_ivf_store(spark: SparkSession, path: str, batch: DataFrame) -> None:
     # inferred lists schema depends on which footer Spark samples first
     if _store_has_codes(spark, path):
         out = out.withColumn("codes", _codes_i8(F.col("embedding")))
-    out.write.mode("append").partitionBy("list_label").parquet(
-        f"{path}/lists"
-    )
+    out.sortWithinPartitions("vec_id").write.mode("append").partitionBy(
+        "list_label"
+    ).parquet(f"{path}/lists")
     spark.catalog.refreshByPath(f"{path}/lists")
 
 
@@ -328,8 +331,10 @@ def compact_ivf_store(
     bucketed = members.join(F.broadcast(targets), "list_label").withColumn(
         "bucket", F.pmod(F.xxhash64("vec_id"), F.col("n_target"))
     )
-    out = bucketed.repartition("list_label", "bucket").drop(
-        "bucket", "n_target"
+    out = (
+        bucketed.repartition("list_label", "bucket")
+        .sortWithinPartitions("vec_id")
+        .drop("bucket", "n_target")
     )
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -603,6 +608,7 @@ def rebalance_ivf_store(
         # carried codes — recompute them (a deterministic function of the
         # embedding) or the rewritten partitions would drop the column
         out = out.withColumn("codes", _codes_i8(F.col("embedding")))
+    out = out.sortWithinPartitions("vec_id")
 
     # dynamic partition overwrite: only the touched partitions (old hot
     # labels now holding child 0; fresh child-1 labels) are replaced
@@ -728,21 +734,74 @@ def probe_ivf_store_quantized(
     PARTITION pruning (only nprobe/K directories are listed) × SQ8
     COMPRESSED scan (the prefilter reads vec_id + 1-byte-per-dim codes +
     the partition column only — Parquet column pruning keeps the float
-    embedding and norm bytes on disk). The exact-integer dot prefilter
-    keeps ``prefilter_m`` candidates per query via the salted two-phase
-    top-k (no per-query global sort), and only those survivors' rows are
-    read at full precision for the exact cosine re-rank — the identical
+    embedding and norm bytes on disk for that stage). The exact-integer
+    dot prefilter keeps ``prefilter_m`` candidates per query via the
+    salted two-phase top-k (no per-query global sort); the survivors are
+    collected driver-side (bounded |queries|·prefilter_m — the same
+    small-query-batch contract as the probe-label collect) and the
+    full-precision re-rank scan carries a LITERAL vec_id isin pushdown,
+    so parquet row-group stats skip the float bytes of non-surviving
+    row groups (lists are written vec_id-sorted within partitions
+    precisely so those min/max stats are selective). Identical
     (cosine DESC, vec_id) contract as :func:`probe_ivf_store`, to which
     this is EXACTLY equal whenever prefilter_m covers the probed-cell
-    population (pinned by tests/test_ann_store.py).
+    population (pinned by tests/test_ann_store.py). When the survivor
+    set exceeds _ISIN_PUSHDOWN_CAP ids the literal filter is dropped
+    (plan-bloat guard) and only the broadcast join restricts the rows.
 
     Stores built before the codes column exist raise — run
     :func:`backfill_codes` once (new builds persist codes always)."""
-    if not _store_has_codes(spark, path):
-        raise ValueError(
-            f"store at {path} has no SQ8 codes column: run "
-            "backfill_codes(spark, path) once, or rebuild"
+    require_codes(spark, path)
+    q, lists, topm = _quantized_prefilter(
+        spark, path, queries, nprobe, prefilter_m
+    )
+    # bounded collect (|queries| x prefilter_m): executes the prefilter
+    # once and turns the survivors into literals, so the rescore plan
+    # never re-runs the codes scan and its float scan can push down
+    cand_rows = topm.collect()
+    cand = spark.createDataFrame(
+        [(r["qid"], r["vec_id"]) for r in cand_rows],
+        T.StructType(
+            [
+                T.StructField("qid", queries.schema["qid"].dataType),
+                T.StructField("vec_id", lists.schema["vec_id"].dataType),
+            ]
+        ),
+    )
+    full = lists.select("vec_id", "embedding", "enorm")
+    vec_ids = sorted({r["vec_id"] for r in cand_rows})
+    if len(vec_ids) <= _ISIN_PUSHDOWN_CAP:
+        full = full.where(F.col("vec_id").isin(vec_ids))
+    surv = full.join(F.broadcast(cand), "vec_id").join(F.broadcast(q), "qid")
+    wr = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        surv.select(
+            "qid",
+            "vec_id",
+            _cosine(
+                F.col("embedding"), F.col("qvec"), F.col("enorm"), F.col("qnorm")
+            ).alias("cosine"),
         )
+        .withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= topk)
+    )
+
+
+_ISIN_PUSHDOWN_CAP = 10_000  # literal-filter size guard (plan bloat)
+
+
+def _quantized_prefilter(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    nprobe: int,
+    prefilter_m: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The lazy prefilter stage of :func:`probe_ivf_store_quantized`,
+    exposed so tests can audit its plan (the probe collects it, which
+    removes the compressed scan from the returned rescore plan). Returns
+    (q with norms, the pruned lists scan, the per-query top-prefilter_m
+    survivors as a lazy (qid, vec_id) frame)."""
     q, lists, probe_rows = _probe_selection(spark, path, queries, nprobe)
     qq = q.select("qid", _codes_i8(F.col("qvec")).alias("qcodes"))
     iscore = F.aggregate(
@@ -761,46 +820,60 @@ def probe_ivf_store_quantized(
     topm = _topk_per_query(
         scored, prefilter_m, [F.desc("iscore"), F.asc("vec_id")]
     ).select("qid", "vec_id")
-    surv = (
-        lists.select("vec_id", "embedding", "enorm")
-        .join(F.broadcast(topm), "vec_id")
-        .join(F.broadcast(q), "qid")
-    )
-    wr = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        surv.select(
-            "qid",
-            "vec_id",
-            _cosine(
-                F.col("embedding"), F.col("qvec"), F.col("enorm"), F.col("qnorm")
-            ).alias("cosine"),
+    return q, lists, topm
+
+
+def require_codes(spark: SparkSession, path: str) -> None:
+    """Raise (one shared message for the probe and the streaming
+    enrichment's eager validation) when the store predates the SQ8
+    codes column."""
+    if not _store_has_codes(spark, path):
+        raise ValueError(
+            f"store at {path} has no SQ8 codes column: run "
+            "backfill_codes(spark, path) once, or rebuild"
         )
-        .withColumn("rk", F.row_number().over(wr))
-        .where(F.col("rk") <= topk)
-    )
 
 
 def backfill_codes(spark: SparkSession, path: str) -> None:
-    """One-time migration for stores built before the SQ8 codes column:
-    rewrite every list partition with codes added, then flip the meta
-    flag. A full-store rewrite — run it from the same single-writer
-    maintenance slot as rebalance/compaction (appends must be quiesced,
-    same contract as compact_ivf_store)."""
+    """Migration/repair for stores whose list rows predate (fully or
+    partially) the SQ8 codes column: rewrite list partitions with codes
+    filled in, then flip the meta flag. A full-store rewrite in the
+    worst case — run it from the same single-writer maintenance slot as
+    rebalance/compaction (appends must be quiesced, same contract as
+    compact_ivf_store).
+
+    Idempotent AND crash-safe: the lists overwrite lands before the
+    meta write, so a crash in between leaves lists coded but meta
+    stale — a rerun takes the cheap branch (lists already carry a fully
+    non-null codes column), repairs only what is missing, and ALWAYS
+    rewrites meta. It also repairs the mixed rows that crash window can
+    create (appends routed by the stale flag wrote NULL-codes rows into
+    coded partitions): ``coalesce(codes, encode(embedding))`` fills
+    exactly those, leaving already-coded rows bit-identical."""
     lists = spark.read.parquet(f"{path}/lists")
+    rewrite = True
     if "codes" in lists.schema.fieldNames():
-        _STORE_CODES_CACHE[path] = True
-        return
-    out = lists.withColumn(
-        "codes", _codes_i8(F.col("embedding"))
-    ).localCheckpoint()
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        out.write.mode("overwrite").partitionBy("list_label").parquet(
-            f"{path}/lists"
+        if lists.where(F.col("codes").isNull()).limit(1).count() == 0:
+            rewrite = False  # fully coded — only the meta flag is stale
+        else:
+            out = lists.withColumn(
+                "codes",
+                F.coalesce(F.col("codes"), _codes_i8(F.col("embedding"))),
+            )
+    else:
+        out = lists.withColumn("codes", _codes_i8(F.col("embedding")))
+    if rewrite:
+        out = out.sortWithinPartitions("vec_id").localCheckpoint()
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
         )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("list_label").parquet(
+                f"{path}/lists"
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     ddl = _store_embed_type(spark, path)
     spark.createDataFrame(
         [(ddl, True)], "embedding_type string, has_codes boolean"

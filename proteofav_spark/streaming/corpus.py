@@ -261,19 +261,14 @@ def run_knn_enrich(
     carry ``qid`` and ``qvec`` columns, and the store must exist with
     the SQ8 codes column (pre-codes stores direct to backfill_codes) —
     not as a py4j-wrapped StreamingQueryException out of batch 0."""
-    from proteofav_spark.plans.ann_store import _store_has_codes
+    from proteofav_spark.plans.ann_store import require_codes
 
     missing = {"qid", "qvec"} - set(stream.schema.fieldNames())
     if missing:
         raise ValueError(
             f"query stream must carry qid and qvec; missing {sorted(missing)}"
         )
-    spark = stream.sparkSession
-    if not _store_has_codes(spark, store_path):
-        raise ValueError(
-            f"store at {store_path} has no SQ8 codes column: run "
-            "backfill_codes(spark, path) once, or rebuild"
-        )
+    require_codes(stream.sparkSession, store_path)
     return (
         stream.writeStream.foreachBatch(
             knn_enrich_merger(

@@ -447,31 +447,49 @@ def test_quantized_probe_exact_with_unbounded_prefilter(spark, tmp_path):
 def test_quantized_probe_compressed_scan_prunes_columns_and_partitions(
     spark, tmp_path
 ):
-    """The prefilter stage must read ONLY (vec_id, codes) from the pruned
-    partitions: the plan's scan set contains a codes-only ReadSchema (the
-    1-byte-per-dim compressed scan — float embedding bytes stay on disk)
-    and every lists scan carries the static partition filter."""
+    """Plan evidence for BOTH stages. Prefilter (audited via the exposed
+    lazy stage — the probe collects it, so it never appears in the
+    returned plan): reads ONLY (vec_id, codes) from the pruned partitions
+    — a codes-only ReadSchema, no float embedding bytes — under the
+    static partition filter. Rescore (the returned plan): the float scan
+    carries the literal survivor-id In(vec_id, ...) pushdown so
+    row-group stats skip non-candidate float bytes (lists are written
+    vec_id-sorted to make those stats selective)."""
     import re
 
-    from proteofav_spark.plans.ann_store import probe_ivf_store_quantized
+    from proteofav_spark.plans.ann_store import (
+        _quantized_prefilter,
+        probe_ivf_store_quantized,
+    )
 
     path = str(tmp_path / "ivf")
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     build_ivf_store(e, path)
-    out = probe_ivf_store_quantized(spark, path, _queries(e))
-    out.collect()
-    plan = out._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
+
+    def _fmt(df):
+        df.collect()
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
         )
-    )
-    scans = re.findall(r"ReadSchema: struct<([^\n]*)>", plan)
+
+    _, _, topm = _quantized_prefilter(spark, path, _queries(e), 4, 50)
+    pre = _fmt(topm)
+    scans = re.findall(r"ReadSchema: struct<([^\n]*)>", pre)
     codes_scans = [s for s in scans if "codes:array<tinyint>" in s]
     assert codes_scans, scans
     assert all("embedding" not in s for s in codes_scans), codes_scans
+    assert "PartitionFilters" in pre and re.search(
+        r"list_label#\d+ IN \(", pre
+    ), pre
+
+    plan = _fmt(probe_ivf_store_quantized(spark, path, _queries(e)))
+    assert re.search(r"PushedFilters: \[In\(vec_id", plan), plan
     assert "PartitionFilters" in plan and re.search(
         r"list_label#\d+ IN \(", plan
     ), plan
+    assert "codes" not in plan  # prefilter never re-runs in the rescore
 
 
 def test_quantized_probe_recall_and_store_lifecycle(spark, tmp_path):
@@ -576,3 +594,90 @@ def test_old_store_raises_then_backfill_enables_quantized_probe(
         )
     )
     assert quant == exact
+
+
+def test_backfill_rerun_repairs_crash_window_state(spark, tmp_path):
+    """Crash-recovery contract of backfill_codes: if it dies AFTER the
+    lists overwrite but BEFORE the meta write (its own write ordering),
+    the store is fully coded but meta still says pre-codes — and an
+    append routed by that stale flag writes NULL-codes rows into coded
+    partitions. A rerun must (a) fill exactly the NULL codes, (b) flip
+    the on-disk meta flag so OTHER sessions see a coded store, and
+    (c) restore exact probe equality."""
+    from proteofav_spark.plans import ann_store as A
+
+    path = str(tmp_path / "ivf")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    A.build_ivf_store(e, path)
+    # simulate the crash window: lists keep codes, meta loses the flag
+    spark.createDataFrame(
+        [(A._store_embed_type(spark, path),)], "embedding_type string"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    A._STORE_CODES_CACHE.pop(path, None)
+    spark.catalog.refreshByPath(f"{path}/meta")
+    # stale-flag append: writes code-less rows into the coded layout
+    A.append_ivf_store(
+        spark,
+        path,
+        e.where(F.col("vec_id") >= 495).select(
+            (F.col("vec_id") + 30_000).alias("vec_id"), "embedding"
+        ),
+    )
+    lists = spark.read.parquet(f"{path}/lists")
+    assert lists.where(F.col("codes").isNull()).count() == 5  # the damage
+
+    A.backfill_codes(spark, path)
+    # (a) NULLs repaired, coded rows untouched
+    lists = spark.read.parquet(f"{path}/lists")
+    assert lists.where(F.col("codes").isNull()).count() == 0
+    # (b) the ON-DISK flag is fixed — a fresh session must see it
+    meta = spark.read.parquet(f"{path}/meta")
+    assert "has_codes" in meta.schema.fieldNames()
+    assert meta.collect()[0]["has_codes"] is True
+    A._STORE_CODES_CACHE.pop(path, None)
+    assert A._store_has_codes(spark, path) is True
+    # (c) probe equality holds over the repaired store
+    q = _queries(e)
+    exact = sorted(map(tuple, probe_ivf_store(spark, path, q).collect()))
+    quant = sorted(
+        map(
+            tuple,
+            A.probe_ivf_store_quantized(
+                spark, path, q, prefilter_m=10**6
+            ).collect(),
+        )
+    )
+    assert quant == exact
+
+
+def test_backfill_rerun_with_fully_coded_lists_fixes_meta_cheaply(
+    spark, tmp_path
+):
+    """The other crash shape: lists fully coded, meta stale, NO damaged
+    appends — the rerun must fix meta WITHOUT rewriting any list file."""
+    import glob
+    import os
+
+    from proteofav_spark.plans import ann_store as A
+
+    path = str(tmp_path / "ivf")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    A.build_ivf_store(e, path)
+    spark.createDataFrame(
+        [(A._store_embed_type(spark, path),)], "embedding_type string"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    A._STORE_CODES_CACHE.pop(path, None)
+    spark.catalog.refreshByPath(f"{path}/meta")
+
+    files_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/lists/**/*.parquet", recursive=True)
+    }
+    A.backfill_codes(spark, path)
+    files_after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/lists/**/*.parquet", recursive=True)
+    }
+    assert files_after == files_before  # no list rewrite
+    A._STORE_CODES_CACHE.pop(path, None)
+    assert A._store_has_codes(spark, path) is True
