@@ -1,0 +1,118 @@
+"""JSONL corpus ingestion: explicit-schema reads, corrupt-line
+quarantine (counted, not dropped or fatal), deterministic doc ids
+across partition layouts, and gzip single-file handling."""
+
+import gzip
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from proteofav_spark.sources.corpus import (
+    CORRUPT_COL,
+    read_jsonl_corpus,
+    read_jsonl_documents,
+    split_corrupt,
+    with_doc_id,
+)
+
+DOCS = [
+    {"text": "alpha beta gamma", "lang": "en", "source": "web"},
+    {"text": "uno dos tres", "lang": "es", "source": "web"},
+    {"text": "one two three four", "lang": "en", "source": "books"},
+]
+BAD_LINES = ['{"text": "truncated', "not json at all"]
+
+
+def _write_jsonl(p, docs, bad=(), gz=False):
+    lines = [json.dumps(d) for d in docs] + list(bad)
+    data = ("\n".join(lines) + "\n").encode()
+    if gz:
+        p.write_bytes(gzip.compress(data))
+    else:
+        p.write_bytes(data)
+
+
+def test_quarantine_splits_corrupt_lines(spark, tmp_path):
+    src = tmp_path / "corpus.jsonl"
+    _write_jsonl(src, DOCS, bad=BAD_LINES)
+    df = read_jsonl_corpus(
+        spark, str(src), "text string, lang string, source string"
+    )
+    clean, quarantine = split_corrupt(df)
+    assert clean.count() == len(DOCS)
+    assert CORRUPT_COL not in clean.columns
+    rejects = sorted(r["raw_line"] for r in quarantine.collect())
+    assert rejects == sorted(BAD_LINES)
+
+
+def test_schema_is_mandatory_and_corrupt_name_reserved(spark, tmp_path):
+    src = tmp_path / "c.jsonl"
+    _write_jsonl(src, DOCS)
+    with pytest.raises(TypeError):
+        read_jsonl_corpus(spark, str(src))  # no schema: refuse to infer
+    with pytest.raises(ValueError, match=CORRUPT_COL):
+        read_jsonl_corpus(spark, str(src), f"text string, {CORRUPT_COL} string")
+
+
+def test_doc_ids_are_stable_across_partition_layouts(spark, tmp_path):
+    """The id must be a pure content function: reading the same corpus
+    as one file or as three files yields identical (doc_id, text)."""
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    one.mkdir(), many.mkdir()
+    _write_jsonl(one / "all.jsonl", DOCS)
+    for i, d in enumerate(DOCS):
+        _write_jsonl(many / f"part{i}.jsonl", [d])
+    a = {
+        (r["doc_id"], r["text"])
+        for r in read_jsonl_documents(spark, str(one)).collect()
+    }
+    b = {
+        (r["doc_id"], r["text"])
+        for r in read_jsonl_documents(spark, str(many)).collect()
+    }
+    assert a == b and len(a) == len(DOCS)
+
+
+def test_with_doc_id_null_vs_empty_distinct(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("a", "")], "text string, source string"
+    )
+    ids = [r["doc_id"] for r in with_doc_id(df, ["text", "source"]).collect()]
+    assert ids[0] != ids[1]
+
+
+def test_gzip_single_file_reads_and_fans_out(spark, tmp_path):
+    """A .jsonl.gz file is one non-splittable partition; the documents
+    reader must still produce correct rows, and its fan-out hook spreads
+    the downstream projection when the file count underfills the
+    cluster."""
+    src = tmp_path / "corpus.jsonl.gz"
+    _write_jsonl(src, DOCS, gz=True)
+    docs = read_jsonl_documents(spark, str(src))
+    rows = {r["text"]: r for r in docs.collect()}
+    assert set(rows) == {d["text"] for d in DOCS}
+    assert rows["alpha beta gamma"]["n_chars"] == len("alpha beta gamma")
+    # fan_out repartitioned the 1-file input up to the session parallelism
+    assert (
+        docs.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_documents_shape_feeds_the_catalog_operators(spark, tmp_path):
+    """The reader's output schema matches the driver documents table
+    closely enough to run a catalog text operator unchanged."""
+    src = tmp_path / "corpus.jsonl"
+    _write_jsonl(src, DOCS)
+    docs = read_jsonl_documents(spark, str(src))
+    assert docs.schema.simpleString() == (
+        "struct<doc_id:bigint,text:string,lang:string,"
+        "source:string,n_chars:bigint>"
+    )
+    # whitespace token count over the ingested frame
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
+    )
+    assert {r["n_tokens"] for r in toks.collect()} == {3, 4}
