@@ -58,7 +58,11 @@ def read_jsonl_corpus(
         schema = T.StructType.fromDDL(schema)
     if CORRUPT_COL in schema.fieldNames():
         raise ValueError(f"schema must not already contain {CORRUPT_COL}")
-    full = schema.add(T.StructField(CORRUPT_COL, T.StringType()))
+    # copy — StructType.add mutates in place, and the schema object
+    # belongs to the caller
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
     return (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")
@@ -69,45 +73,76 @@ def read_jsonl_corpus(
 
 
 def split_corrupt(
-    df: DataFrame, materialize: str | None = "cache"
+    df: DataFrame, materialize: str | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantine): clean rows with ``_corrupt`` dropped, and the
     quarantined raw lines as a one-column frame for counting/inspection.
 
     Spark DISALLOWS queries against a raw JSON scan whose referenced
-    columns reduce to only the corrupt-record column (after column
-    pruning, the scan would have nothing to fail on) — so splitting a
-    lazy JSON read needs the parse pinned first. ``materialize="cache"``
-    (default) does that with ``df.cache()`` — both sides then read the
-    one parsed result, which is also what you want operationally (the
-    corpus parses ONCE, not once per side). At 100 TB prefer the write-
-    through form instead: land the parsed frame in the lake as parquet,
-    re-read, and split THAT (parquet scans carry no corrupt-column
-    restriction) — pass ``materialize=None`` when the input is already a
-    materialized/non-JSON frame."""
+    columns prune down to only the corrupt-record column (the scan would
+    have nothing to fail on) — and column pruning gets there easily:
+    ``clean.count()`` discards every output column, leaving just the
+    ``_corrupt IS NULL`` filter. Both filters therefore carry an
+    always-true KEEP-ALIVE conjunct on the first data column
+    (``length(coalesce(cast(c as string), '')) >= 0`` — no Catalyst rule
+    folds it), so the scan always references real data and stays lazy
+    with NO caching. ``materialize="cache"`` remains available as an
+    optimization when BOTH sides are consumed and the parse should run
+    once (fits-in-storage corpora); at 100 TB prefer write-through:
+    land the parsed frame as parquet and split the re-read (parquet
+    scans carry no corrupt-column restriction)."""
     if CORRUPT_COL not in df.columns:
         raise ValueError(f"frame carries no {CORRUPT_COL} column")
+    data_cols = [c for c in df.columns if c != CORRUPT_COL]
+    if not data_cols:
+        raise ValueError("frame carries only the corrupt column")
     if materialize == "cache":
         df = df.cache()
     elif materialize is not None:
         raise ValueError(f"unknown materialize mode: {materialize!r}")
-    clean = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    quarantine = df.where(F.col(CORRUPT_COL).isNotNull()).select(
+    keep_alive = (
+        F.length(F.coalesce(F.col(data_cols[0]).cast("string"), F.lit("")))
+        >= 0
+    )
+    clean = df.where(F.col(CORRUPT_COL).isNull() & keep_alive).drop(
+        CORRUPT_COL
+    )
+    quarantine = df.where(F.col(CORRUPT_COL).isNotNull() & keep_alive).select(
         F.col(CORRUPT_COL).alias("raw_line")
     )
     return clean, quarantine
 
 
 def with_doc_id(df: DataFrame, cols: list[str], out: str = "doc_id") -> DataFrame:
-    """Deterministic 64-bit document id from the content columns:
-    ``xxhash64(concat of cols)`` — stable across reruns, partition
-    layouts, and file splits, which partition-dependent
-    ``monotonically_increasing_id`` is not. Null-safe (nulls hash as a
-    fixed sentinel distinct from empty strings via the separator).
-    64-bit collisions are ~p²/2⁶⁵ for p documents — negligible under
-    ~10⁸ docs; dedup joins tolerate them as extra candidate checks."""
-    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
-    return df.withColumn(out, F.xxhash64(F.concat_ws("\x1f", *parts)))
+    """Deterministic 64-bit document id from the content columns —
+    stable across reruns, partition layouts, and file splits, which
+    partition-dependent ``monotonically_increasing_id`` is not.
+
+    The hashed serialization is UNAMBIGUOUS length-prefix framing:
+    each column contributes ``v<len>:<value>`` (or ``n`` for null), so
+    no choice of values — embedded separators, empty vs null, values
+    shifted between adjacent columns — can make distinct rows collide
+    deterministically. (Neither naive form survives adversarial
+    content: ``concat_ws(sep, ...)`` collides on values containing the
+    separator, and multi-arg ``xxhash64(a, b)`` collides on null
+    position because a null input leaves Spark's hash accumulator
+    unchanged.) Residual collisions are the random ~p²/2⁶⁵ for p
+    documents — negligible under ~10⁸ docs; dedup joins tolerate them
+    as extra candidate checks."""
+    if not cols:
+        raise ValueError(
+            "with_doc_id needs at least one content column — an empty "
+            "list would give every document the same id"
+        )
+    parts = []
+    for c in cols:
+        v = F.col(c).cast("string")
+        parts.append(
+            F.when(v.isNull(), F.lit("n")).otherwise(
+                F.concat(F.lit("v"), F.length(v).cast("string"), F.lit(":"), v)
+            )
+        )
+    return df.withColumn(out, F.xxhash64(F.concat(*parts)))
 
 
 def read_jsonl_documents(
@@ -124,10 +159,14 @@ def read_jsonl_documents(
     raw = read_jsonl_corpus(
         spark, path, "text string, lang string, source string"
     )
+    # lazy split (keep-alive conjunct handles the corrupt-column-only
+    # restriction): caching a corpus-scale parse here would pin it in
+    # executor storage for the whole session with no consumer for the
+    # quarantine side
     clean, _ = split_corrupt(raw)
     if fan_out_under_projection:
         clean = fan_out(clean)
-    return with_doc_id(clean, ["text", "source"]).select(
+    return with_doc_id(clean, ["text", "lang", "source"]).select(
         "doc_id", "text", "lang", "source",
         F.length("text").cast("bigint").alias("n_chars"),
     )

@@ -75,12 +75,74 @@ def test_doc_ids_are_stable_across_partition_layouts(spark, tmp_path):
     assert a == b and len(a) == len(DOCS)
 
 
-def test_with_doc_id_null_vs_empty_distinct(spark):
-    df = spark.createDataFrame(
-        [("a", None), ("a", "")], "text string, source string"
-    )
+def test_with_doc_id_framing_defeats_boundary_ambiguity(spark):
+    """Length-prefix framing: no placement of separators, nulls, or
+    value boundaries may make distinct rows share a doc_id — the
+    failure modes of concat_ws (embedded separators) and multi-arg
+    xxhash64 (null position leaves the accumulator unchanged)."""
+    rows = [
+        ("a", None),        # null vs empty
+        ("a", ""),
+        ("a\x1f", "b"),     # boundary shift around a control char
+        ("a", "\x1fb"),
+        (None, "a"),        # null position swap
+        ("a", None),        # (dup of row 0 — must match row 0 exactly)
+        ("v1:x", ""),       # value that looks like the framing itself
+        ("", "v1:x"),
+    ]
+    df = spark.createDataFrame(rows, "text string, source string")
     ids = [r["doc_id"] for r in with_doc_id(df, ["text", "source"]).collect()]
-    assert ids[0] != ids[1]
+    assert ids[0] == ids[5]  # identical content -> identical id
+    distinct_rows = [ids[i] for i in (0, 1, 2, 3, 4, 6, 7)]
+    assert len(set(distinct_rows)) == len(distinct_rows), ids
+
+
+def test_with_doc_id_rejects_empty_cols(spark):
+    df = spark.createDataFrame([("a",)], "text string")
+    with pytest.raises(ValueError, match="at least one"):
+        with_doc_id(df, [])
+
+
+def test_reader_does_not_mutate_caller_schema(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    src = tmp_path / "c.jsonl"
+    _write_jsonl(src, DOCS)
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    read_jsonl_corpus(spark, str(src), schema)
+    assert schema.fieldNames() == ["text"]  # StructType.add mutates; we copy
+    read_jsonl_corpus(spark, str(src), schema)  # second use must not raise
+
+
+def test_lang_participates_in_doc_identity(spark, tmp_path):
+    """Same text+source under two langs are two documents — doc_id is
+    the downstream per-document key and must not conflate them."""
+    src = tmp_path / "c.jsonl"
+    _write_jsonl(
+        src,
+        [
+            {"text": "t", "lang": "en", "source": "web"},
+            {"text": "t", "lang": "fr", "source": "web"},
+        ],
+    )
+    ids = {r["doc_id"] for r in read_jsonl_documents(spark, str(src)).collect()}
+    assert len(ids) == 2
+
+
+def test_lazy_counts_need_no_cache(spark, tmp_path):
+    """Column pruning reduces a count() to just the corrupt-column
+    filter, which Spark rejects on raw JSON scans — the keep-alive
+    conjunct must keep both sides countable WITHOUT materializing."""
+    src = tmp_path / "c.jsonl"
+    _write_jsonl(src, DOCS, bad=BAD_LINES)
+    raw = read_jsonl_corpus(
+        spark, str(src), "text string, lang string, source string"
+    )
+    clean, quarantine = split_corrupt(raw)  # default: no cache
+    assert clean.count() == len(DOCS)
+    assert quarantine.count() == len(BAD_LINES)
+    assert not raw.is_cached
+    assert read_jsonl_documents(spark, str(src)).count() == len(DOCS)
 
 
 def test_gzip_single_file_reads_and_fans_out(spark, tmp_path):
