@@ -195,6 +195,96 @@ def run_dedup_ingest(
 
 
 # ---------------------------------------------------------------------------
+# Raw JSONL ingest: file stream -> quarantine + exactly-once dedup store
+# ---------------------------------------------------------------------------
+
+
+def read_jsonl_stream(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """File-source streaming twin of ``sources.corpus.read_jsonl_corpus``:
+    new ``.jsonl`` / ``.jsonl.gz`` files under ``path`` stream in with
+    the same contract — EXPLICIT schema only (streaming sources cannot
+    infer anyway) and PERMISSIVE corrupt-line capture in ``_corrupt``.
+    Pair with :func:`run_jsonl_ingest` for the full raw-dump-to-store
+    path, or consume the raw stream and split per micro-batch."""
+    from pyspark.sql import types as T
+
+    from proteofav_spark.sources.corpus import CORRUPT_COL
+
+    parsed = T.StructType.fromDDL(schema)
+    if CORRUPT_COL in parsed.fieldNames():
+        raise ValueError(f"schema must not already contain {CORRUPT_COL}")
+    full = T.StructType(
+        list(parsed.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    return (
+        spark.readStream.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("multiLine", False)
+        .json(path)
+    )
+
+
+def jsonl_ingest_merger(store_path: str, quarantine_path: str | None = None):
+    """``foreachBatch`` body composing the raw-JSONL contract with the
+    exactly-once dedup sink: each micro-batch splits into clean rows
+    (deterministic content-hash ``doc_id`` added, then MERGEd into the
+    store through :func:`dedup_store_merger`'s replay-idempotent
+    anti-join) and quarantined raw lines (appended to
+    ``quarantine_path`` when given).
+
+    Delivery semantics, stated honestly: the STORE side is exactly-once
+    (the anti-join absorbs crash replays); the QUARANTINE side is
+    at-least-once — a replayed batch re-appends its reject lines, so the
+    quarantine is a diagnostic stream whose consumers should tolerate
+    (or dedup on) repeated raw lines. Making rejects exactly-once would
+    need a second content-keyed MERGE store, unwarranted for a reject
+    log."""
+    from proteofav_spark.sources.corpus import split_corrupt, with_doc_id
+
+    base = dedup_store_merger(store_path)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        clean, quarantine = split_corrupt(batch_df)
+        if quarantine_path is not None:
+            quarantine.write.mode("append").parquet(quarantine_path)
+        docs = with_doc_id(clean, ["text", "lang", "source"]).select(
+            "doc_id", "text", "lang", "source",
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+        base(docs, batch_id)
+
+    return merge
+
+
+def run_jsonl_ingest(
+    spark: SparkSession,
+    src_path: str,
+    store_path: str,
+    checkpoint: str,
+    quarantine_path: str | None = None,
+):
+    """Drive the raw-dump ingest end to end: stream JSONL files as they
+    land, quarantine malformed lines, and MERGE clean documents into the
+    content-hash dedup store exactly once (availableNow trigger — the
+    batch-like deployment mode; the checkpoint makes crash recovery
+    replay only the uncommitted batch, which the merger absorbs)."""
+    stream = read_jsonl_stream(
+        spark, src_path, "text string, lang string, source string"
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            jsonl_ingest_merger(store_path, quarantine_path)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming retrieval enrichment: query-vector stream x persisted IVF store
 # ---------------------------------------------------------------------------
 

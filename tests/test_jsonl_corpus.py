@@ -178,3 +178,73 @@ def test_documents_shape_feeds_the_catalog_operators(spark, tmp_path):
         "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
     )
     assert {r["n_tokens"] for r in toks.collect()} == {3, 4}
+
+
+# ---------------------------------------------------------------------------
+# Streaming JSONL ingest -> quarantine + exactly-once dedup store
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_jsonl_ingest_end_to_end(spark, tmp_path):
+    """Raw dump files stream in, malformed lines quarantine, clean
+    documents land in the dedup store exactly once — including
+    cross-file duplicates (same content in two source files collapses
+    to one stored row) — and a SECOND run over the same source appends
+    nothing (offsets committed, nothing pending)."""
+    from proteofav_spark.streaming.corpus import run_jsonl_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_jsonl(src / "a.jsonl", DOCS[:2], bad=BAD_LINES[:1])
+    # file b repeats DOCS[0] verbatim -> cross-file duplicate
+    _write_jsonl(src / "b.jsonl", [DOCS[0], DOCS[2]], bad=BAD_LINES[1:])
+    store = str(tmp_path / "store")
+    quar = str(tmp_path / "quarantine")
+
+    q = run_jsonl_ingest(
+        spark, str(src), store, str(tmp_path / "ckpt"), quarantine_path=quar
+    )
+    q.awaitTermination()
+
+    stored = spark.read.parquet(store)
+    assert stored.count() == len(DOCS)  # cross-file dup collapsed
+    assert {r["text"] for r in stored.collect()} == {d["text"] for d in DOCS}
+    # doc ids are the deterministic content hash of the batch reader
+    batch_ids = {
+        r["doc_id"]
+        for r in read_jsonl_documents(spark, str(src)).dropDuplicates(
+            ["doc_id"]
+        ).collect()
+    }
+    assert {r["doc_id"] for r in stored.collect()} == batch_ids
+    rejects = [r["raw_line"] for r in spark.read.parquet(quar).collect()]
+    assert sorted(rejects) == sorted(BAD_LINES)
+
+    # rerun over the same committed source: no pending files, no appends
+    q2 = run_jsonl_ingest(
+        spark, str(src), store, str(tmp_path / "ckpt"), quarantine_path=quar
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(store).count() == len(DOCS)
+
+
+def test_streaming_jsonl_ingest_incremental_files(spark, tmp_path):
+    """Files landing AFTER the first run are picked up by the next run
+    (offset tracking), and re-shipped duplicate content still merges to
+    zero new rows — the store-side exactly-once contract."""
+    from proteofav_spark.streaming.corpus import run_jsonl_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_jsonl(src / "a.jsonl", DOCS[:2])
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    run_jsonl_ingest(spark, str(src), store, ckpt).awaitTermination()
+    assert spark.read.parquet(store).count() == 2
+
+    # a late file: one genuinely new doc + one full duplicate of a.jsonl
+    _write_jsonl(src / "late.jsonl", [DOCS[1], DOCS[2]])
+    run_jsonl_ingest(spark, str(src), store, ckpt).awaitTermination()
+    stored = spark.read.parquet(store)
+    assert stored.count() == len(DOCS)
+    assert stored.select("doc_id").distinct().count() == len(DOCS)
