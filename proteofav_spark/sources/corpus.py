@@ -54,22 +54,34 @@ def read_jsonl_corpus(
     only populates ``columnNameOfCorruptRecord`` when the read schema
     contains it). ``multiline=False`` (the JSONL contract: one document
     per line) keeps the input line-splittable for uncompressed files."""
+    return (
+        spark.read.schema(corrupt_augmented_schema(schema))
+        .options(**jsonl_read_options(multiline))
+        .json(path)
+    )
+
+
+def corrupt_augmented_schema(schema: str | T.StructType) -> T.StructType:
+    """The caller's schema plus the ``_corrupt`` capture column — shared
+    by the batch and streaming readers so the corrupt-record contract
+    lives in one place. Copies the StructType (``StructType.add``
+    mutates in place, and the schema object belongs to the caller)."""
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     if CORRUPT_COL in schema.fieldNames():
         raise ValueError(f"schema must not already contain {CORRUPT_COL}")
-    # copy — StructType.add mutates in place, and the schema object
-    # belongs to the caller
-    full = T.StructType(
+    return T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
     )
-    return (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .option("multiLine", multiline)
-        .json(path)
-    )
+
+
+def jsonl_read_options(multiline: bool = False) -> dict:
+    """Reader options shared by the batch and streaming JSONL readers."""
+    return {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": CORRUPT_COL,
+        "multiLine": str(multiline).lower(),
+    }
 
 
 def split_corrupt(
@@ -166,7 +178,27 @@ def read_jsonl_documents(
     clean, _ = split_corrupt(raw)
     if fan_out_under_projection:
         clean = fan_out(clean)
-    return with_doc_id(clean, ["text", "lang", "source"]).select(
+    return documents_projection(clean)
+
+
+DOCUMENTS_SCHEMA = "text string, lang string, source string"
+
+
+def documents_projection(
+    clean: DataFrame, id_cols: list[str] | None = None
+) -> DataFrame:
+    """The documents-table shape (doc_id, text, lang, source, n_chars)
+    from clean (text, lang, source) rows — shared by the batch reader
+    and the streaming ingest so the stored schema cannot drift between
+    them. ``id_cols`` picks the identity: the batch READER defaults to
+    full-row identity (text, lang, source — two differently-labeled
+    copies of one text are two rows, and the id must distinguish them);
+    the dedup-store INGEST passes ["text"] because the store's identity
+    IS content identity (``dedup_store_merger`` keys on sha2(text), so
+    the id must agree with what the store collapses)."""
+    return with_doc_id(
+        clean, id_cols if id_cols is not None else ["text", "lang", "source"]
+    ).select(
         "doc_id", "text", "lang", "source",
         F.length("text").cast("bigint").alias("n_chars"),
     )

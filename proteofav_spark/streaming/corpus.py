@@ -200,29 +200,30 @@ def run_dedup_ingest(
 
 
 def read_jsonl_stream(
-    spark: SparkSession, path: str, schema: str
+    spark: SparkSession,
+    path: str,
+    schema,
+    path_glob: str = "*.jsonl*",
 ) -> DataFrame:
-    """File-source streaming twin of ``sources.corpus.read_jsonl_corpus``:
-    new ``.jsonl`` / ``.jsonl.gz`` files under ``path`` stream in with
-    the same contract — EXPLICIT schema only (streaming sources cannot
-    infer anyway) and PERMISSIVE corrupt-line capture in ``_corrupt``.
-    Pair with :func:`run_jsonl_ingest` for the full raw-dump-to-store
-    path, or consume the raw stream and split per micro-batch."""
-    from pyspark.sql import types as T
-
-    from proteofav_spark.sources.corpus import CORRUPT_COL
-
-    parsed = T.StructType.fromDDL(schema)
-    if CORRUPT_COL in parsed.fieldNames():
-        raise ValueError(f"schema must not already contain {CORRUPT_COL}")
-    full = T.StructType(
-        list(parsed.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    """File-source streaming twin of ``sources.corpus.read_jsonl_corpus``
+    (shared schema-augmentation and reader options — one corrupt-record
+    contract for both): new files matching ``path_glob`` under ``path``
+    stream in with EXPLICIT schema only and PERMISSIVE corrupt-line
+    capture in ``_corrupt``. The glob default keeps stray directory
+    members (_SUCCESS markers, READMEs, a nested checkpoint/quarantine)
+    out of the stream — without it any such file floods the quarantine
+    as corrupt lines, and a quarantine nested under ``path`` would feed
+    back into its own source. Pair with :func:`run_jsonl_ingest` for the
+    full raw-dump-to-store path."""
+    from proteofav_spark.sources.corpus import (
+        corrupt_augmented_schema,
+        jsonl_read_options,
     )
+
     return (
-        spark.readStream.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .option("multiLine", False)
+        spark.readStream.schema(corrupt_augmented_schema(schema))
+        .options(**jsonl_read_options())
+        .option("pathGlobFilter", path_glob)
         .json(path)
     )
 
@@ -230,31 +231,63 @@ def read_jsonl_stream(
 def jsonl_ingest_merger(store_path: str, quarantine_path: str | None = None):
     """``foreachBatch`` body composing the raw-JSONL contract with the
     exactly-once dedup sink: each micro-batch splits into clean rows
-    (deterministic content-hash ``doc_id`` added, then MERGEd into the
-    store through :func:`dedup_store_merger`'s replay-idempotent
-    anti-join) and quarantined raw lines (appended to
-    ``quarantine_path`` when given).
+    (documents-table shape via the SHARED projection, then MERGEd into
+    the store through :func:`dedup_store_merger`'s replay-idempotent
+    anti-join) and a quarantine of everything that cannot be stored —
+    malformed lines (reason ``corrupt``) AND well-formed lines with a
+    null/missing ``text`` (reason ``null_text``: the store keys on the
+    content hash, so a contentless row has no identity there; dropping
+    it silently would violate the nothing-vanishes contract).
+
+    Identity: ``doc_id`` hashes TEXT ALONE here, because the store's
+    dedup key is sha2(text) — content identity. Two differently-labeled
+    copies of one text are one stored document (lang/source are the
+    first-seen copy's attributes); the batch READER keeps full-row
+    identity instead, see ``documents_projection``.
 
     Delivery semantics, stated honestly: the STORE side is exactly-once
     (the anti-join absorbs crash replays); the QUARANTINE side is
-    at-least-once — a replayed batch re-appends its reject lines, so the
-    quarantine is a diagnostic stream whose consumers should tolerate
-    (or dedup on) repeated raw lines. Making rejects exactly-once would
-    need a second content-keyed MERGE store, unwarranted for a reject
-    log."""
-    from proteofav_spark.sources.corpus import split_corrupt, with_doc_id
+    at-least-once — a replayed batch re-appends its reject lines, so
+    quarantine consumers should tolerate (or dedup on) repeats. Making
+    rejects exactly-once would need a second content-keyed MERGE store,
+    unwarranted for a reject log.
+
+    Per-batch plan: the batch parse is CACHED for its three consumers
+    (quarantine write, prefix probe, store write — the bounded
+    micro-batch is exactly split_corrupt's documented cache case) and
+    unpersisted after; the clean side fans out before hashing so a
+    single non-splittable ``.jsonl.gz`` batch file does not hash on one
+    core."""
+    from proteofav_spark.queries import fan_out
+    from proteofav_spark.sources.corpus import (
+        documents_projection,
+        split_corrupt,
+    )
 
     base = dedup_store_merger(store_path)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        clean, quarantine = split_corrupt(batch_df)
-        if quarantine_path is not None:
-            quarantine.write.mode("append").parquet(quarantine_path)
-        docs = with_doc_id(clean, ["text", "lang", "source"]).select(
-            "doc_id", "text", "lang", "source",
-            F.length("text").cast("bigint").alias("n_chars"),
-        )
-        base(docs, batch_id)
+        clean, quarantine = split_corrupt(batch_df, materialize="cache")
+        try:
+            if quarantine_path is not None:
+                rejects = quarantine.select(
+                    "raw_line", F.lit("corrupt").alias("reason")
+                ).unionByName(
+                    clean.where(F.col("text").isNull()).select(
+                        F.to_json(
+                            F.struct("text", "lang", "source")
+                        ).alias("raw_line"),
+                        F.lit("null_text").alias("reason"),
+                    )
+                )
+                rejects.write.mode("append").parquet(quarantine_path)
+            docs = documents_projection(
+                fan_out(clean.where(F.col("text").isNotNull())),
+                id_cols=["text"],
+            )
+            base(docs, batch_id)
+        finally:
+            batch_df.unpersist()
 
     return merge
 
@@ -267,13 +300,14 @@ def run_jsonl_ingest(
     quarantine_path: str | None = None,
 ):
     """Drive the raw-dump ingest end to end: stream JSONL files as they
-    land, quarantine malformed lines, and MERGE clean documents into the
+    land, quarantine whatever cannot be stored (malformed lines AND
+    contentless null-text rows), and MERGE clean documents into the
     content-hash dedup store exactly once (availableNow trigger — the
     batch-like deployment mode; the checkpoint makes crash recovery
     replay only the uncommitted batch, which the merger absorbs)."""
-    stream = read_jsonl_stream(
-        spark, src_path, "text string, lang string, source string"
-    )
+    from proteofav_spark.sources.corpus import DOCUMENTS_SCHEMA
+
+    stream = read_jsonl_stream(spark, src_path, DOCUMENTS_SCHEMA)
     return (
         stream.writeStream.foreachBatch(
             jsonl_ingest_merger(store_path, quarantine_path)

@@ -209,16 +209,18 @@ def test_streaming_jsonl_ingest_end_to_end(spark, tmp_path):
     stored = spark.read.parquet(store)
     assert stored.count() == len(DOCS)  # cross-file dup collapsed
     assert {r["text"] for r in stored.collect()} == {d["text"] for d in DOCS}
-    # doc ids are the deterministic content hash of the batch reader
-    batch_ids = {
+    # ingest doc ids are CONTENT identity (text alone — the store's
+    # dedup key), matching with_doc_id over just the text column
+    expected_ids = {
         r["doc_id"]
-        for r in read_jsonl_documents(spark, str(src)).dropDuplicates(
-            ["doc_id"]
-        ).collect()
+        for r in with_doc_id(
+            read_jsonl_documents(spark, str(src)).drop("doc_id"), ["text"]
+        ).dropDuplicates(["doc_id"]).collect()
     }
-    assert {r["doc_id"] for r in stored.collect()} == batch_ids
-    rejects = [r["raw_line"] for r in spark.read.parquet(quar).collect()]
-    assert sorted(rejects) == sorted(BAD_LINES)
+    assert {r["doc_id"] for r in stored.collect()} == expected_ids
+    quar_rows = spark.read.parquet(quar).collect()
+    assert sorted(r["raw_line"] for r in quar_rows) == sorted(BAD_LINES)
+    assert {r["reason"] for r in quar_rows} == {"corrupt"}
 
     # rerun over the same committed source: no pending files, no appends
     q2 = run_jsonl_ingest(
@@ -248,3 +250,87 @@ def test_streaming_jsonl_ingest_incremental_files(spark, tmp_path):
     stored = spark.read.parquet(store)
     assert stored.count() == len(DOCS)
     assert stored.select("doc_id").distinct().count() == len(DOCS)
+
+
+def test_streaming_ingest_store_identity_is_content_identity(spark, tmp_path):
+    """The store dedupes on sha2(text): two differently-labeled copies of
+    one text are ONE stored document (first-seen labels win) — and the
+    id agrees with what the store collapses, so downstream joins on
+    doc_id never dangle."""
+    from proteofav_spark.streaming.corpus import run_jsonl_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_jsonl(
+        src / "a.jsonl",
+        [
+            {"text": "t", "lang": "en", "source": "web"},
+            {"text": "t", "lang": "fr", "source": "books"},
+            {"text": "u", "lang": "en", "source": "web"},
+        ],
+    )
+    store = str(tmp_path / "store")
+    run_jsonl_ingest(
+        spark, str(src), store, str(tmp_path / "ckpt")
+    ).awaitTermination()
+    stored = spark.read.parquet(store)
+    assert stored.count() == 2  # "t" collapsed
+    assert stored.select("doc_id").distinct().count() == 2
+
+
+def test_streaming_ingest_null_text_rows_quarantine_not_vanish(
+    spark, tmp_path
+):
+    """A well-formed JSON line with null/missing text is storable
+    nowhere (the store keys on the content hash) — it must land in the
+    quarantine with reason null_text, not silently disappear."""
+    import json as _json
+
+    from proteofav_spark.streaming.corpus import run_jsonl_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_jsonl(
+        src / "a.jsonl",
+        [
+            {"text": "kept", "lang": "en", "source": "web"},
+            {"lang": "en", "source": "web"},          # no text field
+            {"text": None, "lang": "fr", "source": "b"},  # explicit null
+        ],
+        bad=BAD_LINES[:1],
+    )
+    store = str(tmp_path / "store")
+    quar = str(tmp_path / "quarantine")
+    run_jsonl_ingest(
+        spark, str(src), store, str(tmp_path / "ckpt"), quarantine_path=quar
+    ).awaitTermination()
+    assert spark.read.parquet(store).count() == 1
+    rows = spark.read.parquet(quar).collect()
+    by_reason = {}
+    for r in rows:
+        by_reason.setdefault(r["reason"], []).append(r["raw_line"])
+    assert by_reason["corrupt"] == [BAD_LINES[0]]
+    assert len(by_reason["null_text"]) == 2
+    for raw in by_reason["null_text"]:
+        assert "text" not in _json.loads(raw)  # to_json drops null fields
+
+
+def test_streaming_source_glob_ignores_stray_files(spark, tmp_path):
+    """Non-JSONL directory members (_SUCCESS markers, READMEs) must not
+    enter the stream and flood the quarantine."""
+    from proteofav_spark.streaming.corpus import run_jsonl_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_jsonl(src / "a.jsonl", DOCS[:1])
+    (src / "_SUCCESS").write_text("")
+    (src / "README.txt").write_text("not a corpus\nfile\n")
+    store = str(tmp_path / "store")
+    quar = str(tmp_path / "quarantine")
+    run_jsonl_ingest(
+        spark, str(src), store, str(tmp_path / "ckpt"), quarantine_path=quar
+    ).awaitTermination()
+    assert spark.read.parquet(store).count() == 1
+    import os
+
+    assert not os.path.exists(quar) or spark.read.parquet(quar).count() == 0
