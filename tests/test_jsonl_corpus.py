@@ -334,3 +334,50 @@ def test_streaming_source_glob_ignores_stray_files(spark, tmp_path):
     import os
 
     assert not os.path.exists(quar) or spark.read.parquet(quar).count() == 0
+
+
+def test_jsonl_ingest_merger_replay_idempotent(spark, tmp_path):
+    """Crash-replay semantics for the COMPOSED raw-JSONL path (the same
+    contract test_dedup_ingest_replay_idempotent pins for the base
+    merger): a fully-replayed batch appends nothing to the store; a
+    partial-commit crash back-fills only the missing rows; and the
+    quarantine doubles on replay — the documented at-least-once reject
+    stream."""
+    from proteofav_spark.sources.corpus import DOCUMENTS_SCHEMA
+    from proteofav_spark.streaming.corpus import jsonl_ingest_merger
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_jsonl(src / "a.jsonl", DOCS, bad=BAD_LINES)
+    store = str(tmp_path / "store")
+    quar = str(tmp_path / "quarantine")
+    merger = jsonl_ingest_merger(store, quar)
+
+    batch = read_jsonl_corpus(spark, str(src), DOCUMENTS_SCHEMA)
+    merger(batch, 0)
+    spark.catalog.refreshByPath(store)
+    assert spark.read.parquet(store).count() == len(DOCS)
+    assert spark.read.parquet(quar).count() == len(BAD_LINES)
+
+    # full replay of the same batch (checkpoint recovery): store no-op,
+    # quarantine re-appends (at-least-once, documented)
+    merger(read_jsonl_corpus(spark, str(src), DOCUMENTS_SCHEMA), 0)
+    spark.catalog.refreshByPath(store)
+    assert spark.read.parquet(store).count() == len(DOCS)
+    assert spark.read.parquet(quar).count() == 2 * len(BAD_LINES)
+
+    # partial-commit crash: only one doc's rows landed, then the full
+    # batch replays — back-fill without duplicates
+    store2 = str(tmp_path / "store2")
+    merger2 = jsonl_ingest_merger(store2)
+    first_text = DOCS[0]["text"]
+    partial = read_jsonl_corpus(spark, str(src), DOCUMENTS_SCHEMA).where(
+        F.col("text") == first_text
+    )
+    merger2(partial, 7)
+    assert spark.read.parquet(store2).count() == 1
+    merger2(read_jsonl_corpus(spark, str(src), DOCUMENTS_SCHEMA), 7)
+    spark.catalog.refreshByPath(store2)
+    recovered = spark.read.parquet(store2)
+    assert recovered.count() == len(DOCS)
+    assert recovered.select("doc_id").distinct().count() == len(DOCS)
