@@ -2494,3 +2494,99 @@ def q_tpch_q9_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cents.cast("double") / 100).alias("sum_profit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rounding-boundary tripwire probes (VERDICT r7 item #6)
+#
+# The Q9 red documented a float-rounding class: round(S/10^4, 2) of an exact
+# integer S sits on a TRUE .xx5 boundary whenever S ≡ 50 (mod 100), and the
+# two engines' rounding paths (Spark BigDecimal HALF_UP on the binary double
+# vs DuckDB) then disagree by one cent. PERF_NOTES also documents the latent
+# cousin: round(n/d, 6) hits a 7th-decimal half when the reduced denominator
+# is 2^a·5^b with max(a,b) = 7 (e.g. odd n / 128). These two probes FORCE a
+# boundary value in every group — 100% of rows sit on the half, vs ~1%
+# naturally — and route it through the catalog's sanctioned fix (integer
+# half-away-from-zero, then ONE exact division), so any drift in the fix
+# pattern, a Spark/DuckDB rounding change, or a regressed helper turns the
+# permanent sf0.001+sf0.01 sweeps red instead of waiting for a lucky group
+# sum. They sit in the driver window like any other query.
+# ---------------------------------------------------------------------------
+
+_PROBE_HALF_CENTS_SQL = """
+    WITH g AS (
+      SELECT l_returnflag,
+             (CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) // 100) * 100 + 50 AS s
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(s AS BIGINT) AS units_boundary,
+           CAST((s + 50) // 100 AS BIGINT) / 100.0 AS dollars
+    FROM g
+"""
+
+
+@register("probe_round_half_cents", _PROBE_HALF_CENTS_SQL)
+def q_probe_round_half_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tripwire probe for the Q9 rounding class: per group, the exact
+    integer unit sum is FORCED onto the .xx5 cent boundary
+    (``s := (S div 100)*100 + 50``, so s ≡ 50 mod 100 in every group),
+    then converted to dollars via the sanctioned integer-cents pattern —
+    half away from zero in BIGINT arithmetic, ONE exact /100.0 at the
+    end. A naive ``round(s / 10^4, 2)`` here diverges between the
+    engines on every single row; the probe stays green only while the
+    fix pattern holds bit-for-bit on both sides. Scale shape: one
+    map-side-partial groupBy — a probe, not a workload."""
+    li = load(spark, sf_dir, "lineitem")
+    units = F.round(F.col("l_extendedprice") * 100).cast("long")
+    g = (
+        li.groupBy("l_returnflag")
+        .agg(F.sum(units).alias("su"))
+        .select(
+            "l_returnflag",
+            (F.expr("su div 100") * 100 + 50).alias("s"),
+        )
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("s").alias("units_boundary"),
+        (F.expr("(s + 50) div 100").cast("double") / 100).alias("dollars"),
+    )
+
+
+_PROBE_POW2_SIXTH_SQL = """
+    WITH g AS (
+      SELECT l_linenumber,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) * 2 + 1
+               AS n
+      FROM lineitem GROUP BY l_linenumber
+    )
+    SELECT l_linenumber,
+           CAST(n AS BIGINT) AS odd_num,
+           CAST((n * 2000000 + 128) // 256 AS BIGINT) / 1000000.0 AS ratio6
+    FROM g
+"""
+
+
+@register("probe_round_pow2_sixth", _PROBE_POW2_SIXTH_SQL)
+def q_probe_round_pow2_sixth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tripwire probe for the documented Q9 cousin: ``round(n/128, 6)``
+    sits on a TRUE 7th-decimal half for every ODD n (1/128 = 0.0078125 —
+    reduced denominator 2^7, max(a,b)=7). The probe forces oddness
+    (``n := 2*SUM(qty)+1``) so 100% of groups hit the boundary, then
+    rounds to 6 dp via the sanctioned pattern — half-up in BIGINT
+    ((2·n·10^6 + 128) div (2·128)), ONE exact /10^6. Scale shape: one
+    7-group map-side-partial aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    g = (
+        li.groupBy("l_linenumber")
+        .agg((F.sum(qty) * 2 + 1).alias("n"))
+    )
+    return g.select(
+        "l_linenumber",
+        F.col("n").alias("odd_num"),
+        (F.expr("(n * 2000000 + 128) div 256").cast("double") / 1000000)
+        .alias("ratio6"),
+    )

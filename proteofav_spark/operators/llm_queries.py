@@ -1063,7 +1063,23 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorizes in numpy, while aggregate/zip_with interprets per element);
     ``cumsum`` keeps the accumulation order identical to the engine fold
     and the DuckDB oracle so the 4-decimal rounding never diverges."""
-    e = load(spark, sf_dir, "embeddings")
+    return dedup_embedding_cosine_frame(
+        spark, load(spark, sf_dir, "embeddings")
+    )
+
+
+def dedup_embedding_cosine_frame(
+    spark: SparkSession, e: DataFrame, tau: float = COSINE_DUP_TAU
+) -> DataFrame:
+    """Plan builder behind `dedup_embedding_cosine`, parametrized on the
+    similarity threshold τ so the scaling sweep can measure the SAME
+    candidate machinery at the production threshold (τ≈0.9) as well as
+    the deliberately-low synthetic one (τ=0.35, whose quadratic OUTPUT
+    tail is the documented superlinear flag — PERF_NOTES). τ only moves
+    the final filter: bucket index, candidate pairs, and cosine scoring
+    are byte-identical across thresholds, which is exactly what makes
+    the τ≈0.9 run a falsification test for 'the tail is output, not
+    machinery'."""
 
     def _build_index() -> tuple:
         b = (
@@ -1118,7 +1134,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_a", "vec_b",
             cos_udf("ea", "eb", "na", "nb").alias("cosine"),
         )
-        .filter(F.col("cosine") >= COSINE_DUP_TAU)
+        .filter(F.col("cosine") >= F.lit(tau))
     )
 
 
@@ -1436,6 +1452,36 @@ KMEANS_K = 8
 KMEANS_ITERS = 5
 
 
+def _kmeans_assign_udf(c: np.ndarray):
+    """Arrow-batched nearest-centroid assignment for a fixed centroid
+    matrix ``c`` [k, DIM] (float64): one numpy argmin over a [batch, k]
+    squared-distance matrix, ties to the lowest cluster id via argmin's
+    first-occurrence rule. Shared by the Lloyd loop (:func:`kmeans_lloyd`)
+    and the oracled one-step parity query (`embedding_kmeans_assign`) so
+    the production kernel itself sits under the driver's oracle gate."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<cluster: int, dist: double>")
+    def _assign(emb: pd.Series) -> pd.DataFrame:
+        if len(emb) == 0:
+            # np.stack raises on an empty Arrow batch
+            return pd.DataFrame(
+                {"cluster": pd.Series([], dtype="int32"),
+                 "dist": pd.Series([], dtype="float64")}
+            )
+        E = np.stack(emb.values).astype(np.float64)
+        # [batch, k] squared distances; ties break to the lowest
+        # cluster id via argmin's first-occurrence rule
+        d2 = ((E[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        idx = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"cluster": idx.astype("int32"),
+             "dist": np.sqrt(d2[np.arange(len(E)), idx])}
+        )
+
+    return _assign
+
+
 def kmeans_lloyd(
     e: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
 ) -> DataFrame:
@@ -1469,27 +1515,7 @@ def kmeans_lloyd(
             f"k-means needs at least k={k} vectors, frame has {len(seeds)}"
         )
     cents = np.array([r["embedding"] for r in seeds], dtype=np.float64)
-
-    def assign_udf(c: np.ndarray):
-        @pandas_udf("struct<cluster: int, dist: double>")
-        def _assign(emb: pd.Series) -> pd.DataFrame:
-            if len(emb) == 0:
-                # np.stack raises on an empty Arrow batch
-                return pd.DataFrame(
-                    {"cluster": pd.Series([], dtype="int32"),
-                     "dist": pd.Series([], dtype="float64")}
-                )
-            E = np.stack(emb.values).astype(np.float64)
-            # [batch, k] squared distances; ties break to the lowest
-            # cluster id via argmin's first-occurrence rule
-            d2 = ((E[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            idx = d2.argmin(axis=1)
-            return pd.DataFrame(
-                {"cluster": idx.astype("int32"),
-                 "dist": np.sqrt(d2[np.arange(len(E)), idx])}
-            )
-
-        return _assign
+    assign_udf = _kmeans_assign_udf
 
     for _ in range(iters):
         assigned = e.select(
@@ -1525,6 +1551,77 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference implementation in tests (identical seeds, iterations, and
     tie-breaking)."""
     return kmeans_lloyd(load(spark, sf_dir, "embeddings"))
+
+
+_KMEANS_ASSIGN_SQL = f"""
+    WITH seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+             vec_id AS svid
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
+    ),
+    sdim AS (
+      SELECT s.cluster,
+             generate_subscripts(e.embedding, 1) AS dim,
+             CAST(UNNEST(e.embedding) AS DOUBLE) AS c
+      FROM seeds s JOIN embeddings e ON e.vec_id = s.svid
+    ),
+    edim AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(UNNEST(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    d AS (
+      SELECT edim.vec_id, sdim.cluster,
+             SUM((edim.v - sdim.c) * (edim.v - sdim.c)) AS d2
+      FROM edim JOIN sdim USING (dim)
+      GROUP BY edim.vec_id, sdim.cluster
+    )
+    SELECT vec_id, cluster
+    FROM (SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, cluster) AS rn
+          FROM d)
+    WHERE rn = 1
+"""
+
+
+@register("embedding_kmeans_assign", _KMEANS_ASSIGN_SQL)
+def q_embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic one-step k-means assignment under the driver's
+    oracle gate (closes the `embedding_kmeans` rows-only gap, VERDICT r7
+    item #5): seeds are the ``KMEANS_K`` lowest-``vec_id`` embeddings —
+    SQL-expressible, unlike the Lloyd loop's xxhash64 seeding — and the
+    assignment runs through the SAME Arrow-batched kernel the iterative
+    query uses (:func:`_kmeans_assign_udf`), so the production argmin
+    (float32→float64 exact widening, ties to the lowest cluster id) is
+    pinned against an independent engine. Only the cluster id is
+    emitted: the distance scalar's summation ORDER differs between
+    numpy's dim-ordered fold and SQL's unordered SUM, which is exactly
+    the last-ulp divergence the argmin is robust to (seed vectors are
+    pairwise distinct — verified at every testdata SF — so inter-cluster
+    margins are astronomically larger than 1 ulp) but a hashed float
+    column would not be. The Lloyd ITERATION stays numpy-pinned in
+    tests (fixed seeds / iterations / tie-breaks); this row makes the
+    kernel itself driver-attestable. Scale shape: k×DIM driver-scalar
+    seeds (bounded collect, same contract as the Lloyd loop) shipped
+    into a map-only Arrow pass — zero shuffles."""
+    e = load(spark, sf_dir, "embeddings")
+    seeds = (
+        e.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(KMEANS_K)
+        .collect()
+    )
+    if len(seeds) < KMEANS_K:
+        raise ValueError(
+            f"assignment needs at least k={KMEANS_K} vectors, "
+            f"frame has {len(seeds)}"
+        )
+    cents = np.array([r["embedding"] for r in seeds], dtype=np.float64)
+    return e.select(
+        "vec_id", _kmeans_assign_udf(cents)("embedding").alias("a")
+    ).select("vec_id", F.col("a.cluster").alias("cluster"))
 
 
 # ---------------------------------------------------------------------------

@@ -184,9 +184,19 @@ _STORE_CODES_CACHE: dict[str, bool] = {}
 def _store_has_codes(spark: SparkSession, path: str) -> bool:
     """Whether the store's list rows carry the SQ8 ``codes`` column —
     from the meta flag (new builds), else False for pre-codes stores
-    (their meta lacks the column, or no meta exists at all)."""
+    (their meta lacks the column, or no meta exists at all).
+
+    Only a cached True is trusted: the cache is PROCESS-local, and
+    :func:`backfill_codes` may have flipped the on-disk flag False→True
+    from a different process (a long-lived writer would then append
+    codes-less rows into a coded store until restart — ADVICE r7). A
+    cached False therefore re-reads the one-row meta table on every
+    call — a single tiny-file read per append, the price of cross-
+    process correctness. True→False never happens in place (only a
+    full :func:`build_ivf_store` rewrite, which repopulates meta and
+    this cache on its own write path), so True stays cacheable."""
     has = _STORE_CODES_CACHE.get(path)
-    if has is None:
+    if has is None or has is False:
         _load_store_meta(spark, path)
         has = _STORE_CODES_CACHE[path]
     return has
@@ -200,6 +210,10 @@ def _load_store_meta(spark: SparkSession, path: str) -> None:
     from pyspark.errors import AnalysisException
 
     try:
+        # the meta table may have been rewritten by ANOTHER process
+        # (backfill_codes from a maintenance slot): drop this session's
+        # cached file listing or the read chases deleted part-files
+        spark.catalog.refreshByPath(f"{path}/meta")
         meta = spark.read.parquet(f"{path}/meta")
         row = meta.collect()[0]
         ddl = row["embedding_type"]
@@ -225,7 +239,15 @@ def append_ivf_store(spark: SparkSession, path: str, batch: DataFrame) -> None:
     few hot centroids over time: run :func:`ivf_skew_report` on a
     maintenance cadence and :func:`rebalance_ivf_store` when a list
     exceeds its budget — a hot centroid at 100 TB is one giant
-    partition that every probe of that cell must scan whole."""
+    partition that every probe of that cell must scan whole.
+
+    Multi-process note: the codes-presence flag is validated against
+    the on-disk meta on every append unless this process has already
+    seen it True (see :func:`_store_has_codes`) — a backfill_codes run
+    in another process is picked up by the next append, no writer
+    restart needed. The quiesce contract still applies WHILE backfill/
+    rebalance/compaction runs (single-writer maintenance slot); this
+    re-validation closes the stale-flag window after they finish."""
     cents = spark.read.parquet(f"{path}/centroids")
     # coerce the batch's embedding to the STORE's element type: parquet
     # directories with mixed float/double files fail at read time, so an

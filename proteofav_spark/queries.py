@@ -113,72 +113,70 @@ _FAN_OUT_PROBES: dict[tuple, bool] = {}
 # oracle in CI, so a regression in a displaced query still fails the suite.
 ATTEST_WINDOW = 50
 _PRIORITY: list[str] = [
-    # ------- round-7 rotation (VERDICT r6 item #1) -------
-    # Slots 1-2: NEW r7 queries (no driver row can exist yet) — the
-    # merge_asof operator finally under the driver's oracle gate.
-    "events_merge_asof_tolerance",
-    "events_merge_asof_nearest",
-    # r7 additions #3-4: the quantized-retrieval tier (two-stage int8
-    # prefilter+rescore, PQ/ADC) — never attested, must land in-window.
-    # Displaced to make room: agg_grouping_sets, agg_exact_median_groups
-    # (r5-attested single-exchange aggs — still fresh after this round;
-    # they rejoin the r8 rotation with the rest of the r5 set).
-    "knn_quantized_rescore",
-    "ann_pq_topk",
-    # Slots 5-32: the 28 queries whose newest driver row is r4 — two
-    # rounds stale at r7, the oldest signatures in the catalog; all
-    # MUST re-attest this round.
-    "promo_revenue_share",
-    "disjunctive_predicate_revenue",
-    "orders_exists_semi",
-    "customer_order_distribution",
-    "customers_above_avg_no_orders",
-    "parts_supplier_breadth",
-    "docs_token_chunking",
-    "text_char_entropy",
-    "embedding_label_centroids",
-    "agg_quantiles_value",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_bpe_token_count",
-    "filter_isin",
-    "filter_first_value",
-    "project_exclude_columns",
-    "type_constrain_try_cast",
-    "agg_residue_rollup",
-    "agg_collapse_by_key",
-    "agg_duplicate_check",
-    "agg_preferred_argmax",
-    "agg_single_value_probe",
-    "window_reset_id",
-    "window_dedup_adjacent",
-    "window_segment_counter",
-    "window_carry_forward",
-    "scalar_string_kit",
-    "scalar_map_lookup",
-    # Slots 33-50: the riskiest 18 of the r5-attested set (one round
-    # stale; the whole set must re-attest by r8 — taking the iterative/
-    # similarity/multi-shuffle half now leaves the 32 single-exchange
-    # r5 queries, incl. the two displaced for the retrieval tier, plus
-    # r8's new queries to fit r8's 50-slot window).
-    "dedup_cc_clusters",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dedup_semantic_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_crosssource_overlap",
-    "dedup_substring_span",
-    "dedup_exact_hash",
-    "graph_pagerank_fixed",
-    "graph_triangle_count",
-    "join_star_revenue",
-    "spatial_contacts_grid",
-    "fuzzy_name_match_pairs",
-    "events_twap",
-    "events_session_transitions",
-    "sessionize_events_gap",
-    "cdc_upsert_apply",
+    # ------- round-8 rotation (VERDICT r7 items #1, #5, #6) -------
+    # Slots 1-4: NEW r8 queries (never attested — MUST be in-window).
+    # The last two rows-only catalog entries gain driver oracles
+    # (error-bound check for the HLL sketch; one-step assignment parity
+    # for the k-means kernel), plus the two rounding-boundary probes
+    # that tripwire the Q9 float class permanently.
+    "approx_distinct_parts_bounds",
+    "embedding_kmeans_assign",
+    "probe_round_half_cents",
+    "probe_round_pow2_sixth",
+    # Slots 5-36: the 32 queries whose newest driver row is r5 — two
+    # rounds stale at r8, the oldest signatures in the catalog; all
+    # MUST re-attest this round (the repo tripwire test enumerates
+    # exactly this set).
+    "agg_exact_median_groups",
+    "agg_grouping_sets",
+    "events_anomaly_zscore",
+    "events_attribution_last_touch",
+    "events_dau_mau",
+    "events_funnel_conversion",
+    "events_gapfill_interpolate",
+    "events_retention_cohorts",
+    "events_sliding_window",
+    "explode_interval_rollup",
+    "forecast_revenue_change",
+    "join_left_string_keys",
+    "join_outer_collapse",
+    "join_range_interval",
+    "join_semi_anti",
+    "json_flatten_props",
+    "lineitem_below_avg_qty",
+    "metrics_unpivot_long",
+    "nation_market_share",
+    "orders_big_customer_detail",
+    "orders_scd2_snapshot",
+    "returned_item_top_customers",
+    "set_multiset_ops",
+    "set_union_by_name",
+    "shipclass_priority_counts",
+    "supplier_top_revenue",
+    "supplier_value_share_having",
+    "suppliers_dominant_share",
+    "suppliers_kept_waiting",
+    "text_tfidf_top_terms",
+    "window_ntile_buckets",
+    "window_percent_rank_exact",
+    # Slots 37-50: the riskiest 14 of the 50 r6-signed queries
+    # (iterative / similarity / multi-shuffle shapes first) — attesting
+    # them now leaves 36 r6-singles for the r9 window, which fits
+    # alongside ~6 new r9 queries within the 50-slot cap.
+    "ann_ivf_coarse",
+    "ann_lsh_bucketed",
+    "knn_cosine_topk",
+    "tree_rollup_recursive",
+    "join_merge_tree",
+    "tpch_q9_profit_rollup",
+    "tpch_q2_min_cost_supplier",
+    "fuzzy_name_match_blocked",
+    "dedup_consensus",
+    "contamination_ngram_overlap",
+    "skew_heavy_hitters",
+    "agg_salted_two_stage",
+    "events_range_join_bucketed",
+    "pack_token_shards",
 ]
 
 
@@ -1069,6 +1067,46 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )
+
+
+@register(
+    "approx_distinct_parts_bounds",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_approx_distinct_parts_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-bound oracle for the HLL sketch (closes the
+    `approx_distinct_parts` rows-only gap, VERDICT r7 item #5): the query
+    computes BOTH the exact distinct count and the approx_count_distinct
+    sketch per group and emits the exact count plus a boolean
+    ``abs(approx-exact)/exact <= 0.05`` — the sketch itself never leaves
+    the plan (cross-engine sketches are incomparable), but the driver's
+    hash gate now FAILS if the sketch drifts outside its documented rsd
+    envelope. The 5% gate is 2.5x the requested rsd=0.02, so it is a
+    real-regression tripwire, not a flaky coin-flip. Scale shape:
+    identical to the plain exact distinct — one hash shuffle on
+    (l_returnflag, l_partkey) feeding both aggregates."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= F.lit(0.05)
+            ).alias("within_tol"),
+        )
     )
 
 

@@ -19,6 +19,8 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
@@ -239,6 +241,12 @@ def jsonl_ingest_merger(store_path: str, quarantine_path: str | None = None):
     content hash, so a contentless row has no identity there; dropping
     it silently would violate the nothing-vanishes contract).
 
+    Without ``quarantine_path`` the reject rows are NOT retained: they
+    are counted per batch and the drop is logged to stderr, so the
+    nothing-vanishes contract degrades to nothing-vanishes-UNCOUNTED.
+    Pass a quarantine path whenever the reject payloads themselves must
+    survive (replayable from the source files otherwise).
+
     Identity: ``doc_id`` hashes TEXT ALONE here, because the store's
     dedup key is sha2(text) — content identity. Two differently-labeled
     copies of one text are one stored document (lang/source are the
@@ -269,18 +277,30 @@ def jsonl_ingest_merger(store_path: str, quarantine_path: str | None = None):
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         clean, quarantine = split_corrupt(batch_df, materialize="cache")
         try:
-            if quarantine_path is not None:
-                rejects = quarantine.select(
-                    "raw_line", F.lit("corrupt").alias("reason")
-                ).unionByName(
-                    clean.where(F.col("text").isNull()).select(
-                        F.to_json(
-                            F.struct("text", "lang", "source")
-                        ).alias("raw_line"),
-                        F.lit("null_text").alias("reason"),
-                    )
+            rejects = quarantine.select(
+                "raw_line", F.lit("corrupt").alias("reason")
+            ).unionByName(
+                clean.where(F.col("text").isNull()).select(
+                    F.to_json(
+                        F.struct("text", "lang", "source")
+                    ).alias("raw_line"),
+                    F.lit("null_text").alias("reason"),
                 )
+            )
+            if quarantine_path is not None:
                 rejects.write.mode("append").parquet(quarantine_path)
+            else:
+                # no quarantine configured: rejects are dropped, but never
+                # silently — the batch is cached, so this count is a cheap
+                # second scan, and the drop leaves an auditable trace
+                n_rej = rejects.count()
+                if n_rej:
+                    print(
+                        f"# jsonl_ingest batch {batch_id}: dropped {n_rej} "
+                        "reject row(s) (corrupt/null-text; no "
+                        "quarantine_path configured)",
+                        file=sys.stderr,
+                    )
             docs = documents_projection(
                 fan_out(clean.where(F.col("text").isNotNull())),
                 id_cols=["text"],
@@ -304,7 +324,12 @@ def run_jsonl_ingest(
     contentless null-text rows), and MERGE clean documents into the
     content-hash dedup store exactly once (availableNow trigger — the
     batch-like deployment mode; the checkpoint makes crash recovery
-    replay only the uncommitted batch, which the merger absorbs)."""
+    replay only the uncommitted batch, which the merger absorbs).
+
+    ``quarantine_path=None`` (the default) DROPS reject rows instead of
+    retaining them — counted and logged per batch, never silent (see
+    :func:`jsonl_ingest_merger`). Set it whenever reject payloads must
+    be inspectable after the run."""
     from proteofav_spark.sources.corpus import DOCUMENTS_SCHEMA
 
     stream = read_jsonl_stream(spark, src_path, DOCUMENTS_SCHEMA)
