@@ -62,6 +62,21 @@ HEADLINE = [
     "contamination_ngram_overlap", # broadcast benchmark-decontamination join
 ]
 
+# queries whose first call per (session, corpus) TRAINS an index (IVF
+# centroids/lists, LSH bucket tables, SQ8/PQ code artifacts — see
+# _INDEX_CACHE): both the headline run and the scaling sweep report the
+# build/search split so index amortization is measured, not asserted.
+# knn_cosine_topk is deliberately absent: it is brute force by design
+# (the ANN baselines' ground truth), builds no index, and listing it
+# would present codegen warmup as amortization.
+ANN_INDEXED = {
+    "ann_lsh_bucketed",
+    "ann_ivf_coarse",
+    "dedup_embedding_cosine",
+    "knn_quantized_rescore",   # SQ8 codes artifact
+    "ann_pq_topk",             # PQ assignment artifact + codebook LUTs
+}
+
 
 def _recorded_rounds() -> list[tuple[int, str]]:
     """(round, path) for every recorded BENCH_r{N}.json next to this
@@ -175,6 +190,68 @@ def synthesize_scaled_dir(spark, src_dir: str, out_dir: str, copies: int = 3):
             for p in parts[1:]:
                 out = out.unionAll(p)
         out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+# bump when synthesize_scaled_dir's OUTPUT changes (offset scheme, sign
+# pattern, table set): a stale persisted scale dir silently benchmarks
+# the old corpus otherwise
+_SYNTH_VERSION = 1
+
+
+def _src_fingerprint(src_dir: str) -> list[list]:
+    """(name, size, mtime) of every source parquet file — cheap identity
+    for 'has the driver regenerated the testdata since we materialized
+    the scaled copies'."""
+    out = []
+    for f in sorted(os.listdir(src_dir)):
+        if f.endswith(".parquet"):
+            st = os.stat(os.path.join(src_dir, f))
+            out.append([f, st.st_size, int(st.st_mtime)])
+    return out
+
+
+def _ensure_scaled_dirs(spark) -> tuple[str, str]:
+    """Materialize the synthesized 3x and 10x scale dirs ONCE on disk
+    (<repo>/.scale/{x3,x10}, gitignored) and reuse them across rounds —
+    VERDICT r7 item #8: the in-process synthesizer ran fresh every
+    sweep, so synthesizer drift could (and once did, r6) contaminate the
+    one scaling number that keeps flagging. A meta marker records the
+    source fingerprint + synthesizer version; any mismatch rebuilds.
+    Deep-scale points therefore read plain parquet from disk, exactly
+    like every other SF point."""
+    import shutil
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scale"
+    )
+    dirs = {"x3": 3, "x10": 10}
+    want = {
+        "src": SF_DIR,
+        "version": _SYNTH_VERSION,
+        "fingerprint": _src_fingerprint(SF_DIR),
+    }
+    for name, copies in dirs.items():
+        d = os.path.join(root, name)
+        marker = os.path.join(d, "_meta.json")
+        try:
+            with open(marker) as fh:
+                have = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            have = None
+        if have == {**want, "copies": copies}:
+            continue
+        t0 = time.perf_counter()
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        synthesize_scaled_dir(spark, SF_DIR, d, copies=copies)
+        with open(marker, "w") as fh:
+            json.dump({**want, "copies": copies}, fh)
+        print(
+            f"# scaling: materialized {name} dir in "
+            f"{time.perf_counter() - t0:.1f}s ({d})",
+            file=sys.stderr,
+        )
+    return os.path.join(root, "x3"), os.path.join(root, "x10")
 
 
 def _fit_exponent(points: list[tuple[float, float]]) -> float:
@@ -294,14 +371,178 @@ def run_ingest_bench(
         shutil.rmtree(work, ignore_errors=True)
 
 
-def run_scaling(spark, qs, base_timings: dict[str, float]) -> dict:
-    """Run each headline query at sf0.01 and at a synthesized ~3× of the
-    bench SF (plus a ~10× point for the _DEEP_SCALE_TOP_N most expensive
-    queries); fit the per-query runtime exponent against the sf0.1
-    numbers already measured. Returns the scaling sidecar payload."""
+# production similarity threshold for the dedup_embedding_cosine
+# falsification run (VERDICT r7 item #2): the synthetic corpus tops out
+# around cosine 0.51, so τ=0.9 keeps the candidate machinery identical
+# while zeroing the output tail — if the superlinear flag is really the
+# τ=0.35 output tail, the τ=0.9 exponent must drop under the bar
+_TAU_PRODUCTION = 0.9
+
+
+def _tau_falsification(spark, x3_dir: str, x10_dir: str) -> dict:
+    """Measure dedup_embedding_cosine's candidate machinery at the
+    PRODUCTION threshold τ=0.9 across sf0.1 / 3x / 10x — the
+    twice-promised falsification test for the documented τ=0.35
+    output-tail flag (PERF_NOTES; SCALING_r07 exponent_hi 1.255 > 1.2).
+    Runs AFTER the main sweep so every dir's LSH index artifacts are
+    session-cached identically for both thresholds; also records the
+    OUTPUT pair counts at both thresholds so 'the tail is output, not
+    machinery' is a number, not a narrative."""
+    from proteofav_spark.operators.llm_queries import (
+        COSINE_DUP_TAU,
+        dedup_embedding_cosine_frame,
+    )
+    from proteofav_spark.queries import load
+
+    def run(sf_dir: str, tau: float, n_runs: int = 2):
+        times, n = [], 0
+        for _ in range(n_runs):
+            e = load(spark, sf_dir, "embeddings")
+            t0 = time.perf_counter()
+            n = dedup_embedding_cosine_frame(spark, e, tau=tau).count()
+            times.append(time.perf_counter() - t0)
+        return round(min(times), 3), n
+
+    pts, pair_counts = {}, {}
+    for label, d, scale in (
+        ("sf0.1", SF_DIR, 0.1),
+        ("sf0.3x", x3_dir, 0.3),
+        ("sf1.0x", x10_dir, 1.0),
+    ):
+        t, n = run(d, _TAU_PRODUCTION)
+        _, n_low = run(d, COSINE_DUP_TAU, n_runs=1)
+        pts[label] = (scale, t)
+        pair_counts[label] = {"tau_prod": n, "tau_synthetic": n_low}
+        print(
+            f"# tau-falsification {label}: {t}s at tau={_TAU_PRODUCTION} "
+            f"(pairs {n} vs {n_low} at tau={COSINE_DUP_TAU})",
+            file=sys.stderr,
+        )
+    exp = _fit_exponent(list(pts.values()))
+    out = {
+        "query": "dedup_embedding_cosine",
+        "tau_production": _TAU_PRODUCTION,
+        "tau_synthetic": COSINE_DUP_TAU,
+        "times_sec": {k: v[1] for k, v in pts.items()},
+        "pairs": pair_counts,
+        "exponent_hi_tau_prod": exp,
+        "verdict": (
+            "output-tail confirmed (machinery sublinear at production tau)"
+            if exp <= SUPERLINEAR_BAR
+            else "NOT falsified: candidate machinery superlinear even "
+            "with zero output tail"
+        ),
+    }
+    print(
+        f"# tau-falsification exponent_hi {exp} "
+        f"(bar {SUPERLINEAR_BAR}) -> {out['verdict']}",
+        file=sys.stderr,
+    )
+    return out
+
+
+def run_enrich_bench(
+    spark, copies: int = 5, files: int = 10, per_trigger: int = 2
+) -> dict:
+    """Measured throughput anchor for the streaming retrieval enrichment
+    (streaming/corpus.run_knn_enrich — VERDICT r7 item #7: value-parity
+    tested but never timed). Builds the persisted IVF store from the
+    bench SF's embeddings once (store build reported separately — it is
+    the batch side's one-off cost), then replays the embeddings
+    ×``copies`` as query vectors through Trigger.AvailableNow in
+    ``files/per_trigger`` micro-batches, each batch running the full
+    quantized two-stage probe (partition-pruned + SQ8 compressed scan +
+    exact rescore) and appending matches to a parquet sink. Reports
+    end-to-end queries/s and per-batch addBatch latency."""
     import shutil
+    import statistics
     import tempfile
 
+    from pyspark.sql import functions as F
+
+    from proteofav_spark.plans.ann_store import build_ivf_store
+    from proteofav_spark.streaming.corpus import run_knn_enrich
+
+    # the store's coarse quantizer trains on the label column; the query
+    # stream carries only (qid, qvec)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    n_emb = emb.count()
+    work = tempfile.mkdtemp(prefix="proteofav_enrich_")
+    try:
+        store = os.path.join(work, "store")
+        src = os.path.join(work, "queries")
+        out = os.path.join(work, "matches")
+        ckpt = os.path.join(work, "ckpt")
+        t0 = time.perf_counter()
+        build_ivf_store(emb, store)
+        t_build = round(time.perf_counter() - t0, 3)
+        cp = spark.range(copies).withColumnRenamed("id", "copy")
+        emb.crossJoin(cp).select(
+            (F.col("vec_id") + F.col("copy") * n_emb).alias("qid"),
+            F.col("embedding").alias("qvec"),
+        ).repartition(files).write.parquet(src)
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(src).schema
+            )
+            .option("maxFilesPerTrigger", per_trigger)
+            .parquet(src)
+        )
+        t0 = time.perf_counter()
+        q = run_knn_enrich(stream, store, out, ckpt)
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        batches = []
+        for p in q.recentProgress or []:
+            d = json.loads(p.json) if hasattr(p, "json") else dict(p)
+            if d.get("numInputRows", 0) > 0:
+                batches.append(d)
+        add_ms = [
+            d["durationMs"]["addBatch"]
+            for d in batches
+            if "addBatch" in d.get("durationMs", {})
+        ]
+        n_q = n_emb * copies
+        res = {
+            "queries_replayed": n_q,
+            "store_build_sec": t_build,
+            "wall_sec": round(wall, 3),
+            "queries_per_sec": round(n_q / wall),
+            "n_batches": len(batches),
+            "addbatch_ms_median": (
+                round(statistics.median(add_ms)) if add_ms else None
+            ),
+            "addbatch_ms_max": max(add_ms) if add_ms else None,
+            "match_rows": spark.read.parquet(out).count(),
+        }
+        print(
+            f"# enrich sink: {n_q} queries in {wall:.1f}s "
+            f"({res['queries_per_sec']} q/s, {len(batches)} batches, "
+            f"addBatch p50 {res['addbatch_ms_median']}ms, "
+            f"store build {t_build}s)",
+            file=sys.stderr,
+        )
+        return res
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def run_scaling(
+    spark,
+    qs,
+    base_timings: dict[str, float],
+    ann_split: dict[str, dict[str, float]] | None = None,
+) -> dict:
+    """Run each headline query at sf0.01 and at a persisted ~3× of the
+    bench SF (plus a ~10× point for the _DEEP_SCALE_TOP_N most expensive
+    queries); fit the per-query runtime exponent against the sf0.1
+    numbers already measured. Index-backed queries (ANN_INDEXED) record
+    cold-build and warm-search separately per SF and fit the exponent on
+    the SEARCH times — conflating the one-off build into a min-of-2 gave
+    sf0.3x < sf0.1 artifacts and meaningless fits (VERDICT r7 item #4).
+    Returns the scaling sidecar payload."""
     base = os.path.dirname(SF_DIR.rstrip("/"))
     small_dir = os.path.join(base, "sf0.01")
     sf_small, sf_base = 0.01, 0.1
@@ -310,96 +551,115 @@ def run_scaling(spark, qs, base_timings: dict[str, float]) -> dict:
             :_DEEP_SCALE_TOP_N
         ]
     ) | (_DEEP_SCALE_PINNED & set(HEADLINE))
-    x3_dir = tempfile.mkdtemp(prefix="proteofav_sfx3_")
-    x10_dir = tempfile.mkdtemp(prefix="proteofav_sfx10_")
-    try:
-        t0 = time.perf_counter()
-        synthesize_scaled_dir(spark, SF_DIR, x3_dir, copies=3)
-        synthesize_scaled_dir(spark, SF_DIR, x10_dir, copies=10)
+    x3_dir, x10_dir = _ensure_scaled_dirs(spark)
+
+    def timed(name: str, sf_dir: str, n_runs: int = 2):
+        """(search_sec, build_sec): for index-backed queries run 0 pays
+        the per-(session, corpus) index build and is reported as build;
+        the exponent uses the min of the WARM runs only. Non-indexed
+        queries keep min-of-n semantics (build is None)."""
+        fn = qs[name]
+        runs = []
+        n_total = n_runs + 1 if name in ANN_INDEXED else n_runs
+        for _ in range(n_total):
+            s = time.perf_counter()
+            fn(spark, sf_dir).count()
+            runs.append(round(time.perf_counter() - s, 3))
+        if name in ANN_INDEXED:
+            return round(min(runs[1:]), 3), runs[0]
+        return round(min(runs), 3), None
+
+    section: dict[str, dict] = {}
+    flags = []
+    for name in HEADLINE:
+        t_small, b_small = timed(name, small_dir)
+        t_x3, b_x3 = timed(name, x3_dir)
+        t_base = base_timings[name]
+        pts = [
+            (sf_small, t_small),
+            (sf_base, t_base),
+            (3 * sf_base, t_x3),
+        ]
+        t_x10 = b_x10 = None
+        if name in deep:
+            # warm runs: 1 at ~1 GB the measurement is minutes of data-
+            # dependent work, far above the noise floor, and a second
+            # run of 5 heavy queries would double the sweep's tail
+            # (index-backed queries still get their untimed-build run 0)
+            t_x10, b_x10 = timed(name, x10_dir, n_runs=1)
+            pts.append((10 * sf_base, t_x10))
+        overhead_bound = t_base < _EXPONENT_FLOOR_S
+        exp = None if overhead_bound else _fit_exponent(pts)
+        section[name] = {
+            "sf0.01": t_small,
+            "sf0.1": t_base,
+            "sf0.3x": t_x3,
+            "exponent": exp,
+        }
+        if name in ANN_INDEXED:
+            # per-SF cold-build series (run 0 at each new dir = index
+            # construction + first search); sf0.1's build comes from the
+            # headline phase's run-0 via ann_split. Fitted separately so
+            # the search exponent is never polluted by one-off builds.
+            builds = {"sf0.01": b_small, "sf0.3x": b_x3}
+            if ann_split and name in ann_split:
+                builds["sf0.1"] = ann_split[name]["build"]
+            if b_x10 is not None:
+                builds["sf1.0x"] = b_x10
+            section[name]["build"] = builds
+            b_pts = [(sf_small, b_small), (3 * sf_base, b_x3)]
+            if b_x10 is not None:
+                b_pts.append((10 * sf_base, b_x10))
+            section[name]["exponent_build"] = _fit_exponent(b_pts)
+        if t_x10 is not None:
+            section[name]["sf1.0x"] = t_x10
+            # the heavy hitters also get an exponent over the upper
+            # half of the range only (sf0.1→sf1): the small-SF points
+            # carry most of the fixed-overhead bias, so this is the
+            # closest measurable proxy for the asymptotic slope
+            section[name]["exponent_hi"] = _fit_exponent(
+                [(sf_base, t_base), (3 * sf_base, t_x3),
+                 (10 * sf_base, t_x10)]
+            )
+            if section[name]["exponent_hi"] > SUPERLINEAR_BAR:
+                flags.append(
+                    f"{name}: hi exponent {section[name]['exponent_hi']}"
+                )
+        if exp is not None and exp > SUPERLINEAR_BAR:
+            flags.append(f"{name}: exponent {exp}")
         print(
-            f"# scaling: synthesized 3x + 10x dirs in "
-            f"{time.perf_counter() - t0:.1f}s",
+            f"# scaling {name}: {t_small}s / {t_base}s / {t_x3}s"
+            + (f" / x10 {t_x10}s" if t_x10 is not None else "")
+            + f" -> exponent {exp if exp is not None else 'overhead-bound'}"
+            + (
+                f" (hi {section[name]['exponent_hi']})"
+                if t_x10 is not None
+                else ""
+            ),
             file=sys.stderr,
         )
-
-        def timed(name: str, sf_dir: str, n_runs: int = 2) -> float:
-            fn = qs[name]
-            runs = []
-            for _ in range(n_runs):
-                s = time.perf_counter()
-                fn(spark, sf_dir).count()
-                runs.append(time.perf_counter() - s)
-            return round(min(runs), 3)
-
-        section: dict[str, dict] = {}
-        flags = []
-        for name in HEADLINE:
-            t_small = timed(name, small_dir)
-            t_x3 = timed(name, x3_dir)
-            t_base = base_timings[name]
-            pts = [
-                (sf_small, t_small),
-                (sf_base, t_base),
-                (3 * sf_base, t_x3),
-            ]
-            t_x10 = None
-            if name in deep:
-                # one run: at ~1 GB the measurement is minutes of data-
-                # dependent work, far above the noise floor, and a second
-                # run of 5 heavy queries would double the sweep's tail
-                t_x10 = timed(name, x10_dir, n_runs=1)
-                pts.append((10 * sf_base, t_x10))
-            overhead_bound = t_base < _EXPONENT_FLOOR_S
-            exp = None if overhead_bound else _fit_exponent(pts)
-            section[name] = {
-                "sf0.01": t_small,
-                "sf0.1": t_base,
-                "sf0.3x": t_x3,
-                "exponent": exp,
-            }
-            if t_x10 is not None:
-                section[name]["sf1.0x"] = t_x10
-                # the heavy hitters also get an exponent over the upper
-                # half of the range only (sf0.1→sf1): the small-SF points
-                # carry most of the fixed-overhead bias, so this is the
-                # closest measurable proxy for the asymptotic slope
-                section[name]["exponent_hi"] = _fit_exponent(
-                    [(sf_base, t_base), (3 * sf_base, t_x3),
-                     (10 * sf_base, t_x10)]
-                )
-                if section[name]["exponent_hi"] > SUPERLINEAR_BAR:
-                    flags.append(
-                        f"{name}: hi exponent {section[name]['exponent_hi']}"
-                    )
-            if exp is not None and exp > SUPERLINEAR_BAR:
-                flags.append(f"{name}: exponent {exp}")
-            print(
-                f"# scaling {name}: {t_small}s / {t_base}s / {t_x3}s"
-                + (f" / x10 {t_x10}s" if t_x10 is not None else "")
-                + f" -> exponent {exp if exp is not None else 'overhead-bound'}"
-                + (
-                    f" (hi {section[name]['exponent_hi']})"
-                    if t_x10 is not None
-                    else ""
-                ),
-                file=sys.stderr,
-            )
-        if flags:
-            print(
-                f"# !! SUPERLINEAR (> {SUPERLINEAR_BAR}) queries:",
-                file=sys.stderr,
-            )
-            for f_ in flags:
-                print(f"# !!   {f_}", file=sys.stderr)
-        return {
-            "unit": "sec(min of 2 warm)",
-            "superlinear_bar": SUPERLINEAR_BAR,
-            "deep_scale_queries": sorted(deep),
-            "queries": section,
-        }
-    finally:
-        shutil.rmtree(x3_dir, ignore_errors=True)
-        shutil.rmtree(x10_dir, ignore_errors=True)
+    if flags:
+        print(
+            f"# !! SUPERLINEAR (> {SUPERLINEAR_BAR}) queries:",
+            file=sys.stderr,
+        )
+        for f_ in flags:
+            print(f"# !!   {f_}", file=sys.stderr)
+    payload = {
+        "unit": "sec(min of 2 warm; index-backed queries exclude the "
+        "per-corpus build run, reported separately under 'build')",
+        "superlinear_bar": SUPERLINEAR_BAR,
+        "deep_scale_queries": sorted(deep),
+        "queries": section,
+    }
+    try:
+        payload["tau_falsification"] = _tau_falsification(
+            spark, x3_dir, x10_dir
+        )
+    except Exception as exc:  # must degrade the sidecar, not the sweep
+        print(f"# tau-falsification failed: {exc}", file=sys.stderr)
+        payload["tau_falsification"] = {"error": str(exc)[:200]}
+    return payload
 
 
 def main() -> None:
@@ -431,21 +691,8 @@ def main() -> None:
     # against hours of execution at the 100 TB target); the min is the
     # steady-state per-query latency and is far less machine-noise
     # sensitive than a single cold shot. Cold times go to stderr.
-    # queries whose first call per (session, corpus) TRAINS an index
-    # (IVF centroids/lists, LSH bucket tables — see _INDEX_CACHE): report
-    # the build/search split so index amortization is measured, not
-    # asserted. run 0 = build (index construction + codegen), later runs
-    # = cached search. knn_cosine_topk is deliberately absent: it is
-    # brute force by design (the ANN baselines' ground truth), builds no
-    # index, and listing it would present codegen warmup as
-    # amortization.
-    ANN_INDEXED = {
-        "ann_lsh_bucketed",
-        "ann_ivf_coarse",
-        "dedup_embedding_cosine",
-        "knn_quantized_rescore",   # SQ8 codes artifact
-        "ann_pq_topk",             # PQ assignment artifact + codebook LUTs
-    }
+    # index-backed queries (module-level ANN_INDEXED): run 0 = build
+    # (index construction + codegen), later runs = cached search
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     ann_split: dict[str, dict[str, float]] = {}
@@ -573,7 +820,7 @@ def main() -> None:
             scaling: dict = {"skipped": f"{small_dir} missing"}
         else:
             try:
-                scaling = run_scaling(spark, qs, timings)
+                scaling = run_scaling(spark, qs, timings, ann_split)
             except Exception as exc:  # noqa: BLE001 — never discard the run
                 # the headline measurements above are minutes of work; a
                 # scaling-pass failure must degrade the sidecar, not the run
@@ -584,6 +831,11 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — sidecar degrades, run survives
             print(f"# ingest bench failed: {exc}", file=sys.stderr)
             scaling["ingest_sink"] = {"error": str(exc)[:200]}
+        try:
+            scaling["enrich_sink"] = run_enrich_bench(spark)
+        except Exception as exc:  # noqa: BLE001 — sidecar degrades, run survives
+            print(f"# enrich bench failed: {exc}", file=sys.stderr)
+            scaling["enrich_sink"] = {"error": str(exc)[:200]}
         sidecar = _scaling_sidecar_path()
         scaling["headline_total_sec"] = total
         scaling["sf"] = sf_val
