@@ -758,18 +758,28 @@ def probe_ivf_store_quantized(
     the partition column only — Parquet column pruning keeps the float
     embedding and norm bytes on disk for that stage). The exact-integer
     dot prefilter keeps ``prefilter_m`` candidates per query via the
-    salted two-phase top-k (no per-query global sort); the survivors are
-    collected driver-side (bounded |queries|·prefilter_m — the same
-    small-query-batch contract as the probe-label collect) and the
-    full-precision re-rank scan carries a LITERAL vec_id isin pushdown,
-    so parquet row-group stats skip the float bytes of non-surviving
-    row groups (lists are written vec_id-sorted within partitions
-    precisely so those min/max stats are selective). Identical
-    (cosine DESC, vec_id) contract as :func:`probe_ivf_store`, to which
-    this is EXACTLY equal whenever prefilter_m covers the probed-cell
-    population (pinned by tests/test_ann_store.py). When the survivor
-    set exceeds _ISIN_PUSHDOWN_CAP ids the literal filter is dropped
-    (plan-bloat guard) and only the broadcast join restricts the rows.
+    salted two-phase top-k (no per-query global sort). The rescore
+    stage is ADAPTIVE on the survivor bound |queries|·prefilter_m:
+
+    - point-query path (bound ≤ _ISIN_PUSHDOWN_CAP): survivors are
+      collected driver-side and the full-precision re-rank scan carries
+      a LITERAL vec_id isin pushdown, so parquet row-group stats skip
+      the float bytes of non-surviving row groups (lists are written
+      vec_id-sorted within partitions precisely so those min/max stats
+      are selective);
+    - batch path (streaming enrichment — thousands of queries per
+      micro-batch): the bound is beyond literal pushdown AND beyond a
+      sensible driver round-trip (collecting 100k survivor rows per
+      batch just to drop the literals was the r8 enrich anchor's whole
+      addBatch budget), so the prefilter stays LAZY and the rescore is
+      one composed plan: the codes branch scans 1-byte columns, the
+      float branch scans only the probed partitions, and AQE picks the
+      survivor-join strategy from runtime sizes.
+
+    Identical (cosine DESC, vec_id) contract as :func:`probe_ivf_store`,
+    to which this is EXACTLY equal whenever prefilter_m covers the
+    probed-cell population (pinned by tests/test_ann_store.py for both
+    paths).
 
     Stores built before the codes column exist raise — run
     :func:`backfill_codes` once (new builds persist codes always)."""
@@ -777,24 +787,33 @@ def probe_ivf_store_quantized(
     q, lists, topm = _quantized_prefilter(
         spark, path, queries, nprobe, prefilter_m
     )
-    # bounded collect (|queries| x prefilter_m): executes the prefilter
-    # once and turns the survivors into literals, so the rescore plan
-    # never re-runs the codes scan and its float scan can push down
-    cand_rows = topm.collect()
-    cand = spark.createDataFrame(
-        [(r["qid"], r["vec_id"]) for r in cand_rows],
-        T.StructType(
-            [
-                T.StructField("qid", queries.schema["qid"].dataType),
-                T.StructField("vec_id", lists.schema["vec_id"].dataType),
-            ]
-        ),
-    )
     full = lists.select("vec_id", "embedding", "enorm")
-    vec_ids = sorted({r["vec_id"] for r in cand_rows})
-    if len(vec_ids) <= _ISIN_PUSHDOWN_CAP:
-        full = full.where(F.col("vec_id").isin(vec_ids))
-    surv = full.join(F.broadcast(cand), "vec_id").join(F.broadcast(q), "qid")
+    n_q = queries.count()  # tiny frame by contract: point set or micro-batch
+    if n_q * prefilter_m <= _ISIN_PUSHDOWN_CAP:
+        # bounded collect (|queries| x prefilter_m): executes the
+        # prefilter once and turns the survivors into literals, so the
+        # rescore plan never re-runs the codes scan and its float scan
+        # can push down row-group stats
+        cand_rows = topm.collect()
+        cand = F.broadcast(
+            spark.createDataFrame(
+                [(r["qid"], r["vec_id"]) for r in cand_rows],
+                T.StructType(
+                    [
+                        T.StructField("qid", queries.schema["qid"].dataType),
+                        T.StructField(
+                            "vec_id", lists.schema["vec_id"].dataType
+                        ),
+                    ]
+                ),
+            )
+        )
+        full = full.where(
+            F.col("vec_id").isin(sorted({r["vec_id"] for r in cand_rows}))
+        )
+    else:
+        cand = topm  # lazy: one composed prefilter+rescore plan
+    surv = full.join(cand, "vec_id").join(F.broadcast(q), "qid")
     wr = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         surv.select(

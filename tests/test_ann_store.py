@@ -444,6 +444,33 @@ def test_quantized_probe_exact_with_unbounded_prefilter(spark, tmp_path):
     assert quant == exact and exact
 
 
+def test_quantized_probe_batch_path_equals_exact(spark, tmp_path):
+    """The ADAPTIVE rescore's batch path (|Q|·prefilter_m over the
+    literal-pushdown cap — the streaming-enrich shape): the composed
+    lazy plan must equal probe_ivf_store row-for-row, exactly like the
+    point-query literal path. 300 queries × m=50 = 15,000 > the 10k cap
+    forces the lazy branch; m then raised to cover every probed cell so
+    strict equality (not just recall) is the assertion."""
+    from proteofav_spark.plans.ann_store import probe_ivf_store_quantized
+
+    path = str(tmp_path / "ivf")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_ivf_store(e, path)
+    q = e.where(F.col("vec_id") < 300).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = sorted(map(tuple, probe_ivf_store(spark, path, q).collect()))
+    quant = sorted(
+        map(
+            tuple,
+            probe_ivf_store_quantized(
+                spark, path, q, prefilter_m=10**6
+            ).collect(),
+        )
+    )
+    assert quant == exact and len(exact) >= 300
+
+
 def test_quantized_probe_compressed_scan_prunes_columns_and_partitions(
     spark, tmp_path
 ):
