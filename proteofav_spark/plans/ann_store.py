@@ -694,12 +694,20 @@ def _probe_selection(
     """Shared probe-cell selection: score queries against the K-row
     centroid table, keep each query's ``nprobe`` nearest lists, and
     return (q with norms, the statically partition-pruned lists scan,
-    the per-query probed-cell membership frame). The probed label set is
-    collected driver-side (bounded by |queries|·nprobe — query batches
-    are small by contract) and applied as a LITERAL ``isin`` on the
-    partition column, so the lists scan carries a static
+    the per-query probed-cell membership frame).
+
+    Only the DISTINCT probed labels round-trip through the driver — a
+    ≤K-row collect at ANY batch size — and become the LITERAL ``isin``
+    on the partition column, so the lists scan carries a static
     PartitionFilter: the other K-nprobe directories are pruned from the
-    file listing, never opened."""
+    file listing, never opened. The per-query membership frame stays
+    LAZY (its plan is the broadcast-centroid crossJoin + a K-row-per-
+    query window — tiny at any |queries|): the previous version
+    collected all |queries|·nprobe (qid, label) pairs and re-created
+    them as a literal DataFrame, which priced streaming-enrich
+    micro-batches (|Q|=2000 → 8,000-row Python round-trip per batch)
+    for a literalness the prune never needed — the prune only needs the
+    label SET."""
     cents = F.broadcast(spark.read.parquet(f"{path}/centroids"))
     q = queries.select(
         "qid", "qvec", _norm(F.col("qvec")).alias("qnorm")
@@ -717,31 +725,14 @@ def _probe_selection(
         .filter(F.col("rn") <= nprobe)
         .select("qid", "list_label")
     )
-    pairs = probes.collect()  # bounded: |queries| x nprobe rows
-    labels = sorted({r["list_label"] for r in pairs})
-    by_q = {}
-    for r in pairs:
-        by_q.setdefault(r["qid"], set()).add(r["list_label"])
-
+    labels = sorted(
+        r["list_label"]
+        for r in probes.select("list_label").distinct().collect()
+    )  # bounded by K (the centroid count) regardless of batch size
     lists = spark.read.parquet(f"{path}/lists").where(
         F.col("list_label").isin(labels)  # static partition prune
     )
-    # per-query probed-list membership as a broadcast literal map, so a
-    # query only scores vectors from ITS probed cells
-    # schema derived from the inputs, not a fixed literal: qid keeps the
-    # caller's id type (string doc ids persist fine in the store, so the
-    # probe must accept them too) and list_label mirrors the centroid table
-    probe_schema = T.StructType(
-        [
-            T.StructField("qid", queries.schema["qid"].dataType),
-            T.StructField("list_label", cents.schema["list_label"].dataType),
-        ]
-    )
-    probe_rows = spark.createDataFrame(
-        [(qid, lbl) for qid, ls in by_q.items() for lbl in sorted(ls)],
-        probe_schema,
-    )
-    return q, lists, probe_rows
+    return q, lists, probes
 
 
 def probe_ivf_store_quantized(
