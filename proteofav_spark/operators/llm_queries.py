@@ -946,6 +946,32 @@ def pair_cosine_udf(decimals: int):
     return cosp.asNondeterministic()
 
 
+def int_dot_udf():
+    """Arrow-batched exact integer dot product over two code arrays:
+    ``(codes_a, codes_b) -> Σ a_d·b_d`` as BIGINT. Same numpy-vs-JVM
+    rationale as :func:`pair_cosine_udf` (dense vector math vectorizes;
+    the zip_with+aggregate fold interprets per element — measured ~25%
+    off the IVF store's quantized-prefilter stage at 1.6M candidate
+    rows), but WITHOUT any rounding discipline to manage: integer
+    addition is order-independent, so the kernel is bit-identical to
+    the JVM fold and the DuckDB SUM by construction (pinned in
+    tests/test_ann_store.py). Magnitude bound: |codes| ≤ 127, so a
+    64-dim dot is ≤ 64·127² ≈ 1.03e6 — int64 never saturates.
+    Nondeterministic mark for the same single-evaluation reason as the
+    cosine kernel."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def idot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")  # np.stack raises on empty
+        A = np.stack(a.values).astype(np.int64)
+        B = np.stack(b.values).astype(np.int64)
+        return pd.Series((A * B).sum(axis=1))
+
+    return idot.asNondeterministic()
+
+
 def adaptive_bucket_mask(
     bands: DataFrame, target_pairs_per_vec: int = TARGET_PAIRS_PER_VEC
 ) -> int:

@@ -444,6 +444,49 @@ def test_quantized_probe_exact_with_unbounded_prefilter(spark, tmp_path):
     assert quant == exact and exact
 
 
+def test_int_dot_kernel_bit_identical_to_jvm_fold(spark, tmp_path):
+    """The Arrow int-dot kernel in the quantized prefilter must equal
+    the JVM zip_with/aggregate fold row-for-row — exact integer
+    arithmetic, no rounding envelope. Run over the real prefilter
+    frame so the pin covers the production join shape."""
+    from proteofav_spark.operators.llm_queries import int_dot_udf
+    from proteofav_spark.plans.ann_store import (
+        _codes_i8,
+        _probe_selection,
+    )
+
+    path = str(tmp_path / "ivf")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_ivf_store(e, path)
+    q, lists, probes = _probe_selection(spark, path, _queries(e), 4)
+    qq = q.select("qid", _codes_i8(F.col("qvec")).alias("qcodes"))
+    base = (
+        lists.select("vec_id", "list_label", "codes")
+        .join(F.broadcast(probes), "list_label")
+        .join(F.broadcast(qq), "qid")
+    )
+    jvm = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("qcodes"), lambda a, b: a.cast("bigint") * b
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    a = sorted(
+        map(tuple, base.select("qid", "vec_id", jvm.alias("s")).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            base.select(
+                "qid", "vec_id",
+                int_dot_udf()(F.col("codes"), F.col("qcodes")).alias("s"),
+            ).collect(),
+        )
+    )
+    assert a == b and a
+
+
 def test_quantized_probe_batch_path_equals_exact(spark, tmp_path):
     """The ADAPTIVE rescore's batch path (|Q|·prefilter_m over the
     literal-pushdown cap — the streaming-enrich shape): the composed
