@@ -221,7 +221,7 @@ def _ensure_scaled_dirs(spark) -> tuple[str, str]:
     like every other SF point."""
     import shutil
 
-    root = os.path.join(
+    root = os.environ.get("SPARK_GRAFT_SCALE_DIR") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".scale"
     )
     dirs = {"x3": 3, "x10": 10}

@@ -71,3 +71,41 @@ def test_scaling_sidecar_names_the_current_round(tmp_path, monkeypatch):
 def test_build_payload_total_is_sum_of_timings():
     payload = bench.build_payload({"a": 1.0, "b": 2.5}, {}, 0.1)
     assert payload["value"] == 3.5
+
+
+def test_scaled_dirs_materialize_once_and_rebuild_on_drift(
+    tmp_path, monkeypatch
+):
+    """The persisted scale dirs are built exactly once per (source
+    fingerprint, synthesizer version) and rebuilt when either drifts —
+    the r6 scaling-corpus artifact came from a fresh in-process
+    synthesis every sweep, so staleness detection is the whole point."""
+    src = tmp_path / "sf0.1"
+    src.mkdir()
+    (src / "lineitem.parquet").write_bytes(b"x" * 10)
+    scale_root = tmp_path / "scale"
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_DIR", str(scale_root))
+    monkeypatch.setattr(bench, "SF_DIR", str(src))
+    calls = []
+    monkeypatch.setattr(
+        bench,
+        "synthesize_scaled_dir",
+        lambda spark, s, d, copies: calls.append((d, copies)),
+    )
+
+    x3, x10 = bench._ensure_scaled_dirs(spark=None)
+    assert [c[1] for c in calls] == [3, 10]
+    assert x3.endswith("x3") and x10.endswith("x10")
+
+    bench._ensure_scaled_dirs(spark=None)  # markers match: no rebuild
+    assert len(calls) == 2
+
+    # source regenerated (size change) -> fingerprint drift -> rebuild
+    (src / "lineitem.parquet").write_bytes(b"y" * 20)
+    bench._ensure_scaled_dirs(spark=None)
+    assert len(calls) == 4
+
+    # synthesizer version bump -> rebuild
+    monkeypatch.setattr(bench, "_SYNTH_VERSION", bench._SYNTH_VERSION + 1)
+    bench._ensure_scaled_dirs(spark=None)
+    assert len(calls) == 6

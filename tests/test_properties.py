@@ -394,3 +394,37 @@ def test_two_phase_topk_equals_single_window(spark, rows, k):
         .collect()
     )
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# Rounding-boundary arithmetic: the integer half-away-from-zero identities
+# the probe queries (and the Q9 fix pattern) rest on
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(min_value=0, max_value=10**15))
+def test_integer_half_up_cents_matches_decimal(s):
+    """(s + 50) div 100 IS decimal ROUND_HALF_UP of s/100 for any
+    non-negative integer unit sum — the sanctioned pattern both engines
+    compute bit-identically (probe_round_half_cents; tpch_q9)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    want = int(
+        (Decimal(s) / 100).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+    )
+    assert (s + 50) // 100 == want
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+def test_integer_half_up_sixth_decimal_matches_decimal(n):
+    """(2·n·10^6 + 128) div 256 IS decimal ROUND_HALF_UP of n/128 at
+    6 dp scaled by 10^6 — the probe_round_pow2_sixth pattern (general
+    form: (2·a·10^k + d) div (2·d) for round(a/d, k))."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    want = int(
+        (Decimal(n) / 128 * 10**6).quantize(
+            Decimal("1"), rounding=ROUND_HALF_UP
+        )
+    )
+    assert (2 * n * 10**6 + 128) // 256 == want
