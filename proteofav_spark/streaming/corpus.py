@@ -124,7 +124,16 @@ def dedup_store_merger(store_path: str):
     (crypto-hash prefixes are uniform, so no skew). State here is ZERO:
     dedup-across-all-history lives in the store itself, not in
     watermark-bounded stream state — this sink is the beyond-horizon
-    complement to :func:`stream_exact_dedup`."""
+    complement to :func:`stream_exact_dedup`.
+
+    Maintenance: appends accumulate one file per touched prefix per
+    batch; on an ingest cadence that is the same small-files failure
+    mode the IVF store has. Run
+    ``plans.lake.compact_lake(spark, store_path,
+    partition_cols=("hash_prefix",))`` from a quiesced maintenance slot
+    (no ingest running — single-writer contract); the anti-join and
+    replay idempotence are layout-independent, so compaction never
+    changes MERGE semantics (pinned in tests)."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException

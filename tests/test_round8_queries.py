@@ -198,3 +198,59 @@ def test_append_revalidates_codes_flag_after_external_backfill(
     )
     assert appended.count() == n_batch
     assert appended.where(F.col("codes").isNull()).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Dedup ingest store: compaction is MERGE-semantics-invariant
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_store_compaction_preserves_merge_semantics(spark, tmp_path):
+    """compact_lake on the ingest store (the documented maintenance
+    path): contents byte-identical, file count reduced, and a post-
+    compaction replay of already-ingested content still anti-joins to
+    ZERO new rows — compaction can never un-dedup the store."""
+    import os
+
+    from proteofav_spark.plans.lake import compact_lake
+    from proteofav_spark.streaming.corpus import dedup_store_merger
+
+    store = str(tmp_path / "store")
+    merge = dedup_store_merger(store)
+
+    def docs(batch):  # distinct content per batch -> files accumulate
+        return [
+            (batch * 100 + i, f"batch {batch} document body {i}")
+            for i in range(50)
+        ]
+
+    for b in range(3):
+        merge(
+            spark.createDataFrame(docs(b), "doc_id bigint, text string"),
+            b,
+        )
+
+    def n_parquet_files():
+        return sum(
+            1
+            for _, _, fs in os.walk(store)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = sorted(
+        map(tuple, spark.read.parquet(store).select("text_hash").collect())
+    )
+    n_files_before = n_parquet_files()
+    compact_lake(spark, store, partition_cols=("hash_prefix",))
+    after = sorted(
+        map(tuple, spark.read.parquet(store).select("text_hash").collect())
+    )
+    assert after == before and len(after) == 150
+    assert n_parquet_files() < n_files_before
+    # replay already-ingested content after compaction: still exactly-once
+    merge(
+        spark.createDataFrame(docs(0) + docs(2), "doc_id bigint, text string"),
+        99,
+    )
+    assert spark.read.parquet(store).count() == 150
