@@ -608,6 +608,8 @@ def run_scaling(
                 builds["sf1.0x"] = b_x10
             section[name]["build"] = builds
             b_pts = [(sf_small, b_small), (3 * sf_base, b_x3)]
+            if "sf0.1" in builds:
+                b_pts.append((sf_base, builds["sf0.1"]))
             if b_x10 is not None:
                 b_pts.append((10 * sf_base, b_x10))
             section[name]["exponent_build"] = _fit_exponent(b_pts)

@@ -1541,11 +1541,11 @@ def kmeans_lloyd(
             f"k-means needs at least k={k} vectors, frame has {len(seeds)}"
         )
     cents = np.array([r["embedding"] for r in seeds], dtype=np.float64)
-    assign_udf = _kmeans_assign_udf
 
     for _ in range(iters):
         assigned = e.select(
-            "vec_id", "embedding", assign_udf(cents)("embedding").alias("a")
+            "vec_id", "embedding",
+            _kmeans_assign_udf(cents)("embedding").alias("a")
         ).select("vec_id", "embedding", "a.cluster")
         means = (
             assigned.select(
@@ -1565,7 +1565,7 @@ def kmeans_lloyd(
             cents[r["cluster"]] = np.array(r["centroid"], dtype=np.float64)
 
     return e.select(
-        "vec_id", assign_udf(cents)("embedding").alias("a")
+        "vec_id", _kmeans_assign_udf(cents)("embedding").alias("a")
     ).select("vec_id", "a.cluster", F.round("a.dist", 4).alias("dist"))
 
 

@@ -191,15 +191,34 @@ def _store_has_codes(spark: SparkSession, path: str) -> bool:
     :func:`backfill_codes` may have flipped the on-disk flag False→True
     from a different process (a long-lived writer would then append
     codes-less rows into a coded store until restart — ADVICE r7). A
-    cached False therefore re-reads the one-row meta table on every
+    cached False therefore re-reads the one-row META table on every
     call — a single tiny-file read per append, the price of cross-
-    process correctness. True→False never happens in place (only a
-    full :func:`build_ivf_store` rewrite, which repopulates meta and
-    this cache on its own write path), so True stays cacheable."""
+    process correctness. Legacy pre-meta stores stay on their cached
+    False when meta is still absent: a cross-process backfill always
+    CREATES meta, so its absence proves nothing changed, and the full
+    lists-tree schema inference never re-runs per append. True→False
+    never happens in place (only a full :func:`build_ivf_store`
+    rewrite, which repopulates meta and this cache on its own write
+    path), so True stays cacheable."""
+    from pyspark.errors import AnalysisException
+
     has = _STORE_CODES_CACHE.get(path)
-    if has is None or has is False:
+    if has is None:
         _load_store_meta(spark, path)
         has = _STORE_CODES_CACHE[path]
+    elif has is False:
+        try:
+            spark.catalog.refreshByPath(f"{path}/meta")
+            meta = spark.read.parquet(f"{path}/meta")
+            row = meta.collect()[0]
+            has = (
+                bool(row["has_codes"])
+                if "has_codes" in meta.schema.fieldNames()
+                else False
+            )
+            _STORE_CODES_CACHE[path] = has
+        except AnalysisException:
+            pass  # no meta on disk: legacy store, cached False stands
     return has
 
 
@@ -726,6 +745,13 @@ def _probe_selection(
         .filter(F.col("rn") <= nprobe)
         .select("qid", "list_label")
     )
+    # materialize the tiny (|queries|·nprobe-row) selection ONCE: the
+    # distinct-labels collect below and the scoring join both read the
+    # checkpointed blocks instead of each re-running the crossJoin +
+    # window (review r8). Per-batch frames go unreferenced after the
+    # batch, so the ContextCleaner reclaims the blocks — unlike the
+    # session-lifetime _INDEX_CACHE artifacts, nothing pins them.
+    probes = probes.localCheckpoint()
     labels = sorted(
         r["list_label"]
         for r in probes.select("list_label").distinct().collect()
@@ -780,7 +806,14 @@ def probe_ivf_store_quantized(
         spark, path, queries, nprobe, prefilter_m
     )
     full = lists.select("vec_id", "embedding", "enorm")
-    n_q = queries.count()  # tiny frame by contract: point set or micro-batch
+    # one narrow count on the (point-set or micro-batch) query frame
+    # decides the path from the WORST-CASE survivor bound n_q·m, not the
+    # realized distinct-survivor count: a mid-size overlapping batch
+    # (e.g. 250 queries whose survivors collapse to 3k distinct ids)
+    # therefore takes the lazy path even though its ids would have fit
+    # the literal cap — deliberate, because learning the realized count
+    # requires exactly the unbounded collect the cap exists to prevent
+    n_q = queries.count()
     if n_q * prefilter_m <= _ISIN_PUSHDOWN_CAP:
         # bounded collect (|queries| x prefilter_m): executes the
         # prefilter once and turns the survivors into literals, so the
