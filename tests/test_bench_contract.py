@@ -29,10 +29,12 @@ def _worst_case_payload() -> dict:
     # 999.999 is wider than any plausible per-query seconds value at
     # sf0.1 (historical worst single query: ~2.2 s)
     timings = {name: 999.999 for name in bench.HEADLINE}
+    # every index-backed query reports a build/search split — use the
+    # live module-level set so the worst case can't silently lag it
+    # (it did: this dict hardcoded 3 names after ANN_INDEXED grew to 5)
     ann = {
         name: {"build": 999.999, "search": 999.999}
-        for name in ("ann_lsh_bucketed", "ann_ivf_coarse",
-                     "dedup_embedding_cosine")
+        for name in bench.ANN_INDEXED
     }
     return bench.build_payload(timings, ann, 0.1)
 
