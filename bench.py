@@ -582,11 +582,11 @@ def run_scaling(
         ]
         t_x10 = b_x10 = None
         if name in deep:
-            # warm runs: 1 at ~1 GB the measurement is minutes of data-
-            # dependent work, far above the noise floor, and a second
-            # run of 5 heavy queries would double the sweep's tail
-            # (index-backed queries still get their untimed-build run 0)
-            t_x10, b_x10 = timed(name, x10_dir, n_runs=1)
+            # two warm runs: a single shot conflates first-call codegen/
+            # analysis into the one point the hi-exponent leans on
+            # hardest (measured: dedup_cc_clusters 8.4 s cold vs 2.3 s
+            # warm at 10x — a 3.7x distortion for ~20 s of extra sweep)
+            t_x10, b_x10 = timed(name, x10_dir, n_runs=2)
             pts.append((10 * sf_base, t_x10))
         overhead_bound = t_base < _EXPONENT_FLOOR_S
         exp = None if overhead_bound else _fit_exponent(pts)
