@@ -121,11 +121,19 @@ _REP_SQL = f"""
              COALESCE(CAST(SUM(CASE WHEN k = 3 AND c > 1 THEN c END) AS BIGINT), 0) AS dup3
       FROM c GROUP BY doc_id, n_tokens)
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-           round(least(1.0, max2 * 2.0 / greatest(n_tokens, 1)), 6) AS top_bigram_frac,
-           round(dup3 / greatest(n3, 1), 6) AS dup_trigram_frac,
+           CAST(least(1000000, (max2 * 4000000 + greatest(n_tokens, 1))
+                               // (2 * greatest(n_tokens, 1))) AS BIGINT)
+               / 1000000.0 AS top_bigram_frac,
+           CAST((dup3 * 2000000 + greatest(n3, 1))
+                // (2 * greatest(n3, 1)) AS BIGINT)
+               / 1000000.0 AS dup_trigram_frac,
            CAST((n_tokens < {REP_MIN_TOKENS}
-                 OR (round(least(1.0, max2 * 2.0 / greatest(n_tokens, 1)), 6) <= {REP_TOP_BIGRAM_MAX}
-                     AND round(dup3 / greatest(n3, 1), 6) <= {REP_DUP_TRIGRAM_MAX})) AS INT) AS keep
+                 OR (least(1000000, (max2 * 4000000 + greatest(n_tokens, 1))
+                                    // (2 * greatest(n_tokens, 1)))
+                         <= {round(REP_TOP_BIGRAM_MAX * 1e6)}
+                     AND (dup3 * 2000000 + greatest(n3, 1))
+                         // (2 * greatest(n3, 1))
+                         <= {round(REP_DUP_TRIGRAM_MAX * 1e6)})) AS INT) AS keep
     FROM p
 """
 
@@ -174,29 +182,43 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=1)
-def _repetition_static_cols() -> tuple:
-    """The repetition query's output expressions, built once — the two
+def _repetition_raw_cols() -> tuple:
+    """The repetition query's INTEGER inputs, built once — the two
     run-length folds are deep HOF lambda trees whose py4j construction
-    cost (~0.2 s) would otherwise be re-paid on every query build."""
+    cost (~0.2 s) would otherwise be re-paid on every query build. The
+    fractions and the keep verdict are derived from these by the shared
+    integer expressions below (one definition for the catalog query AND
+    the curate() pipeline)."""
     b = _gram_run_stats(shingles_col("text", 2))
     t = _gram_run_stats(shingles_col("text", 3))
-    n = F.size(tokens_col("text")).cast("bigint")
-    n3 = F.greatest(F.size(shingles_col("text", 3)).cast("bigint"), F.lit(1))
-    # count*2/n over-counts overlapping occurrences ("x x x x": 3 bigram
-    # hits × 2 > 4 tokens) — cap so the metric stays a fraction
-    top = F.round(F.least(F.lit(1.0), b.maxrun * 2.0 / F.greatest(n, F.lit(1))), 6)
-    dup = F.round(t.dup / n3, 6)
     return (
-        n.alias("n_tokens"),
-        top.alias("top_bigram_frac"),
-        dup.alias("dup_trigram_frac"),
-        (
-            (n < REP_MIN_TOKENS)
-            | ((top <= REP_TOP_BIGRAM_MAX) & (dup <= REP_DUP_TRIGRAM_MAX))
-        )
-        .cast("int")
-        .alias("keep"),
+        F.size(tokens_col("text")).cast("bigint").alias("n_tokens"),
+        b.maxrun.alias("_maxrun2"),
+        t.dup.alias("_dup3"),
+        F.greatest(
+            F.size(shingles_col("text", 3)).cast("bigint"), F.lit(1)
+        ).alias("_n3"),
     )
+
+
+# round(num/den, 6) computed half-up in exact BIGINT arithmetic: a plain
+# round(double, 6) of an int/int ratio sits on a TRUE 7th-decimal half
+# whenever the reduced denominator is 2^a·5^b (the Q9 cousin class,
+# PERF_NOTES — e.g. any doc with 128 tokens), where Spark's BigDecimal
+# HALF_UP and DuckDB's binary rounding can disagree by 1e-6 and flip the
+# keep verdict. Integer half-up never diverges. count*2/n over-counts
+# overlapping occurrences ("x x x x": 3 bigram hits × 2 > 4 tokens) —
+# capped at 10^6 so the metric stays a fraction.
+_TOP6 = (
+    "least(1000000L, (_maxrun2 * 4000000L + greatest(n_tokens, 1L))"
+    " div (2L * greatest(n_tokens, 1L)))"
+)
+_DUP6 = "(_dup3 * 2000000L + _n3) div (2L * _n3)"
+_REP_KEEP = (
+    f"n_tokens < {REP_MIN_TOKENS} OR "
+    f"({_TOP6} <= {round(REP_TOP_BIGRAM_MAX * 1e6)} AND "
+    f"{_DUP6} <= {round(REP_DUP_TRIGRAM_MAX * 1e6)})"
+)
 
 
 @register("text_repetition_metrics", _REP_SQL)
@@ -213,7 +235,17 @@ def q_text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode+groupBy form at sf0.1). The oracle deliberately keeps the
     explode/GROUP BY formulation: two algorithms, one answer."""
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", *_repetition_static_cols())
+    return d.select("doc_id", *_repetition_raw_cols()).select(
+        "doc_id",
+        "n_tokens",
+        (F.expr(_TOP6).cast("double") / F.lit(1000000.0)).alias(
+            "top_bigram_frac"
+        ),
+        (F.expr(_DUP6).cast("double") / F.lit(1000000.0)).alias(
+            "dup_trigram_frac"
+        ),
+        F.expr(_REP_KEEP).cast("int").alias("keep"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -293,17 +325,15 @@ def curate(docs: DataFrame) -> DataFrame:
     hash-partition. Filters run cheapest-first so each stage sees fewer
     rows: the repetition fold prunes before the regex scrub rewrites,
     and sampling runs last so acceptance is measured on clean, deduped
-    text."""
-    b2 = _gram_run_stats(shingles_col("text", 2))
-    t3 = _gram_run_stats(shingles_col("text", 3))
-    n = F.size(tokens_col("text")).cast("bigint")
-    n3 = F.greatest(F.size(shingles_col("text", 3)).cast("bigint"), F.lit(1))
-    top = F.round(F.least(F.lit(1.0), b2.maxrun * 2.0 / F.greatest(n, F.lit(1))), 6)
-    dup = F.round(t3.dup / n3, 6)
-    kept = docs.filter(
-        (n < REP_MIN_TOKENS)
-        | ((top <= REP_TOP_BIGRAM_MAX) & (dup <= REP_DUP_TRIGRAM_MAX))
-    ).withColumn("text", scrub_pii(F.col("text")))
+    text. The repetition verdict is the SAME cached expressions and
+    keep predicate the catalog query uses (_repetition_raw_cols /
+    _REP_KEEP) — one definition, one cache, no drift."""
+    kept = (
+        docs.select(docs["*"], *_repetition_raw_cols())
+        .filter(F.expr(_REP_KEEP))
+        .drop("n_tokens", "_maxrun2", "_dup3", "_n3")
+        .withColumn("text", scrub_pii(F.col("text")))
+    )
     w = W.partitionBy(F.unhex(F.md5(F.col("text").cast("binary")))).orderBy("doc_id")
     deduped = (
         kept.withColumn("_rn", F.row_number().over(w))
@@ -500,12 +530,20 @@ def q_sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MIX_SQL = f"""
     WITH s AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS n_orig, avg(n_chars) AS a
+      SELECT source, CAST(count(*) AS BIGINT) AS n_orig,
+             CAST(SUM(n_chars) AS BIGINT) AS sc
       FROM documents GROUP BY source),
+    s2 AS (
+      SELECT source, n_orig,
+             CAST((sc * 2000000000 + n_orig) // (2 * n_orig) AS BIGINT) AS a9
+      FROM s),
     r AS (
       SELECT source, n_orig,
-             round(least(1.0, a / (SELECT max(a) FROM s)), 6) AS rate
-      FROM s),
+             CAST(least(1000000,
+                        (a9 * 2000000 + (SELECT max(a9) FROM s2))
+                        // (2 * (SELECT max(a9) FROM s2))) AS BIGINT)
+                 / 1000000.0 AS rate
+      FROM s2),
     k AS (
       SELECT d.source, count(*) AS c
       FROM documents d JOIN r USING (source)
@@ -523,18 +561,38 @@ def q_source_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the best source, applied per-row with a hash independent of the
     weighted-sampling hash. The rate table is O(#sources) rows → computed
     in one tiny aggregate, broadcast back onto the scan; the per-row
-    decision is again a shuffle-free map-side filter. Mean-of-int is an
-    exact integer sum over an exact count on both engines, so the rates
-    are bit-identical without rounding tricks."""
+    decision is again a shuffle-free map-side filter.
+
+    The rate is computed ENTIRELY in exact BIGINT fixed-point: the mean
+    as a 9-dp integer ((2·S·10^9 + n) div 2n), the relative rate as a
+    6-dp integer half-up against the max mean, then ONE exact /10^6 —
+    review r8 found the previous round(double_ratio, 6) sat in the
+    engine-divergent rounding-boundary class (Spark BigDecimal HALF_UP
+    vs DuckDB binary rounding), and the rate feeds the acceptance
+    FILTER, so a one-ulp disagreement would flip n_sampled. The 9-dp
+    intermediate bounds the drift from the true mean ratio at 1e-9
+    relative while keeping every product under 2^63 up to ~4·10^9 total
+    chars per source (move to decimal(38,0) beyond that)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     s = d.groupBy("source").agg(
-        F.count("*").alias("n_orig"), F.avg("n_chars").alias("a")
+        F.count("*").alias("n_orig"),
+        F.sum("n_chars").cast("bigint").alias("sc"),
     )
-    mx = s.agg(F.max("a").alias("ma"))
-    rates = s.crossJoin(F.broadcast(mx)).select(
+    s2 = s.select(
         "source",
         "n_orig",
-        F.round(F.least(F.lit(1.0), F.col("a") / F.col("ma")), 6).alias("rate"),
+        F.expr("(sc * 2000000000L + n_orig) div (2L * n_orig)").alias("a9"),
+    )
+    mx = s2.agg(F.max("a9").alias("ma9"))
+    rates = s2.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "n_orig",
+        (
+            F.expr(
+                "least(1000000L, (a9 * 2000000L + ma9) div (2L * ma9))"
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("rate"),
     )
     kept = (
         d.join(F.broadcast(rates.select("source", "rate")), "source")

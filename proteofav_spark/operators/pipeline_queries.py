@@ -441,6 +441,7 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         .agg(F.least(F.min("dst"), F.min("src")).alias("lbl"))
         .localCheckpoint()
     )
+    changed = 0  # bound for the raise below even when max_rounds == 0
     for _ in range(max_rounds):
         nbr = sym.join(
             labels.withColumnRenamed("v", "src"), "src"
@@ -1387,6 +1388,20 @@ def validate_merge_asof_args(
         raise ValueError(f"unknown direction {direction!r}")
     if tolerance is not None and tolerance < 0:
         raise ValueError(f"tolerance must be non-negative, got {tolerance}")
+    if tolerance is not None:
+        from pyspark.sql import types as T
+
+        if not isinstance(left_schema[on].dataType, T.NumericType):
+            # the distance arithmetic subtracts on-values and compares
+            # to the numeric tolerance literal — a timestamp/date
+            # on-column yields an interval and fails at PLAN time,
+            # i.e. inside batch 0 for the streaming wrapper, exactly
+            # what this eager validator exists to prevent (review r8)
+            raise ValueError(
+                f"tolerance requires a numeric on-column; {on!r} is "
+                f"{left_schema[on].dataType.simpleString()} — convert "
+                "event time to epoch units first (see queries.t_us())"
+            )
     if left_schema[on].dataType != right_schema[on].dataType:
         # pandas.merge_asof raises on mismatched key dtypes too: a mixed
         # integral/float on-column would otherwise round the float side

@@ -248,6 +248,10 @@ def test_cc_raises_past_round_cap(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         min_label_components(path, max_rounds=2)
+    # max_rounds=0 must hit the SAME designed diagnostic, not a
+    # NameError on the never-bound loop counter (review r8)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(path, max_rounds=0)
     out = min_label_components(path)  # default cap is plenty for d=12
     assert out.filter(F.col("cluster_id") != 0).count() == 0
 

@@ -225,6 +225,21 @@ def test_stream_asof_enrich_validates_eagerly(spark, tmp_path):
             out_path=str(tmp_path / "o"), checkpoint=str(tmp_path / "c"),
             tolerance=-5,
         )
+    # tolerance on a non-numeric on-column would only explode at plan
+    # time inside batch 0 (ts - ts is an interval, incomparable to the
+    # numeric tolerance) — the validator must catch it HERE (review r8)
+    right_ts = load(spark, SF, "events").select(
+        "user_id", F.col("ts"), F.col("event_id").alias("rid")
+    ).limit(10)
+    stream_ts = spark.readStream.schema(
+        "user_id bigint, ts timestamp_ntz"
+    ).parquet(str(tmp_path))
+    with pytest.raises(ValueError, match="numeric on-column"):
+        run_asof_enrich(
+            stream_ts, right_ts, on="ts", by=["user_id"],
+            out_path=str(tmp_path / "o"), checkpoint=str(tmp_path / "c"),
+            tolerance=3600,
+        )
 
 
 def test_stream_knn_enrich_parity_with_batch_probe(spark, tmp_path):
