@@ -24,6 +24,41 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from proteofav_spark.queries import load, register
 
 
+# ---------------------------------------------------------------------------
+# Exact-money helpers — the single-sourced cross-engine contract (review r8:
+# the cents extraction was re-implemented per query, and two queries still
+# rounded raw DOUBLE sums, the documented Q9 .xx5 boundary class where
+# Spark's BigDecimal HALF_UP and DuckDB's scaled round disagree by a cent).
+# ---------------------------------------------------------------------------
+
+
+def _cents(col) -> F.Column:
+    """Exact BIGINT cents of a 2-decimal money double — round() here only
+    undoes the parquet double's representation error (|x·100 − int| ≪
+    0.5), so both engines recover the identical integer."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def _revenue_u() -> F.Column:
+    """``l_extendedprice·(1−l_discount)`` in exact 1e-4-dollar BIGINT
+    units: cents × (100 − discount-cents). Summing these units is exact;
+    convert once at the end with :func:`_u_to_dollars`."""
+    return _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+
+
+def _u_to_dollars(name: str) -> F.Column:
+    """round(<name>/10⁴, 2) for an exact BIGINT 1e-4-unit sum COLUMN —
+    integer half away from zero to cents, then ONE exact /100 (the Q9
+    fix pattern). Takes a column NAME because integer ``div`` is only
+    reachable through F.expr."""
+    s = F.col(name)
+    cents = F.when(s >= 0, F.expr(f"({name} + 50) div 100")).otherwise(
+        -F.expr(f"(-{name} + 50) div 100")
+    )
+    return cents.cast("double") / 100
+
+
 @register(
     "topk_per_group",
     """
@@ -76,12 +111,15 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot_status",
     """
     SELECT o_orderpriority,
-           round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 2)
-               AS f_total,
-           round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 0), 2)
-               AS o_total,
-           round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 0), 2)
-               AS p_total,
+           CAST(coalesce(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                              FILTER (o_orderstatus = 'F') AS BIGINT), 0)
+                AS DOUBLE) / 100.0 AS f_total,
+           CAST(coalesce(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                              FILTER (o_orderstatus = 'O') AS BIGINT), 0)
+                AS DOUBLE) / 100.0 AS o_total,
+           CAST(coalesce(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                              FILTER (o_orderstatus = 'P') AS BIGINT), 0)
+                AS DOUBLE) / 100.0 AS p_total,
            CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_cnt,
            CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_cnt,
            CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_cnt
@@ -103,12 +141,20 @@ def q_agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
 
     def tot(status: str):
-        return F.round(
+        # exact cents sum, ONE /100 — a rounded raw double sum drifts
+        # with summation order once groups are large enough (~SF 100)
+        # for sqrt(n)·eps·|sum| to cross half a cent (review r8)
+        return (
             F.coalesce(
-                F.sum(F.when(F.col("o_orderstatus") == status, F.col("o_totalprice"))),
-                F.lit(0.0),
-            ),
-            2,
+                F.sum(
+                    F.when(
+                        F.col("o_orderstatus") == status,
+                        _cents("o_totalprice"),
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).cast("double")
+            / 100
         )
 
     def cnt(status: str):
@@ -128,19 +174,25 @@ def q_agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_star_revenue",
     """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           CAST(count(*) AS BIGINT) AS n_items
-    FROM customer, orders, lineitem, supplier, nation, region
-    WHERE c_custkey = o_custkey
-      AND l_orderkey = o_orderkey
-      AND l_suppkey = s_suppkey
-      AND c_nationkey = s_nationkey
-      AND s_nationkey = n_nationkey
-      AND n_regionkey = r_regionkey
-      AND r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o_orderdate < TIMESTAMP '1999-01-01'
-    GROUP BY n_name
+           CAST((rev_u + 50) // 100 AS BIGINT) / 100.0 AS revenue,
+           n_items
+    FROM (
+      SELECT n_name,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS rev_u,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey
+        AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1999-01-01'
+      GROUP BY n_name)
     """,
 )
 def q_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,12 +242,14 @@ def q_join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (ls.s_nationkey == oc.c_nationkey),
         )
         .groupBy("n_name")
+        # exact 1e-4-unit integer sum, integer half-up to cents, ONE
+        # exact /100 — round(double-sum, 2) sat on true .xx5 boundaries
+        # for ~1% of group sums (the Q9 class; review r8)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.sum(_revenue_u()).alias("rev_u"),
             F.count(F.lit(1)).alias("n_items"),
         )
+        .select("n_name", _u_to_dollars("rev_u").alias("revenue"), "n_items")
     )
 
 
@@ -282,7 +336,8 @@ def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS yyyymm,
            CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue
     FROM orders
     GROUP BY 1, 2
     """,
@@ -306,7 +361,11 @@ def q_agg_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # exact cents sum, ONE /100 (same drift argument as
+            # agg_pivot_status — review r8)
+            (F.sum(_cents("o_totalprice")).cast("double") / 100).alias(
+                "revenue"
+            ),
         )
     )
 
@@ -481,17 +540,23 @@ Q3_SEGMENT = "BUILDING"
 Q3_CUTOFF = "1996-07-01"
 
 _SHIP_PRIORITY_SQL = f"""
-    SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           o.o_orderdate, o.o_orderpriority
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = '{Q3_SEGMENT}'
-      AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00'
-      AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF} 00:00:00'
-    GROUP BY 1, 3, 4
-    ORDER BY revenue DESC, l.l_orderkey
+    SELECT l_orderkey,
+           CAST((rev_u + 50) // 100 AS BIGINT) / 100.0 AS revenue,
+           o_orderdate, o_orderpriority
+    FROM (
+      SELECT l.l_orderkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS rev_u,
+             o.o_orderdate, o.o_orderpriority
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+        AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+      GROUP BY 1, 3, 4)
+    ORDER BY revenue DESC, l_orderkey
     LIMIT 10
 """
 
@@ -526,12 +591,17 @@ def q_orders_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+        # exact 1e-4-unit sum then integer half-up — 12 of 610 sf0.01
+        # groups sat on a TRUE .xx5 boundary under round(double, 2), 6
+        # of them rounding differently across engines; the gate passed
+        # only because none reached the top 10 (review r8)
+        .agg(F.sum(_revenue_u()).alias("rev_u"))
+        .select(
+            "l_orderkey",
+            _u_to_dollars("rev_u").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
         )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -601,13 +671,16 @@ def q_customer_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 HIST_BUCKET_CHARS = 200
 
 _DOC_HIST_SQL = f"""
-    SELECT lang,
-           n_chars // {HIST_BUCKET_CHARS} AS bucket,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
-    FROM documents
-    GROUP BY 1, 2
+    SELECT lang, bucket, n_docs, total_chars,
+           CAST((2 * total_chars * 1000000 + n_docs) // (2 * n_docs)
+                AS BIGINT) / 1000000.0 AS avg_chars
+    FROM (
+      SELECT lang,
+             n_chars // {HIST_BUCKET_CHARS} AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents
+      GROUP BY 1, 2)
 """
 
 
@@ -618,17 +691,31 @@ def q_docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (length floors/ceilings, packing budgets) before a 100 TB filter
     run. Map-only bucketing + one partial-aggregated groupBy whose
     key space is |langs| × |buckets| — tiny regardless of corpus size;
-    the average is one bigint-over-bigint division, identical on both
-    engines."""
+    the average rounds in exact BIGINT half-up arithmetic, because
+    round(bigint/bigint, 6) is the documented 2^a·5^b boundary cousin
+    (a 128-doc bucket with an odd char total sits on a TRUE 7th-decimal
+    half — review r8)."""
     d = load(spark, sf_dir, "documents")
-    return d.groupBy(
-        "lang", F.expr(f"n_chars div {HIST_BUCKET_CHARS}").alias("bucket")
-    ).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-        F.round(
-            F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
-        ).alias("avg_chars"),
+    return (
+        d.groupBy(
+            "lang", F.expr(f"n_chars div {HIST_BUCKET_CHARS}").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            "n_docs",
+            "total_chars",
+            (
+                F.expr(
+                    "(2 * total_chars * 1000000 + n_docs) div (2 * n_docs)"
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("avg_chars"),
+        )
     )
 
 

@@ -67,7 +67,11 @@ def _pr_sql() -> str:
     r0 AS (SELECT v, round(1.0 / nv.n, {PR_ROUND}) AS pr
            FROM verts CROSS JOIN nv),
         {joined}
-    SELECT v, round(pr, 6) AS pagerank
+    SELECT v,
+           CAST((2 * CAST(round(pr * {10 ** PR_ROUND}) AS BIGINT)
+                 + {10 ** (PR_ROUND - 6)})
+                // {2 * 10 ** (PR_ROUND - 6)} AS BIGINT)
+               / 1000000.0 AS pagerank
     FROM {prev}
     """
 
@@ -127,7 +131,25 @@ def q_graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
-    return ranks.select("v", F.round("pr", 6).alias("pagerank"))
+    # final 6-dp cut in exact BIGINT half-up arithmetic: both engines
+    # hold the IDENTICAL 12-dp-resynced double, so k = round(pr·10¹²) is
+    # the same integer on both sides, but round(pr, 6) of that double
+    # diverges whenever digits 7-12 are exactly '500000' (~1 vertex per
+    # million — invisible at gate SFs, hundreds of vertices at the 1e9-
+    # vertex target; review r8). (2k + 10⁶) div (2·10⁶) never diverges.
+    scale = 10**PR_ROUND
+    return ranks.select(
+        "v",
+        F.round(F.col("pr") * scale).cast("long").alias("_k12"),
+    ).select(
+        "v",
+        (
+            F.expr(
+                f"(2 * _k12 + {scale // 10**6}) div {2 * (scale // 10**6)}"
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("pagerank"),
+    )
 
 
 _TRI_SQL = """
