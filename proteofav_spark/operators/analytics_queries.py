@@ -21,42 +21,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from proteofav_spark.queries import load, register
-
-
-# ---------------------------------------------------------------------------
-# Exact-money helpers — the single-sourced cross-engine contract (review r8:
-# the cents extraction was re-implemented per query, and two queries still
-# rounded raw DOUBLE sums, the documented Q9 .xx5 boundary class where
-# Spark's BigDecimal HALF_UP and DuckDB's scaled round disagree by a cent).
-# ---------------------------------------------------------------------------
-
-
-def _cents(col) -> F.Column:
-    """Exact BIGINT cents of a 2-decimal money double — round() here only
-    undoes the parquet double's representation error (|x·100 − int| ≪
-    0.5), so both engines recover the identical integer."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * 100).cast("long")
-
-
-def _revenue_u() -> F.Column:
-    """``l_extendedprice·(1−l_discount)`` in exact 1e-4-dollar BIGINT
-    units: cents × (100 − discount-cents). Summing these units is exact;
-    convert once at the end with :func:`_u_to_dollars`."""
-    return _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
-
-
-def _u_to_dollars(name: str) -> F.Column:
-    """round(<name>/10⁴, 2) for an exact BIGINT 1e-4-unit sum COLUMN —
-    integer half away from zero to cents, then ONE exact /100 (the Q9
-    fix pattern). Takes a column NAME because integer ``div`` is only
-    reachable through F.expr."""
-    s = F.col(name)
-    cents = F.when(s >= 0, F.expr(f"({name} + 50) div 100")).otherwise(
-        -F.expr(f"(-{name} + 50) div 100")
-    )
-    return cents.cast("double") / 100
+from proteofav_spark.queries import (
+    cents as _cents,
+    load,
+    register,
+    revenue_units as _revenue_u,
+    units_to_dollars as _u_to_dollars,
+)
 
 
 @register(

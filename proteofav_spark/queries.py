@@ -5,8 +5,12 @@ embeddings) with a matching ANSI-SQL oracle runnable by DuckDB.
 
 Conventions:
 - every computed column is aliased identically in Spark and SQL;
-- money sums round to 2 decimals, averages/ratios to 6, similarity scores
-  to 4 — keeps double value-hashes stable across engines;
+- money sums emit 2 decimals, averages/ratios 6, similarity scores 4 —
+  and every money/ratio rounding runs through the exact-BIGINT helpers
+  below (cents/revenue_units/units_to_dollars/half_up_6dp), never
+  round(double, n): true .xx5 / 7th-decimal halves round differently
+  between Spark's BigDecimal HALF_UP and DuckDB (PERF_NOTES, the Q9
+  class and its 2^a·5^b cousin);
 - integer SUMs cast to BIGINT in SQL (DuckDB SUM(int) yields HUGEINT);
 - every top-N has a total deterministic ORDER BY (unique tie-break key).
 """
@@ -51,6 +55,58 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 _SCAN_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+
+
+# ---------------------------------------------------------------------------
+# Exact-money helpers — the single-sourced cross-engine rounding contract.
+# round(double, n) of a value on a TRUE half (e.g. a 4-decimal revenue sum
+# ending in .xx5) diverges between Spark's BigDecimal HALF_UP and DuckDB's
+# binary-double rounding; all money math therefore runs in exact BIGINT
+# units with integer half-away-from-zero, and ONE exact division at the
+# end. Lives here (not analytics_queries) so every operator module can
+# import it without a cycle.
+# ---------------------------------------------------------------------------
+
+
+def cents(col) -> F.Column:
+    """Exact BIGINT cents of a 2-decimal money double — round() here only
+    undoes the parquet double's representation error (|x·100 − int| ≪
+    0.5), so both engines recover the identical integer."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def revenue_units() -> F.Column:
+    """``l_extendedprice·(1−l_discount)`` in exact 1e-4-dollar BIGINT
+    units: cents × (100 − discount-cents). Summing these is exact;
+    convert once at the end with :func:`units_to_dollars`."""
+    return cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+
+
+def units_to_dollars(name: str) -> F.Column:
+    """round(<name>/10⁴, 2) for an exact BIGINT 1e-4-unit sum COLUMN —
+    integer half away from zero to cents, then ONE exact /100. Takes a
+    column NAME because integer ``div`` is only reachable via F.expr."""
+    s = F.col(name)
+    c = F.when(s >= 0, F.expr(f"({name} + 50) div 100")).otherwise(
+        -F.expr(f"(-{name} + 50) div 100")
+    )
+    return c.cast("double") / 100
+
+
+def half_up_6dp(num: str, den: str, num_scale: int = 1_000_000) -> F.Column:
+    """round(num/(den·10⁶/num_scale), 6) in exact BIGINT half-up — i.e.
+    the 6-dp average of an integer sum column over a count column
+    (``num_scale=10⁶`` for unit numerators, ``10⁴`` when the numerator
+    is already in cents so the true ratio is num/(100·den)). Closes the
+    round(int/int, 6) boundary cousin (odd/2⁷ sits on a true 7th-decimal
+    half)."""
+    return (
+        F.expr(
+            f"(2 * {num} * {num_scale}L + {den}) div (2 * {den})"
+        ).cast("double")
+        / F.lit(1000000.0)
+    )
 
 
 def t_us(col: str = "ts") -> F.Column:
@@ -323,15 +379,20 @@ def q_join_left_string_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_merge_tree",
     """
-    SELECT r.r_name AS region, n.n_name AS nation,
-           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
-           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-    FROM lineitem l
-    JOIN orders o    ON l.l_orderkey = o.o_orderkey
-    JOIN customer c  ON o.o_custkey = c.c_custkey
-    JOIN nation n    ON c.c_nationkey = n.n_nationkey
-    JOIN region r    ON n.n_regionkey = r.r_regionkey
-    GROUP BY r.r_name, n.n_name
+    SELECT region, nation, n_lineitems,
+           CAST((rev_u + 50) // 100 AS BIGINT) / 100.0 AS revenue
+    FROM (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS rev_u
+      FROM lineitem l
+      JOIN orders o    ON l.l_orderkey = o.o_orderkey
+      JOIN customer c  ON o.o_custkey = c.c_custkey
+      JOIN nation n    ON c.c_nationkey = n.n_nationkey
+      JOIN region r    ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name)
     """,
 )
 def q_join_merge_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,11 +413,16 @@ def q_join_merge_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        # exact 1e-4-unit integer revenue, integer half-up to cents —
+        # round(double-sum, 2) sits on engine-divergent .xx5 boundaries
+        # for ~1% of group sums (review r8; same fix as tpch_q9)
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.sum(revenue_units()).alias("rev_u"),
+        )
+        .select(
+            "region", "nation", "n_lineitems",
+            units_to_dollars("rev_u").alias("revenue"),
         )
     )
 
@@ -447,32 +513,61 @@ def q_join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(SUM(l_quantity), 2) AS sum_qty,
-           round(SUM(l_extendedprice), 2) AS sum_base_price,
-           round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(AVG(l_quantity), 6) AS avg_qty,
-           round(AVG(l_discount), 6) AS avg_disc,
-           CAST(COUNT(*) AS BIGINT) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
+           CAST(sq AS DOUBLE) AS sum_qty,
+           CAST(sbc AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST((sdu + 50) // 100 AS BIGINT) / 100.0 AS sum_disc_price,
+           CAST((2 * sq * 1000000 + n) // (2 * n) AS BIGINT)
+               / 1000000.0 AS avg_qty,
+           CAST((2 * sdc * 10000 + n) // (2 * n) AS BIGINT)
+               / 1000000.0 AS avg_disc,
+           n AS count_order
+    FROM (
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sbc,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS sdu,
+             CAST(SUM(CAST(round(l_discount * 100) AS BIGINT))
+                  AS BIGINT) AS sdc,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus)
     """,
 )
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: multi-aggregate groupBy with map-side partial agg."""
+    """TPC-H Q1 shape: multi-aggregate groupBy with map-side partial agg.
+
+    Every money/average output is exact BIGINT arithmetic with integer
+    half-up and ONE final division (review r8): the disc-price sum is
+    the 4-decimal .xx5 boundary class (same as Q9/Q3/Q5), the averages
+    are the round(int/int, 6) cousin (odd/2⁷ sits on a true 7th-decimal
+    half), and the plain sums drift with summation order at large SF —
+    quantities are integral and prices 2-decimal, so the integer forms
+    are lossless."""
     li = load(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(qty).alias("sq"),
+            F.sum(cents("l_extendedprice")).alias("sbc"),
+            F.sum(revenue_units()).alias("sdu"),
+            F.sum(cents("l_discount")).alias("sdc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("sq").cast("double").alias("sum_qty"),
+            (F.col("sbc").cast("double") / 100).alias("sum_base_price"),
+            units_to_dollars("sdu").alias("sum_disc_price"),
+            half_up_6dp("sq", "n").alias("avg_qty"),
+            half_up_6dp("sdc", "n", num_scale=10_000).alias("avg_disc"),
+            F.col("n").alias("count_order"),
         )
     )
 
@@ -485,8 +580,12 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(id AS INT) AS id
     FROM (
       SELECT l_orderkey,
-             round(AVG(l_extendedprice), 6) AS centroid_price,
-             round(AVG(l_quantity), 6) AS centroid_qty,
+             CAST((2 * CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                            AS BIGINT) * 10000 + count(*))
+                  // (2 * count(*)) AS BIGINT) / 1000000.0 AS centroid_price,
+             CAST((2 * CAST(SUM(CAST(round(l_quantity) AS BIGINT))
+                            AS BIGINT) * 1000000 + count(*))
+                  // (2 * count(*)) AS BIGINT) / 1000000.0 AS centroid_qty,
              MIN(l_linenumber) AS id
       FROM lineitem GROUP BY l_orderkey) g
     JOIN (
@@ -499,15 +598,24 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_residue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """residues_aggregation shape: mean for numerics + ordered-first for
-    object columns (parity: proteofav/structures.py:483-512)."""
+    object columns (parity: proteofav/structures.py:483-512). Averages
+    in exact BIGINT half-up (the round(int/int, 6) boundary cousin —
+    review r8)."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.round(F.avg("l_extendedprice"), 6).alias("centroid_price"),
-        F.round(F.avg("l_quantity"), 6).alias("centroid_qty"),
+        F.sum(cents("l_extendedprice")).alias("_sc"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("_sq"),
+        F.count(F.lit(1)).alias("_n"),
         F.min_by(
             "l_returnflag", F.struct("l_linenumber", "l_returnflag")
         ).alias("first_flag"),
         F.min("l_linenumber").alias("id"),
+    ).select(
+        "l_orderkey",
+        half_up_6dp("_sc", "_n", num_scale=10_000).alias("centroid_price"),
+        half_up_6dp("_sq", "_n").alias("centroid_qty"),
+        "first_flag",
+        "id",
     )
 
 
@@ -1276,7 +1384,8 @@ def q_agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
            COALESCE(o_orderpriority, 'ALL') AS orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           round(SUM(o_totalprice), 2) AS total_price
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -1291,7 +1400,12 @@ def q_agg_cube_all_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            # exact cents sum, ONE /100 — the ALL/ALL margin spans the
+            # whole table, where a rounded raw double sum drifts with
+            # summation order at large SF (review r8)
+            (F.sum(cents("o_totalprice")).cast("double") / 100).alias(
+                "total_price"
+            ),
         )
         .select(
             F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("orderstatus"),
