@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
-from proteofav_spark.queries import fan_out, load, register
+from proteofav_spark.queries import fan_out, half_up_ratio, load, register
 
 # Session-scoped ANN index cache. An IVF / LSH vector index is TRAINED
 # once per corpus and then serves many queries — centroids, inverted
@@ -203,13 +203,17 @@ _JACCARD_SQL = f"""
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
-    SELECT p.doc_a, p.doc_b,
-           round(CAST(p.n_shared AS DOUBLE) /
-                 (sa.n_sh + sb.n_sh - p.n_shared), 4) AS jaccard
-    FROM pairs p
-    JOIN sizes sa ON p.doc_a = sa.doc_id
-    JOIN sizes sb ON p.doc_b = sb.doc_id
-    WHERE CAST(p.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_shared) >= 0.08
+    SELECT doc_a, doc_b,
+           CAST((2 * n_shared * 10000 + u) // (2 * u) AS BIGINT)
+               / 10000.0 AS jaccard
+    FROM (
+      SELECT p.doc_a, p.doc_b, p.n_shared,
+             sa.n_sh + sb.n_sh - p.n_shared AS u
+      FROM pairs p
+      JOIN sizes sa ON p.doc_a = sa.doc_id
+      JOIN sizes sb ON p.doc_b = sb.doc_id
+      WHERE CAST(p.n_shared AS DOUBLE)
+            / (sa.n_sh + sb.n_sh - p.n_shared) >= 0.08)
 """
 
 
@@ -244,8 +248,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= 0.08)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(jac >= 0.08)  # threshold on the RAW ratio — double
+        # division of identical ints is engine-identical; only the
+        # EMITTED value needs the integer half-up (review r8: 1/32-style
+        # unions sit on a true 5th-decimal half under round(double, 4))
+        .select(
+            "doc_a", "doc_b", "n_shared",
+            (F.col("n_a") + F.col("n_b") - F.col("n_shared")).alias("_u"),
+        )
+        .select(
+            "doc_a", "doc_b",
+            half_up_ratio("n_shared", "_u", 4).alias("jaccard"),
+        )
     )
 
 
@@ -567,17 +581,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_token_stats",
     f"""
-    SELECT doc_id,
-           CAST(len({_sql_tokens('text')}) AS BIGINT) AS n_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars_measured,
-           CAST(len(list_distinct({_sql_tokens('text')})) AS BIGINT) AS n_distinct_tokens,
-           round(CAST(len(list_distinct({_sql_tokens('text')})) AS DOUBLE) /
-                 len({_sql_tokens('text')}), 6) AS distinct_ratio
-    FROM documents
+    SELECT doc_id, n_tokens, n_chars_measured, n_distinct_tokens,
+           CAST((2 * n_distinct_tokens * 1000000 + n_tokens)
+                // (2 * n_tokens) AS BIGINT) / 1000000.0 AS distinct_ratio
+    FROM (
+      SELECT doc_id,
+             CAST(len({_sql_tokens('text')}) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars_measured,
+             CAST(len(list_distinct({_sql_tokens('text')})) AS BIGINT)
+                 AS n_distinct_tokens
+      FROM documents)
     """,
 )
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + type/token ratio — all JVM expressions."""
+    """Token counting + type/token ratio — all JVM expressions; the
+    ratio rounds in exact BIGINT half-up (round(int/int, 6) is the
+    2^a·5^b boundary cousin — review r8)."""
     d = load(spark, sf_dir, "documents")
     toks = tokens_col()
     return d.select(
@@ -585,9 +604,14 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.length("text").cast("bigint").alias("n_chars_measured"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
-        F.round(
-            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
-        ).alias("distinct_ratio"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_measured",
+        "n_distinct_tokens",
+        half_up_ratio("n_distinct_tokens", "n_tokens", 6).alias(
+            "distinct_ratio"
+        ),
     )
 
 
@@ -598,33 +622,47 @@ _SW_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
     "text_quality_score",
     f"""
     SELECT doc_id,
-           round(CAST(len(list_filter({_sql_tokens('text')},
-                 t -> list_contains({_SW_LIST_SQL}, t))) AS DOUBLE)
-                 / len({_sql_tokens('text')}), 6) AS stopword_ratio,
-           round(CAST(length(text) AS DOUBLE) / len({_sql_tokens('text')}), 6)
-                 AS avg_token_span,
-           CASE WHEN len({_sql_tokens('text')}) BETWEEN 20 AND 120
-                 AND CAST(len(list_filter({_sql_tokens('text')},
-                     t -> list_contains({_SW_LIST_SQL}, t))) AS DOUBLE)
-                     / len({_sql_tokens('text')}) >= 0.05
+           CAST((2 * nsw * 1000000 + ntok) // (2 * ntok) AS BIGINT)
+               / 1000000.0 AS stopword_ratio,
+           CAST((2 * nch * 1000000 + ntok) // (2 * ntok) AS BIGINT)
+               / 1000000.0 AS avg_token_span,
+           CASE WHEN ntok BETWEEN 20 AND 120
+                 AND CAST(nsw AS DOUBLE) / ntok >= 0.05
                 THEN 'keep' ELSE 'flag' END AS quality_bucket
-    FROM documents
+    FROM (
+      SELECT doc_id,
+             CAST(len({_sql_tokens('text')}) AS BIGINT) AS ntok,
+             CAST(len(list_filter({_sql_tokens('text')},
+                  t -> list_contains({_SW_LIST_SQL}, t))) AS BIGINT) AS nsw,
+             CAST(length(text) AS BIGINT) AS nch
+      FROM documents)
     """,
 )
 def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio + length gates → keep/flag buckets
-    (the classic pretraining-corpus filter shape)."""
+    (the classic pretraining-corpus filter shape). Emitted ratios round
+    in exact BIGINT half-up (the int/int boundary cousin); the bucket
+    threshold compares the RAW ratio, which is engine-identical as one
+    IEEE division of identical integers."""
     d = load(spark, sf_dir, "documents")
     toks = tokens_col()
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    ratio = n_sw.cast("double") / F.size(toks)
-    span = F.length("text").cast("double") / F.size(toks)
-    keep = (F.size(toks) >= 20) & (F.size(toks) <= 120) & (ratio >= 0.05)
-    return d.select(
+    mid = d.select(
         "doc_id",
-        F.round(ratio, 6).alias("stopword_ratio"),
-        F.round(span, 6).alias("avg_token_span"),
+        F.size(toks).cast("bigint").alias("ntok"),
+        n_sw.cast("bigint").alias("nsw"),
+        F.length("text").cast("bigint").alias("nch"),
+    )
+    keep = (
+        (F.col("ntok") >= 20)
+        & (F.col("ntok") <= 120)
+        & (F.col("nsw").cast("double") / F.col("ntok") >= 0.05)
+    )
+    return mid.select(
+        "doc_id",
+        half_up_ratio("nsw", "ntok", 6).alias("stopword_ratio"),
+        half_up_ratio("nch", "ntok", 6).alias("avg_token_span"),
         F.when(keep, "keep").otherwise("flag").alias("quality_bucket"),
     )
 
@@ -1443,13 +1481,15 @@ BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 @register(
     "text_bpe_token_count",
     f"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '{BPE_PAT}')) AS BIGINT)
-               AS n_bpe_tokens,
-           CAST(len({_sql_tokens('text')}) AS BIGINT) AS n_ws_tokens,
-           round(CAST(len(regexp_extract_all(text, '{BPE_PAT}')) AS DOUBLE)
-                 / len({_sql_tokens('text')}), 6) AS bpe_per_ws
-    FROM documents
+    SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+           CAST((2 * n_bpe_tokens * 1000000 + n_ws_tokens)
+                // (2 * n_ws_tokens) AS BIGINT) / 1000000.0 AS bpe_per_ws
+    FROM (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{BPE_PAT}')) AS BIGINT)
+                 AS n_bpe_tokens,
+             CAST(len({_sql_tokens('text')}) AS BIGINT) AS n_ws_tokens
+      FROM documents)
     """,
 )
 def q_text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1466,7 +1506,11 @@ def q_text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
         F.size(ws).cast("bigint").alias("n_ws_tokens"),
-        F.round(F.size(bpe).cast("double") / F.size(ws), 6).alias("bpe_per_ws"),
+    ).select(
+        "doc_id",
+        "n_bpe_tokens",
+        "n_ws_tokens",
+        half_up_ratio("n_bpe_tokens", "n_ws_tokens", 6).alias("bpe_per_ws"),
     )
 
 

@@ -47,7 +47,7 @@ from proteofav_spark.operators.llm_queries import (
     poly_hash_col,
     tokens_col,
 )
-from proteofav_spark.queries import load, register, t_us as _t_us
+from proteofav_spark.queries import half_up_ratio, load, register, t_us as _t_us
 
 RANGE_W_S = 7200          # range-join half-window: ±2 hours
 SHARD_CAP_TOKENS = 256    # token budget per packed training shard
@@ -1272,7 +1272,8 @@ _SKEW_SQL = f"""
                FROM events GROUP BY 1),
     t AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM c)
     SELECT c.user_id, c.n_events,
-           round(CAST(c.n_events AS DOUBLE) / t.total, 6) AS share
+           CAST((2 * c.n_events * 1000000 + t.total) // (2 * t.total)
+                AS BIGINT) / 1000000.0 AS share
     FROM c, t
     ORDER BY c.n_events DESC, c.user_id
     LIMIT {SKEW_TOP_N}
@@ -1298,10 +1299,11 @@ def q_skew_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = c.agg(F.sum("n_events").alias("total"))
     return (
         c.crossJoin(F.broadcast(total))
+        # exact BIGINT half-up share — round(int/int, 6) is the 2^a*5^b
+        # boundary cousin (review r8)
         .select(
             "user_id", "n_events",
-            F.round(F.col("n_events").cast("double") / F.col("total"), 6)
-            .alias("share"),
+            half_up_ratio("n_events", "total", 6).alias("share"),
         )
         .orderBy(F.desc("n_events"), "user_id")
         .limit(SKEW_TOP_N)
@@ -1324,9 +1326,10 @@ _DAU_MAU_SQL = f"""
            CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
            CAST(count(DISTINCT d) AS BIGINT) AS active_days,
            CAST(count(*) AS BIGINT) AS user_days,
-           round(CAST(count(*) AS DOUBLE)
-                 / (count(DISTINCT d) * count(DISTINCT user_id)), 6)
-               AS stickiness
+           CAST((2 * count(*) * 1000000
+                 + count(DISTINCT d) * count(DISTINCT user_id))
+                // (2 * count(DISTINCT d) * count(DISTINCT user_id))
+                AS BIGINT) / 1000000.0 AS stickiness
     FROM a GROUP BY mo
 """
 
@@ -1350,15 +1353,20 @@ def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"unix_micros(cast(ts as timestamp)) div {DAY_US}").alias("d"),
         "user_id",
     ).distinct()
-    return a.groupBy("mo").agg(
-        F.countDistinct("user_id").alias("mau"),
-        F.countDistinct("d").alias("active_days"),
-        F.count(F.lit(1)).alias("user_days"),
-        F.round(
-            F.count(F.lit(1)).cast("double")
-            / (F.countDistinct("d") * F.countDistinct("user_id")),
-            6,
-        ).alias("stickiness"),
+    return (
+        a.groupBy("mo")
+        .agg(
+            F.countDistinct("user_id").alias("mau"),
+            F.countDistinct("d").alias("active_days"),
+            F.count(F.lit(1)).alias("user_days"),
+        )
+        # exact BIGINT half-up stickiness (the int/int boundary cousin)
+        .select(
+            "mo", "mau", "active_days", "user_days",
+            half_up_ratio(
+                "user_days", "(active_days * mau)", 6
+            ).alias("stickiness"),
+        )
     )
 
 

@@ -94,6 +94,20 @@ def units_to_dollars(name: str) -> F.Column:
     return c.cast("double") / 100
 
 
+def half_up_ratio(num: str, den: str, dp: int) -> F.Column:
+    """round(num/den, dp) in exact BIGINT half-up for integer COLUMN
+    names ``num``, ``den`` (den > 0) — the general form of the 2^a·5^b
+    boundary-cousin fix (an odd numerator over 2^(dp+1) sits on a TRUE
+    (dp+1)-th-decimal half, where the engines' double rounding paths
+    disagree)."""
+    scale = 10**dp
+    return (
+        F.expr(f"(2 * {num} * {scale}L + {den}) div (2 * {den})")
+        .cast("double")
+        / F.lit(float(scale))
+    )
+
+
 def half_up_6dp(num: str, den: str, num_scale: int = 1_000_000) -> F.Column:
     """round(num/(den·10⁶/num_scale), 6) in exact BIGINT half-up — i.e.
     the 6-dp average of an integer sum column over a count column
