@@ -136,9 +136,22 @@ def add_dssp_full_chain(table: DataFrame) -> DataFrame:
     t = t.withColumn("_c", F.sum("_incr").over(seg_w) - F.lit(1))
 
     alphabet = F.array(*[F.lit(a) for a in CHAIN_SUFFIX_ALPHABET])
-    suffixed = F.concat(
-        F.col("CHAIN"), F.element_at(alphabet, (F.col("_c") + 1).cast("int"))
+    # past the end of the alphabet, element_at yields NULL and the
+    # suffixed chain would silently vanish from chains_full filters —
+    # raise the reference's loud IndexError instead (dssp.py parity:
+    # 'Alphabet needs update'; coalesce evaluates raise_error lazily)
+    suffix = F.coalesce(
+        # try_element_at: NULL on out-of-bounds under EVERY ANSI setting
+        # (plain element_at raises an unhelpful index error under ANSI)
+        F.try_element_at(alphabet, (F.col("_c") + 1).cast("int")),
+        F.raise_error(
+            F.lit(
+                "Alphabet needs update: more chain copies than "
+                "CHAIN_SUFFIX_ALPHABET entries"
+            )
+        ),
     )
+    suffixed = F.concat(F.col("CHAIN"), suffix)
     chain_full = F.when(
         (F.col("_c") >= 0) & ~F.col("AA").isin("!", "!*"), suffixed
     ).otherwise(F.col("CHAIN"))

@@ -70,6 +70,30 @@ def _read_ordered_text(spark: SparkSession, filename: str) -> DataFrame:
     )
 
 
+# mmCIF tokenization: whitespace-separated fields where a single- or
+# double-quoted value may embed spaces (PDBx convention — nucleic-acid
+# atom names like "C1'" are double-quoted). Alternation order makes the
+# quoted branches win whenever a token STARTS with a quote; a quote
+# inside a bare token (5'-end etc.) stays in the \S+ branch, per CIF.
+_CIF_TOKEN_RE = "'[^']*'|\"[^\"]*\"|\\S+"
+
+
+def _cif_tokens(col: F.Column) -> F.Column:
+    """Quote-aware mmCIF field array with the quote characters STRIPPED —
+    the distributed twin of the reference's pandas ``quotechar`` parsing
+    (a plain whitespace split keeps the quotes and shifts every column
+    after an embedded-space value; review r8)."""
+    toks = F.regexp_extract_all(col, F.lit(_CIF_TOKEN_RE), 0)
+    return F.transform(
+        toks,
+        lambda t: F.when(
+            (F.length(t) >= 2)
+            & (t.rlike("^'.*'$") | t.rlike('^".*"$')),
+            t.substr(F.lit(2), F.length(t) - 2),
+        ).otherwise(t),
+    )
+
+
 def parse_mmcif_atoms(
     spark: SparkSession,
     filename: str,
@@ -79,24 +103,43 @@ def parse_mmcif_atoms(
 
     The ``_atom_site.*`` header keys (a handful of lines) are collected
     driver-side; the (large) ATOM/HETATM body is a distributed
-    filter + whitespace-split projection, never leaving the JVM.
+    filter + quote-aware-split projection, never leaving the JVM. Glob
+    input is accepted when every file carries the SAME ``_atom_site``
+    header sequence (one shared projection can then parse all files);
+    differing headers raise instead of silently misaligning columns.
     """
     text = _read_ordered_text(spark, filename)
     hdr_rows = (
         text.filter(F.col("value").startswith("_atom_site."))
-        .orderBy("line_no")
-        .select("value")
+        .select("source_file", "line_no", "value")
         .collect()
     )
-    header = [r.value.split(".", 1)[1].strip() for r in hdr_rows]
+    by_file: dict[str, list[tuple[int, str]]] = {}
+    for r in hdr_rows:
+        by_file.setdefault(r.source_file, []).append((r.line_no, r.value))
+    uniq = {
+        tuple(v.split(".", 1)[1].strip() for _, v in sorted(rows))
+        for rows in by_file.values()
+    }
+    if len(uniq) > 1:
+        raise ValueError(
+            f"files under {filename} carry differing _atom_site headers; "
+            "parse them separately (one projection cannot fit both)"
+        )
+    header = list(next(iter(uniq))) if uniq else []
     if not header:
         raise EmptyTableError(f"no _atom_site loop in {filename}")
 
     body = text.filter(
         F.col("value").startswith("ATOM") | F.col("value").startswith("HETATM")
     )
-    arr = F.split(F.trim(F.col("value")), r"\s+")
-    cols = [arr.getItem(i).alias(name) for i, name in enumerate(header)]
+    arr = _cif_tokens(F.trim(F.col("value")))
+    # F.get (NULL past the end), never getItem: Catalyst may reorder a
+    # pushed column predicate (e.g. a chain filter) BEFORE the body
+    # filter, evaluating the accessor on non-body lines with fewer
+    # tokens — under ANSI, getItem then raises INVALID_ARRAY_INDEX on
+    # lines the query was never meant to read
+    cols = [F.get(arr, i).alias(name) for i, name in enumerate(header)]
     table = body.select(*cols, "line_no", "source_file")
 
     table = exclude_columns(table, excluded_cols if excluded_cols is not None else DEFAULT_EXCLUDED_COLS)
@@ -130,7 +173,16 @@ def parse_pdb_atoms(
         line.startswith("MODEL"),
         F.split(F.trim(line), r"\s+").getItem(1),
     )
-    w = W.orderBy("line_no").rowsBetween(W.unboundedPreceding, 0)
+    # partitionBy(source_file): model numbers must not leak across files
+    # of a glob, and the per-file window keeps the carry-forward
+    # distributed instead of funneling the scan through ONE sort task
+    # (review r8 — the module contract at _read_ordered_text promises
+    # exactly this scoping)
+    w = (
+        W.partitionBy("source_file")
+        .orderBy("line_no")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
     annotated = text.withColumn(
         "pdbx_PDB_model_num",
         F.coalesce(F.last(model_marker, ignorenulls=True).over(w), F.lit("1")),
@@ -189,8 +241,32 @@ def mmcif_fields(
     if values and len(values) == len(header):
         data = [tuple(values)]
     else:
-        # loop_ style: data rows follow the header block; re-scan for them
-        text = [r.value for r in spark.read.text(filename).collect()]
+        # loop_ style: data rows follow the header block. Collect ONLY
+        # the block — two tiny min() aggregations find its line range
+        # (first header line → next '#'), so a metadata lookup on a
+        # multi-GB assembly never materializes the atom body on the
+        # driver (review r8: the old path collected the whole file).
+        import re as _re
+
+        lines = with_line_no(spark.read.text(filename))
+        lo = (
+            lines.filter(F.col("value").startswith(prefix))
+            .agg(F.min("line_no").alias("lo"))
+            .collect()[0]["lo"]
+        )
+        if lo is None:
+            raise EmptyTableError(f"no {field_name} fields in {filename}")
+        hi = (
+            lines.filter(
+                (F.col("line_no") > lo) & F.col("value").startswith("#")
+            )
+            .agg(F.min("line_no").alias("hi"))
+            .collect()[0]["hi"]
+        )
+        blk = lines.filter(F.col("line_no") >= lo)
+        if hi is not None:
+            blk = blk.filter(F.col("line_no") < hi)
+        text = [r.value for r in blk.orderBy("line_no").collect()]
         data = []
         in_block = False
         for lin in text:
@@ -204,7 +280,15 @@ def mmcif_fields(
                     if lin.startswith(("#", "loop_")):
                         in_block = False
                     continue
-                toks = lin.split()
+                # quote-aware: a quoted value with an embedded space is
+                # ONE field (the reference parses these via pandas
+                # quotechar; a bare split() mis-counts and drops the row)
+                toks = [
+                    t[1:-1]
+                    if len(t) >= 2 and t[0] == t[-1] and t[0] in "'\""
+                    else t
+                    for t in _re.findall(_CIF_TOKEN_RE, lin)
+                ]
                 if len(toks) == len(header):
                     data.append(tuple(toks))
     if not header or not data:

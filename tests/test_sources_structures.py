@@ -54,3 +54,83 @@ def test_mmcif_pdb_same_coordinates(spark, refdata):
     b = pdb.select("Cartn_x", "Cartn_y", "Cartn_z")
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Review-r8 regressions: quote-aware mmCIF tokens, per-file MODEL scope,
+# glob header validation
+# ---------------------------------------------------------------------------
+
+_MMCIF_HEADER = "\n".join(
+    f"_atom_site.{k}"
+    for k in (
+        "group_PDB id type_symbol label_atom_id label_alt_id label_comp_id "
+        "label_asym_id label_entity_id label_seq_id pdbx_PDB_ins_code "
+        "Cartn_x Cartn_y Cartn_z occupancy B_iso_or_equiv "
+        "auth_seq_id auth_comp_id auth_asym_id auth_atom_id "
+        "pdbx_PDB_model_num"
+    ).split()
+)
+
+
+def _write_mini_cif(path, rows):
+    path.write_text(
+        "data_MINI\nloop_\n" + _MMCIF_HEADER + "\n"
+        + "\n".join(rows) + "\n#\n"
+    )
+
+
+def test_mmcif_quoted_atom_names_strip_quotes(spark, tmp_path):
+    """PDBx double-quotes nucleic-acid atom names ('C1'' etc.): the
+    tokenizer must treat a quoted value as ONE field and strip the
+    quotes — a bare whitespace split keeps them and shifts every later
+    column (review r8; the reference gets this via pandas quotechar)."""
+    f = tmp_path / "mini.cif"
+    _write_mini_cif(
+        f,
+        [
+            'ATOM 1 C "C1\'" . U A 1 1 ? 1.0 2.0 3.0 1.00 10.0 1 U A "C1\'" 1',
+            "ATOM 2 N N . SER A 1 2 ? 4.0 5.0 6.0 1.00 11.0 2 SER A N 1",
+        ],
+    )
+    df = parse_mmcif_atoms(spark, str(f))
+    rows = {int(r["id"]): r for r in df.collect()}
+    assert rows[1]["label_atom_id"] == "C1'"
+    assert abs(float(rows[1]["Cartn_x"]) - 1.0) < 1e-9  # no column shift
+    assert rows[2]["label_atom_id"] == "N"
+
+
+def test_mmcif_glob_differing_headers_raise(spark, tmp_path):
+    import pytest
+
+    a = tmp_path / "a.cif"
+    _write_mini_cif(
+        a, ["ATOM 1 N N . SER A 1 1 ? 1 2 3 1.0 9.0 1 SER A N 1"]
+    )
+    (tmp_path / "b.cif").write_text(
+        "data_B\nloop_\n_atom_site.group_PDB\n_atom_site.id\nATOM 1\n#\n"
+    )
+    with pytest.raises(ValueError, match="differing _atom_site headers"):
+        parse_mmcif_atoms(spark, str(tmp_path / "*.cif"))
+
+
+_PDB_ATOM = (
+    "ATOM      1  N   SER A   1      27.130  14.993   4.179  1.00 10.00"
+    "           N"
+)
+
+
+def test_pdb_glob_model_numbers_do_not_leak_across_files(spark, tmp_path):
+    """A glob where file A is an NMR entry (MODEL 20) and file B carries
+    no MODEL records: B's atoms must default to model '1', not inherit
+    A's marker through an unpartitioned carry-forward window
+    (review r8)."""
+    (tmp_path / "a.pdb").write_text(f"MODEL       20\n{_PDB_ATOM}\nENDMDL\n")
+    (tmp_path / "b.pdb").write_text(f"{_PDB_ATOM}\n")
+    df = parse_pdb_atoms(spark, str(tmp_path / "*.pdb"))
+    by_file = {
+        r["source_file"].rsplit("/", 1)[-1]: r["pdbx_PDB_model_num"]
+        for r in df.select("source_file", "pdbx_PDB_model_num").collect()
+    }
+    assert by_file["a.pdb"] == "20"
+    assert by_file["b.pdb"] == "1"
