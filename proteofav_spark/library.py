@@ -335,6 +335,7 @@ ENSEMBL_TO_UNIPROT_RENAMES: dict[str, str] = {
     "type": "consequenceType",
     "sift": "siftScore",
     "polyphen": "polyphenScore",
+    "minor_allele_frequency": "frequency",
     "residues": "residues",
     "frequency": "frequency",
 }

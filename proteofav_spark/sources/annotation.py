@@ -44,8 +44,17 @@ def _attr_expr(key: str) -> Column:
     # before url_decode, which would otherwise turn it into a space)
     return F.transform(
         matches,
-        lambda kv: F.url_decode(
-            F.regexp_replace(F.regexp_replace(kv, "^[^=]*=", ""), r"\+", "%2B")
+        # try_url_decode + raw fallback: a malformed percent-escape in ONE
+        # attribute (e.g. 'Note=50% identity') must not kill the whole
+        # scan — the reference's urllib.unquote is equally lenient
+        # (review r8: url_decode raises CANNOT_DECODE_URL)
+        lambda kv: F.coalesce(
+            F.try_url_decode(
+                F.regexp_replace(
+                    F.regexp_replace(kv, "^[^=]*=", ""), r"\+", "%2B"
+                )
+            ),
+            F.regexp_replace(kv, "^[^=]*=", ""),
         ),
     ).alias(key)
 

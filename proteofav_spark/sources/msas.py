@@ -159,11 +159,22 @@ def _parse_description(df: DataFrame, seq_format: str) -> DataFrame:
         accession = F.when(uni != "", F.regexp_extract(d, _UNIPROT_FASTA, 2))
         name = F.when(uni != "", F.regexp_extract(d, _UNIPROT_FASTA, 3))
         matched = F.when(uni != "", uni).when(cath_f != "", cath_f).otherwise(gen)
-    else:  # stockholm / generic
+    elif seq_format == "stockholm":
         source = (
             F.when(F.regexp_extract(d, _GENERIC, 1).rlike("^[A-Z0-9]+_"), F.lit("Pfam"))
             .when(gen != "", F.lit("CATH"))
         )
+        collection = F.lit(None).cast("string")
+        version = F.lit(None).cast("string")
+        accession = F.lit(None).cast("string")
+        name = F.lit(None).cast("string")
+        matched = gen
+    else:  # clustal / phylip: generic descriptions only — the reference
+        # routes non-fasta/non-stockholm through
+        # parse_generic_seq_description, whose Source is 'GenericParser'
+        # (proteofav/msas.py:152-157,384); labeling them Pfam/CATH
+        # misattributed a database source (review r8)
+        source = F.when(gen != "", F.lit("GenericParser"))
         collection = F.lit(None).cast("string")
         version = F.lit(None).cast("string")
         accession = F.lit(None).cast("string")
@@ -235,6 +246,10 @@ def read_phylip_records(spark: SparkSession, path: str) -> DataFrame:
         n_seqs = int(head["value"].split()[0])
     except (ValueError, IndexError, AttributeError):
         raise ValueError(f"not a PHYLIP file (bad count header): {path}")
+    if n_seqs <= 0:
+        # 'rn % 0' is NULL in Spark — a zero count would silently produce
+        # one garbage record instead of an error (review r8)
+        raise ValueError(f"not a PHYLIP file (sequence count {n_seqs}): {path}")
     v = F.col("value")
     seq_lines = (
         text.filter(F.col("line_no") > head["line_no"])
@@ -292,14 +307,24 @@ def guess_seq_format(filename: str) -> str | None:
 def read_msas(
     spark: SparkSession,
     filename: str,
-    seq_format: str | None = "fasta",
+    seq_format: str | None = None,
 ) -> DataFrame:
     """Scan an MSA file → one row per aligned sequence with parsed fields.
-    ``seq_format=None`` guesses from the file extension.
+    ``seq_format=None`` (the DEFAULT, reference parity — the old 'fasta'
+    default mis-parsed a .sth passed without an explicit format into an
+    EmptyTableError) guesses from the file extension; format names are
+    case-normalized and unknown names fall back to guessing, exactly
+    like the reference (proteofav/msas.py:44-59).
 
     Parity: read_msas proteofav/msas.py:67-109 (formats: fasta,
-    stockholm, clustal — proteofav/msas.py:32-64).
+    stockholm, clustal — proteofav/msas.py:32-64; + phylip).
     """
+    if seq_format is not None:
+        seq_format = seq_format.lower()
+        if seq_format not in (
+            "fasta", "stockholm", "sth", "clustal", "clw", "phylip", "phy"
+        ):
+            seq_format = None
     if seq_format is None:
         seq_format = guess_seq_format(filename)
         if seq_format is None:

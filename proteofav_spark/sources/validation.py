@@ -55,8 +55,16 @@ def parse_validation_residues(
     path: str,
     excluded_cols: tuple[str, ...] | None = None,
     global_parameters: bool = False,
+    fix_ins_code: bool = True,
+    fix_label_alt_id: bool = True,
 ) -> DataFrame:
-    """Scan validation XML(s) → one row per ModelledSubgroup."""
+    """Scan validation XML(s) → one row per ModelledSubgroup.
+
+    ``fix_ins_code``/``fix_label_alt_id`` (default True, reference
+    parity — proteofav/validation.py:21,57-61,75-100): normalize the
+    icode to mmCIF '?' (missing/blank) and the altcode to mmCIF '.'
+    (missing/blank/'?'), so downstream merges comparing against
+    mmCIF-style codes match (review r8: NULLs matched nothing)."""
     schema = validation_schema()
     names = schema.fieldNames()
 
@@ -89,7 +97,28 @@ def parse_validation_residues(
     )
     table = files.mapInPandas(parse_batch, schema=schema)
     table = exclude_columns(table, excluded_cols)
+    if fix_ins_code and "validation_icode" in table.columns:
+        ic = F.col("validation_icode")
+        table = table.withColumn(
+            "validation_icode",
+            F.when(ic.isNull() | (F.trim(ic) == ""), "?").otherwise(ic),
+        )
+    if fix_label_alt_id and "validation_altcode" in table.columns:
+        ac = F.col("validation_altcode")
+        table = table.withColumn(
+            "validation_altcode",
+            F.when(
+                ac.isNull() | (F.trim(ac) == "") | (ac == "?"), "."
+            ).otherwise(ac),
+        )
     table = constrain_column_types(table, VALIDATION_TYPES)
+    if table.isEmpty():
+        # reference parity (proteofav/validation.py:69-71): an XML with
+        # no ModelledSubgroup elements raises instead of silently
+        # feeding empty joins downstream (review r8)
+        raise EmptyTableError(
+            f"Validation file {path} resulted in an empty table"
+        )
     return table
 
 

@@ -112,6 +112,11 @@ def flatten_uniprot_variants(
     renames = {c: c.replace("feature_", "", 1) for c in df.columns if c.startswith("feature_")}
     for old, new in renames.items():
         df = df.withColumnRenamed(old, new)
+    # the reference unwraps 1-element lists per feature row
+    # (refactor_key_val_singletons, variants.py:642) before type
+    # constraining — column-typed twin: unwrap when NO row is
+    # multi-valued (review r8: this helper existed but was never wired)
+    df = unwrap_singleton_arrays(df)
     df = exclude_columns(df, excluded)
     df = constrain_column_types(df, VARIANT_TYPES)
     if collapse and "xrefs_id" in df.columns:
@@ -137,9 +142,18 @@ def flatten_ensembl_variants(
         df = splitting_up_by_key(df, key="xrefs_id")
         df = merging_down_by_key(df, key="xrefs_id")
     if not synonymous and "consequenceType" in df.columns:
-        df = row_selector(
-            df, "consequenceType", "synonymous_variant", reverse=True, check_empty=False
-        )
+        # parity with the pandas `!=` (reference variants.py:695-698):
+        # NULL consequence rows are KEPT (pandas NaN != value is True),
+        # and a collapsed multi-consequence cell — array type after
+        # merging_down_by_key — is kept wholesale (the reference's tuple
+        # cells never equal the string either); only scalar rows equal
+        # to 'synonymous_variant' drop (review r8: the old row_selector
+        # raised DATATYPE_MISMATCH on array cells and dropped NULLs)
+        if not dict(df.dtypes)["consequenceType"].startswith("array"):
+            df = df.filter(
+                (F.col("consequenceType") != "synonymous_variant")
+                | F.col("consequenceType").isNull()
+            )
     return df
 
 
@@ -151,10 +165,16 @@ def uniprot_vars_ensembl_vars_merger(
     Parity: proteofav/mergers.py:193-219."""
     missing_u = [k for k in VARS_MERGE_KEYS if k not in uniprot_vars.columns]
     missing_e = [k for k in VARS_MERGE_KEYS if k not in ensembl_vars.columns]
-    for k in missing_u:
-        uniprot_vars = uniprot_vars.withColumn(k, F.lit(None).cast("string"))
-    for k in missing_e:
-        ensembl_vars = ensembl_vars.withColumn(k, F.lit(None).cast("string"))
+    if missing_u or missing_e:
+        # reference contract (proteofav/mergers.py:209-216): raise loudly —
+        # fabricating NULL key columns would silently degrade the outer
+        # join into a row-duplicating concat (NULL keys never match)
+        from proteofav_spark.plans.mergers import TableMergerError
+
+        raise TableMergerError(
+            "Not possible to merge UniProt and Ensembl Vars table! "
+            f"Missing merge keys: uniprot={missing_u} ensembl={missing_e}"
+        )
     u = uniprot_vars.withColumn("begin", F.col("begin").cast("string")).withColumn(
         "end", F.col("end").cast("string")
     )

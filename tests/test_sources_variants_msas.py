@@ -150,7 +150,9 @@ def test_read_msas_clustal(spark, tmp_path):
     assert rec["Seq_Format"] == "clustal"
     assert rec["Name"] == "B9LRY6_HALLT"
     assert rec["Start"] == 27 and rec["End"] == 514
-    assert rec["Source"] == "Pfam"
+    # reference parity: non-fasta/non-stockholm formats parse via the
+    # generic description path, Source='GenericParser' (review r8)
+    assert rec["Source"] == "GenericParser"
 
 
 def test_read_msas_phylip(spark, tmp_path):
