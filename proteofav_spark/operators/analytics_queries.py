@@ -23,9 +23,12 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from proteofav_spark.queries import (
     cents as _cents,
+    half_up_6dp as _half_up_6dp,
+    half_up_ratio as _half_up_ratio,
     load,
     register,
     revenue_units as _revenue_u,
+    sql_units_to_dollars as _sql_u_to_dollars,
     units_to_dollars as _u_to_dollars,
 )
 
@@ -145,7 +148,10 @@ def q_agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_star_revenue",
     """
     SELECT n_name,
-           CAST((rev_u + 50) // 100 AS BIGINT) / 100.0 AS revenue,
+           -- sign branch mirrored from units_to_dollars (ADVICE r9)
+           CAST(CASE WHEN rev_u >= 0 THEN (rev_u + 50) // 100
+                     ELSE -((-(rev_u) + 50) // 100) END
+                AS BIGINT) / 100.0 AS revenue,
            n_items
     FROM (
       SELECT n_name,
@@ -512,7 +518,10 @@ Q3_CUTOFF = "1996-07-01"
 
 _SHIP_PRIORITY_SQL = f"""
     SELECT l_orderkey,
-           CAST((rev_u + 50) // 100 AS BIGINT) / 100.0 AS revenue,
+           -- sign branch mirrored from units_to_dollars (ADVICE r9)
+           CAST(CASE WHEN rev_u >= 0 THEN (rev_u + 50) // 100
+                     ELSE -((-(rev_u) + 50) // 100) END
+                AS BIGINT) / 100.0 AS revenue,
            o_orderdate, o_orderpriority
     FROM (
       SELECT l.l_orderkey,
@@ -643,8 +652,10 @@ HIST_BUCKET_CHARS = 200
 
 _DOC_HIST_SQL = f"""
     SELECT lang, bucket, n_docs, total_chars,
-           CAST((2 * total_chars * 1000000 + n_docs) // (2 * n_docs)
-                AS BIGINT) / 1000000.0 AS avg_chars
+           -- HUGEINT numerator: the DuckDB twin of the Spark helper's
+           -- DECIMAL(38,0) widening (2·chars·10⁶ wraps int64 at scale)
+           CAST((2 * CAST(total_chars AS HUGEINT) * 1000000 + n_docs)
+                // (2 * n_docs) AS BIGINT) / 1000000.0 AS avg_chars
     FROM (
       SELECT lang,
              n_chars // {HIST_BUCKET_CHARS} AS bucket,
@@ -662,10 +673,11 @@ def q_docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (length floors/ceilings, packing budgets) before a 100 TB filter
     run. Map-only bucketing + one partial-aggregated groupBy whose
     key space is |langs| × |buckets| — tiny regardless of corpus size;
-    the average rounds in exact BIGINT half-up arithmetic, because
-    round(bigint/bigint, 6) is the documented 2^a·5^b boundary cousin
-    (a 128-doc bucket with an odd char total sits on a TRUE 7th-decimal
-    half — review r8)."""
+    the average rounds in exact half-up arithmetic via the shared
+    helper (round(bigint/bigint, 6) is the documented 2^a·5^b boundary
+    cousin — review r8; the helper's DECIMAL(38,0) numerator also
+    removes the silent 2·chars·10⁶ int64 wrap a 100 TB bucket would hit
+    — ADVICE r8)."""
     d = load(spark, sf_dir, "documents")
     return (
         d.groupBy(
@@ -680,12 +692,7 @@ def q_docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "n_docs",
             "total_chars",
-            (
-                F.expr(
-                    "(2 * total_chars * 1000000 + n_docs) div (2 * n_docs)"
-                ).cast("double")
-                / F.lit(1000000.0)
-            ).alias("avg_chars"),
+            _half_up_6dp("total_chars", "n_docs").alias("avg_chars"),
         )
     )
 
@@ -2647,4 +2654,102 @@ def q_probe_round_pow2_sixth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("odd_num"),
         (F.expr("(n * 2000000 + 128) div 256").cast("double") / 1000000)
         .alias("ratio6"),
+    )
+
+
+_PROBE_SIGNED_MONEY_SQL = f"""
+    WITH g AS (
+      SELECT l_returnflag,
+             (CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS BIGINT) // 100) * 100 + 50 AS b
+      FROM lineitem GROUP BY l_returnflag),
+    u AS (
+      SELECT l_returnflag, b AS s FROM g
+      UNION ALL
+      SELECT l_returnflag, -b FROM g)
+    SELECT l_returnflag,
+           CAST(s AS BIGINT) AS units_signed,
+           {_sql_u_to_dollars('s')} AS dollars
+    FROM u
+"""
+
+
+@register("probe_signed_money_round", _PROBE_SIGNED_MONEY_SQL)
+def q_probe_signed_money_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tripwire probe for the SIGNED half of the money-rounding contract
+    (ADVICE r9): ``units_to_dollars`` rounds half AWAY FROM ZERO, but
+    until r9 every paired oracle emitted bare floor division, so the
+    contract was unverified (and silently divergent) for negative unit
+    sums — none of which occur in today's revenue data. The probe forces
+    a .xx5 boundary unit sum per group (``b ≡ 50 mod 100``) and emits
+    BOTH ``+b`` and ``−b`` through the Spark helper and its new
+    sign-mirrored SQL twin (:func:`sql_units_to_dollars`), so every row
+    exercises one branch on a true half: floor division on the negative
+    rows would be one cent off on all of them. Scale shape: one
+    map-side-partial groupBy + a 2-row explode per group — a probe."""
+    li = load(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(F.sum(_revenue_u()).alias("su"))
+    b = g.select(
+        "l_returnflag", (F.expr("su div 100") * 100 + 50).alias("b")
+    )
+    two = b.select(
+        "l_returnflag",
+        F.explode(F.array(F.col("b"), -F.col("b"))).alias("s"),
+    )
+    return two.select(
+        "l_returnflag",
+        F.col("s").alias("units_signed"),
+        _u_to_dollars("s").alias("dollars"),
+    )
+
+
+_PROBE_WIDE_UNITS_SQL = """
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(n_chars) AS BIGINT) * 10000000000 + 1 AS wide_num,
+             CAST(count(*) AS BIGINT) AS den
+      FROM documents GROUP BY source)
+    SELECT source,
+           CAST(wide_num AS BIGINT) AS wide_num,
+           den,
+           CAST((2 * CAST(wide_num AS HUGEINT) * 1000000 + den)
+                // (2 * den) AS BIGINT) / 1000000.0 AS ratio6
+    FROM s
+"""
+
+
+@register("probe_half_up_wide_units", _PROBE_WIDE_UNITS_SQL)
+def q_probe_half_up_wide_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tripwire probe for the int64-overflow guard on the shared half-up
+    helpers (ADVICE r8, medium): ``half_up_ratio``/``half_up_6dp`` now
+    compute the scaled numerator in DECIMAL(38,0), because the old
+    BIGINT ``2·num·10⁶`` overflowed int64 once num passed ~4.6e12 —
+    trivially exceeded by group char sums at the 100 TB target
+    (ANSI mode, the Spark 4 default here, ABORTS the job on that
+    overflow; legacy non-ANSI wraps silently — verified: the old
+    expression throws ARITHMETIC_OVERFLOW on this very probe). The
+    probe widens each source's char sum by 10¹⁰
+    (``wide_num = SUM(n_chars)·10¹⁰ + 1``, odd, ≥ 6e13 even at
+    sf0.001's ~6.3e3-char source minimum), putting the helper's
+    internal product at ~10²⁰ — >13× past the int64 wrap point at
+    EVERY sweep scale, so reverting the decimal widening
+    hash-mismatches this probe immediately instead of waiting for a
+    100 TB corpus (the DuckDB twin computes in HUGEINT). The BIGINT
+    quotient stays safe: avg_chars·10¹⁶ ≤ 3.7e18 < 2⁶³ on every corpus
+    with mean doc length under ~920 chars (driver corpora: ≤367).
+    Scale shape: one |sources|-group map-side-partial aggregate — a
+    probe."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        (F.sum("n_chars").cast("long") * F.lit(10_000_000_000) + 1).alias(
+            "wide_num"
+        ),
+        F.count(F.lit(1)).alias("den"),
+    )
+    return s.select(
+        "source",
+        "wide_num",
+        "den",
+        _half_up_ratio("wide_num", "den", 6).alias("ratio6"),
     )

@@ -208,7 +208,10 @@ def _repetition_raw_cols() -> tuple:
 # HALF_UP and DuckDB's binary rounding can disagree by 1e-6 and flip the
 # keep verdict. Integer half-up never diverges. count*2/n over-counts
 # overlapping occurrences ("x x x x": 3 bigram hits × 2 > 4 tokens) —
-# capped at 10^6 so the metric stays a fraction.
+# capped at 10^6 so the metric stays a fraction. BIGINT is safe HERE
+# (unlike the group-sum helpers, widened to DECIMAL(38,0) in r9): every
+# numerator is a PER-DOCUMENT count, so ·4e6 wraps only past a 2.3e12-
+# token single document — not reachable from an in-memory string.
 _TOP6 = (
     "least(1000000L, (_maxrun2 * 4000000L + greatest(n_tokens, 1L))"
     " div (2L * greatest(n_tokens, 1L)))"
@@ -535,12 +538,17 @@ _MIX_SQL = f"""
       FROM documents GROUP BY source),
     s2 AS (
       SELECT source, n_orig,
-             CAST((sc * 2000000000 + n_orig) // (2 * n_orig) AS BIGINT) AS a9
+             -- HUGEINT numerators: the DuckDB twin of the Spark side's
+             -- DECIMAL(38,0) widening (sc·2e9 wraps int64 past ~4.6e9
+             -- total chars per source — ADVICE r8, medium)
+             CAST((CAST(sc AS HUGEINT) * 2000000000 + n_orig)
+                  // (2 * n_orig) AS BIGINT) AS a9
       FROM s),
     r AS (
       SELECT source, n_orig,
              CAST(least(1000000,
-                        (a9 * 2000000 + (SELECT max(a9) FROM s2))
+                        (CAST(a9 AS HUGEINT) * 2000000
+                         + (SELECT max(a9) FROM s2))
                         // (2 * (SELECT max(a9) FROM s2))) AS BIGINT)
                  / 1000000.0 AS rate
       FROM s2),
@@ -571,8 +579,12 @@ def q_source_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs DuckDB binary rounding), and the rate feeds the acceptance
     FILTER, so a one-ulp disagreement would flip n_sampled. The 9-dp
     intermediate bounds the drift from the true mean ratio at 1e-9
-    relative while keeping every product under 2^63 up to ~4·10^9 total
-    chars per source (move to decimal(38,0) beyond that)."""
+    relative; both scaled numerators compute in DECIMAL(38,0) (DuckDB
+    twin: HUGEINT), because the old BIGINT products overflowed int64
+    past ~4.6e9 total chars per source / ~4.6e12 a9 — bounds a 100 TB
+    corpus exceeds trivially (ADVICE r8, medium: ANSI mode, the Spark 4
+    default here, aborts the job on that overflow; legacy non-ANSI
+    silently corrupts the rate feeding the acceptance FILTER)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     s = d.groupBy("source").agg(
         F.count("*").alias("n_orig"),
@@ -581,7 +593,10 @@ def q_source_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = s.select(
         "source",
         "n_orig",
-        F.expr("(sc * 2000000000L + n_orig) div (2L * n_orig)").alias("a9"),
+        F.expr(
+            "(CAST(sc AS DECIMAL(38,0)) * 2000000000 + n_orig)"
+            " div (2 * n_orig)"
+        ).alias("a9"),
     )
     mx = s2.agg(F.max("a9").alias("ma9"))
     rates = s2.crossJoin(F.broadcast(mx)).select(
@@ -589,7 +604,8 @@ def q_source_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orig",
         (
             F.expr(
-                "least(1000000L, (a9 * 2000000L + ma9) div (2L * ma9))"
+                "least(1000000L, (CAST(a9 AS DECIMAL(38,0)) * 2000000"
+                " + ma9) div (2 * ma9))"
             ).cast("double")
             / F.lit(1000000.0)
         ).alias("rate"),

@@ -199,7 +199,15 @@ def _store_has_codes(spark: SparkSession, path: str) -> bool:
     lists-tree schema inference never re-runs per append. True→False
     never happens in place (only a full :func:`build_ivf_store`
     rewrite, which repopulates meta and this cache on its own write
-    path), so True stays cacheable."""
+    path), so True stays cacheable.
+
+    Any UNREADABLE meta keeps the cached False (ADVICE r9): besides a
+    missing directory (AnalysisException), a concurrent meta rewrite
+    caught mid-commit can present an existing directory with ZERO
+    readable rows — ``collect()[0]`` would IndexError and crash every
+    subsequent append, when the correct behavior is the same as for a
+    missing meta: fall back to the last known flag and pick the rewrite
+    up on the next append."""
     from pyspark.errors import AnalysisException
 
     has = _STORE_CODES_CACHE.get(path)
@@ -210,13 +218,15 @@ def _store_has_codes(spark: SparkSession, path: str) -> bool:
         try:
             spark.catalog.refreshByPath(f"{path}/meta")
             meta = spark.read.parquet(f"{path}/meta")
-            row = meta.collect()[0]
-            has = (
-                bool(row["has_codes"])
-                if "has_codes" in meta.schema.fieldNames()
-                else False
-            )
-            _STORE_CODES_CACHE[path] = has
+            rows = meta.collect()
+            if rows:
+                has = (
+                    bool(rows[0]["has_codes"])
+                    if "has_codes" in meta.schema.fieldNames()
+                    else False
+                )
+                _STORE_CODES_CACHE[path] = has
+            # else: zero-row meta (mid-commit rewrite) — cached False stands
         except AnalysisException:
             pass  # no meta on disk: legacy store, cached False stands
     return has
@@ -229,20 +239,27 @@ def _load_store_meta(spark: SparkSession, path: str) -> None:
     data tree."""
     from pyspark.errors import AnalysisException
 
+    rows = []
     try:
         # the meta table may have been rewritten by ANOTHER process
         # (backfill_codes from a maintenance slot): drop this session's
         # cached file listing or the read chases deleted part-files
         spark.catalog.refreshByPath(f"{path}/meta")
         meta = spark.read.parquet(f"{path}/meta")
-        row = meta.collect()[0]
-        ddl = row["embedding_type"]
+        rows = meta.collect()
+    except AnalysisException:
+        pass
+    if rows:
+        ddl = rows[0]["embedding_type"]
         has = (
-            bool(row["has_codes"])
+            bool(rows[0]["has_codes"])
             if "has_codes" in meta.schema.fieldNames()
             else False
         )
-    except AnalysisException:
+    else:
+        # no meta (legacy store) OR a meta dir with zero readable rows
+        # (mid-commit concurrent rewrite — ADVICE r9): one full lists
+        # schema inference, same as the pre-meta path
         schema = spark.read.parquet(f"{path}/lists").schema
         ddl = schema["embedding"].dataType.simpleString()
         has = "codes" in schema.fieldNames()

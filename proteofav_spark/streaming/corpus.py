@@ -251,10 +251,16 @@ def jsonl_ingest_merger(store_path: str, quarantine_path: str | None = None):
     it silently would violate the nothing-vanishes contract).
 
     Without ``quarantine_path`` the reject rows are NOT retained: they
-    are counted per batch and the drop is logged to stderr, so the
-    nothing-vanishes contract degrades to nothing-vanishes-UNCOUNTED.
-    Pass a quarantine path whenever the reject payloads themselves must
-    survive (replayable from the source files otherwise).
+    are counted per batch, the drop is logged to stderr, AND the count
+    accumulates on the returned callable itself
+    (``merger.rejects_dropped``, total rows across batches;
+    ``merger.reject_batches`` maps batch_id → count) — a programmatic
+    metrics surface so an ingest driver can alert on reject volume
+    without scraping stderr (ADVICE r8/r9 contract-honesty item). The
+    nothing-vanishes contract thus degrades to
+    nothing-vanishes-UNRETAINED, never to uncounted. Pass a quarantine
+    path whenever the reject payloads themselves must survive
+    (replayable from the source files otherwise).
 
     Identity: ``doc_id`` hashes TEXT ALONE here, because the store's
     dedup key is sha2(text) — content identity. Two differently-labeled
@@ -301,9 +307,12 @@ def jsonl_ingest_merger(store_path: str, quarantine_path: str | None = None):
             else:
                 # no quarantine configured: rejects are dropped, but never
                 # silently — the batch is cached, so this count is a cheap
-                # second scan, and the drop leaves an auditable trace
+                # second scan, and the drop leaves an auditable trace on
+                # stderr AND on the merger callable (metrics surface)
                 n_rej = rejects.count()
                 if n_rej:
+                    merge.rejects_dropped += n_rej
+                    merge.reject_batches[batch_id] = n_rej
                     print(
                         f"# jsonl_ingest batch {batch_id}: dropped {n_rej} "
                         "reject row(s) (corrupt/null-text; no "
@@ -318,6 +327,8 @@ def jsonl_ingest_merger(store_path: str, quarantine_path: str | None = None):
         finally:
             batch_df.unpersist()
 
+    merge.rejects_dropped = 0
+    merge.reject_batches = {}
     return merge
 
 
@@ -337,19 +348,23 @@ def run_jsonl_ingest(
 
     ``quarantine_path=None`` (the default) DROPS reject rows instead of
     retaining them — counted and logged per batch, never silent (see
-    :func:`jsonl_ingest_merger`). Set it whenever reject payloads must
-    be inspectable after the run."""
+    :func:`jsonl_ingest_merger`); the returned query carries the merger
+    as ``query.ingest_merger`` so callers can read
+    ``ingest_merger.rejects_dropped`` after ``awaitTermination()``
+    instead of scraping stderr. Set ``quarantine_path`` whenever reject
+    payloads must be inspectable after the run."""
     from proteofav_spark.sources.corpus import DOCUMENTS_SCHEMA
 
     stream = read_jsonl_stream(spark, src_path, DOCUMENTS_SCHEMA)
-    return (
-        stream.writeStream.foreachBatch(
-            jsonl_ingest_merger(store_path, quarantine_path)
-        )
+    merger = jsonl_ingest_merger(store_path, quarantine_path)
+    query = (
+        stream.writeStream.foreachBatch(merger)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
+    query.ingest_merger = merger
+    return query
 
 
 # ---------------------------------------------------------------------------

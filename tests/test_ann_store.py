@@ -751,3 +751,48 @@ def test_backfill_rerun_with_fully_coded_lists_fixes_meta_cheaply(
     assert files_after == files_before  # no list rewrite
     A._STORE_CODES_CACHE.pop(path, None)
     assert A._store_has_codes(spark, path) is True
+
+
+def test_append_survives_zero_row_meta(spark, tmp_path):
+    """ADVICE r9: a meta directory that exists but yields ZERO rows (a
+    concurrent meta rewrite caught mid-commit) must keep the cached
+    flag and let the append proceed — the old ``collect()[0]`` raised
+    IndexError and crashed every subsequent append."""
+    from proteofav_spark.plans import ann_store as A
+
+    path = str(tmp_path / "ivf")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    A.build_ivf_store(e, path)
+    # pre-codes store with a correctly-cached False flag
+    old = (
+        spark.read.parquet(f"{path}/lists").drop("codes").localCheckpoint()
+    )
+    old.write.mode("overwrite").partitionBy("list_label").parquet(
+        f"{path}/lists"
+    )
+    meta_schema = "embedding_type string, has_codes boolean"
+    spark.createDataFrame(
+        [(A._store_embed_type(spark, path), False)], meta_schema
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    A._STORE_CODES_CACHE[path] = False
+    spark.catalog.refreshByPath(f"{path}/lists")
+
+    # mid-commit rewrite: meta dir present, zero readable rows
+    spark.createDataFrame([], meta_schema).write.mode("overwrite").parquet(
+        f"{path}/meta"
+    )
+    A.append_ivf_store(  # must not raise
+        spark,
+        path,
+        e.where(F.col("vec_id") < 3).select(
+            (F.col("vec_id") + 40_000).alias("vec_id"), "embedding"
+        ),
+    )
+    lists = spark.read.parquet(f"{path}/lists")
+    assert lists.where(F.col("vec_id") >= 40_000).count() == 3
+    assert "codes" not in lists.schema.fieldNames()  # pre-codes layout kept
+    # cold-cache load under the same zero-row meta: falls back to lists
+    # schema inference instead of IndexError
+    A._STORE_CODES_CACHE.pop(path, None)
+    A._EMBED_TYPE_CACHE.pop(path, None)
+    assert A._store_has_codes(spark, path) is False

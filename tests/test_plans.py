@@ -14,7 +14,10 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name: str) -> str:
-    df = all_queries()[name](spark, SF)
+    # include_retired: retired twins left the DRIVER catalog (capacity
+    # policy, r9) but bench.py still times them — the plan invariants
+    # keep applying to every runnable query
+    df = all_queries(include_retired=True)[name](spark, SF)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("extended")
     )
@@ -26,7 +29,7 @@ def test_no_cartesian_products_anywhere(spark):
     bounded by the broadcast size; a CartesianProduct shuffles both
     sides and is never acceptable at scale."""
     offenders = []
-    for name in all_queries():
+    for name in all_queries(include_retired=True):
         if _plan_has(spark, name, "CartesianProduct"):
             offenders.append(name)
     assert offenders == [], offenders
@@ -37,7 +40,7 @@ def test_no_row_at_a_time_python_udfs(spark):
     (ArrowEvalPython / mapInPandas); plain BatchEvalPython is the
     row-at-a-time serialization path, ~10-100x slower."""
     offenders = []
-    for name in all_queries():
+    for name in all_queries(include_retired=True):
         if _plan_has(spark, name, "BatchEvalPython"):
             offenders.append(name)
     assert offenders == [], offenders
@@ -62,7 +65,7 @@ def test_no_unpartitioned_global_sorts(spark):
     ``Sort [...], true`` is therefore only acceptable when the physical
     plan shows it collapsed into TakeOrderedAndProject."""
     offenders = []
-    for name in all_queries():
+    for name in all_queries(include_retired=True):
         plan = _full_plan(spark, name)
         if re.search(r"Sort \[[^\]]+\], true", plan) and (
             "TakeOrderedAndProject" not in plan
@@ -83,7 +86,7 @@ def test_no_unpartitioned_windows(spark):
     spec_re = re.compile(
         r"windowspecdefinition\(([^()]*(?:\([^()]*\))?[^()]*)\)"
     )
-    for name in all_queries():
+    for name in all_queries(include_retired=True):
         plan = _full_plan(spark, name)
         for m in spec_re.finditer(plan):
             first = m.group(1).split(",")[0]

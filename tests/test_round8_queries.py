@@ -149,6 +149,10 @@ def test_jsonl_ingest_no_quarantine_counts_drops(spark, tmp_path, capfd):
     assert not (tmp_path / "quarantine").exists()
     err = capfd.readouterr().err
     assert "dropped 2 reject row(s)" in err
+    # r9: the count is also a programmatic metrics surface — no stderr
+    # scraping needed to alert on reject volume
+    assert q.ingest_merger.rejects_dropped == 2
+    assert sum(q.ingest_merger.reject_batches.values()) == 2
 
 
 # ---------------------------------------------------------------------------

@@ -171,13 +171,27 @@ def normalize(rows, cols):
 
 def main() -> int:
     global EXACT
-    args = [a for a in sys.argv[1:] if a != "--exact"]
-    EXACT = "--exact" in sys.argv[1:]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    EXACT = "--exact" in flags
+    include_retired = "--include-retired" in flags
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
-    from __spark_entry__ import oracle_sql, queries
     from proteofav_spark.session import get_spark
+
+    if include_retired:
+        # retired twins left the DRIVER catalog (capacity policy, r9)
+        # but stay oracle-checkable here and in CI
+        from proteofav_spark.queries import all_oracles, all_queries
+
+        def queries():
+            return all_queries(include_retired=True)
+
+        def oracle_sql():
+            return all_oracles(include_retired=True)
+    else:
+        from __spark_entry__ import oracle_sql, queries
 
     spark = get_spark(
         "oracle_check", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8")
