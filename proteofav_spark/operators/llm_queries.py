@@ -1668,10 +1668,13 @@ def q_embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned against an independent engine. Only the cluster id is
     emitted: the distance scalar's summation ORDER differs between
     numpy's dim-ordered fold and SQL's unordered SUM, which is exactly
-    the last-ulp divergence the argmin is robust to (seed vectors are
-    pairwise distinct — verified at every testdata SF — so inter-cluster
-    margins are astronomically larger than 1 ulp) but a hashed float
-    column would not be. The Lloyd ITERATION stays numpy-pinned in
+    the last-ulp divergence the argmin is robust to — PROVIDED every
+    vector's best/second-best margin dwarfs that noise. That data
+    property is no longer assumed: it is ENFORCED as an invariant
+    (tests/test_round9_queries.py pins pairwise-distinct seeds and a
+    ≥1e-6 relative margin at every sweep SF — ADVICE r9), so a
+    regenerated corpus with a near-equidistant vector fails CI with a
+    clear message instead of making this driver row flaky. The Lloyd ITERATION stays numpy-pinned in
     tests (fixed seeds / iterations / tie-breaks); this row makes the
     kernel itself driver-attestable. Scale shape: k×DIM driver-scalar
     seeds (bounded collect, same contract as the Lloyd loop) shipped

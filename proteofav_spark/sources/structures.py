@@ -75,7 +75,17 @@ def _read_ordered_text(spark: SparkSession, filename: str) -> DataFrame:
 # atom names like "C1'" are double-quoted). Alternation order makes the
 # quoted branches win whenever a token STARTS with a quote; a quote
 # inside a bare token (5'-end etc.) stays in the \S+ branch, per CIF.
-_CIF_TOKEN_RE = "'[^']*'|\"[^\"]*\"|\\S+"
+# Terminator-aware (ADVICE r9): CIF ends a quoted value only at a quote
+# FOLLOWED BY whitespace/EOL, so an embedded quote ('it's ok') stays
+# inside the field — the (?:'[^\s][^']*)* arm consumes quote+non-space
+# continuations and the (?=\s|$) lookahead pins the real terminator;
+# the old first-closing-quote pattern split such values into multiple
+# fields and shifted every later column.
+_CIF_TOKEN_RE = (
+    r"'[^']*(?:'[^\s][^']*)*'(?=\s|$)"
+    r'|"[^"]*(?:"[^\s][^"]*)*"(?=\s|$)'
+    r"|\S+"
+)
 
 
 def _cif_tokens(col: F.Column) -> F.Column:

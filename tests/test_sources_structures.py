@@ -100,6 +100,31 @@ def test_mmcif_quoted_atom_names_strip_quotes(spark, tmp_path):
     assert rows[2]["label_atom_id"] == "N"
 
 
+def test_mmcif_quoted_value_with_embedded_quote(spark, tmp_path):
+    """CIF terminates a quoted value only at quote + WHITESPACE (or
+    EOL), so an embedded quote ('it's ok' style, here in a comp id)
+    stays inside ONE field. The pre-r9 tokenizer ended the field at the
+    first closing quote regardless, splitting such values and shifting
+    every later column — the exact failure mode the quote-aware
+    tokenizer exists to prevent (ADVICE r9)."""
+    f = tmp_path / "mini.cif"
+    _write_mini_cif(
+        f,
+        [
+            # label_comp_id = "A'B C" via embedded-quote single quoting
+            "ATOM 1 C CA . 'A'B C' A 1 1 ? 1.0 2.0 3.0 1.00 10.0 "
+            "1 'A'B C' A CA 1",
+            "ATOM 2 N N . SER A 1 2 ? 4.0 5.0 6.0 1.00 11.0 2 SER A N 1",
+        ],
+    )
+    df = parse_mmcif_atoms(spark, str(f))
+    rows = {int(r["id"]): r for r in df.collect()}
+    assert rows[1]["label_comp_id"] == "A'B C"
+    assert abs(float(rows[1]["Cartn_x"]) - 1.0) < 1e-9  # no column shift
+    assert rows[1]["pdbx_PDB_model_num"] == "1"
+    assert rows[2]["label_comp_id"] == "SER"
+
+
 def test_mmcif_glob_differing_headers_raise(spark, tmp_path):
     import pytest
 
