@@ -26,6 +26,11 @@ class GenericSource:
     name = "generic"
     db_attr = "db_lake"
     ext = ""
+    #: kwarg names ``select()`` must route to ``download()``/``url()``
+    #: instead of ``read()`` (review r9: bio_unit etc. previously never
+    #: reached the URL builder from select, so a bio-unit select read
+    #: the cached asym-unit file)
+    url_kwargs: tuple[str, ...] = ()
 
     def __init__(self, spark: SparkSession | None = None) -> None:
         self._spark = spark
@@ -58,13 +63,17 @@ class GenericSource:
         if filename is not None:
             self._filename = filename
         if self._filename is None and self._identifier is not None:
-            cache_dir = getattr(defaults, self.db_attr)
-            self._filename = os.path.join(
-                cache_dir, f"{self._identifier}{self.ext}"
-            )
+            self._filename = self.staged_path(self._identifier)
         if self._filename is None:
             raise ValueError("A filename is needed!")
         return self._filename
+
+    def staged_path(self, identifier: str, **url_kwargs) -> str:
+        """Cache path an identifier stages under; sources whose URL
+        kwargs change the artifact (mmCIF bio units, MSA formats)
+        override this so distinct artifacts never share a cache file."""
+        cache_dir = getattr(defaults, self.db_attr)
+        return os.path.join(cache_dir, f"{identifier}{self.ext}")
 
     def table(self, table: DataFrame | None = None) -> DataFrame:
         if table is not None:
@@ -95,19 +104,46 @@ class GenericSource:
 
     def select(self, identifier: str | None = None, overwrite: bool = False,
                **kwargs) -> DataFrame:
+        """download-if-missing → read → filter pipeline. Review r9
+        fixes, both parity divergences from the reference select_*
+        functions (e.g. proteofav/structures.py:739-774):
+        - ``overwrite=True`` now RE-downloads an already-staged file
+          (the reference always reaches Downloader, whose overwrite
+          branch re-fetches; the old guard skipped download entirely);
+        - kwargs named in ``url_kwargs`` route to download()/url() and
+          into ``staged_path`` (a bio-unit select previously built the
+          asym-unit URL and cache name)."""
         ident = self.identifier(identifier)
-        fname = self.filename()
-        if not os.path.exists(fname):
-            self.download(ident, fname, overwrite=overwrite)
+        url_kw = {
+            k: kwargs.pop(k) for k in tuple(kwargs) if k in self.url_kwargs
+        }
+        # select() ALWAYS derives the cache path from the identifier +
+        # url kwargs, like the reference's select_* functions (which
+        # never consult a memoized filename) — url kwargs select a
+        # DIFFERENT artifact (bio unit, fasta MSA) and two artifacts
+        # must never share a cache file. Custom local paths go through
+        # read()/filename() directly, as in the reference.
+        self._filename = fname = self.staged_path(ident, **url_kw)
+        if overwrite or not os.path.exists(fname):
+            self.download(ident, overwrite=overwrite, **url_kw)
         self._table = self.read(fname, **kwargs)
         return self._table
 
 
 class _MMCIF(GenericSource):
     name, db_attr, ext = "mmcif", "db_mmcif", ".cif"
+    url_kwargs = ("bio_unit",)
 
     def url(self, identifier, bio_unit=False):
         return fetchers.url_mmcif(identifier, bio_unit=bio_unit)
+
+    def staged_path(self, identifier, bio_unit=False, **url_kwargs):
+        """Bio units stage as ``<id>_bio.cif`` (parity:
+        proteofav/structures.py:756) — a bio-unit select must never
+        read or clobber the asym-unit cache file."""
+        cache_dir = getattr(defaults, self.db_attr)
+        stem = f"{identifier}_bio" if bio_unit else identifier
+        return os.path.join(cache_dir, f"{stem}{self.ext}")
 
     def read(self, filename=None, **kwargs):
         from proteofav_spark.operators.structures import select_structures
@@ -122,6 +158,7 @@ class _MMCIF(GenericSource):
 
 class _PDB(_MMCIF):
     name, db_attr, ext = "pdb", "db_pdb", ".pdb"
+    url_kwargs = ()  # the PDB-format endpoint serves no bio units
 
     def url(self, identifier, **kwargs):
         return fetchers.url_pdb(identifier)
@@ -200,9 +237,17 @@ class _Variants(GenericSource):
 
 class _MSA(GenericSource):
     name, db_attr, ext = "msa", "db_msas", ".sth"
+    url_kwargs = ("aln_source", "seq_format", "aln_size")
 
     def url(self, identifier, aln_source="pfam", **kwargs):
         return fetchers.url_msa(identifier, aln_source=aln_source, **kwargs)
+
+    def staged_path(self, identifier, seq_format=None, **url_kwargs):
+        """Stage under an extension matching the ACTUAL format so
+        read()'s extension guessing parses correctly."""
+        ext = ".fasta" if seq_format == "fasta" else ".sth"
+        cache_dir = getattr(defaults, self.db_attr)
+        return os.path.join(cache_dir, f"{identifier}{ext}")
 
     def download(self, identifier=None, filename=None, overwrite=False,
                  aln_source="pfam", seq_format="stockholm", **kwargs):

@@ -51,7 +51,14 @@ def fetch_from_url_or_retry(
 
 class Downloader:
     """Download to a local cache path, optional gzip decompress, skip when
-    present (parity: proteofav/utils.py:402-454)."""
+    present (parity: proteofav/utils.py:402-454).
+
+    The cache file appears ATOMICALLY (staged as ``<filename>.part[.gz]``,
+    then one ``os.replace``) — review r9: the old path wrote the final
+    name directly, so a crash mid-write stranded a truncated file that
+    every later call treated as already-staged (``exists and not
+    overwrite``) and silently parsed. A leftover ``.part`` from a crash
+    is simply overwritten by the next attempt."""
 
     def __init__(
         self, url: str, filename: str, decompress: bool = False, overwrite: bool = False
@@ -60,17 +67,25 @@ class Downloader:
         self.filename = filename
         if os.path.exists(filename) and not overwrite:
             return
-        if url.startswith("file://"):
-            src = url[len("file://"):]
-            shutil.copyfile(src, filename + (".gz" if decompress else ""))
-        else:
-            data = fetch_from_url_or_retry(url)
-            with open(filename + (".gz" if decompress else ""), "wb") as fh:
-                fh.write(data)
-        if decompress:
-            with gzip.open(filename + ".gz", "rb") as zin, open(filename, "wb") as out:
-                shutil.copyfileobj(zin, out)
-            os.remove(filename + ".gz")
+        part = filename + ".part"
+        staged = part + (".gz" if decompress else "")
+        try:
+            if url.startswith("file://"):
+                src = url[len("file://"):]
+                shutil.copyfile(src, staged)
+            else:
+                data = fetch_from_url_or_retry(url)
+                with open(staged, "wb") as fh:
+                    fh.write(data)
+            if decompress:
+                with gzip.open(staged, "rb") as zin, open(part, "wb") as out:
+                    shutil.copyfileobj(zin, out)
+                os.remove(staged)
+            os.replace(part, filename)
+        finally:
+            for leftover in (part, part + ".gz"):
+                if os.path.exists(leftover):
+                    os.remove(leftover)
 
 
 # --- URL builders (public endpoints; parity cited in module docstring) ----

@@ -40,7 +40,13 @@ def atoms_canonical_schema() -> T.StructType:
 def _parse_mmcif_text(text: str, fname: str) -> list[dict]:
     """Single-document mmCIF _atom_site parse (executor-side, one file per
     row of the wholetext scan). Same record semantics as
-    sources/structures.parse_mmcif_atoms."""
+    sources/structures.parse_mmcif_atoms — including the SAME quote-aware
+    tokenizer (review r9: this bulk path was still a bare ``str.split()``,
+    so a quoted atom name like \"C1'\" split into extra fields and shifted
+    every later column — the exact bug the interactive parser fixed in
+    r8; both paths now share ``cif_split_py``)."""
+    from proteofav_spark.sources.structures import cif_split_py
+
     header: list[str] = []
     rows: list[dict] = []
     entry_id = re.sub(r"\.(cif|mmcif)(\.gz)?$", "", os.path.basename(fname))
@@ -49,7 +55,7 @@ def _parse_mmcif_text(text: str, fname: str) -> list[dict]:
         if raw.startswith("_atom_site."):
             header.append(raw.split(".", 1)[1].strip())
         elif raw.startswith(("ATOM", "HETATM")):
-            toks = raw.split()
+            toks = cif_split_py(raw)
             rec = dict(zip(header, toks))
             rec["line_no"] = line_no
             rec["source_file"] = fname

@@ -88,6 +88,23 @@ _CIF_TOKEN_RE = (
 )
 
 
+def cif_split_py(line: str) -> list[str]:
+    """Python twin of :func:`_cif_tokens` for executor-/driver-side
+    parsers (the mmCIF key-value block scan below; the bulk lake ingest
+    in plans/lake.py): SAME regex, SAME outer-quote strip, so the two
+    ingest paths can never tokenize one line differently (review r9 —
+    the lake path was still a bare ``str.split()`` and shifted columns
+    on quoted atom names)."""
+    import re as _re
+
+    return [
+        t[1:-1]
+        if len(t) >= 2 and t[0] == t[-1] and t[0] in "'\""
+        else t
+        for t in _re.findall(_CIF_TOKEN_RE, line)
+    ]
+
+
 def _cif_tokens(col: F.Column) -> F.Column:
     """Quote-aware mmCIF field array with the quote characters STRIPPED —
     the distributed twin of the reference's pandas ``quotechar`` parsing
@@ -256,8 +273,6 @@ def mmcif_fields(
         # (first header line → next '#'), so a metadata lookup on a
         # multi-GB assembly never materializes the atom body on the
         # driver (review r8: the old path collected the whole file).
-        import re as _re
-
         lines = with_line_no(spark.read.text(filename))
         lo = (
             lines.filter(F.col("value").startswith(prefix))
@@ -293,12 +308,7 @@ def mmcif_fields(
                 # quote-aware: a quoted value with an embedded space is
                 # ONE field (the reference parses these via pandas
                 # quotechar; a bare split() mis-counts and drops the row)
-                toks = [
-                    t[1:-1]
-                    if len(t) >= 2 and t[0] == t[-1] and t[0] in "'\""
-                    else t
-                    for t in _re.findall(_CIF_TOKEN_RE, lin)
-                ]
+                toks = cif_split_py(lin)
                 if len(toks) == len(header):
                     data.append(tuple(toks))
     if not header or not data:

@@ -212,3 +212,138 @@ def test_cli_end_to_end(spark, refdata, tmp_path):
     assert "auth_seq_id_full" in header and "RES_FULL" in header
     n_lines = sum(1 for _ in open(files[0])) - 1
     assert n_lines == 278
+
+
+# ---------------------------------------------------------------------------
+# Review-r9 facade/downloader fixes: overwrite re-download, url-kwarg
+# routing with per-artifact cache names, atomic cache staging
+# ---------------------------------------------------------------------------
+
+
+def _file_mmcif(tmp_path, monkeypatch, asym_src, bio_src=None):
+    """An _MMCIF whose url() serves local file:// fixtures, staged into
+    an isolated cache dir."""
+    from proteofav_spark import facade
+
+    monkeypatch.setattr(defaults, "db_mmcif", str(tmp_path / "cache"))
+    (tmp_path / "cache").mkdir(exist_ok=True)
+
+    class _FileMMCIF(facade._MMCIF):
+        def url(self, identifier, bio_unit=False):
+            return "file://" + (bio_src if bio_unit else asym_src)
+
+    return _FileMMCIF
+
+
+def test_facade_select_overwrite_redownloads(spark, tmp_path, monkeypatch, refdata):
+    """Reference parity: select(overwrite=True) must RE-download an
+    already-staged file (the old guard skipped download whenever the
+    cache file existed, so a corrupted/stale staging could never be
+    refreshed through the facade)."""
+    import shutil
+
+    src = str(tmp_path / "remote.cif")
+    shutil.copyfile(f"{refdata}/mmcif/2pah.cif", src)
+    cls = _file_mmcif(tmp_path, monkeypatch, src)
+
+    s = cls(spark)
+    t1 = s.select("2pah", models="first", chains=("A",), atoms=("CA",))
+    n1 = t1.count()
+    assert n1 > 0
+    staged = tmp_path / "cache" / "2pah.cif"
+    assert staged.exists()
+
+    # corrupt the staged copy; a plain re-select must NOT re-download...
+    staged.write_text("data_corrupt\n#\n")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        s.select("2pah", models="first").count()
+    # ...but overwrite=True must refresh from the source and succeed
+    t2 = s.select(
+        "2pah", overwrite=True, models="first", chains=("A",), atoms=("CA",)
+    )
+    assert t2.count() == n1
+
+
+def test_facade_bio_unit_stages_separate_artifact(spark, tmp_path, monkeypatch, refdata):
+    """bio_unit routes to url()/staged_path from select(): the bio unit
+    lands as <id>_bio.cif (reference structures.py:756) and never reads
+    or clobbers the asym-unit cache — previously the kwarg never left
+    read() and a bio-unit select silently parsed the asym file."""
+    import gzip as _gzip
+    import shutil
+
+    asym = str(tmp_path / "asym.cif")
+    shutil.copyfile(f"{refdata}/mmcif/2pah.cif", asym)
+    # bio fixture: the 2w4o entry gzipped (the bio endpoint serves .gz)
+    bio = str(tmp_path / "bio.cif.gz")
+    with open(f"{refdata}/mmcif/2w4o.cif", "rb") as fin, _gzip.open(
+        bio, "wb"
+    ) as fout:
+        shutil.copyfileobj(fin, fout)
+
+    from proteofav_spark import facade
+
+    monkeypatch.setattr(defaults, "db_mmcif", str(tmp_path / "cache"))
+    (tmp_path / "cache").mkdir(exist_ok=True)
+
+    class _FileMMCIF(facade._MMCIF):
+        def url(self, identifier, bio_unit=False):
+            # the generic downloader keys decompression off the .gz
+            # suffix, exactly like the real bio endpoint URL
+            return "file://" + (bio if bio_unit else asym)
+
+    s = _FileMMCIF(spark)
+    plain = s.select("2pah", models="first", chains=("A",), atoms=("CA",))
+    n_plain = plain.count()
+    biot = s.select(
+        "2pah", bio_unit=True, models="first", chains=("A",), atoms=("CA",)
+    )
+    assert (tmp_path / "cache" / "2pah.cif").exists()
+    assert (tmp_path / "cache" / "2pah_bio.cif").exists()
+    assert biot.count() != n_plain  # genuinely different artifacts
+
+
+def test_downloader_failed_fetch_leaves_no_cache_file(tmp_path):
+    """Atomic staging: a failed/interrupted download must not strand a
+    file under the FINAL cache name (exists-and-not-overwrite would
+    then treat the truncated artifact as staged forever)."""
+    from proteofav_spark.fetchers import Downloader
+
+    target = tmp_path / "entry.cif"
+    with pytest.raises(Exception):
+        Downloader(
+            "file://" + str(tmp_path / "no_such_source.cif"), str(target)
+        )
+    assert not target.exists()
+    assert list(tmp_path.glob("*.part*")) == []
+
+
+def test_lake_bulk_parse_matches_interactive_on_quoted_names(spark, tmp_path):
+    """The bulk lake ingest and the interactive parser share ONE
+    tokenizer: a quoted atom name ("C1'") must not shift columns in
+    either path (review r9 — the bulk path was a bare str.split)."""
+    from proteofav_spark.plans.lake import parse_mmcif_atoms_many
+
+    hdr = "\n".join(
+        f"_atom_site.{k}"
+        for k in (
+            "group_PDB id type_symbol label_atom_id label_alt_id "
+            "label_comp_id label_asym_id label_entity_id label_seq_id "
+            "pdbx_PDB_ins_code Cartn_x Cartn_y Cartn_z occupancy "
+            "B_iso_or_equiv auth_seq_id auth_comp_id auth_asym_id "
+            "auth_atom_id pdbx_PDB_model_num"
+        ).split()
+    )
+    (tmp_path / "lk").mkdir()
+    (tmp_path / "lk" / "x1.cif").write_text(
+        "data_X1\nloop_\n" + hdr + "\n"
+        'ATOM 1 C "C1\'" . U A 1 1 ? 1.5 2.0 3.0 1.00 10.0 1 U A "C1\'" 1\n'
+        "#\n"
+    )
+    df = parse_mmcif_atoms_many(spark, str(tmp_path / "lk"))
+    row = df.collect()[0]
+    assert row["label_atom_id"] == "C1'"
+    assert abs(row["Cartn_x"] - 1.5) < 1e-9  # no column shift
+    assert row["entry_id"] == "x1"
