@@ -51,7 +51,10 @@ def row_selector(
             raise EmptyTableError(f"'{key}': table is empty")
         pred: Column = F.col(key) == F.lit(first_val[0])
     elif isinstance(value, (list, tuple, set, frozenset)):
-        pred = F.col(key).isin(*[v for v in value])
+        # empty collection → no rows (the reference's isin([]) semantic);
+        # Spark's isin() with zero arguments raises instead (review r9)
+        vals = list(value)
+        pred = F.col(key).isin(*vals) if vals else F.lit(False)
     else:
         pred = F.col(key) == F.lit(value)
     if reverse:

@@ -23,9 +23,13 @@ def test_every_catalog_query_listed_in_coverage():
 
 def test_coverage_lists_no_retired_queries():
     """Any backticked token that LOOKS like a catalog query (shares a
-    family prefix with one) must actually be in the catalog — a renamed
-    or deleted query can't linger in the doc."""
-    qs = set(queries())
+    family prefix with one) must actually be registered — a renamed or
+    deleted query can't linger in the doc. RETIRED twins (capacity
+    policy, r9) are still registered callables with CI oracle coverage,
+    so naming them in the doc is legitimate — include them."""
+    from proteofav_spark.queries import all_queries
+
+    qs = set(all_queries(include_retired=True))
     stale = []
     q_col = None
     for line in open(COVERAGE).read().splitlines():

@@ -428,3 +428,18 @@ def test_integer_half_up_sixth_decimal_matches_decimal(n):
         )
     )
     assert (2 * n * 10**6 + 128) // 256 == want
+
+
+def test_row_selector_empty_collection_means_no_rows(spark):
+    """isin with an EMPTY collection means 'match nothing' (the
+    reference's df[col.isin([])] semantic); Spark's Column.isin() with
+    zero arguments raises instead — review r9 pinned the guard."""
+    from proteofav_spark.core import EmptyTableError, row_selector
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    out = row_selector(df, "v", (), check_empty=False)
+    assert out.count() == 0
+    with pytest.raises(EmptyTableError):
+        row_selector(df, "v", [], check_empty=True)
+    # and reverse=True of 'nothing' is everything
+    assert row_selector(df, "v", set(), reverse=True).count() == 2

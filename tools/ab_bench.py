@@ -28,7 +28,7 @@ def main() -> None:
     from proteofav_spark.session import get_spark
 
     spark = get_spark("ab_bench")
-    qs = all_queries()
+    qs = all_queries(include_retired=True)
 
     # same warmup as bench.py: JVM, one exchange, parquet footers
     spark.read.parquet(f"{sf_dir}/region.parquet").count()

@@ -38,7 +38,7 @@ def main() -> None:
 
     spark = get_spark("ab_topk_salt")
     warm_python_workers(spark)
-    qs = all_queries()
+    qs = all_queries(include_retired=True)
     fn = qs["ann_ivf_coarse"]
 
     salted = lq._topk_per_query

@@ -415,6 +415,10 @@ EXTRA = [
     "tpch_q2_min_cost_supplier",
     "tpch_q9_profit_rollup",
     "tree_rollup_recursive",
+    # round-9 additions (exactness probes — trivial aggregates, audited
+    # so the doc shows they stay map-side-partial and shuffle-minimal)
+    "probe_signed_money_round",
+    "probe_half_up_wide_units",
 ]
 
 
@@ -427,7 +431,9 @@ def audit(sf_dir: str) -> str:
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
-    qs = all_queries()
+    # include_retired: the audit list predates the r9 retirements and
+    # retired twins still run in bench — keep auditing their plans
+    qs = all_queries(include_retired=True)
     out = [
         "# PLANS — physical-plan audit of the headline queries",
         "",
