@@ -2629,7 +2629,11 @@ _PROBE_POW2_SIXTH_SQL = """
     )
     SELECT l_linenumber,
            CAST(n AS BIGINT) AS odd_num,
-           CAST((n * 2000000 + 128) // 256 AS BIGINT) / 1000000.0 AS ratio6
+           -- HUGEINT twin of the Spark DECIMAL(38,0) widening: n is a
+           -- group quantity sum, the same class the shared helpers
+           -- widened in r9 (n·2e6 wrapped int64 past n≈4.6e12)
+           CAST((CAST(n AS HUGEINT) * 2000000 + 128) // 256 AS BIGINT)
+               / 1000000.0 AS ratio6
     FROM g
 """
 
@@ -2652,8 +2656,13 @@ def q_probe_round_pow2_sixth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "l_linenumber",
         F.col("n").alias("odd_num"),
-        (F.expr("(n * 2000000 + 128) div 256").cast("double") / 1000000)
-        .alias("ratio6"),
+        # DECIMAL(38,0) numerator: n is a group quantity sum — the same
+        # int64-overflow class the shared half-up helpers widened in r9
+        (
+            F.expr("(CAST(n AS DECIMAL(38,0)) * 2000000 + 128) div 256")
+            .cast("double")
+            / 1000000
+        ).alias("ratio6"),
     )
 
 
