@@ -2728,6 +2728,51 @@ _PROBE_WIDE_UNITS_SQL = """
 """
 
 
+_WIDE_SUM_FACTOR = 20_000_000
+
+_PROBE_WIDE_MONEY_SQL = f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           -- DuckDB auto-widens SUM(BIGINT) to HUGEINT, the twin of the
+           -- Spark side's DECIMAL(38,0) sum; per-row values fit BIGINT
+           CAST((SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     * {_WIDE_SUM_FACTOR}) + 500000) // 1000000
+                AS BIGINT) AS mega_units
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("probe_wide_money_sum", _PROBE_WIDE_MONEY_SQL)
+def q_probe_wide_money_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tripwire probe for the 100 TB money-SUM regime (review r9): a
+    LONG sum of revenue units ANSI-aborts once a group's total passes
+    2⁶³ (~9.2e9 rows at ~1e9 units/row — TPC-H-shaped groups reach that
+    around 15 TB), so the engine provides :func:`sum_units_wide`
+    (DECIMAL(38,0) aggregation; DuckDB twin: SUM's automatic HUGEINT).
+    The probe scales each row's units by 2e7 — still int64 per row —
+    so every group's SUM exceeds 2⁶³ at EVERY sweep SF; the long-sum
+    form provably aborts on exactly this input
+    (tests/test_round9_queries.py). Output re-narrows to BIGINT mega
+    units (half-up ``div 10⁶``) for the type-aware driver hash. Scale
+    shape: one map-side-partial groupBy — a probe."""
+    from proteofav_spark.queries import sum_units_wide
+
+    li = load(spark, sf_dir, "lineitem")
+    wide = _revenue_u() * F.lit(_WIDE_SUM_FACTOR)
+    g = li.groupBy("l_returnflag").agg(
+        sum_units_wide(wide).alias("s"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n_rows",
+        F.expr("CAST((s + 500000) div 1000000 AS BIGINT)").alias(
+            "mega_units"
+        ),
+    )
+
+
 @register("probe_half_up_wide_units", _PROBE_WIDE_UNITS_SQL)
 def q_probe_half_up_wide_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tripwire probe for the int64-overflow guard on the shared half-up

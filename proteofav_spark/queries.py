@@ -79,8 +79,32 @@ def cents(col) -> F.Column:
 def revenue_units() -> F.Column:
     """``l_extendedprice·(1−l_discount)`` in exact 1e-4-dollar BIGINT
     units: cents × (100 − discount-cents). Summing these is exact;
-    convert once at the end with :func:`units_to_dollars`."""
+    convert once at the end with :func:`units_to_dollars`.
+
+    Scale envelope of a LONG ``F.sum`` over these units (review r9):
+    per-row units top out around 1e9, so the int64 sum overflows past
+    ~9.2e9 rows per group — a regime TPC-H-shaped groups reach around
+    SF 1.5e4 (~15 TB). Under ANSI (the Spark 4 default here) that
+    overflow ABORTS the job loudly, never corrupts; per-partition
+    partial sums are safe far beyond that (≤ ~1e6 rows × 1e9 ≪ 2⁶³),
+    it is the final merge that crosses. For the >10 TB regime switch
+    the aggregation to :func:`sum_units_wide` — measured +~40% on the
+    agg stage at sf0.1 (PERF_NOTES r9), which is why the catalog keeps
+    the fast exact-long path at test scale."""
     return cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+
+
+def sum_units_wide(unit_col: F.Column) -> F.Column:
+    """DECIMAL(38,0) money-unit sum — the 100 TB-regime twin of a LONG
+    ``F.sum`` over :func:`revenue_units`-style columns (which ANSI-
+    aborts once a group's sum passes 2⁶³ ≈ 9.2e18, ~9.2e9 rows at 1e9
+    units/row). Exact at any realistic scale (38 digits), mergeable,
+    and :func:`units_to_dollars` accepts the resulting column unchanged
+    (``div`` on decimals returns BIGINT). DuckDB twin: plain SUM —
+    DuckDB auto-widens BIGINT sums to HUGEINT. Driver-attested by
+    probe_wide_money_sum, whose forced group sums exceed int64 at
+    every sweep SF."""
+    return F.sum(unit_col.cast("decimal(38,0)"))
 
 
 def units_to_dollars(name: str) -> F.Column:
@@ -250,16 +274,19 @@ RETIRED: dict[str, str] = {
 
 _PRIORITY: list[str] = [
     # ------- round-9 rotation (VERDICT r8 items #1, #2) -------
-    # Slots 1-2: NEW r9 probes (never attested — MUST be in-window):
+    # Slots 1-3: NEW r9 probes (never attested — MUST be in-window):
     # the signed-money rounding contract (ADVICE r8: units_to_dollars'
-    # sign branch was unreachable AND unmirrored in the oracles) and the
+    # sign branch was unreachable AND unmirrored in the oracles), the
     # int64-overflow guard on the shared half-up helpers (ADVICE r8
-    # medium: 2·num·10⁶ wraps past num≈4.6e12 — helpers now compute the
-    # scaled numerator in DECIMAL(38,0); this probe forces the regime
-    # where the old BIGINT path silently wrapped).
+    # medium: 2·num·10⁶ overflows past num≈4.6e12 — helpers now compute
+    # the scaled numerator in DECIMAL(38,0); the probe forces the old
+    # overflow regime), and the 100 TB money-SUM regime probe
+    # (sum_units_wide's DECIMAL aggregation vs DuckDB's HUGEINT on
+    # forced >2⁶³ group sums).
     "probe_signed_money_round",
     "probe_half_up_wide_units",
-    # Slots 3-35: the 33 queries whose newest driver row is r6 — two
+    "probe_wide_money_sum",
+    # Slots 4-36: the 33 queries whose newest driver row is r6 — two
     # rounds stale at r9, the oldest signatures in the catalog; all MUST
     # re-attest this round (the freshness tripwire enumerates exactly
     # this set; 36 minus the 3 retired twins above). Nine of these were
@@ -298,9 +325,9 @@ _PRIORITY: list[str] = [
     "topk_per_group",
     "vocab_top_ngrams",
     "window_moving_avg",
-    # Slots 36-50: the riskiest 15 of the 49 r7-signed queries
+    # Slots 37-50: the riskiest 14 of the 49 r7-signed queries
     # (iterative / similarity / multi-shuffle shapes first) — attesting
-    # them now leaves 34 r7-singles for the r10 window, comfortably
+    # them now leaves 35 r7-singles for the r10 window, comfortably
     # inside 50 alongside the ≤MAX_NEW_PER_ROUND r10 newcomers.
     "dedup_cc_clusters",
     "dedup_embedding_cosine",
@@ -316,7 +343,6 @@ _PRIORITY: list[str] = [
     "graph_pagerank_fixed",
     "graph_triangle_count",
     "spatial_contacts_grid",
-    "sessionize_events_gap",
 ]
 
 

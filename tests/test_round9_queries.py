@@ -137,3 +137,43 @@ def test_kmeans_assign_margin_dwarfs_summation_noise(spark, sf_dir):
         f"{sf_dir} — the unordered-SUM oracle argmin is no longer "
         "robust; quantize d2 on both engines or regenerate seeds"
     )
+
+
+# ---------------------------------------------------------------------------
+# probe_wide_money_sum: the 100 TB money-SUM regime
+# ---------------------------------------------------------------------------
+
+
+def test_wide_money_sum_exceeds_long_range_and_matches_python(spark):
+    """The probe's group sums must actually exceed 2^63 (else it
+    tripwires nothing), the emitted mega-units must equal exact Python
+    integer arithmetic, and the plain LONG sum must ANSI-abort on the
+    very same input — the failure mode sum_units_wide exists to
+    remove."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import ArithmeticException
+
+    from proteofav_spark.queries import all_queries, load, revenue_units
+
+    rows = all_queries()["probe_wide_money_sum"](spark, SF).collect()
+    assert rows
+    li = load(spark, SF, "lineitem").select(
+        "l_returnflag",
+        revenue_units().alias("u"),
+    ).collect()
+    sums: dict[str, int] = {}
+    for r in li:
+        sums[r["l_returnflag"]] = sums.get(r["l_returnflag"], 0) + r["u"]
+    for r in rows:
+        s = sums[r["l_returnflag"]] * 20_000_000
+        assert s > 2**63 - 1, r["l_returnflag"]  # past int64 at this SF
+        assert r["mega_units"] == (s + 500_000) // 1_000_000
+
+    wide = revenue_units() * F.lit(20_000_000)
+    long_sum = (
+        load(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum(wide).alias("s"))
+    )
+    with pytest.raises((ArithmeticException, Py4JJavaError)):
+        long_sum.collect()

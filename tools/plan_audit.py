@@ -419,6 +419,7 @@ EXTRA = [
     # so the doc shows they stay map-side-partial and shuffle-minimal)
     "probe_signed_money_round",
     "probe_half_up_wide_units",
+    "probe_wide_money_sum",
 ]
 
 
