@@ -263,6 +263,11 @@ EXCHANGE_BUDGET = {
     # and this pin catches any further growth (this count includes
     # BroadcastExchange nodes, like every entry above)
     "nation_market_share": 8,
+    # r9 exactness probes: one map-side-partial aggregation each — a
+    # probe that grows a shuffle stops being a probe
+    "probe_signed_money_round": 1,
+    "probe_half_up_wide_units": 1,
+    "probe_wide_money_sum": 1,
 }
 
 
