@@ -48,6 +48,7 @@ def _left_join_on(
     right: DataFrame,
     left_keys: list[str],
     right_keys: list[str],
+    broadcast: bool = True,
 ) -> DataFrame:
     left = _str(left, *left_keys)
     right = _str(_prep_right(right), *right_keys)
@@ -55,7 +56,14 @@ def _left_join_on(
     for lk, rk in zip(left_keys, right_keys):
         clause = left[lk] == right[rk]
         cond = clause if cond is None else (cond & clause)
-    return left.join(F.broadcast(right), on=cond, how="left")
+    # broadcast=False is the LAKE-scale path (lake_table_merger): the
+    # residue-level sides grow with the lake (~atoms/10) and must
+    # shuffle or ride bucketing — AQE still broadcasts any side that is
+    # genuinely small at runtime, so dropping the hint never pessimizes
+    # the single-structure case, it only stops forcing an OOM at scale
+    return left.join(
+        F.broadcast(right) if broadcast else right, on=cond, how="left"
+    )
 
 
 def mmcif_sifts_table_merger(
@@ -228,7 +236,14 @@ def table_merger(
     table (atoms) stays on the left of every join; residue-level sides merge
     among themselves first, then one final left join — Catalyst broadcasts
     every right side. ``legacy_resnum_key`` selects the legacy plain-resnum
-    SIFTS key with insertion-code fallback (see mmcif_sifts_table_merger)."""
+    SIFTS key with insertion-code fallback (see mmcif_sifts_table_merger).
+
+    SCOPE: single structure per call, like the reference (whose tables
+    are one parsed file each). The join keys carry no structure id and
+    every right side is broadcast-hinted, so feeding MULTI-structure
+    frames through this tree silently cross-matches same-numbered
+    residues across entries and force-broadcasts lake-sized sides —
+    use :func:`lake_table_merger` for that regime (review r9)."""
     available = [
         t
         for t in (
@@ -256,6 +271,101 @@ def table_merger(
     if mmcif_table is not None and sifts_table is not None:
         table = mmcif_sifts_table_merger(
             mmcif_table, sifts_table, legacy_resnum_key=legacy_resnum_key
+        )
+    return table
+
+
+def lake_table_merger(
+    mmcif_table: DataFrame,
+    dssp_table: DataFrame | None = None,
+    sifts_table: DataFrame | None = None,
+    validation_table: DataFrame | None = None,
+    annotation_table: DataFrame | None = None,
+    variants_table: DataFrame | None = None,
+    entry_col: str = "entry_id",
+) -> DataFrame:
+    """Multi-structure (lake-wide) merge tree — the 100 TB twin of
+    :func:`table_merger`, which is single-structure by reference
+    parity and carries two silent scale traps (review r9):
+
+    1. **Structure scoping.** The per-structure mergers join on
+       (residue-number, chain) alone, so a frame holding MANY
+       structures cross-matches every same-numbered residue of every
+       same-lettered chain across entries — silently wrong rows, at
+       lake scale mostly wrong rows. Here every structure-level join
+       key gains ``entry_col``, so residues only ever match within
+       their own entry. (The UniProt-keyed annotation/variants joins
+       need no scoping: accessions are globally unique.)
+    2. **Forced broadcast.** The per-structure tree broadcast-hints
+       every right side — correct when each side is one protein's
+       residues, an executor OOM when the DSSP/SIFTS side is the whole
+       lake's (~atoms/10). This tree passes ``broadcast=False``: AQE
+       still broadcasts a genuinely small side at runtime, and
+       bucketed lake tables (``..lake.write_bucketed_table`` on
+       (entry, chain, resnum)) make these joins exchange-free.
+
+    Contract: ``mmcif_table`` and every structure-level side
+    (DSSP/SIFTS/validation) must carry ``entry_col`` (the lake ingest
+    attaches it — ``..lake.parse_mmcif_atoms_many``; per-source
+    readers staged through the lake add it at landing). Chain ids must
+    be canonical (``auth_asym_id`` — BioUnit-suffix resolution is a
+    per-structure staging concern, not re-probed lake-wide).
+    Correctness pin: tests/test_mergers.py proves a two-entry merge
+    equals the per-entry single-structure merges row-for-row while the
+    naive tree over the same frames cross-matches."""
+    for name, t in (
+        ("mmcif", mmcif_table), ("dssp", dssp_table),
+        ("sifts", sifts_table), ("validation", validation_table),
+    ):
+        if t is not None and entry_col not in t.columns:
+            raise TableMergerError(
+                f"lake_table_merger: {name} table lacks the structure "
+                f"scope column {entry_col!r} — stage it through the "
+                "lake ingest (or withColumn a literal per structure)"
+            )
+    def scoped(left: DataFrame, right: DataFrame,
+               lkeys: list[str], rkeys: list[str]) -> DataFrame:
+        # the right side carries its own entry column — join through a
+        # rename so the output keeps exactly ONE (left) entry column
+        tag = "__right_entry"
+        right = right.withColumnRenamed(entry_col, tag)
+        return _left_join_on(
+            left, right, [entry_col, *lkeys], [tag, *rkeys],
+            broadcast=False,
+        ).drop(tag)
+
+    table = mmcif_table
+    if dssp_table is not None:
+        table = scoped(
+            table, dssp_table,
+            ["auth_seq_id_full", "auth_asym_id"],
+            ["RES_FULL", "CHAIN_FULL"],
+        )
+    if validation_table is not None:
+        table = scoped(
+            table, validation_table,
+            ["auth_seq_id_full", "auth_asym_id"],
+            ["validation_resnum_full", "validation_chain"],
+        )
+    if sifts_table is not None:
+        if annotation_table is not None:
+            sifts_table = _left_join_on(
+                sifts_table, annotation_table,
+                ["UniProt_dbAccessionId", "UniProt_dbResNum"],
+                ["accession", "site"],
+                broadcast=False,
+            )
+        if variants_table is not None:
+            sifts_table = _left_join_on(
+                sifts_table, variants_table,
+                ["UniProt_dbAccessionId", "UniProt_dbResNum"],
+                ["accession", "begin"],
+                broadcast=False,
+            )
+        table = scoped(
+            table, sifts_table,
+            ["auth_seq_id_full", "auth_asym_id"],
+            ["PDB_dbResNum", "PDB_dbChainId"],
         )
     return table
 

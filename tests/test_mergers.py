@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from proteofav_spark.operators.structures import select_structures
 from proteofav_spark.plans.mergers import (
     Tables,
+    TableMergerError,
     mmcif_dssp_table_merger,
     table_merger,
 )
@@ -158,3 +159,71 @@ def test_merge_2pah_legacy_plain_key(spark, refdata):
     matched = legacy.filter(F.col("PDB_dbResNum").isNotNull()).count()
     assert matched == modern.filter(F.col("PDB_dbResNum").isNotNull()).count()
     assert matched > 0
+
+
+def test_lake_table_merger_scopes_by_entry(spark, refdata):
+    """The lake-wide merge tree (review r9): a two-entry frame merged
+    through lake_table_merger must equal the per-entry single-structure
+    merges row-for-row, while the per-structure tree over the SAME
+    frames cross-matches same-numbered residues across entries (the
+    silent trap the entry-scoped keys exist to close). Also pins the
+    scale plan shape: no forced broadcast on the lake path."""
+    from proteofav_spark.plans.mergers import lake_table_merger
+
+    def staged(entry):
+        mmcif = select_structures(
+            spark, f"{refdata}/mmcif/{entry}.cif",
+            models="first", chains=("A",), atoms=("CA",), lines=("ATOM",),
+        ).withColumn("entry_id", F.lit(entry))
+        dssp = select_dssp(
+            spark, f"{refdata}/dssp/{entry}.dssp", chains=("A",)
+        ).withColumn("entry_id", F.lit(entry))
+        return mmcif, dssp
+
+    (m1, d1), (m2, d2) = staged("2pah"), staged("2w4o")
+    atoms = m1.unionByName(m2, allowMissingColumns=True)
+    dssp = d1.unionByName(d2, allowMissingColumns=True)
+
+    lake = lake_table_merger(atoms, dssp_table=dssp)
+    # per-entry equality against the reference-parity single merges
+    for entry, (m, d) in (("2pah", (m1, d1)), ("2w4o", (m2, d2))):
+        single = table_merger(
+            mmcif_table=m.drop("entry_id"), dssp_table=d.drop("entry_id")
+        )
+        got = lake.filter(F.col("entry_id") == entry)
+        assert got.count() == single.count(), entry
+        key = ["auth_seq_id_full", "auth_asym_id"]
+        pairs_single = {
+            tuple(r) for r in single.select(*key, "SS").collect()
+        }
+        pairs_lake = {tuple(r) for r in got.select(*key, "SS").collect()}
+        assert pairs_lake == pairs_single, entry
+    # the naive per-structure tree over the same multi-entry frames
+    # CROSS-matches residues across entries: strictly more rows
+    naive = table_merger(
+        mmcif_table=atoms.drop("entry_id"), dssp_table=dssp.drop("entry_id")
+    )
+    assert naive.count() > lake.count()
+    # scale shape: the lake path must not carry a forced broadcast hint
+    plan = lake._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "extended"
+        )
+    )
+    analyzed = plan.split("== Optimized Logical Plan ==")[0]
+    # the logical-plan HINT's absence is the contract; the physical
+    # strategy stays AQE's call (it MAY still broadcast a small side)
+    assert "UnresolvedHint broadcast" not in analyzed
+
+
+def test_lake_table_merger_requires_entry_column(spark, refdata):
+    import pytest
+
+    from proteofav_spark.plans.mergers import lake_table_merger
+
+    mmcif = select_structures(
+        spark, f"{refdata}/mmcif/2pah.cif",
+        models="first", chains=("A",), atoms=("CA",), lines=("ATOM",),
+    )
+    with pytest.raises(TableMergerError, match="entry_id"):
+        lake_table_merger(mmcif)
