@@ -96,6 +96,22 @@ def parse_mmcif_atoms_many(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(parse_batch, schema=schema)
 
 
+def entry_id_col(source_col: str = "source_file") -> "F.Column":
+    """``entry_id`` derived from a reader's ``source_file`` column:
+    basename minus the format extension (and the validation report's
+    ``_validation`` suffix) — the same derivation the bulk mmCIF ingest
+    applies executor-side, exposed as a JVM Column expression so EVERY
+    per-source reader output (they all glob + carry ``source_file``)
+    can stage into the entry-partitioned lake and feed
+    ``..mergers.lake_table_merger`` with consistent scope keys."""
+    base = F.element_at(F.split(F.col(source_col), "/"), -1)
+    return F.regexp_replace(
+        base,
+        r"(_validation)?\.(cif|mmcif|pdb|ent|dssp|xml|gff)(\.gz)?$",
+        "",
+    )
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: tuple[str, ...] = ("entry_id",)
 ) -> None:

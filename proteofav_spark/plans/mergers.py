@@ -305,9 +305,11 @@ def lake_table_merger(
        (entry, chain, resnum)) make these joins exchange-free.
 
     Contract: ``mmcif_table`` and every structure-level side
-    (DSSP/SIFTS/validation) must carry ``entry_col`` (the lake ingest
-    attaches it — ``..lake.parse_mmcif_atoms_many``; per-source
-    readers staged through the lake add it at landing). Chain ids must
+    (DSSP/SIFTS/validation) must carry ``entry_col`` — the bulk lake
+    ingest attaches it (``..lake.parse_mmcif_atoms_many``), and every
+    per-source reader output stages it in one line via
+    ``withColumn("entry_id", ..lake.entry_id_col())`` (they all carry
+    ``source_file``). Chain ids must
     be canonical (``auth_asym_id`` — BioUnit-suffix resolution is a
     per-structure staging concern, not re-probed lake-wide).
     Correctness pin: tests/test_mergers.py proves a two-entry merge

@@ -170,14 +170,18 @@ def test_lake_table_merger_scopes_by_entry(spark, refdata):
     scale plan shape: no forced broadcast on the lake path."""
     from proteofav_spark.plans.mergers import lake_table_merger
 
+    from proteofav_spark.plans.lake import entry_id_col
+
     def staged(entry):
+        # entry_id derives from each reader's source_file (the lake
+        # staging path) — proving the derivation, not a test literal
         mmcif = select_structures(
             spark, f"{refdata}/mmcif/{entry}.cif",
             models="first", chains=("A",), atoms=("CA",), lines=("ATOM",),
-        ).withColumn("entry_id", F.lit(entry))
+        ).withColumn("entry_id", entry_id_col())
         dssp = select_dssp(
             spark, f"{refdata}/dssp/{entry}.dssp", chains=("A",)
-        ).withColumn("entry_id", F.lit(entry))
+        ).withColumn("entry_id", entry_id_col())
         return mmcif, dssp
 
     (m1, d1), (m2, d2) = staged("2pah"), staged("2w4o")
