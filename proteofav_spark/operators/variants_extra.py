@@ -79,8 +79,16 @@ def preferred_mapping(
     coverage_col: str = "coverage",
 ) -> DataFrame:
     """Pick the mapping entry maximizing identity+coverage, tie-broken by
-    the shortest then lexicographically-smallest id — one ``max_by``
-    aggregation (parity: proteofav/variants.py:290-355)."""
+    the shortest id and then by a deterministic total order (greatest
+    id) — one ``max_by`` aggregation. Parity note
+    (proteofav/variants.py:290-355): the reference's loop is
+    INPUT-ORDER-dependent on exact score ties (``>=`` keeps the last
+    seen; the length guard keeps the shortest), which has no stable
+    distributed meaning — this operator keeps the reference's
+    score-then-shortest preference and replaces the loop's
+    order-dependent residue with an explicit total order (review r9
+    docfix: the docstring previously claimed smallest-id, contradicting
+    the implementation)."""
     score = F.col(identity_col) + F.col(coverage_col)
     return mappings.agg(
         F.max_by(
