@@ -228,3 +228,55 @@ def test_morton_col_auto_reduces_bits_on_overflow(spark):
     # a key that cannot fit at all raises
     with pytest.raises(ValueError):
         morton_col(tuple("abcdefghij" * 7), {}, {})
+
+
+def test_lake_merger_rides_bucketed_tables_exchange_free(spark):
+    """The lake_table_merger docstring's scale claim, executed: both
+    sides staged as bucketed tables on their three join keys (same
+    bucket count) merge with NO Exchange in the executed plan — the
+    shuffle-free enrichment join the 100 TB lake layout exists for
+    (broadcast disabled to force the sort-merge path)."""
+    import shutil
+
+    from proteofav_spark.plans.lake import write_bucketed_table
+    from proteofav_spark.plans.mergers import lake_table_merger
+
+    atoms = spark.range(0, 5_000).select(
+        F.concat(F.lit("e"), (F.col("id") % 50).cast("string")).alias(
+            "entry_id"
+        ),
+        (F.col("id") % 400).cast("string").alias("auth_seq_id_full"),
+        F.lit("A").alias("auth_asym_id"),
+        (F.col("id") * 2).alias("x"),
+    )
+    dssp = spark.range(0, 5_000).select(
+        F.concat(F.lit("e"), (F.col("id") % 50).cast("string")).alias(
+            "entry_id"
+        ),
+        (F.col("id") % 400).cast("string").alias("RES_FULL"),
+        F.lit("A").alias("CHAIN_FULL"),
+        F.lit("H").alias("SS"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed_table(
+            atoms, "bkt_atoms",
+            ("entry_id", "auth_seq_id_full", "auth_asym_id"), n_buckets=8,
+        )
+        write_bucketed_table(
+            dssp, "bkt_dssp",
+            ("entry_id", "RES_FULL", "CHAIN_FULL"), n_buckets=8,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        merged = lake_table_merger(
+            spark.table("bkt_atoms"), dssp_table=spark.table("bkt_dssp")
+        )
+        assert merged.count() > 0
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_atoms")
+        spark.sql("DROP TABLE IF EXISTS bkt_dssp")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
