@@ -928,6 +928,7 @@ def image_features(df: DataFrame, decode_fn=None) -> DataFrame:
     )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "n_bytes", "mean_pixel", "histogram8"]
         for pdf in batches:
             out = []
             for doc_id, blob, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
@@ -941,7 +942,12 @@ def image_features(df: DataFrame, decode_fn=None) -> DataFrame:
                         "histogram8": hist.astype("int64").tolist(),
                     }
                 )
-            yield pd.DataFrame(out)
+            # explicit columns: zero-row batches yield a SCHEMA-shaped
+            # frame. The bare pd.DataFrame([]) form happens to be
+            # TOLERATED by this Spark version's Arrow path, but the
+            # iterator contract is columns-by-name — don't lean on that
+            # leniency (review r9; same pattern as the lake ingest)
+            yield pd.DataFrame(out, columns=cols)
 
     return df.select("doc_id", "payload", "meta").mapInPandas(extract, schema)
 
@@ -986,6 +992,7 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64, frame_fn=None) -> DataF
     )
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "frame_no", "frame_checksum"]
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
@@ -997,7 +1004,9 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64, frame_fn=None) -> DataF
                             "frame_checksum": int(sum(chunk) % 1_000_003),
                         }
                     )
-            yield pd.DataFrame(rows)
+            # schema-shaped even when zero rows (see image_features —
+            # a deployment frame_fn may emit no frames for a whole batch)
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.select("doc_id", "payload").mapInPandas(sample, schema)
 
@@ -1141,6 +1150,13 @@ def audio_features(df: DataFrame, decode_fn=None) -> DataFrame:
                         "zero_crossing_rate": round(zc, 6),
                     }
                 )
-            yield pd.DataFrame(out)
+            # schema-shaped even when zero rows (see image_features)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_bytes", "n_samples", "rms",
+                    "zero_crossing_rate",
+                ],
+            )
 
     return df.select("doc_id", "payload", "meta").mapInPandas(extract, schema)

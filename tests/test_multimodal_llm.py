@@ -1115,3 +1115,25 @@ def test_wav_truncated_sample_degrades_to_none():
     blob2[i + 4 : i + 8] = struct.pack("<I", len(blob2) - i - 8)
     out = decode_wav(bytes(blob2))
     assert out is None or list(out) == [1, 2]
+
+
+def test_frame_sample_zero_frame_batches_yield_schema_shaped_empties(spark):
+    """A deployment frame_fn may legitimately emit ZERO frames for every
+    blob in a batch (corrupt container, sampling policy): the result is
+    an empty SCHEMA-shaped frame. The iterators now always yield
+    explicit columns instead of leaning on the Arrow path's leniency
+    toward column-less empties (review r9; image/audio extractors share
+    the pattern, like the lake/SIFTS/validation parsers)."""
+    from proteofav_spark.operators.multimodal import (
+        attach_binary_payload,
+        frame_sample,
+    )
+
+    d = attach_binary_payload(
+        spark.createDataFrame(
+            [(1, "some text"), (2, "other text")], "doc_id long, text string"
+        )
+    )
+    out = frame_sample(d, frame_fn=lambda blob: [])
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "frame_no", "frame_checksum"]
