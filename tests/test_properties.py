@@ -443,3 +443,39 @@ def test_row_selector_empty_collection_means_no_rows(spark):
         row_selector(df, "v", [], check_empty=True)
     # and reverse=True of 'nothing' is everything
     assert row_selector(df, "v", set(), reverse=True).count() == 2
+
+
+# tokens over a quote-bearing alphabet, no double quotes — so wrapping
+# in double quotes is always a VALID CIF encoding for tokens that need
+# quoting (contain whitespace or start with a quote char)
+_cif_token = st.text(
+    alphabet=st.characters(whitelist_categories=(), whitelist_characters="abcxyz0189'. _-"),
+    min_size=1,
+    max_size=10,
+).filter(lambda t: not t.isspace())
+
+
+def _render_cif_line(tokens):
+    out = []
+    for t in tokens:
+        if (" " in t) or t[0] in "'\"":
+            out.append(f'"{t}"')  # t carries no double quote by alphabet
+        else:
+            out.append(t)
+    return " ".join(out)
+
+
+@given(tokens=st.lists(_cif_token, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_cif_tokenizer_roundtrips_rendered_lines(tokens):
+    """Round-trip property for the terminator-aware CIF tokenizer
+    (review r9): any token list rendered with valid CIF quoting —
+    including tokens with embedded spaces, embedded single quotes
+    ('it's ok' shapes), leading quotes, and bare mid-token quotes
+    (5'-end) — must tokenize back EXACTLY. Pure-Python twin
+    (cif_split_py) under test; the JVM _cif_tokens shares the regex
+    verbatim and is pinned by the parser fixtures."""
+    from proteofav_spark.sources.structures import cif_split_py
+
+    line = _render_cif_line(tokens)
+    assert cif_split_py(line) == tokens, line
