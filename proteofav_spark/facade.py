@@ -85,6 +85,15 @@ class GenericSource:
     def download(self, identifier: str | None = None, filename: str | None = None,
                  overwrite: bool = False, **kwargs) -> str:
         ident = self.identifier(identifier)
+        if filename is None:
+            # review r10 (ADVICE): url kwargs must route to the cache
+            # name on EVERY entry point — a direct
+            # ``mmCIF.download(id, bio_unit=True)`` previously staged
+            # the bio-unit payload at the asym path (or silently
+            # returned the existing asym file as "already staged"),
+            # violating the per-artifact-cache invariant.
+            url_kw = {k: kwargs[k] for k in kwargs if k in self.url_kwargs}
+            filename = self.staged_path(ident, **url_kw)
         fname = self.filename(filename)
         if os.path.exists(fname) and not overwrite:
             # already staged — don't even build the URL (sources without a
@@ -125,7 +134,13 @@ class GenericSource:
         # read()/filename() directly, as in the reference.
         self._filename = fname = self.staged_path(ident, **url_kw)
         if overwrite or not os.path.exists(fname):
-            self.download(ident, overwrite=overwrite, **url_kw)
+            # pass the computed path THROUGH (review r10, ADVICE high):
+            # letting download() re-derive it dropped the url kwargs in
+            # _MSA.download, which reset self._filename and recomputed
+            # the default — a fasta select downloaded to the .sth slot
+            # (read() then missed the file AND the fasta payload
+            # poisoned the Stockholm cache entry).
+            self.download(ident, fname, overwrite=overwrite, **url_kw)
         self._table = self.read(fname, **kwargs)
         return self._table
 
@@ -242,12 +257,17 @@ class _MSA(GenericSource):
     def url(self, identifier, aln_source="pfam", **kwargs):
         return fetchers.url_msa(identifier, aln_source=aln_source, **kwargs)
 
-    def staged_path(self, identifier, seq_format=None, **url_kwargs):
-        """Stage under an extension matching the ACTUAL format so
-        read()'s extension guessing parses correctly."""
+    def staged_path(self, identifier, aln_source="pfam", seq_format=None,
+                    **url_kwargs):
+        """Stage under ``<id>.<aln_source>.<ext>`` — the extension
+        matches the ACTUAL format so read()'s guessing parses
+        correctly, and the source is part of the name because a pfam
+        and a cath alignment for the same identifier+format are
+        distinct artifacts that must never share a cache file (review
+        r10, ADVICE low)."""
         ext = ".fasta" if seq_format == "fasta" else ".sth"
         cache_dir = getattr(defaults, self.db_attr)
-        return os.path.join(cache_dir, f"{identifier}{ext}")
+        return os.path.join(cache_dir, f"{identifier}.{aln_source}{ext}")
 
     def download(self, identifier=None, filename=None, overwrite=False,
                  aln_source="pfam", seq_format="stockholm", **kwargs):
@@ -255,10 +275,16 @@ class _MSA(GenericSource):
         the generic endswith('.gz') probe misses it) and both sources
         serve Stockholm by default — stage decompressed under an
         extension matching the actual format so read()'s guessing
-        works."""
-        self.ext = ".fasta" if seq_format == "fasta" else ".sth"
-        self._filename = None if filename is None else self._filename
+        works. Review r10 (ADVICE high): an explicit ``filename`` is
+        kept verbatim; a missing one derives from staged_path WITH the
+        url kwargs — the old body reset ``self._filename`` and
+        recomputed the kwarg-less default, sending fasta payloads into
+        the Stockholm cache slot."""
         ident = self.identifier(identifier)
+        if filename is None:
+            filename = self.staged_path(
+                ident, aln_source=aln_source, seq_format=seq_format
+            )
         fname = self.filename(filename)
         if os.path.exists(fname) and not overwrite:
             return fname

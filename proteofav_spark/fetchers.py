@@ -17,6 +17,7 @@ from __future__ import annotations
 import gzip
 import os
 import shutil
+import tempfile
 import time
 import urllib.request
 
@@ -53,12 +54,18 @@ class Downloader:
     """Download to a local cache path, optional gzip decompress, skip when
     present (parity: proteofav/utils.py:402-454).
 
-    The cache file appears ATOMICALLY (staged as ``<filename>.part[.gz]``,
-    then one ``os.replace``) — review r9: the old path wrote the final
-    name directly, so a crash mid-write stranded a truncated file that
-    every later call treated as already-staged (``exists and not
-    overwrite``) and silently parsed. A leftover ``.part`` from a crash
-    is simply overwritten by the next attempt."""
+    The cache file appears ATOMICALLY (staged under a UNIQUE
+    ``<filename>.part<random>`` temp name in the same directory, then one
+    ``os.replace``) — review r9: the old path wrote the final name
+    directly, so a crash mid-write stranded a truncated file that every
+    later call treated as already-staged (``exists and not overwrite``)
+    and silently parsed. Review r10 (ADVICE low): the staging name is
+    unique per writer, not the fixed ``<filename>.part`` — two
+    concurrent downloads of the same entry previously shared one staging
+    file, and the first finisher's cleanup deleted the other's in-flight
+    copy, failing its ``os.replace`` even though its fetch succeeded.
+    Leftover ``.part*`` temps from a crash are inert (never re-read) and
+    each writer removes only its own."""
 
     def __init__(
         self, url: str, filename: str, decompress: bool = False, overwrite: bool = False
@@ -67,7 +74,11 @@ class Downloader:
         self.filename = filename
         if os.path.exists(filename) and not overwrite:
             return
-        part = filename + ".part"
+        fd, part = tempfile.mkstemp(
+            dir=os.path.dirname(filename) or ".",
+            prefix=os.path.basename(filename) + ".part",
+        )
+        os.close(fd)
         staged = part + (".gz" if decompress else "")
         try:
             if url.startswith("file://"):

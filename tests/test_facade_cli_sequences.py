@@ -347,3 +347,114 @@ def test_lake_bulk_parse_matches_interactive_on_quoted_names(spark, tmp_path):
     assert row["label_atom_id"] == "C1'"
     assert abs(row["Cartn_x"] - 1.5) < 1e-9  # no column shift
     assert row["entry_id"] == "x1"
+
+
+# ---------------------------------------------------------------------------
+# Review-r10 (ADVICE) facade/downloader fixes: MSA select filename routing,
+# direct-download url-kwarg cache names, aln_source cache keys, unique
+# staging temps
+# ---------------------------------------------------------------------------
+
+
+def _file_msa(tmp_path, monkeypatch, refdata):
+    """An _MSA whose url() serves local file:// fixtures per format."""
+    from proteofav_spark import facade
+
+    monkeypatch.setattr(defaults, "db_msas", str(tmp_path / "msacache"))
+    (tmp_path / "msacache").mkdir(exist_ok=True)
+
+    class _FileMSA(facade._MSA):
+        def url(self, identifier, aln_source="pfam", seq_format=None, **kw):
+            src = (
+                f"{refdata}/msas/1.50.10.100_1318.fasta"
+                if seq_format == "fasta"
+                else f"{refdata}/msas/PF00118.sth"
+            )
+            return "file://" + src
+
+    return _FileMSA
+
+
+def test_msa_select_fasta_reads_and_never_poisons_stockholm_cache(
+    spark, tmp_path, monkeypatch, refdata
+):
+    """ADVICE r10 high: MSA.select(id, seq_format='fasta') must download
+    to the SAME path read() targets. Previously _MSA.download reset
+    self._filename and recomputed it without url kwargs, so the fasta
+    payload landed in the Stockholm cache slot: the read crashed AND a
+    later stockholm select parsed fasta as Stockholm."""
+    from proteofav_spark import facade  # noqa: F401
+
+    cls = _file_msa(tmp_path, monkeypatch, refdata)
+    s = cls(spark)
+    # cath serves uncompressed over file:// (pfam is always gunzipped)
+    fa = s.select("FAM1", aln_source="cath", seq_format="fasta")
+    assert fa.count() > 0
+    assert fa.first()["Seq_Format"] == "fasta"
+    cache = tmp_path / "msacache"
+    assert (cache / "FAM1.cath.fasta").exists()
+    # the Stockholm slot must not exist yet — no cross-format poisoning
+    assert not (cache / "FAM1.cath.sth").exists()
+
+    st = s.select("FAM1", aln_source="cath")
+    assert st.first()["Seq_Format"] == "stockholm"
+    assert (cache / "FAM1.cath.sth").read_text().startswith("# STOCKHOLM")
+
+
+def test_msa_staged_path_distinguishes_aln_source(tmp_path, monkeypatch):
+    """ADVICE r10 low: a pfam and a cath alignment for the same
+    identifier+format are distinct artifacts with distinct cache files."""
+    from proteofav_spark import facade
+
+    monkeypatch.setattr(defaults, "db_msas", str(tmp_path))
+    p = facade.MSA.staged_path("PF00118", aln_source="pfam")
+    c = facade.MSA.staged_path("PF00118", aln_source="cath")
+    assert p != c
+    assert p.endswith("PF00118.pfam.sth") and c.endswith("PF00118.cath.sth")
+
+
+def test_direct_download_routes_url_kwargs_to_cache_name(
+    spark, tmp_path, monkeypatch, refdata
+):
+    """ADVICE r10 medium: a direct mmCIF.download(id, bio_unit=True)
+    must stage at the bio path (<id>_bio.cif), never clobber the asym
+    slot nor return the asym file as the 'already staged' bio unit."""
+    import gzip as _gzip
+    import shutil
+
+    asym = str(tmp_path / "asym.cif")
+    shutil.copyfile(f"{refdata}/mmcif/2pah.cif", asym)
+    bio = str(tmp_path / "bio.cif.gz")
+    with open(f"{refdata}/mmcif/2w4o.cif", "rb") as fin, _gzip.open(
+        bio, "wb"
+    ) as fout:
+        shutil.copyfileobj(fin, fout)
+    cls = _file_mmcif(tmp_path, monkeypatch, asym, bio)
+
+    s = cls(spark)
+    # stage the asym unit first — the buggy path then treated the asym
+    # file as the "already staged" bio unit
+    p_asym = s.download("2pah")
+    assert p_asym.endswith("2pah.cif")
+    p_bio = s.download("2pah", bio_unit=True)
+    assert p_bio.endswith("2pah_bio.cif")
+    assert (tmp_path / "cache" / "2pah_bio.cif").exists()
+    # asym cache intact (not clobbered by the bio payload)
+    asym_head = (tmp_path / "cache" / "2pah.cif").read_text()[:200]
+    bio_head = (tmp_path / "cache" / "2pah_bio.cif").read_text()[:200]
+    assert asym_head != bio_head
+
+
+def test_downloader_staging_is_unique_per_writer(tmp_path, refdata):
+    """ADVICE r10 low: staging temps are unique per writer — a foreign
+    in-flight '<filename>.part' from a concurrent process must survive
+    another writer's download + cleanup (the old fixed name was shared,
+    so the first finisher deleted the other's in-flight copy)."""
+    from proteofav_spark.fetchers import Downloader
+
+    target = tmp_path / "entry.cif"
+    foreign = tmp_path / "entry.cif.part"
+    foreign.write_text("someone else's in-flight download")
+    Downloader("file://" + f"{refdata}/mmcif/2pah.cif", str(target))
+    assert target.exists() and target.stat().st_size > 1000
+    assert foreign.read_text() == "someone else's in-flight download"

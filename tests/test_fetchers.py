@@ -163,7 +163,9 @@ def test_msa_facade_pfam_staging(spark, tmp_path, monkeypatch):
     facade.MSA._spark = spark
 
     fname = facade.MSA.download("PF00118")
-    assert fname.endswith("PF00118.sth")
+    # r10: the alignment source is part of the cache name — a pfam and a
+    # cath alignment for the same identifier must never share a slot
+    assert fname.endswith("PF00118.pfam.sth")
     df = facade.MSA.read(fname)
     rows = {r["raw_description"]: r for r in df.collect()}
     assert rows["B9LRY6_HALLT/27-514"]["Sequence"] == "MKSELIVNAGP"
