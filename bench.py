@@ -32,6 +32,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # headline set: the heavy representatives of each operator family
 HEADLINE = [
     "join_merge_tree",        # multiway broadcast join + agg
+    "join_lake_merge_tree",   # entry-scoped lake merge tree (the 100 TB merge path)
     "join_star_revenue",      # TPC-H Q5 star: broadcast dims + 2 fact shuffles
     "agg_pricing_summary",    # wide multi-aggregate groupBy
     "window_moving_avg",      # bounded sliding frames, shared window spec
@@ -807,7 +808,7 @@ def main() -> None:
             for r in regressions:
                 print(f"# !!   {r}", file=sys.stderr)
 
-    payload = build_payload(timings, ann_split, sf_val)
+    payload = build_payload(timings, ann_split, sf_val, spreads)
     total = payload["value"]
 
     # scaling exponents (sf0.01 / sf0.1 / synthesized 3x / 10x for the
@@ -875,17 +876,39 @@ def build_payload(
     timings: dict[str, float],
     ann_split: dict[str, dict[str, float]],
     sf_val,
+    spreads: dict[str, float] | None = None,
 ) -> dict:
     """The recorder-facing stdout payload: metric/value/unit/queries/ann/
-    sf and NOTHING else (in particular never the scaling section — see
-    module docstring). Factored out so tests/test_bench_contract.py can
-    pin the shape and the serialized size without running the bench."""
+    noise/sf and NOTHING else (in particular never the scaling section —
+    see module docstring). Factored out so tests/test_bench_contract.py
+    can pin the shape and the serialized size without running the bench.
+
+    ``noise`` (r10, VERDICT r9 #7 — the drift ledger's per-record leg):
+    a COMPACT summary of this host's warm-run-to-run variance, so the
+    round record itself carries the context needed to adjudicate
+    round-over-round drift (four of ten rounds have needed after-the-fact
+    host-drift adjudication). Compact because the recorder's stdout
+    capture window is ~2.2 KB: the median + max relative spread across
+    all headline queries, plus the ≤4 noisiest queries above 25 %."""
+    spreads = spreads or {}
+    vals = sorted(spreads.values())
+    noise: dict = {
+        "spread_med": round(vals[len(vals) // 2], 3) if vals else None,
+        "spread_max": round(max(vals), 3) if vals else None,
+    }
+    noisy = sorted(
+        ((n, s) for n, s in spreads.items() if s >= 0.25),
+        key=lambda kv: -kv[1],
+    )[:4]
+    if noisy:
+        noise["noisy"] = {n: s for n, s in noisy}
     return {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "ann": ann_split,
+        "noise": noise,
         "sf": sf_val,
     }
 

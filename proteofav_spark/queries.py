@@ -270,79 +270,87 @@ RETIRED: dict[str, str] = {
         " kernel under a fixed-seed DuckDB parity oracle (the iterative"
         " driver loop stays pinned by tests/test_llm_queries.py)"
     ),
+    # --- r10 retirements (VERDICT r9 #5: the recorded candidates) ---
+    "events_merge_asof_nearest": (
+        "superseded by events_merge_asof_tolerance: same union +"
+        " carry-forward merge_asof core; the tolerance twin exercises"
+        " direction AND tolerance handling on the identical key shape"
+        " (nearest stays pinned by tests/test_merge_asof.py incl."
+        " pandas-parity + hypothesis properties)"
+    ),
+    "text_bpe_token_count": (
+        "superseded by text_token_stats: the same BPE-ish regex"
+        " tokenizer feeds both; the stats twin oracles token counts"
+        " plus the full per-doc statistics surface"
+    ),
 }
 
 _PRIORITY: list[str] = [
-    # ------- round-9 rotation (VERDICT r8 items #1, #2) -------
-    # Slots 1-3: NEW r9 probes (never attested — MUST be in-window):
-    # the signed-money rounding contract (ADVICE r8: units_to_dollars'
-    # sign branch was unreachable AND unmirrored in the oracles), the
-    # int64-overflow guard on the shared half-up helpers (ADVICE r8
-    # medium: 2·num·10⁶ overflows past num≈4.6e12 — helpers now compute
-    # the scaled numerator in DECIMAL(38,0); the probe forces the old
-    # overflow regime), and the 100 TB money-SUM regime probe
-    # (sum_units_wide's DECIMAL aggregation vs DuckDB's HUGEINT on
-    # forced >2⁶³ group sums).
-    "probe_signed_money_round",
-    "probe_half_up_wide_units",
-    "probe_wide_money_sum",
-    # Slots 4-36: the 33 queries whose newest driver row is r6 — two
-    # rounds stale at r9, the oldest signatures in the catalog; all MUST
-    # re-attest this round (the freshness tripwire enumerates exactly
-    # this set; 36 minus the 3 retired twins above). Nine of these were
-    # rewritten in the r8 rounding-class closure, so their driver
-    # signature predates the code they now run.
-    "agg_cube_all_margins",
-    "agg_monthly_revenue",
-    "agg_pivot_status",
-    "agg_pricing_summary",
-    "agg_rollup_hierarchy",
-    "agg_stats_moments",
-    "array_hof_kit",
-    "array_zip_mismatch",
-    "binary_payload_ops",
-    "customer_ltv_cohort",
-    "distinct_scan",
-    "docs_length_histogram",
-    "embedding_dim_stats",
-    "embedding_quantize_int8",
-    "events_tumbling_window",
-    "join_null_safe",
-    "nation_trade_volume",
-    "orders_shipping_priority",
-    "sample_stratified_hash",
-    "sample_weighted_hash",
-    "set_intersect_except",
-    "shard_concat_digest",
-    "source_mixture_rebalance",
-    "split_train_val_test",
-    "text_bm25_search",
-    "text_pii_scrub",
-    "text_quality_score",
-    "text_repetition_metrics",
-    "text_token_stats",
-    "text_unigram_logprob",
-    "topk_per_group",
-    "vocab_top_ngrams",
-    "window_moving_avg",
-    # Slots 37-50: the riskiest 14 of the 49 r7-signed queries
-    # (iterative / similarity / multi-shuffle shapes first) — attesting
-    # them now leaves 35 r7-singles for the r10 window, comfortably
-    # inside 50 alongside the ≤MAX_NEW_PER_ROUND r10 newcomers.
-    "dedup_cc_clusters",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_semantic_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_exact_hash",
-    "dedup_simhash",
-    "dedup_substring_span",
-    "dedup_crosssource_overlap",
-    "knn_quantized_rescore",
-    "ann_pq_topk",
-    "graph_pagerank_fixed",
-    "graph_triangle_count",
-    "spatial_contacts_grid",
+    # ------- round-10 rotation (VERDICT r9 items #1, #3, #5) -------
+    # Slot 1: NEW r10 registration (never attested — MUST be in-window):
+    # the driver-facing signal for lake_table_merger, the engine's
+    # actual 100 TB merge path (VERDICT r9 #3 — previously only pytest
+    # saw it; the benched join_merge_tree exercises the
+    # single-structure reference-parity tree).
+    "join_lake_merge_tree",
+    # Slots 2-34: the 33 queries whose newest driver row is r7 — two
+    # rounds stale at r10, the oldest signatures in the catalog; all
+    # MUST re-attest this round (the freshness tripwire enumerated the
+    # 35 r7-singles; minus the 2 twins retired this round,
+    # events_merge_asof_nearest and text_bpe_token_count).
+    "agg_collapse_by_key",
+    "agg_duplicate_check",
+    "agg_preferred_argmax",
+    "agg_quantiles_value",
+    "agg_residue_rollup",
+    "agg_single_value_probe",
+    "cdc_upsert_apply",
+    "customer_order_distribution",
+    "customers_above_avg_no_orders",
+    "disjunctive_predicate_revenue",
+    "docs_token_chunking",
+    "embedding_label_centroids",
+    "events_merge_asof_tolerance",
+    "events_session_transitions",
+    "events_twap",
+    "filter_first_value",
+    "filter_isin",
+    "join_star_revenue",
+    "orders_exists_semi",
+    "parts_supplier_breadth",
+    "project_exclude_columns",
+    "promo_revenue_share",
+    "scalar_map_lookup",
+    "scalar_string_kit",
+    "sessionize_events_gap",
+    "text_char_entropy",
+    "text_fingerprint",
+    "text_lang_id",
+    "type_constrain_try_cast",
+    "window_carry_forward",
+    "window_dedup_adjacent",
+    "window_reset_id",
+    "window_segment_counter",
+    # Slots 35-50: the riskiest 16 of the 50 r8-signed queries
+    # (iterative / similarity / multi-shuffle / index-building shapes
+    # first) — the remaining 34 r8-singles are the mandatory head of
+    # the r11 window (34 + ≤4 newcomers leaves ≥12 free slots).
+    "ann_ivf_coarse",
+    "ann_lsh_bucketed",
+    "knn_cosine_topk",
+    "embedding_kmeans_assign",
+    "fuzzy_name_match_blocked",
+    "tree_rollup_recursive",
+    "agg_salted_two_stage",
+    "skew_heavy_hitters",
+    "events_range_join_bucketed",
+    "join_merge_tree",
+    "agg_exact_median_groups",
+    "contamination_ngram_overlap",
+    "pack_token_shards",
+    "dedup_consensus",
+    "approx_distinct_parts_bounds",
+    "tpch_q9_profit_rollup",
 ]
 
 
@@ -542,6 +550,91 @@ def q_join_merge_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region", "nation", "n_lineitems",
             units_to_dollars("rev_u").alias("revenue"),
         )
+    )
+
+
+@register(
+    "join_lake_merge_tree",
+    """
+    WITH atoms AS (
+      SELECT 'E' || CAST(l_orderkey % 20 AS VARCHAR) AS entry_id,
+             chr(65 + CAST(l_linenumber % 3 AS INTEGER)) AS auth_asym_id,
+             CAST(l_partkey % 500 AS VARCHAR) AS auth_seq_id_full,
+             CAST(COUNT(*) AS BIGINT) AS n_atoms
+      FROM lineitem GROUP BY 1, 2, 3
+    ), dssp AS (
+      SELECT 'E' || CAST(o_orderkey % 20 AS VARCHAR) AS entry_id,
+             chr(65 + CAST(o_custkey % 3 AS INTEGER)) AS chain_full,
+             CAST(o_custkey % 500 AS VARCHAR) AS res_full,
+             MAX(o_orderpriority) AS ss
+      FROM orders GROUP BY 1, 2, 3
+    ), sifts AS (
+      SELECT 'E' || CAST(c_custkey % 20 AS VARCHAR) AS entry_id,
+             chr(65 + CAST(c_nationkey % 3 AS INTEGER)) AS chain_id,
+             CAST(c_custkey % 500 AS VARCHAR) AS res_num,
+             MAX(c_mktsegment) AS segment
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT a.entry_id, a.auth_asym_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(a.n_atoms) AS BIGINT) AS atoms_total,
+           CAST(COUNT(d.ss) AS BIGINT) AS n_dssp,
+           CAST(COUNT(s.segment) AS BIGINT) AS n_sifts
+    FROM atoms a
+    LEFT JOIN dssp d ON d.entry_id = a.entry_id
+                    AND d.res_full = a.auth_seq_id_full
+                    AND d.chain_full = a.auth_asym_id
+    LEFT JOIN sifts s ON s.entry_id = a.entry_id
+                     AND s.res_num = a.auth_seq_id_full
+                     AND s.chain_id = a.auth_asym_id
+    GROUP BY a.entry_id, a.auth_asym_id
+    """,
+)
+def q_join_lake_merge_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing signal for :func:`..plans.mergers.lake_table_merger`
+    — the engine's actual 100 TB merge path (entry-scoped join keys, NO
+    forced broadcast; VERDICT r9 #3: the benched ``join_merge_tree``
+    exercises only the single-structure reference-parity tree).
+
+    Twenty synthetic multi-chain "entries" are derived deterministically
+    from the driver tables — atoms from lineitem, a DSSP-shaped side
+    from orders, a SIFTS-shaped side from customer — then merged through
+    the real ``lake_table_merger`` (both enrichment joins scoped by
+    ``entry_id``, AQE free to pick the join strategy) and rolled up per
+    (entry, chain). Each side is pre-aggregated to unique
+    (entry, chain, resnum) keys so the left joins cannot fan out and the
+    flat two-join oracle is exactly equivalent. Scale design: at 100 TB
+    the three sides ride the lake's (entry, chain, resnum) bucketing —
+    tests/test_lake.py proves the bucketed plan is exchange-free."""
+    from proteofav_spark.plans.mergers import lake_table_merger
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    atoms = li.groupBy(
+        F.concat(F.lit("E"), (F.col("l_orderkey") % 20).cast("string"))
+        .alias("entry_id"),
+        F.expr("char(65 + l_linenumber % 3)").alias("auth_asym_id"),
+        (F.col("l_partkey") % 500).cast("string").alias("auth_seq_id_full"),
+    ).agg(F.count(F.lit(1)).alias("n_atoms"))
+    dssp = o.groupBy(
+        F.concat(F.lit("E"), (F.col("o_orderkey") % 20).cast("string"))
+        .alias("entry_id"),
+        F.expr("char(65 + o_custkey % 3)").alias("CHAIN_FULL"),
+        (F.col("o_custkey") % 500).cast("string").alias("RES_FULL"),
+    ).agg(F.max("o_orderpriority").alias("ss"))
+    sifts = c.groupBy(
+        F.concat(F.lit("E"), (F.col("c_custkey") % 20).cast("string"))
+        .alias("entry_id"),
+        F.expr("char(65 + c_nationkey % 3)").alias("PDB_dbChainId"),
+        (F.col("c_custkey") % 500).cast("string").alias("PDB_dbResNum"),
+    ).agg(F.max("c_mktsegment").alias("segment"))
+    merged = lake_table_merger(atoms, dssp_table=dssp, sifts_table=sifts)
+    return merged.groupBy("entry_id", "auth_asym_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_atoms").alias("atoms_total"),
+        F.count("ss").alias("n_dssp"),
+        F.count("segment").alias("n_sifts"),
     )
 
 

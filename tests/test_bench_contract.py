@@ -36,12 +36,17 @@ def _worst_case_payload() -> dict:
         name: {"build": 999.999, "search": 999.999}
         for name in bench.ANN_INDEXED
     }
-    return bench.build_payload(timings, ann, 0.1)
+    # worst-case noise: every query maximally noisy — the summary stays
+    # compact by construction (median/max + the 4 noisiest names)
+    spreads = {name: 9.999 for name in bench.HEADLINE}
+    return bench.build_payload(timings, ann, 0.1, spreads)
 
 
 def test_payload_shape_is_the_recorder_contract():
     payload = _worst_case_payload()
-    assert set(payload) == {"metric", "value", "unit", "queries", "ann", "sf"}
+    assert set(payload) == {
+        "metric", "value", "unit", "queries", "ann", "noise", "sf",
+    }
     assert "scaling" not in payload
     assert payload["metric"] == "headline_queries_total_runtime"
     assert payload["unit"] == "sec"
