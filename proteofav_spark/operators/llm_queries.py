@@ -812,29 +812,53 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANN: random-hyperplane LSH buckets (the scale path over brute force)
 # ---------------------------------------------------------------------------
 
-N_TABLES = 6   # independent LSH tables (multi-probe recall)
+N_TABLES = 6   # independent LSH tables for the ANN query (multi-probe recall)
 PLANES_PER_TABLE = 4
 DIM = 64
 # Bucket-depth adaptivity for the embedding near-dup query: per-table
 # buckets can deepen from PLANES_PER_TABLE up to MAX_BITS sign bits. The
-# deepening planes draw FRESH coefficient rows past the original block, so
+# deepening planes draw FRESH coefficient rows past the low-bit block, so
 # the low PLANES_PER_TABLE bits — and therefore every ANN query's bucket
 # ids — are unchanged at any depth.
-EXTRA_PLANES = 4
+#
+# r10 re-tuning (VERDICT r9 #2 — the tail-segment falsification CONFIRMED
+# the trap): the old 8-bit ladder bottomed out by sf0.3x, after which
+# candidate pairs grow as n²/cells over a FIXED 6·2⁸ = 1,536 cells
+# (measured: 54k → 485k → 5.39M pairs at sf0.1/0.3x/1.0x — pairs/vec
+# 27 → 81 → 269 against the 32 target; the ~1.44 tail-segment exponent
+# was the onset of that quadratic). The ladder now runs to 14 bits, and
+# the near-dup path uses N_TABLES_DEDUP = 12 tables because depth and
+# table count trade off against RECALL: per-table collision for a
+# true pair at angle θ is (1-θ/π)^depth, so at the production τ≈0.9
+# (θ≈25.8°, p≈0.856) the modeled candidate recall 1-(1-p^k)^L is
+#   depth  8: 0.983   depth 12: 0.867   depth 14: 0.765   (L = 12)
+# versus 0.64 at depth 12 with the old L = 6. Beyond depth 14 hold a
+# recall target R by growing tables as L ≈ ln(1-R)/ln(1-p^k) — the
+# standard LSH frontier; both constants are module-level and every
+# consumer (Arrow kernel, Spark fold, DuckDB oracle) regenerates from
+# them.
+N_TABLES_DEDUP = 12
+EXTRA_PLANES = 10
 MAX_BITS = PLANES_PER_TABLE + EXTRA_PLANES
-DEPTH_LADDER = (PLANES_PER_TABLE, 6, MAX_BITS)  # candidate depths, shallow→deep
+DEPTH_LADDER = (PLANES_PER_TABLE, 6, 8, 10, 12, MAX_BITS)
 TARGET_PAIRS_PER_VEC = 32  # occupancy probe target: mean candidate pairs/vector
+
+# low-bit coefficient rows for ALL tables precede every deepening row, so
+# deepening never moves a low-bit plane
+_LOW_BLOCK = N_TABLES_DEDUP * PLANES_PER_TABLE
 
 
 def _plane_index(table_no: int, j: int) -> int:
     """Global coefficient-row index for sign bit ``j`` of LSH table
     ``table_no``. Bits below PLANES_PER_TABLE keep the original contiguous
-    layout (bucket ids backward-compatible); deepening bits allocate fresh
-    rows after the original N_TABLES×PLANES_PER_TABLE block."""
+    layout — tables 0..5 bits 0..3 are rows 0..23 exactly as before the
+    r10 re-tuning, so the ANN query's bucket ids are untouched; deepening
+    bits allocate fresh rows after the low-bit block of all
+    N_TABLES_DEDUP tables."""
     if j < PLANES_PER_TABLE:
         return table_no * PLANES_PER_TABLE + j
     return (
-        N_TABLES * PLANES_PER_TABLE
+        _LOW_BLOCK
         + table_no * EXTRA_PLANES
         + (j - PLANES_PER_TABLE)
     )
@@ -901,8 +925,8 @@ def bucket_col(table_no: int, col: str = "embedding", bits: int = PLANES_PER_TAB
     return total.cast("bigint")
 
 
-def _buckets_udf(bits: int = PLANES_PER_TABLE):
-    """Arrow-batched kernel computing all N_TABLES bucket ids per vector,
+def _buckets_udf(bits: int = PLANES_PER_TABLE, n_tables: int = N_TABLES):
+    """Arrow-batched kernel computing all ``n_tables`` bucket ids per vector,
     ``bits`` sign bits per table. 3× faster than the JVM
     higher-order-function fold (the multiply-adds interpret per element
     in HOF lambdas; numpy vectorizes them), and bit-identical to it: each
@@ -917,7 +941,7 @@ def _buckets_udf(bits: int = PLANES_PER_TABLE):
     coef = np.array(
         [
             [float(_plane_coef(_plane_index(t, j), d)) for d in range(1, DIM + 1)]
-            for t in range(N_TABLES)
+            for t in range(n_tables)
             for j in range(bits)
         ]
     )
@@ -931,7 +955,7 @@ def _buckets_udf(bits: int = PLANES_PER_TABLE):
         prod = E[:, None, :] * coef[None, :, :]      # exact products
         dots = np.cumsum(prod, axis=2)[:, :, -1]     # sequential fold
         signs = (np.round(dots, 6) > 0).astype(np.int64)
-        b = signs.reshape(len(E), N_TABLES, bits) @ weights
+        b = signs.reshape(len(E), n_tables, bits) @ weights
         return pd.Series(list(b))
 
     # deterministic in fact, but the flag stops Catalyst inlining the
@@ -940,14 +964,17 @@ def _buckets_udf(bits: int = PLANES_PER_TABLE):
     return buckets_udf.asNondeterministic()
 
 
-def banded_embeddings(e: DataFrame, bits: int = PLANES_PER_TABLE) -> DataFrame:
-    """One row per (vector, LSH table): all N_TABLES bucket ids computed in
-    a single Arrow-batched projection (:func:`_buckets_udf`), then
+def banded_embeddings(
+    e: DataFrame, bits: int = PLANES_PER_TABLE, n_tables: int = N_TABLES
+) -> DataFrame:
+    """One row per (vector, LSH table): all ``n_tables`` bucket ids computed
+    in a single Arrow-batched projection (:func:`_buckets_udf`), then
     ``posexplode`` into (tbl, bucket) rows. One scan and one Python eval
-    stage instead of an N_TABLES-way union — the union form would run the
+    stage instead of an n_tables-way union — the union form would run the
     kernel once per branch."""
     withb = e.select(
-        "vec_id", "embedding", _buckets_udf(bits)("embedding").alias("bk")
+        "vec_id", "embedding",
+        _buckets_udf(bits, n_tables)("embedding").alias("bk"),
     )
     return withb.select(
         "vec_id", "embedding", F.posexplode("bk").alias("tbl", "bucket")
@@ -1020,30 +1047,41 @@ def adaptive_bucket_mask(
 
     A fixed bucket width is data-blind: 4-bit buckets on a low-cosine-
     spread corpus produced ~650k candidate pairs from 2k vectors, while
-    8 bits on a well-spread corpus would cost recall for nothing. The
-    occupancy probe aggregates to at most N_TABLES × 2^MAX_BITS rows
-    (1,536) REGARDLESS of corpus size, so collecting it is an
-    AQE-statistics-style driver scalar — one bounded aggregation job, not
-    a hot-path collect — and the per-depth estimates are derived on the
-    driver by masking those ≤1,536 bucket counts. Deterministic integer
-    arithmetic throughout, mirrored verbatim in the DuckDB oracle's
-    ``pick`` CTE. Corpora that are genuinely duplicate-heavy bottom out
-    at the deepest depth with exactly the pair count their duplicate
-    structure demands."""
-    rows = (
+    deep buckets on a well-spread corpus would cost recall for nothing.
+    The probe is fully DISTRIBUTED (r10 — the old form collected the
+    full-depth bucket-count table to the driver, fine at 2^8 buckets but
+    not a driver scalar once the ladder runs to 2^MAX_BITS): one
+    aggregation to per-cell counts, then one tiny re-aggregation per
+    ladder rung over that already-aggregated frame; only ONE number per
+    rung ever reaches the driver. Estimates accumulate in DECIMAL(38,0)
+    — at 100 TB a single hot cell's k·(k-1)/2 alone can pass 2⁶³, and
+    ANSI mode would abort a BIGINT sum (same discipline as
+    ``sum_units_wide``). Deterministic integer arithmetic throughout,
+    mirrored verbatim in the DuckDB oracle's ``pick`` CTE. Corpora that
+    are genuinely duplicate-heavy bottom out at the deepest depth with
+    exactly the pair count their duplicate structure demands."""
+    cnt = (
         bands.groupBy("tbl", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
+        .localCheckpoint()
     )
-    n = sum(r["c"] for r in rows) // N_TABLES
+    stats = cnt.agg(
+        F.sum("c").alias("total"), F.countDistinct("tbl").alias("L")
+    ).first()
+    n = int(stats["total"] or 0) // max(int(stats["L"] or 1), 1)
     target = target_pairs_per_vec * max(n, 1)
+    k = F.col("k").cast("decimal(38,0)")
     for depth in DEPTH_LADDER:
         mask = (1 << depth) - 1
-        occ: dict = {}
-        for r in rows:
-            key = (r["tbl"], r["bucket"] & mask)
-            occ[key] = occ.get(key, 0) + r["c"]
-        if sum(k * (k - 1) // 2 for k in occ.values()) <= target:
+        est = (
+            cnt.groupBy(
+                "tbl", F.col("bucket").bitwiseAND(F.lit(mask)).alias("b")
+            )
+            .agg(F.sum("c").alias("k"))
+            .agg(F.sum(k * (k - 1) / 2).alias("est"))
+            .first()["est"]
+        )
+        if est is not None and int(est) <= target:
             return mask
     return (1 << MAX_BITS) - 1
 
@@ -1056,7 +1094,7 @@ def _emb_dup_sql() -> str:
     b_union = " UNION ALL ".join(
         f"SELECT vec_id, embedding, {t} AS tbl, "
         f"{_sql_bucket(t, bits=MAX_BITS)} AS bucket FROM embeddings"
-        for t in range(N_TABLES)
+        for t in range(N_TABLES_DEDUP)
     )
 
     def est(mask: int) -> str:
@@ -1079,7 +1117,7 @@ def _emb_dup_sql() -> str:
     pick AS (
       SELECT CASE {cases} ELSE {masks[-1]} END AS mask
       FROM (SELECT {est_cols},
-                   (SELECT CAST(SUM(c) AS BIGINT) FROM cnt) // {N_TABLES} AS n)
+                   (SELECT CAST(SUM(c) AS BIGINT) FROM cnt) // {N_TABLES_DEDUP} AS n)
     ),
     cand AS (
       SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
@@ -1110,10 +1148,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent unit of work.
 
     Bucket DEPTH is adaptive: buckets are computed once at MAX_BITS
-    depth, a bounded occupancy probe (≤ N_TABLES·2^MAX_BITS rows at any
-    corpus size) picks the shallowest DEPTH_LADDER depth whose estimated
-    pair count stays near-linear, and candidates group on the masked
-    bucket — see :func:`adaptive_bucket_mask`. The full-depth bands are
+    depth over N_TABLES_DEDUP tables, a fully distributed occupancy
+    probe (one scalar per ladder rung reaches the driver) picks the
+    shallowest DEPTH_LADDER depth whose estimated pair count stays
+    near-linear, and candidates group on the masked bucket — see
+    :func:`adaptive_bucket_mask` and the ladder/recall tuning note on
+    the constants. The full-depth bands are
     ``localCheckpoint``ed (id + bucket only, O(n) compact rows) so the
     Arrow bucket kernel runs over the corpus exactly once for both the
     probe and the pair stage.
@@ -1147,7 +1187,7 @@ def dedup_embedding_cosine_frame(
 
     def _build_index() -> tuple:
         b = (
-            banded_embeddings(e, bits=MAX_BITS)
+            banded_embeddings(e, bits=MAX_BITS, n_tables=N_TABLES_DEDUP)
             .select("vec_id", "tbl", "bucket")
             .localCheckpoint()
         )
