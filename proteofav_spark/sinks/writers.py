@@ -33,6 +33,37 @@ def _ordered(df: DataFrame) -> DataFrame:
     return df.orderBy(*order) if order else df
 
 
+def _cif_token(c: str) -> Column:
+    """One CIF data value, quoted when bare emission would corrupt the
+    round-trip (review r10 — the write-side twin of the r9 quote-aware
+    tokenizer: the reference writer emits ``' '.join(str(v))``
+    unquoted, proteofav/structures.py:527-529, so a value containing
+    whitespace or starting with a quote/comment char silently shifts
+    columns on re-read). Quoting rule mirrors the tokenizer (quote ends
+    only at quote+whitespace): prefer ``'...'`` when the value carries
+    no single quote, else ``"..."``; a value containing BOTH quote
+    kinds has no single-line CIF spelling — fail loudly instead of
+    emitting a token the parser would mis-split."""
+    v = F.coalesce(F.col(c).cast("string"), F.lit("?"))
+    needs = (
+        (v == "")
+        | v.rlike(r"\s")
+        | F.substring(v, 1, 1).isin("'", '"', ";", "#", "$", "[", "]")
+    )
+    quoted = (
+        F.when(~v.contains("'"), F.concat(F.lit("'"), v, F.lit("'")))
+        .when(~v.contains('"'), F.concat(F.lit('"'), v, F.lit('"')))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("CIF field has no single-line quoting: "), v
+                )
+            )
+        )
+    )
+    return F.when(needs, quoted).otherwise(v)
+
+
 def mmcif_atom_lines(df: DataFrame, exclude_meta: bool = True) -> tuple[list[str], DataFrame]:
     """Header lines + a one-column DataFrame of space-joined atom records."""
     cols = [
@@ -43,9 +74,7 @@ def mmcif_atom_lines(df: DataFrame, exclude_meta: bool = True) -> tuple[list[str
         f"_atom_site.{c}" for c in cols
     ]
     body = _ordered(df).select(
-        F.concat_ws(
-            " ", *[F.coalesce(F.col(c).cast("string"), F.lit("?")) for c in cols]
-        ).alias("value")
+        F.concat_ws(" ", *[_cif_token(c) for c in cols]).alias("value")
     )
     return header, body
 

@@ -375,3 +375,46 @@ def test_dedup_ingest_replay_idempotent(spark, tmp_path):
     recovered = spark.read.parquet(store2)
     assert recovered.count() == n_distinct
     assert recovered.select("text_hash").distinct().count() == n_distinct
+
+
+def test_write_mmcif_quotes_roundtrip_hostile_tokens(spark, tmp_path):
+    """Review r10: the writer is the write-side twin of the r9
+    quote-aware tokenizer — values containing whitespace or starting
+    with a quote/comment char must be emitted QUOTED (the reference
+    writes them bare, silently shifting columns on re-read). A value
+    with no single-line CIF spelling (both quote kinds + whitespace)
+    must fail loudly, never emit a corrupt row."""
+    import pytest as _pytest
+
+    from proteofav_spark.sources.structures import parse_mmcif_atoms
+
+    cols = [
+        "group_PDB", "id", "label_atom_id", "label_comp_id",
+        "auth_asym_id", "auth_seq_id", "Cartn_x",
+    ]
+    rows = [
+        ("ATOM", 1, "C1'", "U", "A", "1", 1.5),      # leading-quote-free, has '
+        ("ATOM", 2, "N A", "GLY", "A", "2", 2.5),    # embedded whitespace
+        ("ATOM", 3, "'N", "GLY", "A", "3", 3.5),     # LEADING single quote
+        ("ATOM", 4, "#X", "GLY", "A", "4", 4.5),     # leading comment char
+    ]
+    df = spark.createDataFrame(rows, cols)
+    out = str(tmp_path / "hostile.cif")
+    write_mmcif_from_table(df, out, overwrite=True)
+    back = parse_mmcif_atoms(spark, out, excluded_cols=())
+    got = {int(r["id"]): r for r in back.collect()}
+    assert len(got) == 4
+    assert got[1]["label_atom_id"] == "C1'"
+    assert got[2]["label_atom_id"] == "N A"     # no column shift
+    assert got[3]["label_atom_id"] == "'N"
+    assert got[4]["label_atom_id"] == "#X"
+    assert [float(got[i]["Cartn_x"]) for i in range(1, 5)] == [
+        1.5, 2.5, 3.5, 4.5,
+    ]
+
+    # both quote kinds + whitespace: no single-line spelling — loud abort
+    bad = spark.createDataFrame(
+        [("ATOM", 1, "a'b\" c", "U", "A", "1", 1.5)], cols
+    )
+    with _pytest.raises(Exception):
+        write_mmcif_from_table(bad, str(tmp_path / "bad.cif"), overwrite=True)
