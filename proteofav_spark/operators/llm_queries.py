@@ -1272,7 +1272,8 @@ _ANN_SQL = f"""
 
 @register("ann_lsh_bucketed", _ANN_SQL)
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via multi-table hyperplane LSH: 3 independent tables
+    """Approximate NN via multi-table hyperplane LSH: N_TABLES (6)
+    independent tables
     of 4 deterministic hyperplanes each; candidates = union of same-bucket
     vectors across tables, then exact cosine re-rank. Multiple small tables
     trade a few extra candidates for recall a single deep table cannot

@@ -127,3 +127,54 @@ def test_runtime_bloom_filter_injects_for_selective_dim_join(spark, tmp_path):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_lsh_depth_ladder_deepens_with_corpus_and_bounds_pairs(spark):
+    """Pin the r10 embedding-LSH re-tune: the occupancy probe must pick a
+    DEEPER bucket depth as the corpus grows, keeping estimated candidate
+    pairs/vector bounded near TARGET_PAIRS_PER_VEC — the r9 trap was an
+    8-bit ladder that bottomed out by sf0.3x, after which candidates grew
+    n²/1,536-cells (measured 27 → 81 → 269 pairs/vec). This test fails if
+    anyone shrinks the ladder, breaks the distributed probe, or the probe
+    stops tracking corpus growth."""
+    from pyspark.sql import functions as F
+
+    from proteofav_spark.operators.llm_queries import (
+        DEPTH_LADDER,
+        MAX_BITS,
+        N_TABLES_DEDUP,
+        TARGET_PAIRS_PER_VEC,
+        adaptive_bucket_mask,
+        banded_embeddings,
+    )
+
+    def mask_and_pairs(sf_dir: str) -> tuple[int, float]:
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = e.count()
+        b = (
+            banded_embeddings(e, bits=MAX_BITS, n_tables=N_TABLES_DEDUP)
+            .select("vec_id", "tbl", "bucket")
+            .localCheckpoint()
+        )
+        mask = adaptive_bucket_mask(b)
+        rows = (
+            b.groupBy(
+                "tbl", F.col("bucket").bitwiseAND(F.lit(mask)).alias("bk")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        pairs = sum(r["c"] * (r["c"] - 1) // 2 for r in rows)
+        return mask, pairs / n
+
+    small_mask, small_ppv = mask_and_pairs("/root/testdata/sf0.01")
+    big_mask, big_ppv = mask_and_pairs("/root/testdata/sf0.1")
+    # a 10x corpus must never pick a SHALLOWER depth
+    assert big_mask >= small_mask, (small_mask, big_mask)
+    # the chosen depth keeps candidates near-linear unless the ladder is
+    # genuinely exhausted (then the corpus's duplicate structure decides)
+    for mask, ppv in ((small_mask, small_ppv), (big_mask, big_ppv)):
+        if mask != (1 << MAX_BITS) - 1:
+            assert ppv <= TARGET_PAIRS_PER_VEC, (mask, ppv)
+    # the ladder reaches past the r9 ceiling (the 8-bit bottom-out)
+    assert DEPTH_LADDER[-1] == MAX_BITS and MAX_BITS >= 12
