@@ -41,13 +41,31 @@ SCALE_NOTES = {
         "+ final-pair aggregation."
     ),
     "dedup_embedding_cosine": (
-        "bucket depth adaptive: full-depth bands checkpoint once per "
-        "(session, corpus) as an LSH-index artifact, a bounded occupancy "
-        "probe (<= N_TABLES*2^8 rows at any corpus size) picks the "
-        "shallowest depth with near-linear pair count — both cached, so "
-        "repeat searches skip the corpus kernel; the pair shuffle "
-        "carries only (vec_id, vec_id); embeddings and precomputed "
-        "norms join back onto surviving pairs."
+        "bucket depth adaptive over a 14-bit ladder on 12 tables (r10 "
+        "re-tune — the old 8-bit ladder bottomed out by sf0.3x and "
+        "candidate pairs went n^2/1,536-cells: 54k->485k->5.39M "
+        "measured; now depth climbs 10->12->14 across the sweep and "
+        "pairs/vec stays ~13-15): full-depth bands checkpoint once per "
+        "(session, corpus) as an LSH-index artifact; the occupancy "
+        "probe is fully distributed (per-cell counts aggregate once, "
+        "each ladder rung re-aggregates that frame, ONE decimal(38,0) "
+        "scalar per rung reaches the driver — a 100 TB hot cell can't "
+        "ANSI-abort a bigint sum); the pair shuffle carries only "
+        "(vec_id, vec_id); embeddings and precomputed norms join back "
+        "onto surviving pairs. Recall/depth frontier on the constants "
+        "(production-tau modeled recall 0.98/0.87/0.77 at depths "
+        "8/12/14 with L=12; hold a target R deeper by growing "
+        "L ~ ln(1-R)/ln(1-p^k))."
+    ),
+    "join_lake_merge_tree": (
+        "the lake-wide merge path (plans/mergers.lake_table_merger): "
+        "every structure-level join key gains entry_id so residues "
+        "only match within their own entry, and NO side carries a "
+        "broadcast hint — AQE picks the strategy, and on bucketed lake "
+        "tables ((entry, chain, resnum) buckets) the merge is proven "
+        "exchange-free in the executed plan (tests/test_lake.py). The "
+        "three synthetic sides pre-aggregate to unique keys so the "
+        "left joins cannot fan out."
     ),
     "spatial_contacts_grid": (
         "27-cell grid equi-join replaces the N-squared theta join; the cell "
