@@ -479,3 +479,40 @@ def test_cif_tokenizer_roundtrips_rendered_lines(tokens):
 
     line = _render_cif_line(tokens)
     assert cif_split_py(line) == tokens, line
+
+
+# writer-side alphabet: BOTH quote kinds, spaces, and comment/reserved
+# lead chars — everything the r10 quote-aware writer must protect.
+# Values carrying both quote kinds have no single-line CIF spelling and
+# the writer raises on them by contract, so they are filtered here.
+_cif_value = st.text(
+    alphabet=st.characters(
+        whitelist_categories=(),
+        whitelist_characters="abcxyz0189'\". _-#;$",
+    ),
+    min_size=1,
+    max_size=12,
+).filter(
+    lambda t: not t.isspace() and not ("'" in t and '"' in t)
+)
+
+
+@given(vals=st.lists(_cif_value, min_size=1, max_size=6))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cif_writer_quoting_roundtrips_through_tokenizer(spark, vals):
+    """Write-side twin of the tokenizer round-trip (review r10): the
+    quote-aware writer's rendered atom line must tokenize back to the
+    EXACT input values for any spellable value — embedded spaces,
+    either quote kind (not both), leading comment chars, leading
+    quotes. This pins the writer and the parser as mutual inverses, so
+    a quoting-rule drift on either side fails here instead of silently
+    corrupting a round-trip at some future fixture."""
+    from proteofav_spark.sinks.writers import mmcif_atom_lines
+    from proteofav_spark.sources.structures import cif_split_py
+
+    cols = [f"c{i}" for i in range(len(vals))]
+    df = spark.createDataFrame([tuple(vals)], cols)
+    _, body = mmcif_atom_lines(df)
+    line = body.collect()[0]["value"]
+    assert cif_split_py(line) == list(vals), line
