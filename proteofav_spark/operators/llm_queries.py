@@ -1089,8 +1089,10 @@ def adaptive_bucket_mask(
 def _emb_dup_sql() -> str:
     """Oracle for the adaptive-depth embedding near-dup: buckets at full
     MAX_BITS depth, the same occupancy-probe depth choice as
-    :func:`adaptive_bucket_mask` expressed as CTEs, then candidate pairs
-    on the masked buckets and exact cosine ≥ τ."""
+    :func:`adaptive_bucket_mask` expressed as CTEs, then SALT-SPLIT
+    masked cells (the identical vec-id polynomial-hash sub-cell
+    arithmetic as the Spark side and the minhash oracle), candidate
+    pairs within sub-cells, and exact cosine ≥ τ."""
     b_union = " UNION ALL ".join(
         f"SELECT vec_id, embedding, {t} AS tbl, "
         f"{_sql_bucket(t, bits=MAX_BITS)} AS bucket FROM embeddings"
@@ -1119,12 +1121,24 @@ def _emb_dup_sql() -> str:
       FROM (SELECT {est_cols},
                    (SELECT CAST(SUM(c) AS BIGINT) FROM cnt) // {N_TABLES_DEDUP} AS n)
     ),
+    mb AS (
+      SELECT b.vec_id, b.embedding, b.tbl, b.bucket & p.mask AS bucket
+      FROM b, pick p),
+    sz AS (
+      SELECT tbl, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM mb
+      GROUP BY tbl, bucket
+      HAVING COUNT(*) BETWEEN 2 AND {BUCKET_CAP * MAX_SPLITS}),
+    salted AS (
+      SELECT m.vec_id, m.embedding, m.tbl, m.bucket,
+             {_sql_poly_hash("CAST(m.vec_id AS VARCHAR)")}
+               % ((s.c + {BUCKET_CAP - 1}) // {BUCKET_CAP}) AS salt
+      FROM mb m JOIN sz s USING (tbl, bucket)),
     cand AS (
       SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
              x.embedding AS ea, y.embedding AS eb
-      FROM b x, b y, pick p
-      WHERE x.tbl = y.tbl AND (x.bucket & p.mask) = (y.bucket & p.mask)
-            AND x.vec_id < y.vec_id),
+      FROM salted x JOIN salted y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.salt = y.salt
+           AND x.vec_id < y.vec_id),
     scored AS (
       SELECT vec_a, vec_b,
              round(list_cosine_similarity(CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[])), 4) AS cosine
@@ -1145,7 +1159,10 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine ≥ τ on candidates only. At 100 TB the bucket equi-join
     bounds the pair count — the N² cross join never materializes; bucket
     skew is handled by AQE skew-join since each (tbl, bucket) cell is an
-    independent unit of work.
+    independent unit of work, and duplicate-heavy mega-cells past
+    BUCKET_CAP salt-split into bounded sub-cells (r10 — the same
+    backstop as the minhash pipeline, for the corpora that bottom out
+    the depth ladder).
 
     Bucket DEPTH is adaptive: buckets are computed once at MAX_BITS
     depth over N_TABLES_DEDUP tables, a fully distributed occupancy
@@ -1200,9 +1217,45 @@ def dedup_embedding_cosine_frame(
     bands, mask = _session_index(spark, "embdup", e, _build_index)
     # candidate pairs via groupBy(cell) + in-array combination (same
     # pattern as the minhash pipeline): buckets compute once — a self-join
-    # would re-derive all the hyperplane projections on both sides
+    # would re-derive all the hyperplane projections on both sides.
+    #
+    # Mega-cell SALT-SPLIT (r10 — the duplicate-heavy backstop the
+    # minhash path has had since r7, ported here): the occupancy probe
+    # bounds the TYPICAL candidate count by deepening, but a corpus of
+    # near-identical vectors bottoms out the ladder with one giant cell
+    # per table — collect_list would then materialize an unbounded
+    # array in one task and the pair explode goes |cell|². Cells past
+    # BUCKET_CAP split into ceil(size/cap) deterministic sub-cells
+    # (vec-id polynomial hash — the identical arithmetic as the oracle
+    # and the minhash pipeline); per-cell work drops to O(cap·size)
+    # while connected components still links every member of a mutually
+    # similar cell through its sub-cells. Cells beyond cap·MAX_SPLITS
+    # (exact-duplicate pathologies — dedup_exact_hash territory) are
+    # skipped. The size window and the salted groupBy share one
+    # (tbl, bucket) exchange, same as the minhash plan.
+    hard_cap = BUCKET_CAP * MAX_SPLITS
+    wc = W.partitionBy("tbl", "bucket").orderBy("vec_id")
+    masked = bands.select(
+        "vec_id",
+        "tbl",
+        F.col("bucket").bitwiseAND(F.lit(mask)).alias("bucket"),
+    )
+    sized = masked.withColumn(
+        "sz",
+        F.count(F.lit(1)).over(
+            wc.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ),
+    )
+    salted = (
+        sized.filter((F.col("sz") >= 2) & (F.col("sz") <= hard_cap))
+        .withColumn("nsplit", F.expr(f"(sz + {BUCKET_CAP - 1}) div {BUCKET_CAP}"))
+        .withColumn(
+            "salt",
+            poly_hash_col(F.col("vec_id").cast("string")) % F.col("nsplit"),
+        )
+    )
     grouped = (
-        bands.groupBy("tbl", F.col("bucket").bitwiseAND(F.lit(mask)).alias("bucket"))
+        salted.groupBy("tbl", "bucket", "salt")
         .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )

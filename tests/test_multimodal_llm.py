@@ -1137,3 +1137,40 @@ def test_frame_sample_zero_frame_batches_yield_schema_shaped_empties(spark):
     out = frame_sample(d, frame_fn=lambda blob: [])
     assert out.count() == 0
     assert out.columns == ["doc_id", "frame_no", "frame_checksum"]
+
+
+def test_embedding_dedup_salt_splits_duplicate_mega_cell(spark, tmp_path):
+    """r10 backstop: a duplicate-heavy corpus bottoms out the depth
+    ladder with one giant cell per table — the pair stage must
+    salt-split it (bounded collect_list arrays, O(cap·size) pairs)
+    while still linking every member into one duplicate component
+    through its sub-cells. 200 identical vectors → every vector must
+    appear in ≥1 reported pair (single-component linkage for connected
+    components), pair count well under the 200·199/2 all-pairs blowup,
+    and every pair exact cosine 1.0."""
+    import os
+
+    from proteofav_spark.operators.llm_queries import (
+        BUCKET_CAP,
+        dedup_embedding_cosine_frame,
+    )
+
+    n = 200
+    base = [float((i * 7) % 13 - 6) for i in range(64)]
+    rows = [(i, list(base), 1) for i in range(n)]
+    spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    e = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+    pairs = dedup_embedding_cosine_frame(spark, e, tau=0.99).collect()
+    assert pairs, "identical vectors produced no near-dup pairs"
+    linked = {r["vec_a"] for r in pairs} | {r["vec_b"] for r in pairs}
+    assert linked == set(range(n)), sorted(set(range(n)) - linked)[:5]
+    # salt-split bound: with ceil(n/cap) sub-cells per (tbl, cell), the
+    # per-table pair count is ~cap·n/2, not n²/2 — assert well under the
+    # all-pairs count (12 tables can't union past it either: pairs are
+    # distinct (a, b) tuples)
+    all_pairs = n * (n - 1) // 2
+    assert len(pairs) < all_pairs / 2, (len(pairs), all_pairs)
+    # sub-cells keep only mutually-identical members here: exact 1.0
+    assert all(r["cosine"] == 1.0 for r in pairs)
