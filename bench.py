@@ -49,6 +49,7 @@ HEADLINE = [
     "knn_cosine_topk",        # brute-force cosine top-k
     "ann_lsh_bucketed",       # hyperplane-LSH bucketed ANN
     "ann_ivf_coarse",         # IVF coarse-quantizer ANN
+    "ann_ivf_store_probe",    # PERSISTED IVF store: build + partition-pruned probe
     "knn_quantized_rescore",  # int8 compressed-scan prefilter + exact rescore
     "ann_pq_topk",            # product-quantization ADC scan + exact rerank
     "dedup_embedding_cosine", # LSH-candidate cosine near-dup pairs
@@ -73,6 +74,7 @@ HEADLINE = [
 ANN_INDEXED = {
     "ann_lsh_bucketed",
     "ann_ivf_coarse",
+    "ann_ivf_store_probe",     # persisted store build (train+assign+write)
     "dedup_embedding_cosine",
     "knn_quantized_rescore",   # SQ8 codes artifact
     "ann_pq_topk",             # PQ assignment artifact + codebook LUTs

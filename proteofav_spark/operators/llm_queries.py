@@ -1569,6 +1569,109 @@ def q_ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ANN: the PERSISTED IVF store, driver-attested (r10)
+# ---------------------------------------------------------------------------
+
+# Oracle for the persisted-store probe. Same coarse-quantizer training /
+# assignment / probe shape as _IVF_SQL above (the store shares ONE
+# label_centroids definition with the session index precisely so this
+# holds), with the store's contract differences spelled out:
+#   * nprobe = 4 (plans/ann_store.NPROBE_DEFAULT, vs the session
+#     index's 8);
+#   * the rescore cosine is the store's _cosine — rounded at 6 dp (the
+#     session index re-ranks at 4 dp);
+#   * no self-exclusion: a corpus vector probing the store finds itself
+#     at rk 1 (cosine 1.0) — the store is a retrieval index, not a
+#     dedup pipeline.
+_IVF_STORE_SQL = """
+    WITH expl AS (
+      SELECT label, UNNEST(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings),
+    cd AS (SELECT label, dim, round(AVG(v), 6) AS c
+           FROM expl GROUP BY label, dim),
+    cent AS (SELECT label, list(c ORDER BY dim) AS cvec FROM cd GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, c.label,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS cc
+      FROM embeddings e CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, label FROM (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY cc DESC, label) AS rn
+        FROM scored) WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS qid, label FROM (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY cc DESC, label) AS rn
+        FROM scored WHERE vec_id < 3) WHERE rn <= 4),
+    rer AS (
+      SELECT p.qid, a.vec_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(v.embedding AS DOUBLE[])), 6) AS cosine
+      FROM probe p JOIN assign a USING (label)
+      JOIN embeddings q ON q.vec_id = p.qid
+      JOIN embeddings v ON v.vec_id = a.vec_id),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY cosine DESC, vec_id) AS rk
+      FROM rer)
+    SELECT qid, vec_id, cosine, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+"""
+
+
+@register("ann_ivf_store_probe", _IVF_STORE_SQL)
+def q_ann_ivf_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing signal for the PERSISTED IVF store
+    (:mod:`..plans.ann_store`) — the engine's actual 100 TB retrieval
+    path, previously pinned only by pytest fixtures (the benched
+    ``ann_ivf_coarse`` exercises the session-resident index; same gap
+    VERDICT r9 #3 called out for the merge tree).
+
+    Builds the store once per (session, corpus) — train the coarse
+    quantizer, assign every vector, write centroid-PARTITIONED parquet
+    lists + SQ8 codes — then probes it with the standard 3-query batch
+    through :func:`..plans.ann_store.probe_ivf_store`: the probed label
+    set becomes a LITERAL isin on the partition column, so the lists
+    scan carries a static PartitionFilter and the other K−nprobe
+    directories are never opened. The oracle recomputes the identical
+    train/assign/probe/re-rank function in SQL, so a green row attests
+    the store's PHYSICAL layout round-trip (write → partition-pruned
+    read) bit-for-bit, not just the in-memory plan. Scale design: the
+    build is one (label, dim) partial-agg + one map-only assignment +
+    one partition-by-label write; the probe reads nprobe/K of the
+    corpus."""
+    from proteofav_spark.plans import ann_store
+
+    e = load(spark, sf_dir, "embeddings")
+
+    def _build() -> str:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="pfs_ivf_store_")
+        ann_store.build_ivf_store(e, path)
+        return path
+
+    # cached like every other index artifact: the store is built once
+    # per (session, corpus file-listing) and serves all later probes.
+    # The cached value is the store PATH (disk artifacts, no executor
+    # blocks to release on eviction — temp dirs die with the machine's
+    # tmp reaper / session host).
+    path = _session_index(spark, "ivf_store_path", e, _build)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = ann_store.probe_ivf_store(spark, path, q)
+    return out.select(
+        "qid", "vec_id", "cosine", F.col("rk").cast("bigint").alias("rk")
+    )
+
+
 BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 
 

@@ -293,7 +293,14 @@ _PRIORITY: list[str] = [
     # saw it; the benched join_merge_tree exercises the
     # single-structure reference-parity tree).
     "join_lake_merge_tree",
-    # Slots 2-34: the 33 queries whose newest driver row is r7 — two
+    # Slots 2-3: NEW r10 registrations (never attested — MUST be
+    # in-window): the same fixture-only→driver-attested move for the
+    # other two persisted scale components — the IVF vector store's
+    # build→partition-pruned-probe round-trip and the Z-order lake
+    # layout's write→read→Z-key round-trip.
+    "ann_ivf_store_probe",
+    "lake_zorder_roundtrip",
+    # Slots 4-36: the 33 queries whose newest driver row is r7 — two
     # rounds stale at r10, the oldest signatures in the catalog; all
     # MUST re-attest this round (the freshness tripwire enumerated the
     # 35 r7-singles; minus the 2 twins retired this round,
@@ -331,10 +338,10 @@ _PRIORITY: list[str] = [
     "window_dedup_adjacent",
     "window_reset_id",
     "window_segment_counter",
-    # Slots 35-50: the riskiest 16 of the 50 r8-signed queries
+    # Slots 37-50: the riskiest 14 of the 50 r8-signed queries
     # (iterative / similarity / multi-shuffle / index-building shapes
-    # first) — the remaining 34 r8-singles are the mandatory head of
-    # the r11 window (34 + ≤4 newcomers leaves ≥12 free slots).
+    # first) — the remaining 36 r8-singles are the mandatory head of
+    # the r11 window (36 + ≤4 newcomers leaves ≥10 free slots).
     "ann_ivf_coarse",
     "ann_lsh_bucketed",
     "knn_cosine_topk",
@@ -349,8 +356,6 @@ _PRIORITY: list[str] = [
     "contamination_ngram_overlap",
     "pack_token_shards",
     "dedup_consensus",
-    "approx_distinct_parts_bounds",
-    "tpch_q9_profit_rollup",
 ]
 
 
@@ -635,6 +640,97 @@ def q_join_lake_merge_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_atoms").alias("atoms_total"),
         F.count("ss").alias("n_dssp"),
         F.count("segment").alias("n_sifts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order lake round-trip, driver-attested (r10)
+# ---------------------------------------------------------------------------
+
+# The Morton interleave as SQL bit arithmetic: dimension 0 (user_id) at
+# even bit positions, dimension 1 (value) at odd — the exact bit layout
+# of plans/lake.morton_col (j-th column at bit i·n+j). The terms occupy
+# disjoint bits, so + is OR.
+_Z_INTERLEAVE = " + ".join(
+    f"(((qu >> {i}) & 1) << {2 * i}) + (((qv >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16)
+)
+
+_ZORDER_SQL = f"""
+    WITH b AS (
+      SELECT min(CAST(user_id AS DOUBLE)) AS lo_u,
+             max(CAST(user_id AS DOUBLE)) AS hi_u,
+             min(CAST(value AS DOUBLE)) AS lo_v,
+             max(CAST(value AS DOUBLE)) AS hi_v
+      FROM events),
+    q AS (
+      SELECT e.event_id, e.user_id, e.value,
+             LEAST(65535, GREATEST(0, CAST(FLOOR(
+                 (CAST(e.user_id AS DOUBLE) - b.lo_u)
+                 / (CASE WHEN b.hi_u - b.lo_u = 0 THEN 1.0
+                         ELSE b.hi_u - b.lo_u END) * 65535) AS BIGINT))) AS qu,
+             LEAST(65535, GREATEST(0, CAST(FLOOR(
+                 (CAST(e.value AS DOUBLE) - b.lo_v)
+                 / (CASE WHEN b.hi_v - b.lo_v = 0 THEN 1.0
+                         ELSE b.hi_v - b.lo_v END) * 65535) AS BIGINT))) AS qv
+      FROM events e CROSS JOIN b
+      WHERE e.user_id BETWEEN 2 AND 11 AND e.value BETWEEN 50.0 AND 150.0)
+    SELECT event_id, user_id, value,
+           CAST({_Z_INTERLEAVE} AS BIGINT) AS zkey
+    FROM q
+"""
+
+_ZLAKE_CACHE: dict[str, tuple[SparkSession, str]] = {}
+
+
+@register("lake_zorder_roundtrip", _ZORDER_SQL)
+def q_lake_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing signal for the Z-order lake layout
+    (:func:`..plans.lake.zorder_write` / :func:`..plans.lake.morton_col`)
+    — previously pinned only by pytest footer-stats fixtures.
+
+    Writes ``events`` as parquet clustered on the Morton curve of
+    (user_id, value) once per (session, sf_dir), reads it BACK from the
+    clustered files, applies a 2-D box predicate — the access pattern
+    the layout exists for — and returns each surviving row with its
+    recomputed 32-bit Z-key. The oracle recomputes the quantization and
+    bit interleave from the ORIGINAL table in SQL, so a green row
+    attests two things at once: the range-partition/sort/write path
+    loses or duplicates nothing (row set and domain bounds survive the
+    round-trip), and the JVM shift/mask Z-key arithmetic matches the
+    reference bit layout exactly. Scale design: the write shuffles once
+    on the range-partitioned key; the read's file pruning rides parquet
+    footer min/max on BOTH dimensions (pinned in tests/test_lake.py);
+    the bounds aggregation is one driver scalar row."""
+    from proteofav_spark.plans.lake import morton_col, zorder_write
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    hit = _ZLAKE_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        path = hit[1]
+    else:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="pfs_zlake_")
+        zorder_write(ev, path, ("user_id", "value"))
+        _ZLAKE_CACHE[sf_dir] = (spark, path)
+    lake = spark.read.parquet(path)
+    # bounds from the READ-BACK lake — equal to the original table's
+    # bounds iff the round-trip preserved the domain extremes
+    b = lake.agg(
+        F.min(F.col("user_id").cast("double")).alias("lo_u"),
+        F.max(F.col("user_id").cast("double")).alias("hi_u"),
+        F.min(F.col("value").cast("double")).alias("lo_v"),
+        F.max(F.col("value").cast("double")).alias("hi_v"),
+    ).collect()[0]
+    mins = {"user_id": b["lo_u"], "value": b["lo_v"]}
+    maxs = {"user_id": b["hi_u"], "value": b["hi_v"]}
+    z = morton_col(("user_id", "value"), mins, maxs)
+    return (
+        lake.filter(
+            F.col("user_id").between(2, 11) & F.col("value").between(50.0, 150.0)
+        )
+        .select("event_id", "user_id", "value", z.alias("zkey"))
     )
 
 

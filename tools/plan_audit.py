@@ -82,6 +82,14 @@ SCALE_NOTES = {
         "corpus. Centroids AND inverted lists are trained-index "
         "artifacts, checkpointed once per (session, corpus)."
     ),
+    "ann_ivf_store_probe": (
+        "the PERSISTED store path: centroids/lists live as parquet "
+        "(lists PARTITIONED BY list_label), the probed label set is a "
+        "LITERAL isin on the partition column so the scan carries a "
+        "static PartitionFilter — K−nprobe directories are never listed. "
+        "Store build (train + assign + partitioned write) happens once "
+        "per (session, corpus); the plan below is the warm probe."
+    ),
     "knn_quantized_rescore": (
         "the int8 codes table is an index artifact checkpointed once per "
         "(session, corpus) — repeat searches scan the compact codes "
