@@ -293,9 +293,17 @@ ASA_SCALES = {"miller": ASA_MILLER, "wilke": ASA_WILKE, "sander": ASA_SANDER}
 # ---------------------------------------------------------------------------
 
 _BB = ["N", "CA", "C", "O"]
+# NOTE r10 review: the reference's sets deliberately OMIT the terminal
+# atoms NH1/NH2 (ARG), OH (TYR) and CH2 (TRP) — crystallographers often
+# can't resolve them, and the reference does not count them as "missing".
+# The chemically-complete sets this table originally carried made
+# remove_partial_residues STRICTER than the reference (an ARG missing
+# only NH1 was dropped here, kept there). Verified entry-by-entry against
+# proteofav/library.py:221-242 (tests/test_round10_queries.py pins the
+# diff at zero).
 AA_DEFAULT_ATOMS: dict[str, list[str]] = {
     "ALA": _BB + ["CB"],
-    "ARG": _BB + ["CB", "CG", "CD", "NE", "CZ", "NH1", "NH2"],
+    "ARG": _BB + ["CB", "CG", "CD", "NE", "CZ"],
     "ASN": _BB + ["CB", "CG", "OD1", "ND2"],
     "ASP": _BB + ["CB", "CG", "OD1", "OD2"],
     "CYS": _BB + ["CB", "SG"],
@@ -311,8 +319,8 @@ AA_DEFAULT_ATOMS: dict[str, list[str]] = {
     "PRO": _BB + ["CB", "CG", "CD"],
     "SER": _BB + ["CB", "OG"],
     "THR": _BB + ["CB", "OG1", "CG2"],
-    "TRP": _BB + ["CB", "CG", "CD1", "CD2", "NE1", "CE2", "CE3", "CZ2", "CZ3", "CH2"],
-    "TYR": _BB + ["CB", "CG", "CD1", "CD2", "CE1", "CE2", "CZ", "OH"],
+    "TRP": _BB + ["CB", "CG", "CD1", "CD2", "NE1", "CE2", "CE3", "CZ2", "CZ3"],
+    "TYR": _BB + ["CB", "CG", "CD1", "CD2", "CE1", "CE2", "CZ"],
     "VAL": _BB + ["CB", "CG1", "CG2"],
 }
 

@@ -109,23 +109,49 @@ def remove_partial_residues(df: DataFrame, category: str = "auth") -> DataFrame:
         )
     )
     defaults = array_map_literal(AA_DEFAULT_ATOMS)
+    file_keys = ["source_file"] if "source_file" in df.columns else []
     run_w = (
-        W.partitionBy("source_file").orderBy("_start")
-        if "source_file" in df.columns
+        W.partitionBy(*file_keys).orderBy("_start")
+        if file_keys
         else W.orderBy("_start")
     )
     last_run = F.max("_run").over(
-        W.partitionBy(*(["source_file"] if "source_file" in df.columns else [F.lit(1)]))
+        W.partitionBy(*(file_keys if file_keys else [F.lit(1)]))
     )
     runs = runs.withColumn(
         "_missing", F.size(F.array_except(defaults[F.col("_comp")], F.col("_atoms"))) > 0
-    ).withColumn(
-        "_dup_seq", F.lag("_seq").over(run_w) == F.col("_seq")
     ).withColumn("_last", F.col("_run") == last_run)
-    bad_runs = runs.filter(
-        (F.col("_missing") | F.coalesce(F.col("_dup_seq"), F.lit(False)))
-        & ~F.col("_last")
-    ).select(*group_keys)
+    # The reference's dup-seq rule is STATEFUL (next_res_for_rm,
+    # proteofav/structures.py:457-473): a run repeating the previous
+    # run's seq_id is dropped only if the previous run SURVIVED — a
+    # dropped-for-missing-atoms run does not condemn its successor, and
+    # in a chain of equal-seq runs the drops alternate. As a recurrence
+    # over consecutive equal-seq runs ("blocks"):
+    #   drop(i) = missing(i) OR (NOT drop(i-1) AND seq(i-1) == seq(i))
+    # whose closed form inside a block (1-based index, virtual drop(0)
+    # = True at the block head, where the flag is always clear):
+    #   drop(i) = missing(i) OR ((i - j) even), j = last missing index
+    #   before i in the block, else 0.
+    # Three window passes, no sequential scan.
+    new_blk = (
+        F.lag("_seq").over(run_w).isNull()
+        | (F.lag("_seq").over(run_w) != F.col("_seq"))
+    ).cast("int")
+    runs = runs.withColumn(
+        "_blk", F.sum(new_blk).over(run_w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    blk_w = W.partitionBy(*file_keys, "_blk").orderBy("_start")
+    runs = runs.withColumn("_idx", F.row_number().over(blk_w))
+    jstar = F.coalesce(
+        F.max(F.when(F.col("_missing"), F.col("_idx"))).over(
+            blk_w.rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    runs = runs.withColumn(
+        "_dropped", F.col("_missing") | (((F.col("_idx") - jstar) % 2) == 0)
+    )
+    bad_runs = runs.filter(F.col("_dropped") & ~F.col("_last")).select(*group_keys)
 
     out = df.join(F.broadcast(bad_runs), on=group_keys, how="left_anti")
     return out.drop("_part", "_run")

@@ -149,3 +149,160 @@ def test_zkey_interleave_structure(spark):
         exp_v = min(top, max(0, int((r["value"] - b["lo_v"]) / span_v * top)))
         assert qu == exp_u, (r["event_id"], qu, exp_u)
         assert qv == exp_v, (r["event_id"], qv, exp_v)
+
+
+# ---------------------------------------------------------------------------
+# remove_partial_residues: the stateful dup-seq recurrence (review r10)
+# ---------------------------------------------------------------------------
+
+
+def _atom_rows(runs):
+    """Build synthetic atom rows: runs = [(comp, seq, atoms)] in file
+    order, one tail residue appended by callers when the last-run
+    exemption would otherwise mask the case under test."""
+    rows, ln = [], 0
+    for comp, seq, atoms in runs:
+        for a in atoms:
+            rows.append(("ATOM", comp, seq, a, ln))
+            ln += 1
+    return rows
+
+
+def _survivor_seqs(spark, runs):
+    from proteofav_spark.operators.structures import remove_partial_residues
+
+    df = spark.createDataFrame(
+        _atom_rows(runs),
+        "group_PDB string, auth_comp_id string, auth_seq_id string,"
+        " auth_atom_id string, line_no bigint",
+    )
+    out = remove_partial_residues(df)
+    got = {
+        (r["auth_comp_id"], r["auth_seq_id"])
+        for r in out.select("auth_comp_id", "auth_seq_id").distinct().collect()
+    }
+    return sorted(got, key=lambda cs: (int(cs[1]), cs[0]))
+
+
+GLY_FULL = ["N", "CA", "C", "O"]
+
+
+def test_dup_seq_after_dropped_run_survives(spark):
+    """Reference recurrence (proteofav/structures.py:457-473): a run
+    dropped for MISSING atoms does not set next_res_for_rm, so a
+    complete run repeating its seq_id SURVIVES. The pre-r10 stateless
+    lag(_seq)==_seq rule wrongly dropped both."""
+    runs = [
+        ("GLY", "5", ["N", "CA"]),   # missing atoms -> dropped
+        ("GLY", "5", GLY_FULL),      # dup seq of a DROPPED run -> kept
+        ("GLY", "6", GLY_FULL),      # tail (last-run exemption holder)
+    ]
+    assert _survivor_seqs(spark, runs) == [("GLY", "5"), ("GLY", "6")]
+
+
+def test_equal_seq_chain_alternates_drops(spark):
+    """Three complete equal-seq runs: the reference drops only the
+    SECOND (flag consumed by the drop, re-armed by the third boundary
+    against a now-surviving predecessor... which is the last run and
+    exempt). The stateless rule dropped runs 2 AND 3."""
+    runs = [
+        ("GLY", "7", GLY_FULL),
+        ("ALA", "7", ["N", "CA", "C", "O", "CB"]),
+        ("GLY", "7", GLY_FULL),
+        ("GLY", "8", GLY_FULL),      # tail
+    ]
+    # run1 kept, run2 dropped (dup of survivor), run3 kept (dup of a
+    # DROPPED run), tail kept
+    assert _survivor_seqs(spark, runs) == [
+        ("GLY", "7"),
+        ("GLY", "8"),
+    ]
+
+
+def test_simple_dup_still_dropped(spark):
+    """The common case the old rule got right must stay right: a
+    complete run repeating a complete SURVIVOR's seq_id is dropped."""
+    runs = [
+        ("GLY", "9", GLY_FULL),
+        ("ALA", "9", ["N", "CA", "C", "O", "CB"]),  # dup of survivor -> dropped
+        ("GLY", "10", GLY_FULL),     # tail
+    ]
+    assert _survivor_seqs(spark, runs) == [("GLY", "9"), ("GLY", "10")]
+
+
+def test_default_atom_sets_match_reference_exactly():
+    """r10 review finding: AA_DEFAULT_ATOMS carried chemically-complete
+    sets where the reference deliberately omits terminal atoms
+    (ARG NH1/NH2, TYR OH, TRP CH2 — frequently unresolved in density and
+    NOT counted as missing by proteofav/library.py:221-242). Pin the
+    whole table against the reference source so the sets can never
+    drift apart again."""
+    import ast
+
+    from proteofav_spark.library import AA_DEFAULT_ATOMS
+
+    src = open("/root/reference/proteofav/library.py").read()
+    ref = None
+    for node in ast.parse(src).body:
+        if isinstance(node, ast.Assign):
+            for t in node.targets:
+                if getattr(t, "id", None) == "aa_default_atoms":
+                    ref = ast.literal_eval(node.value)
+    assert ref is not None
+    assert set(ref) == set(AA_DEFAULT_ATOMS)
+    for aa in ref:
+        assert sorted(ref[aa]) == sorted(AA_DEFAULT_ATOMS[aa]), aa
+
+
+def test_partial_residue_removal_differential_vs_reference(spark):
+    """DIFFERENTIAL parity: run the reference's own _remove_partial_residues
+    (pure pandas; its unrelated scipy/requests_cache imports stubbed) on
+    2w4o chain A and compare the surviving CA residue set row-for-row with
+    our window-based pipeline. This is the strongest pin the fixture suite
+    has — it executes the reference LOOP, not a recorded expectation, so
+    any future drift in the run segmentation, the atom sets, the stateful
+    dup-seq recurrence, or the last-run exemption fails here first."""
+    import sys
+    import types
+    import warnings
+
+    sys.modules.setdefault("scipy", types.ModuleType("scipy"))
+    sys.modules.setdefault(
+        "scipy.spatial", types.SimpleNamespace(cKDTree=None)
+    )
+    rc = types.ModuleType("requests_cache")
+    rc.install_cache = lambda *a, **k: None
+    sys.modules.setdefault("requests_cache", rc)
+    sys.path.insert(0, "/root/reference")
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            from proteofav.structures import (
+                _remove_partial_residues as ref_rpr,
+                parse_mmcif_atoms as ref_parse,
+            )
+
+            t = ref_parse("/root/reference/tests/testdata/mmcif/2w4o.cif")
+            t = t[t.pdbx_PDB_model_num == t.pdbx_PDB_model_num.iloc[0]]
+            t = t[t.auth_asym_id == "A"]
+            t = t[t.type_symbol != "H"]
+            ref_out = ref_rpr(t.copy())
+            ref_ca = sorted(
+                ref_out[ref_out.auth_atom_id == "CA"].auth_seq_id.astype(str)
+            )
+    finally:
+        sys.path.remove("/root/reference")
+
+    from proteofav_spark.operators.structures import filter_structures
+    from proteofav_spark.sources.structures import parse_mmcif_atoms
+
+    m = filter_structures(
+        parse_mmcif_atoms(
+            spark, "/root/reference/tests/testdata/mmcif/2w4o.cif"
+        ),
+        chains=("A",),
+        atoms=("CA",),
+        remove_partial_res=True,
+    )
+    ours = sorted(r["auth_seq_id"] for r in m.select("auth_seq_id").collect())
+    assert ours == ref_ca and len(ours) == 254
