@@ -728,3 +728,59 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(nll), 6).alias("avg_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The composed curation pipeline, driver-attested (r10)
+# ---------------------------------------------------------------------------
+
+# Driver-facing signal for the COMPOSED pipeline (r10, the 4th and last
+# new-registration slot): every stage's arithmetic is individually
+# oracle-proven exact (text_repetition_metrics, text_pii_scrub,
+# dedup_exact_hash's md5 grouping, sample_weighted_hash), so the composed
+# oracle is their literal composition — repetition keep → scrub → lowest-
+# doc_id-per-content dedup → hash-acceptance sampling, in curate()'s
+# exact stage order.
+_CURATE_SQL = f"""
+    WITH rep AS (
+      SELECT doc_id FROM ({_REP_SQL}) WHERE keep = 1),
+    kept AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_chars,
+             {_pii_sql_scrub("d.text")} AS text
+      FROM documents d JOIN rep USING (doc_id)),
+    dd AS (
+      SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM kept)
+    SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+           md5(text) AS clean_hash
+    FROM dd
+    WHERE rn = 1 AND {_sql_accept_u(40503, 12345, 65539)}
+          < least(1.0, n_chars / 500.0)
+"""
+
+
+@register("curation_pipeline", _CURATE_SQL)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing signal for :func:`curate` — the composed end-to-end
+    curation chain (repetition filter → PII scrub → exact dedup keeping
+    the lowest doc_id per content → deterministic weighted sampling),
+    previously pinned only by tests/test_curation.py. The oracle is the
+    literal SQL composition of the four stage oracles in the same order,
+    so a green row attests the COMPOSITION: stage order, the scrub
+    feeding the dedup hash, and the sampling hash running on the deduped
+    survivors. ``clean_hash`` digests the scrubbed text so the full
+    rewrite output is value-checked without shipping text. Scale shape
+    (unchanged from curate()): everything before the dedup window fuses
+    into one map-only projection over the scan; the dedup
+    hash-partition is the single shuffle; sampling is a map-side
+    filter."""
+    d = load(spark, sf_dir, "documents")
+    out = curate(d)
+    return out.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.md5(F.col("text").cast("binary")).alias("clean_hash"),
+    )

@@ -293,13 +293,15 @@ _PRIORITY: list[str] = [
     # saw it; the benched join_merge_tree exercises the
     # single-structure reference-parity tree).
     "join_lake_merge_tree",
-    # Slots 2-3: NEW r10 registrations (never attested — MUST be
+    # Slots 2-4: NEW r10 registrations (never attested — MUST be
     # in-window): the same fixture-only→driver-attested move for the
-    # other two persisted scale components — the IVF vector store's
-    # build→partition-pruned-probe round-trip and the Z-order lake
-    # layout's write→read→Z-key round-trip.
+    # other persisted/composed scale components — the IVF vector
+    # store's build→partition-pruned-probe round-trip, the Z-order lake
+    # layout's write→read→Z-key round-trip, and the composed curate()
+    # chain (repetition→scrub→dedup→sampling as ONE oracled plan).
     "ann_ivf_store_probe",
     "lake_zorder_roundtrip",
+    "curation_pipeline",
     # Slots 4-36: the 33 queries whose newest driver row is r7 — two
     # rounds stale at r10, the oldest signatures in the catalog; all
     # MUST re-attest this round (the freshness tripwire enumerated the
@@ -338,10 +340,10 @@ _PRIORITY: list[str] = [
     "window_dedup_adjacent",
     "window_reset_id",
     "window_segment_counter",
-    # Slots 37-50: the riskiest 14 of the 50 r8-signed queries
+    # Slots 38-50: the riskiest 13 of the 50 r8-signed queries
     # (iterative / similarity / multi-shuffle / index-building shapes
-    # first) — the remaining 36 r8-singles are the mandatory head of
-    # the r11 window (36 + ≤4 newcomers leaves ≥10 free slots).
+    # first) — the remaining 37 r8-singles are the mandatory head of
+    # the r11 window (37 + ≤4 newcomers leaves ≥9 free slots).
     "ann_ivf_coarse",
     "ann_lsh_bucketed",
     "knn_cosine_topk",
@@ -355,7 +357,6 @@ _PRIORITY: list[str] = [
     "agg_exact_median_groups",
     "contamination_ngram_overlap",
     "pack_token_shards",
-    "dedup_consensus",
 ]
 
 
