@@ -200,3 +200,61 @@ def test_residue_centroid_differential(spark):
     assert set(ref) == set(ours) and len(ref) == 394
     diffs = {k: (ref[k], ours[k]) for k in ref if ref[k] != ours[k]}
     assert diffs == {}
+
+
+def test_dssp_rsa_differential(spark):
+    """RSA derivation (Sander scale) on 2w4o: every residue's RSA equals
+    the reference's per-row get_rsa loop at 3 dp. The reference's parse
+    keeps the two '!' chain-break rows (RES='') that its own filter —
+    and ours — drop, so breaks are excluded on the reference side."""
+    _, RD, _ = _ref()
+    from proteofav_spark.sources.dssp import filter_dssp, parse_dssp_residues
+
+    r = RD.parse_dssp_residues(f"{TD}/dssp/2w4o.dssp")
+    r = RD._add_dssp_rsa(r.copy(), method="Sander")
+    r = r[r.RES.astype(str) != ""]
+
+    def fnum(c):
+        try:
+            return round(float(c), 3)
+        except (TypeError, ValueError):
+            return None
+
+    ref = sorted(
+        (str(a), str(b), fnum(c)) for a, b, c in zip(r.RES, r.CHAIN, r.RSA)
+    )
+    s = filter_dssp(
+        parse_dssp_residues(spark, f"{TD}/dssp/2w4o.dssp"),
+        add_rsa=True,
+        rsa_method="sander",
+    )
+    ours = sorted(
+        (str(x["RES"]), str(x["CHAIN"]), None if x["RSA"] is None else round(x["RSA"], 3))
+        for x in s.select("RES", "CHAIN", "RSA").collect()
+    )
+    assert ours == ref and len(ours) == 278
+
+
+def test_get_sequence_differential(spark):
+    """get_sequence on 2w4o chain A CA atoms: the 1-letter sequence
+    equals the reference's per-row scop_3to1 concat loop, character for
+    character."""
+    RS, _, _ = _ref()
+    from proteofav_spark.functions.sequences import get_sequence
+    from proteofav_spark.sources.structures import parse_mmcif_atoms
+
+    t = RS.parse_mmcif_atoms(f"{TD}/mmcif/2w4o.cif", excluded_cols=())
+    t = t[
+        (t.auth_asym_id == "A")
+        & (t.label_atom_id == "CA")
+        & (t.group_PDB == "ATOM")
+    ]
+    ref_seq = RS.get_sequence(t)
+    sdf = parse_mmcif_atoms(spark, f"{TD}/mmcif/2w4o.cif").filter(
+        (F.col("auth_asym_id") == "A")
+        & (F.col("label_atom_id") == "CA")
+        & (F.col("group_PDB") == "ATOM")
+    )
+    rows = get_sequence(sdf).collect()
+    assert len(rows) == 1
+    assert rows[0]["sequence"] == ref_seq and len(ref_seq) > 200
