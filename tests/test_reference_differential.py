@@ -258,3 +258,40 @@ def test_get_sequence_differential(spark):
     rows = get_sequence(sdf).collect()
     assert len(rows) == 1
     assert rows[0]["sequence"] == ref_seq and len(ref_seq) > 200
+
+
+def test_dssp_full_chain_differential(spark):
+    """_add_dssp_full_chain on the 2pah BIO UNIT dssp (the multi-copy
+    chain-renaming loop: chain A's copies become AA, B's become BA, with
+    the '!*' break bookkeeping deciding increment-vs-reset): all 1309
+    rows' CHAIN_FULL equal the reference's sequential scan — the window
+    recurrence (segment ids from resets, cumulative increments within a
+    segment) is exactly the loop's state machine."""
+    _, RD, _ = _ref()
+    from proteofav_spark.sources.dssp import (
+        add_dssp_full_chain,
+        parse_dssp_residues,
+    )
+
+    r = RD.parse_dssp_residues(f"{TD}/dssp/2pah_bio.dssp")
+    r = RD._add_dssp_full_chain(r.copy())
+    ref = sorted(
+        map(
+            tuple,
+            zip(
+                r.RES.astype(str),
+                r.CHAIN.astype(str),
+                r.CHAIN_FULL.astype(str),
+                r.AA.astype(str),
+            ),
+        )
+    )
+    s = add_dssp_full_chain(
+        parse_dssp_residues(spark, f"{TD}/dssp/2pah_bio.dssp")
+    )
+    ours = sorted(
+        (str(x["RES"]), str(x["CHAIN"]), str(x["CHAIN_FULL"]), str(x["AA"]))
+        for x in s.select("RES", "CHAIN", "CHAIN_FULL", "AA").collect()
+    )
+    assert ours == ref and len(ours) == 1309
+    assert {"AA", "BA"} <= {t[2] for t in ours}
