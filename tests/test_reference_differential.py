@@ -295,3 +295,52 @@ def test_dssp_full_chain_differential(spark):
     )
     assert ours == ref and len(ours) == 1309
     assert {"AA", "BA"} <= {t[2] for t in ours}
+
+
+def test_pdb_writer_line_differential(spark):
+    """write_pdb_from_table's fixed-width record expression vs the
+    reference's Biopython-derived _get_atom_line: BYTE-identical for all
+    2279 atoms of 2w4o (column offsets, name padding, altloc/ins-code
+    blanks, %8.3f coordinates, %6.2f occupancy/B-factor, element
+    right-alignment)."""
+    RS, _, _ = _ref()
+    from proteofav_spark.sinks.writers import pdb_lines
+    from proteofav_spark.sources.structures import parse_mmcif_atoms
+
+    t = RS.parse_mmcif_atoms(f"{TD}/mmcif/2w4o.cif", excluded_cols=())
+    ref_lines = [
+        RS._get_atom_line(t, ix, n + 1).rstrip("\n")
+        for n, ix in enumerate(t.index)
+    ]
+    s = parse_mmcif_atoms(spark, f"{TD}/mmcif/2w4o.cif")
+    ours = [r["value"] for r in pdb_lines(s).collect()]
+    assert len(ours) == len(ref_lines) == 2279
+    assert ours == ref_lines
+
+
+def test_mmcif_writer_cross_parse_differential(spark, tmp_path):
+    """Our quote-aware mmCIF writer's output, parsed by the REFERENCE
+    parser, equals the reference's parse of the original file — the
+    written file is reference-readable with identical values for every
+    shared column (the write→foreign-read contract a mixed-tooling
+    pipeline depends on)."""
+    RS, _, _ = _ref()
+    from proteofav_spark.sinks.writers import write_mmcif_from_table
+    from proteofav_spark.sources.structures import parse_mmcif_atoms
+
+    out = str(tmp_path / "rt_2w4o.cif")
+    write_mmcif_from_table(
+        parse_mmcif_atoms(spark, f"{TD}/mmcif/2w4o.cif"), out, overwrite=True
+    )
+    back = RS.parse_mmcif_atoms(out, excluded_cols=())
+    orig = RS.parse_mmcif_atoms(f"{TD}/mmcif/2w4o.cif", excluded_cols=())
+    shared = [c for c in orig.columns if c in back.columns]
+    assert len(shared) == 20
+
+    def norm(df):
+        return sorted(
+            tuple(_norm_cell(r[c], 4) for c in shared)
+            for _, r in df[shared].iterrows()
+        )
+
+    assert norm(orig) == norm(back)
