@@ -101,17 +101,22 @@ def _assert_frames_equal(ref_pdf, spark_df, dp: int = 4, skip: tuple = ()):
     assert a == b, f"only-ref={only_ref} only-ours={only_ours}"
 
 
-def test_mmcif_parse_differential(spark):
-    """parse_mmcif_atoms on 2w4o: 2279 rows, every shared column equal.
-    excluded_cols=() on the reference side because its lenient drop
-    catches ValueError while modern pandas raises KeyError (bitrot in
-    the EXCLUSION, not the parse — we compare the full column set,
-    which is strictly stronger)."""
+@pytest.mark.parametrize(
+    "cif", ["2w4o.cif", "3mn5.cif", "4ibw.cif"]
+)  # plain / insertion-code-heavy / altloc-heavy
+def test_mmcif_parse_differential(spark, cif):
+    """parse_mmcif_atoms on three fixtures covering the tricky parse
+    paths (2w4o plain 2279 rows, 3mn5 insertion codes 3418, 4ibw
+    altlocs 2304): every shared column equal. excluded_cols=() on the
+    reference side because its lenient drop catches ValueError while
+    modern pandas raises KeyError (bitrot in the EXCLUSION, not the
+    parse — we compare the full column set, which is strictly
+    stronger)."""
     RS, _, _ = _ref()
     from proteofav_spark.sources.structures import parse_mmcif_atoms
 
-    ref = RS.parse_mmcif_atoms(f"{TD}/mmcif/2w4o.cif", excluded_cols=())
-    _assert_frames_equal(ref, parse_mmcif_atoms(spark, f"{TD}/mmcif/2w4o.cif"))
+    ref = RS.parse_mmcif_atoms(f"{TD}/mmcif/{cif}", excluded_cols=())
+    _assert_frames_equal(ref, parse_mmcif_atoms(spark, f"{TD}/mmcif/{cif}"))
 
 
 def test_pdb_parse_differential(spark):
