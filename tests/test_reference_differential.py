@@ -349,3 +349,81 @@ def test_mmcif_writer_cross_parse_differential(spark, tmp_path):
         )
 
     assert norm(orig) == norm(back)
+
+
+def test_validation_parse_differential(spark):
+    """parse_validation_residues on 2pah's wwPDB validation report: all
+    653 ModelledSubgroup rows equal across the 22 shared columns. Three
+    more environment-bitrot shims on the reference side, same classes as
+    the module docstring documents: lxml→stdlib ElementTree (identical
+    parse/getroot/iterfind surface), pandas ≥2 rejecting set-typed
+    ``columns=`` (proxied to a sorted list), and the icode/altcode
+    str.replace regex no-ops (blank → '?' / '.' restored). Cells compare
+    under numeric coercion because the reference's per-column astype
+    falls back to strings wherever a column mixes None (its try/except
+    keeps object dtype) while our per-VALUE try_cast yields doubles —
+    the values are identical."""
+    import pandas as _pd
+    import xml.etree.ElementTree as ET
+
+    _ref()  # installs the base scipy/requests_cache stubs
+    lx = _stub("lxml")
+    etree = _stub(
+        "lxml.etree",
+        **{k: getattr(ET, k) for k in dir(ET) if not k.startswith("_")},
+    )
+    lx.etree = etree
+    sys.path.insert(0, "/root/reference")
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import proteofav.validation as RVAL
+    finally:
+        sys.path.remove("/root/reference")
+
+    class _PdProxy:
+        def __getattr__(self, k):
+            return getattr(_pd, k)
+
+        def DataFrame(self, *a, **kw):
+            if isinstance(kw.get("columns"), (set, frozenset)):
+                kw["columns"] = sorted(kw["columns"])
+            return _pd.DataFrame(*a, **kw)
+
+    RVAL.pd = _PdProxy()
+
+    from proteofav_spark.sources.validation import parse_validation_residues
+
+    ref = RVAL.parse_validation_residues(
+        f"{TD}/validation/2pah_validation.xml", excluded_cols=()
+    )
+    ref["validation_icode"] = ref["validation_icode"].replace(
+        {"": "?", " ": "?"}
+    )
+    ref["validation_altcode"] = ref["validation_altcode"].replace(
+        {"": ".", " ": "."}
+    )
+    ours = parse_validation_residues(
+        spark, f"{TD}/validation/2pah_validation.xml"
+    ).toPandas()
+    shared = [c for c in ref.columns if c in ours.columns]
+    assert len(shared) >= 20
+
+    def cell(v):
+        if v is None:
+            return None
+        if isinstance(v, float) and math.isnan(v):
+            return None
+        try:
+            return round(float(v), 4)
+        except (TypeError, ValueError):
+            return str(v)
+
+    def norm(df):
+        return sorted(
+            tuple(cell(r[c]) for c in shared) for _, r in df[shared].iterrows()
+        )
+
+    a, b = norm(ref), norm(ours)
+    assert len(a) == len(b) == 653
+    assert a == b, (sorted(set(a) - set(b))[:1], sorted(set(b) - set(a))[:1])
