@@ -69,6 +69,48 @@ def _ref():
     return RS, RD, RA
 
 
+@lru_cache(maxsize=1)
+def _lxml_shim():
+    """One shared lxml→stdlib-ElementTree adapter for every test that
+    imports a reference XML module (validation, sifts). Provides the
+    two lxml-only surfaces the reference touches — ``root.nsmap``
+    (derived from the root tag's namespace) and ``etree.XMLSyntaxError``
+    — on top of the stdlib module's attributes. One shim for all tests:
+    per-test stubs would race through sys.modules.setdefault and the
+    winner depends on execution order."""
+    import xml.etree.ElementTree as ET
+
+    class _XMLSyntaxError(Exception):
+        pass
+
+    class _Root:
+        def __init__(self, el):
+            object.__setattr__(self, "_el", el)
+
+        @property
+        def nsmap(self):
+            tag = self._el.tag
+            return {None: tag[1:].split("}")[0] if tag.startswith("{") else ""}
+
+        def __getattr__(self, k):
+            return getattr(self._el, k)
+
+    class _Tree:
+        def __init__(self, t):
+            self._t = t
+
+        def getroot(self):
+            return _Root(self._t.getroot())
+
+    attrs = {k: getattr(ET, k) for k in dir(ET) if not k.startswith("_")}
+    attrs["parse"] = lambda fn: _Tree(ET.parse(fn))
+    attrs["XMLSyntaxError"] = _XMLSyntaxError
+    lx = _stub("lxml")
+    etree_mod = _stub("lxml.etree", **attrs)
+    lx.etree = etree_mod
+    return etree_mod
+
+
 def _norm_cell(v, dp: int):
     if v is None:
         return None
@@ -364,15 +406,9 @@ def test_validation_parse_differential(spark):
     keeps object dtype) while our per-VALUE try_cast yields doubles —
     the values are identical."""
     import pandas as _pd
-    import xml.etree.ElementTree as ET
 
     _ref()  # installs the base scipy/requests_cache stubs
-    lx = _stub("lxml")
-    etree = _stub(
-        "lxml.etree",
-        **{k: getattr(ET, k) for k in dir(ET) if not k.startswith("_")},
-    )
-    lx.etree = etree
+    _lxml_shim()
     sys.path.insert(0, "/root/reference")
     try:
         with warnings.catch_warnings():
@@ -426,4 +462,58 @@ def test_validation_parse_differential(spark):
 
     a, b = norm(ref), norm(ours)
     assert len(a) == len(b) == 653
+    assert a == b, (sorted(set(a) - set(b))[:1], sorted(set(b) - set(a))[:1])
+
+
+@pytest.mark.parametrize("xml", ["2w4o.xml", "3mn5.xml"])
+def test_sifts_parse_differential(spark, xml):
+    """parse_sifts_residues on the reference's SIFTS fixtures: every row
+    equal across all shared columns (UniProt/PDB/CATH/SCOP/Pfam
+    cross-references, region annotations, residue details). The
+    reference side runs with excluded_cols=() so it also emits the
+    InterPro/GO/EC/NCBI families both defaults exclude — the comparison
+    covers the shared (default-visible) surface. lxml is shimmed with a
+    stdlib-ElementTree adapter providing the two lxml-only surfaces the
+    code touches (root.nsmap, etree.XMLSyntaxError); pandas.io.json's
+    removed json_normalize alias is restored for the variants import
+    sifts pulls in."""
+    import pandas as _pd
+    import pandas.io.json as _pij
+
+    _ref()  # base scipy/requests_cache stubs
+    if not hasattr(_pij, "json_normalize"):
+        _pij.json_normalize = _pd.json_normalize
+    _lxml_shim()
+    sys.path.insert(0, "/root/reference")
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import proteofav.sifts as RSI
+    finally:
+        sys.path.remove("/root/reference")
+
+    from proteofav_spark.sources.sifts import parse_sifts_residues
+
+    ref = RSI.parse_sifts_residues(f"{TD}/sifts/{xml}", excluded_cols=())
+    ours = parse_sifts_residues(spark, f"{TD}/sifts/{xml}").toPandas()
+    shared = [c for c in ref.columns if c in ours.columns]
+    assert len(shared) >= 25
+
+    def cell(v):
+        if v is None:
+            return None
+        if isinstance(v, float) and math.isnan(v):
+            return None
+        try:
+            return round(float(v), 4)
+        except (TypeError, ValueError):
+            return str(v)
+
+    def norm(df):
+        return sorted(
+            tuple(cell(r[c]) for c in shared) for _, r in df[shared].iterrows()
+        )
+
+    a, b = norm(ref), norm(ours)
+    assert len(a) == len(b) > 300
     assert a == b, (sorted(set(a) - set(b))[:1], sorted(set(b) - set(a))[:1])
