@@ -517,3 +517,86 @@ def test_sifts_parse_differential(spark, xml):
     a, b = norm(ref), norm(ours)
     assert len(a) == len(b) > 300
     assert a == b, (sorted(set(a) - set(b))[:1], sorted(set(b) - set(a))[:1])
+
+
+def test_flagship_merge_differential(spark):
+    """CAPSTONE: the reference's ENTIRE flagship pipeline run live —
+    parse_mmcif_atoms → filter_structures(chain A, CA) ⟕
+    parse_dssp_residues → filter_dssp ⟕ parse_sifts_residues →
+    filter_sifts, composed by the reference's own table_merger — equals
+    our pipeline row-for-row: 278 merged residues, 65 shared columns
+    (atom records, DSSP SS/ACC/RSA angles, SIFTS cross-references). This
+    is the end-to-end equivalence the 278-row count pin approximated."""
+    import pandas as _pd
+    import pandas.io.json as _pij
+
+    RS, RD, _ = _ref()
+    if not hasattr(_pij, "json_normalize"):
+        _pij.json_normalize = _pd.json_normalize
+    _lxml_shim()
+    sys.path.insert(0, "/root/reference")
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import proteofav.mergers as RM
+            import proteofav.sifts as RSI
+    finally:
+        sys.path.remove("/root/reference")
+
+    from proteofav_spark.operators.structures import filter_structures
+    from proteofav_spark.plans.mergers import table_merger
+    from proteofav_spark.sources.dssp import filter_dssp, parse_dssp_residues
+    from proteofav_spark.sources.sifts import filter_sifts, parse_sifts_residues
+    from proteofav_spark.sources.structures import parse_mmcif_atoms
+
+    m_ref = RS.filter_structures(
+        RS.parse_mmcif_atoms(f"{TD}/mmcif/2w4o.cif", excluded_cols=()),
+        chains=("A",),
+        atoms=("CA",),
+    )
+    d_ref = RD.filter_dssp(
+        RD.parse_dssp_residues(f"{TD}/dssp/2w4o.dssp"), chains=("A",)
+    )
+    s_ref = RSI.filter_sifts(
+        RSI.parse_sifts_residues(f"{TD}/sifts/2w4o.xml", excluded_cols=()),
+        chains=("A",),
+    )
+    merged_ref = RM.table_merger(
+        mmcif_table=m_ref, dssp_table=d_ref, sifts_table=s_ref
+    )
+
+    m = filter_structures(
+        parse_mmcif_atoms(spark, f"{TD}/mmcif/2w4o.cif"),
+        chains=("A",),
+        atoms=("CA",),
+    )
+    d = filter_dssp(parse_dssp_residues(spark, f"{TD}/dssp/2w4o.dssp"), chains=("A",))
+    s = filter_sifts(
+        parse_sifts_residues(spark, f"{TD}/sifts/2w4o.xml"), chains=("A",)
+    )
+    ours = table_merger(m, d, s).toPandas()
+
+    shared = [c for c in merged_ref.columns if c in ours.columns]
+    assert len(shared) >= 60
+
+    def cell(v):
+        if v is None:
+            return None
+        if isinstance(v, float) and math.isnan(v):
+            return None
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            t = tuple(str(x) for x in v)
+            return t if t else None
+        try:
+            return round(float(v), 4)
+        except (TypeError, ValueError):
+            return str(v)
+
+    def norm(df):
+        return sorted(
+            tuple(cell(r[c]) for c in shared) for _, r in df[shared].iterrows()
+        )
+
+    a, b = norm(merged_ref), norm(ours)
+    assert len(a) == len(b) == 278
+    assert a == b, (sorted(set(a) - set(b))[:1], sorted(set(b) - set(a))[:1])
