@@ -46,12 +46,28 @@ from proteofav_spark.queries import fan_out, half_up_ratio, load, register
 _INDEX_CACHE: dict = {}
 
 
+class TempDirArtifact:
+    """A cached index value that is a directory on local disk (e.g. a
+    written Z-order lake or persisted store) rather than executor
+    blocks. Eviction removes the directory so in-place corpus rewrites
+    don't leak one temp tree per rewrite."""
+
+    __slots__ = ("path",)
+
+    def __init__(self, path: str):
+        self.path = path
+
+
 def _release_index(val) -> None:
     """Free the executor storage behind an evicted index entry: walk the
     cached value (a DataFrame or any container of them) and unpersist
     each frame's checkpoint blocks. Best-effort — a frame whose session
     already stopped just no-ops."""
-    if isinstance(val, DataFrame):
+    if isinstance(val, TempDirArtifact):
+        import shutil
+
+        shutil.rmtree(val.path, ignore_errors=True)
+    elif isinstance(val, DataFrame):
         try:
             val.unpersist(blocking=False)
         except Exception:

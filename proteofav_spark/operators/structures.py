@@ -83,10 +83,12 @@ def remove_partial_residues(df: DataFrame, category: str = "auth") -> DataFrame:
         W.partitionBy(*(["source_file"] if "source_file" in df.columns else []), "_part")
         .orderBy("line_no")
     )
+    # NULL-safe run boundary: each comparison coalesces to True when a
+    # side is NULL (first row, or a NULL comp/seq) — the reference's NaN
+    # compares unequal to everything, so a NULL always starts a new run.
     new_run = (
-        (F.lag(comp).over(part_w).isNull())
-        | (F.lag(comp).over(part_w) != F.col(comp))
-        | (F.lag(seq).over(part_w) != F.col(seq))
+        F.coalesce(F.lag(comp).over(part_w) != F.col(comp), F.lit(True))
+        | F.coalesce(F.lag(seq).over(part_w) != F.col(seq), F.lit(True))
     ).cast("int")
     df = df.withColumn("_new_run", F.when(F.col("_part"), new_run).otherwise(F.lit(0)))
     df = df.withColumn(
@@ -133,9 +135,12 @@ def remove_partial_residues(df: DataFrame, category: str = "auth") -> DataFrame:
     #   drop(i) = missing(i) OR ((i - j) even), j = last missing index
     #   before i in the block, else 0.
     # Three window passes, no sequential scan.
-    new_blk = (
-        F.lag("_seq").over(run_w).isNull()
-        | (F.lag("_seq").over(run_w) != F.col("_seq"))
+    # NULL-safe block boundary: if either side of the comparison is NULL
+    # (first row, or a NULL _seq — the reference's NaN compares unequal
+    # to everything, structures.py:457-473) the comparison yields NULL
+    # and must START a block, not silently merge into the previous one.
+    new_blk = F.coalesce(
+        F.lag("_seq").over(run_w) != F.col("_seq"), F.lit(True)
     ).cast("int")
     runs = runs.withColumn(
         "_blk", F.sum(new_blk).over(run_w.rowsBetween(W.unboundedPreceding, 0))

@@ -286,77 +286,66 @@ RETIRED: dict[str, str] = {
 }
 
 _PRIORITY: list[str] = [
-    # ------- round-10 rotation (VERDICT r9 items #1, #3, #5) -------
-    # Slot 1: NEW r10 registration (never attested — MUST be in-window):
-    # the driver-facing signal for lake_table_merger, the engine's
-    # actual 100 TB merge path (VERDICT r9 #3 — previously only pytest
-    # saw it; the benched join_merge_tree exercises the
-    # single-structure reference-parity tree).
-    "join_lake_merge_tree",
-    # Slots 2-4: NEW r10 registrations (never attested — MUST be
-    # in-window): the same fixture-only→driver-attested move for the
-    # other persisted/composed scale components — the IVF vector
-    # store's build→partition-pruned-probe round-trip, the Z-order lake
-    # layout's write→read→Z-key round-trip, and the composed curate()
-    # chain (repetition→scrub→dedup→sampling as ONE oracled plan).
-    "ann_ivf_store_probe",
-    "lake_zorder_roundtrip",
-    "curation_pipeline",
-    # Slots 4-36: the 33 queries whose newest driver row is r7 — two
-    # rounds stale at r10, the oldest signatures in the catalog; all
-    # MUST re-attest this round (the freshness tripwire enumerated the
-    # 35 r7-singles; minus the 2 twins retired this round,
-    # events_merge_asof_nearest and text_bpe_token_count).
-    "agg_collapse_by_key",
-    "agg_duplicate_check",
-    "agg_preferred_argmax",
-    "agg_quantiles_value",
-    "agg_residue_rollup",
-    "agg_single_value_probe",
-    "cdc_upsert_apply",
-    "customer_order_distribution",
-    "customers_above_avg_no_orders",
-    "disjunctive_predicate_revenue",
-    "docs_token_chunking",
-    "embedding_label_centroids",
-    "events_merge_asof_tolerance",
-    "events_session_transitions",
-    "events_twap",
-    "filter_first_value",
-    "filter_isin",
-    "join_star_revenue",
-    "orders_exists_semi",
-    "parts_supplier_breadth",
-    "project_exclude_columns",
-    "promo_revenue_share",
-    "scalar_map_lookup",
-    "scalar_string_kit",
-    "sessionize_events_gap",
-    "text_char_entropy",
-    "text_fingerprint",
-    "text_lang_id",
-    "type_constrain_try_cast",
-    "window_carry_forward",
-    "window_dedup_adjacent",
-    "window_reset_id",
-    "window_segment_counter",
-    # Slots 38-50: the riskiest 13 of the 50 r8-signed queries
-    # (iterative / similarity / multi-shuffle / index-building shapes
-    # first) — the remaining 37 r8-singles are the mandatory head of
-    # the r11 window (37 + ≤4 newcomers leaves ≥9 free slots).
-    "ann_ivf_coarse",
-    "ann_lsh_bucketed",
-    "knn_cosine_topk",
-    "embedding_kmeans_assign",
-    "fuzzy_name_match_blocked",
-    "tree_rollup_recursive",
-    "agg_salted_two_stage",
-    "skew_heavy_hitters",
-    "events_range_join_bucketed",
-    "join_merge_tree",
-    "agg_exact_median_groups",
-    "contamination_ngram_overlap",
-    "pack_token_shards",
+    # ------- round-11 rotation (VERDICT r10 item #1) -------
+    # Slots 1-37: the 37 queries whose newest driver row is r8 — two
+    # rounds stale at r11, the oldest signatures in the catalog; all
+    # MUST re-attest this round (the freshness tripwire enumerated
+    # exactly this set against CORRECTNESS_r10).
+    "agg_grouping_sets",
+    "approx_distinct_parts_bounds",
+    "dedup_consensus",
+    "events_anomaly_zscore",
+    "events_attribution_last_touch",
+    "events_dau_mau",
+    "events_funnel_conversion",
+    "events_gapfill_interpolate",
+    "events_retention_cohorts",
+    "events_sliding_window",
+    "explode_interval_rollup",
+    "forecast_revenue_change",
+    "join_left_string_keys",
+    "join_outer_collapse",
+    "join_range_interval",
+    "join_semi_anti",
+    "json_flatten_props",
+    "lineitem_below_avg_qty",
+    "metrics_unpivot_long",
+    "nation_market_share",
+    "orders_big_customer_detail",
+    "orders_scd2_snapshot",
+    "probe_round_half_cents",
+    "probe_round_pow2_sixth",
+    "returned_item_top_customers",
+    "set_multiset_ops",
+    "set_union_by_name",
+    "shipclass_priority_counts",
+    "supplier_top_revenue",
+    "supplier_value_share_having",
+    "suppliers_dominant_share",
+    "suppliers_kept_waiting",
+    "text_tfidf_top_terms",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_profit_rollup",
+    "window_ntile_buckets",
+    "window_percent_rank_exact",
+    # Slots 38-50: the riskiest 13 of the 50 r9-signed queries
+    # (similarity / iterative / multi-shuffle / index-building shapes
+    # first — the paths whose plans change most between rounds). The
+    # remaining 37 r9-singles become the mandatory head of the r12
+    # window, continuing the two-round alternation.
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_cc_clusters",
+    "ann_pq_topk",
+    "knn_quantized_rescore",
+    "dedup_semantic_clusters",
+    "graph_pagerank_fixed",
+    "graph_triangle_count",
+    "spatial_contacts_grid",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_exact_hash",
+    "text_bm25_search",
 ]
 
 
@@ -681,9 +670,6 @@ _ZORDER_SQL = f"""
     FROM q
 """
 
-_ZLAKE_CACHE: dict[str, tuple[SparkSession, str]] = {}
-
-
 @register("lake_zorder_roundtrip", _ZORDER_SQL)
 def q_lake_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing signal for the Z-order lake layout
@@ -703,18 +689,25 @@ def q_lake_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the range-partitioned key; the read's file pruning rides parquet
     footer min/max on BOTH dimensions (pinned in tests/test_lake.py);
     the bounds aggregation is one driver scalar row."""
+    from proteofav_spark.operators.llm_queries import (
+        TempDirArtifact,
+        _session_index,
+    )
     from proteofav_spark.plans.lake import morton_col, zorder_write
 
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    hit = _ZLAKE_CACHE.get(sf_dir)
-    if hit is not None and hit[0] is spark:
-        path = hit[1]
-    else:
+
+    def _build() -> TempDirArtifact:
         import tempfile
 
         path = tempfile.mkdtemp(prefix="pfs_zlake_")
         zorder_write(ev, path, ("user_id", "value"))
-        _ZLAKE_CACHE[sf_dir] = (spark, path)
+        return TempDirArtifact(path)
+
+    # keyed by the corpus file listing (not just sf_dir): an in-place
+    # rewrite of events.parquet rebuilds the clustered lake instead of
+    # serving a stale one, and eviction rmtree's the superseded temp dir
+    path = _session_index(spark, "zlake_path", ev, _build).path
     lake = spark.read.parquet(path)
     # bounds from the READ-BACK lake — equal to the original table's
     # bounds iff the round-trip preserved the domain extremes

@@ -127,3 +127,45 @@ def test_residues_aggregation_multi_structure_no_cross_merge(spark, refdata):
                 both.groupBy("source_file").agg(F.count("*").alias("n")).collect()}
     assert set(per_file) == {"2w4o.cif", "2pah.cif"} or len(per_file) == 2
     assert sorted(per_file.values()) == sorted([na, nb])
+
+
+def test_remove_partial_residues_null_seq_starts_new_run(spark):
+    """A NULL seq_id must start a new run at EVERY row (reference: NaN
+    compares unequal to everything incl. itself, so `prev_seq ==
+    curr_seq` is False on each NaN row — proteofav/structures.py:457-481
+    fragments a NaN-seq residue into one-atom runs, each then dropped as
+    atom-incomplete). Pre-r11 the NULL comparison yielded NULL, the
+    running sum skipped the boundary, and the NULL-seq atoms silently
+    merged into the PREVIOUS residue's run — surviving when the
+    reference drops them, and corrupting the dup-seq block alternation
+    for neighbouring complete runs."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("source_file", StringType()),
+        StructField("line_no", IntegerType()),
+        StructField("group_PDB", StringType()),
+        StructField("auth_comp_id", StringType()),
+        StructField("auth_seq_id", StringType()),
+        StructField("auth_atom_id", StringType()),
+    ])
+    bb = ["N", "CA", "C", "O"]
+    rows, n = [], 0
+    for seq in ["10", None, None, "11"]:
+        for atom in bb:
+            rows.append(("f", n, "ATOM", "GLY", seq, atom))
+            n += 1
+    df = spark.createDataFrame(rows, schema)
+    out = remove_partial_residues(df)
+    # reference trace: seq "10" run is complete and survives; each
+    # NULL-seq atom is its own incomplete run and is dropped; seq "11"
+    # is the file's final run (never validated) and survives
+    assert out.count() == 8
+    assert out.filter(F.col("auth_seq_id").isNull()).count() == 0
+    kept = sorted(r["auth_seq_id"] for r in out.collect())
+    assert kept == ["10"] * 4 + ["11"] * 4
