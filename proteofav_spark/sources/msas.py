@@ -29,6 +29,10 @@ _GENERIC = r"([A-Z0-9]+_?[a-zA-Z0-9]+)/(-?[0-9]+)-(-?[0-9]+)"
 _UNIPROT_FASTA = r"([a-zA-Z]+)\|([a-zA-Z0-9]+)\|([A-Z0-9]+_[A-Z0-9]+)"
 _CATH_FASTA = r"([a-zA-Z]+)\|([0-9](?:.|-)[0-9](?:.|-)[0-9])\|([a-zA-Z0-9]+/-?[0-9]+--?[0-9]+)"
 _CATH_DOMAIN = r"^([a-zA-Z0-9]{4})([a-zA-Z0-9])([0-9][0-9])/"
+# Pfam Stockholm: <UPPER>_<UPPER>/<start>-<end> (proteofav/msas.py:219)
+_PFAM_STH = r"[A-Z0-9]+_[A-Z0-9]+/-?[0-9]+--?[0-9]+"
+# CATH Stockholm: <alnum>/<start>-<end> (proteofav/msas.py:245)
+_CATH_STH = r"[a-zA-Z0-9]+/-?[0-9]+--?[0-9]+"
 
 
 def _file_w():
@@ -138,18 +142,35 @@ def read_clustal_records(spark: SparkSession, path: str) -> DataFrame:
 
 def _parse_description(df: DataFrame, seq_format: str) -> DataFrame:
     """Regex hierarchy over the record description → Source / Collection /
-    Accession / Name / Start / End / pdb_id / chain_id / domain_id."""
+    Accession / Name / Start / End / pdb_id / chain_id / domain_id.
+
+    Parity is with the reference's format-GATED dispatch
+    (parse_sequence_info_from_description, proteofav/msas.py:112-160):
+    fasta tries UniProt then CATH and never falls back to the generic
+    parser; stockholm tries Pfam then CATH (whose branch stamps
+    Source='CATH' unconditionally, :234-253); only other formats run the
+    generic parser on the whole description. The generic pieces
+    (Name/Accession/Start/End/domain) therefore come from the BRANCH's
+    matched substring, not the raw description — e.g. CATH-fasta's
+    nested generic search (:282-288) re-scans inside the cath match, so
+    'biomap|4.1.0|b7f28…/29-337' yields the reference's leading-char-
+    dropping Accession quirk. The Accession fallback is the reference's
+    identifier regex ``([a-zA-Z0-9])+/`` (:324-329): no underscore in
+    the class, so 'B9LRY6_HALLT/44-372' → Accession 'HALLT' (offline;
+    the network get_uniprot_id overwrite is out of scope)."""
     df = df.withColumnRenamed("description", "raw_description")
     d = F.col("raw_description")
     uni = F.regexp_extract(d, _UNIPROT_FASTA, 0)
     cath_f = F.regexp_extract(d, _CATH_FASTA, 0)
-    gen = F.regexp_extract(d, _GENERIC, 0)
+    pfam_m = F.regexp_extract(d, _PFAM_STH, 0)
+    cath_s = F.regexp_extract(d, _CATH_STH, 0)
 
     if seq_format == "fasta":
-        source = (
-            F.when(uni != "", F.lit("UniProt"))
-            .when(cath_f != "", F.lit("CATH"))
-            .when(gen != "", F.lit("GenericParser"))
+        # generic fields only via CATH-fasta's nested re-scan; a bare
+        # 'P00439/24-145' fasta header parses NOTHING in the reference
+        gen = F.regexp_extract(cath_f, _GENERIC, 0)
+        source = F.when(uni != "", F.lit("UniProt")).when(
+            cath_f != "", F.lit("CATH")
         )
         collection = (
             F.when(uni != "", F.regexp_extract(d, _UNIPROT_FASTA, 1))
@@ -158,34 +179,39 @@ def _parse_description(df: DataFrame, seq_format: str) -> DataFrame:
         version = F.when(cath_f != "", F.regexp_extract(d, _CATH_FASTA, 2))
         accession = F.when(uni != "", F.regexp_extract(d, _UNIPROT_FASTA, 2))
         name = F.when(uni != "", F.regexp_extract(d, _UNIPROT_FASTA, 3))
-        matched = F.when(uni != "", uni).when(cath_f != "", cath_f).otherwise(gen)
+        matched = F.when(uni != "", uni).when(cath_f != "", cath_f)
     elif seq_format == "stockholm":
-        source = (
-            F.when(F.regexp_extract(d, _GENERIC, 1).rlike("^[A-Z0-9]+_"), F.lit("Pfam"))
-            .when(gen != "", F.lit("CATH"))
+        gen = F.when(pfam_m != "", F.regexp_extract(pfam_m, _GENERIC, 0)).otherwise(
+            F.regexp_extract(cath_s, _GENERIC, 0)
         )
+        # CATH is the unconditional fallback Source for stockholm —
+        # the reference sets it even when nothing else parses
+        source = F.when(pfam_m != "", F.lit("Pfam")).otherwise(F.lit("CATH"))
         collection = F.lit(None).cast("string")
         version = F.lit(None).cast("string")
         accession = F.lit(None).cast("string")
         name = F.lit(None).cast("string")
-        matched = gen
+        # only the Pfam branch emits a Description remainder (:228-231);
+        # the CATH-sth branch never touches Description
+        matched = F.when(pfam_m != "", pfam_m)
     else:  # clustal / phylip: generic descriptions only — the reference
         # routes non-fasta/non-stockholm through
         # parse_generic_seq_description, whose Source is 'GenericParser'
         # (proteofav/msas.py:152-157,384); labeling them Pfam/CATH
         # misattributed a database source (review r8)
+        gen = F.regexp_extract(d, _GENERIC, 0)
         source = F.when(gen != "", F.lit("GenericParser"))
         collection = F.lit(None).cast("string")
         version = F.lit(None).cast("string")
         accession = F.lit(None).cast("string")
         name = F.lit(None).cast("string")
-        matched = gen
+        matched = F.when(gen != "", gen)
 
-    # generic <acc>/<start>-<end> pieces (apply when present)
-    g_name = F.regexp_extract(d, r"([A-Z0-9]+_[a-zA-Z0-9]+)/", 1)
-    g_acc = F.regexp_extract(d, _GENERIC, 1)
-    g_start = F.regexp_extract(d, _GENERIC, 2)
-    g_end = F.regexp_extract(d, _GENERIC, 3)
+    # generic pieces from the branch's matched substring
+    g_name = F.regexp_extract(gen, r"([A-Z0-9]+_[a-zA-Z0-9]+)/", 1)
+    g_ident = F.regexp_extract(gen, r"([a-zA-Z0-9]+)/", 1)
+    g_start = F.regexp_extract(gen, _GENERIC, 2)
+    g_end = F.regexp_extract(gen, _GENERIC, 3)
     # the domain pattern anchors on the *generic match* (e.g. '1hm3A01/27-338'),
     # not the whole description (reference: proteofav/msas.py:344-352)
     dom = F.regexp_extract(gen, _CATH_DOMAIN, 0)
@@ -199,7 +225,7 @@ def _parse_description(df: DataFrame, seq_format: str) -> DataFrame:
     out = out.withColumn("Version", version)
     out = out.withColumn(
         "Accession",
-        F.coalesce(accession, F.when(g_name == "", F.nullif(g_acc, F.lit("")))),
+        F.coalesce(accession, F.nullif(g_ident, F.lit(""))),
     )
     out = out.withColumn("Name", F.coalesce(name, F.nullif(g_name, F.lit(""))))
     out = out.withColumn("Start", F.nullif(g_start, F.lit("")).cast("bigint"))
@@ -214,9 +240,16 @@ def _parse_description(df: DataFrame, seq_format: str) -> DataFrame:
             F.regexp_extract(gen, _CATH_DOMAIN, 3),
         )),
     )
+    # reference sets both keys to the same value (:347-348)
+    out = out.withColumn("Domain", F.col("domain_id"))
     out = out.withColumn(
         "Description",
-        F.when(matched != "", F.trim(F.replace(d, matched, F.lit("")))).otherwise(d),
+        # reference: remainder only when the branch matched AND the
+        # description extends beyond the match; else the key is absent
+        F.when(
+            matched.isNotNull() & (d != matched),
+            F.trim(F.replace(d, matched, F.lit(""))),
+        ),
     )
     return out
 

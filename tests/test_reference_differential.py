@@ -600,3 +600,324 @@ def test_flagship_merge_differential(spark):
     a, b = norm(merged_ref), norm(ours)
     assert len(a) == len(b) == 278
     assert a == b, (sorted(set(a) - set(b))[:1], sorted(set(b) - set(a))[:1])
+
+
+# ---------------------------------------------------------------------------
+# MSA readers + variants flatteners (round 11: the last two parser
+# families previously pinned only by recorded-expectation fixtures)
+# ---------------------------------------------------------------------------
+
+class _Rec:
+    """Minimal stand-in for a Biopython SeqRecord: only the three
+    attributes the reference touches (msas.py:84-90)."""
+
+    def __init__(self, rid, desc, seq):
+        self.id, self.description, self.seq = rid, desc, seq
+
+
+def _alignio_read(fn, fmt):
+    """Biopython-absent AlignIO.read shim (same pattern as the lxml
+    shim): a deliberately independent ~20-line parser for the two
+    fixture formats, so the differential still executes the reference's
+    read_msas assembly + all description-regex families live."""
+    recs = []
+    if fmt == "fasta":
+        cur, seqs = None, []
+        for line in open(fn):
+            line = line.rstrip("\n")
+            if line.startswith(">"):
+                if cur is not None:
+                    recs.append(_Rec(cur.split()[0], cur, "".join(seqs)))
+                cur, seqs = line[1:], []
+            elif line.strip():
+                seqs.append(line.strip())
+        if cur is not None:
+            recs.append(_Rec(cur.split()[0], cur, "".join(seqs)))
+    elif fmt == "stockholm":
+        order, seqs = [], {}
+        for line in open(fn):
+            line = line.rstrip("\n")
+            if not line.strip() or line.startswith(("#", "//")):
+                continue
+            name, chunk = line.split(None, 1)
+            if name not in seqs:
+                order.append(name)
+                seqs[name] = []
+            seqs[name].append(chunk.strip())
+        recs = [_Rec(n, n, "".join(seqs[n])) for n in order]
+    else:  # pragma: no cover - fixtures are fasta/stockholm only
+        raise ValueError(fmt)
+    return recs
+
+
+@lru_cache(maxsize=1)
+def _ref_msas_vars():
+    """Import the reference's msas/variants modules with three more
+    bitrot restorations: pandas≥2 removed ``pandas.io.json.
+    json_normalize`` (module-level import in variants.py:9) and
+    ``DataFrame.append`` (merging_down_by_key, utils.py:281-306 — the
+    restored shim is the documented pd.concat equivalent), and
+    Biopython is absent (AlignIO shimmed like lxml)."""
+    import pandas as pd
+    import pandas.io.json as pij
+
+    _ref()  # annotation/config stubs first (shared scipy/requests_cache)
+    _lxml_shim()  # mergers → sifts/validation import lxml at module load
+    if not hasattr(pij, "json_normalize"):
+        pij.json_normalize = pd.json_normalize
+    if not hasattr(pd.DataFrame, "append"):
+        pd.DataFrame.append = lambda self, other, **k: pd.concat([self, other])
+    bio = _stub("Bio")
+    alignio = _stub("Bio.AlignIO", read=_alignio_read)
+    bio.AlignIO = alignio
+    sys.path.insert(0, "/root/reference")
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import proteofav.mergers as RMG
+            import proteofav.msas as RM
+            import proteofav.variants as RV
+    finally:
+        sys.path.remove("/root/reference")
+    return RM, RV, RMG
+
+
+def _msa_cell(v):
+    """MSA-table cell normalizer. The reference str-constrains every
+    non-Start/End column (msas.py:103-105), so its missing values
+    surface as the literal string 'nan' — normalize those (and true
+    NaN/None) to None; integral floats (Start/End upcast by NaN rows)
+    compare as ints."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return str(int(v)) if v == int(v) else str(round(v, 6))
+    s = str(v)
+    return None if s == "nan" else s
+
+
+@pytest.mark.parametrize(
+    "msa,min_cols",
+    [
+        ("PF00118.sth", 7),           # Pfam stockholm: Name/Accession/Start/End
+        ("1.20.1070.10_7072.sth", 9),  # CATH stockholm: domains + name-less ids
+        ("1.50.10.100_1318.fasta", 11),  # CATH fasta: cath|version|domain + biomap
+    ],
+)
+def test_msa_read_differential(spark, msa, min_cols):
+    """read_msas on the reference's three MSA fixtures: the reference's
+    own reader + all six description-parser regex families
+    (proteofav/msas.py:67-109,163-390) execute live (get_uniprot_id=False
+    — the network accession overwrite is out of scope offline) and every
+    shared column matches row-for-row, including the quirky ones: the
+    generic identifier regex's post-underscore Accession ('B9LRY6_HALLT'
+    → 'HALLT'), the CATH-domain pdb/chain/domain split, and the
+    unconditional Source='CATH' stockholm fallback."""
+    RM, _, _ = _ref_msas_vars()
+    from proteofav_spark.sources.msas import read_msas
+
+    ref = RM.read_msas(f"{TD}/msas/{msa}", get_uniprot_id=False)
+    ours = read_msas(spark, f"{TD}/msas/{msa}").toPandas()
+    shared = [c for c in ref.columns if c in ours.columns]
+    assert len(shared) >= min_cols, shared
+
+    def norm(df):
+        return sorted(
+            (
+                tuple(_msa_cell(r[c]) for c in shared)
+                for _, r in df[shared].iterrows()
+            ),
+            key=lambda t: tuple((x is None, str(x)) for x in t),
+        )
+
+    a, b = norm(ref), norm(ours)
+    assert len(a) == len(b), (len(a), len(b))
+    assert a == b, (
+        sorted(set(a) - set(b))[:1],
+        sorted(set(b) - set(a))[:1],
+    )
+
+
+# The reference's OWN recorded API payloads (verbatim from
+# reference/tests/test_variants.py:227-301 — public test fixtures): a
+# UniProt Proteins-API variants response and two Ensembl REST
+# overlap/translation responses.
+_EBI_VARS_P17612 = """{"accession":"P17612", "entryName":"KAPCA_HUMAN", "sequence":
+"MGNAAAAKKGSEQESVKEFLAKAKEDFLKKWESPAQNTAHLDQFERIKTLGTGSFGRVMLVKHKETGNHYAMKILDKQKVVKLKQIEHTLNEKRILQAVNFPFLVKLEFSFKDNSNLYMVMEYVPGGEMFSHLRRIGRFSEPHARFYAAQIVLTFEYLHSLDLIYRDLKPENLLIDQQGYIQVTDFGFAKRVKGRTWTLCGTPEYLAPEIILSKGYNKAVDWWALGVLIYEMAAGYPPFFADQPIQIYEKIVSGKVRFPSHFSSDLKDLLRNLLQVDLTKRFGNLKNGVNDIKNHKWFATTDWIAIYQRKVEAPFIPKFKGPGDTSNFDDYEEEEIRVSINEKCGKEFSEF",                    "sequenceChecksum":"13793750284533818795", "taxid":9606,                   "features":[{"type":"VARIANT","ftId":"VAR_040591","alternativeSequence":"V","begin":"41","end":"41","xrefs":[{"name":"dbSNP","id":"rs56029020","url":"http://www.ncbi.nlm.nih.gov/SNP/snp_ref.cgi?type=rs&rs=rs56029020"},{"name":"Ensembl","id":"rs56029020","url":"http://www.ensembl.org/id/rs56029020"}],"wildType":"L","somaticStatus":0,"consequenceType":"missense","sourceType":"uniprot"},{"type":"VARIANT","alternativeSequence":"I","begin":"252","end":"252","xrefs":[{"name":"ExAC","id":"rs760535486","url":"http://exac.broadinstitute.org/awesome?query=rs760535486"}],"wildType":"V","polyphenPrediction":"benign","polyphenScore":0.025,"siftPrediction":"tolerated","siftScore":0.21,"somaticStatus":0,"cytogeneticBand":"19p13.12","consequenceType":"missense", "genomicLocation":"NC_000019.10:g.14097372C>T","sourceType":"large_scale_study"}]} """
+
+_ENS_TRANSCRIPT_VARS = """[{"polyphen":0.908,"sift":0.06,"feature_type":"transcript_variation","clinical_significance":[],"Parent":"ENST00000288602","codons":"Cca/Gca","end":622,"seq_region_name":"ENSP00000288602","residues":"P/A","minor_allele_frequency":null,"id":"rs746074624","translation":"ENSP00000288602","allele":"G/C","type":"missense_variant","start":622},{"polyphen":0.95,"sift":0,"feature_type":"transcript_variation","clinical_significance":["pathogenic"],"Parent":"ENST00000288602","codons":"Gca/Cca","end":246,"seq_region_name":"ENSP00000288602","residues":"A/P","minor_allele_frequency":null,"id":"rs180177034","translation":"ENSP00000288602","allele":"C/G","type":"missense_variant","start":246}]"""
+
+_ENS_SOMATIC_VARS = """[{"polyphen":null,"sift":null,"feature_type":"somatic_transcript_variation","clinical_significance":[],"Parent":"ENST00000288602","codons":"","end":433,"seq_region_name":"ENSP00000288602","residues":"","minor_allele_frequency":null,"id":"COSM3832072","translation":"ENSP00000288602","allele":"COSMIC_MUTATION","type":"coding_sequence_variant","start":433},{"polyphen":null,"sift":null,"feature_type":"somatic_transcript_variation","clinical_significance":[],"Parent":"ENST00000288602","codons":"","end":698,"seq_region_name":"ENSP00000288602","residues":"","minor_allele_frequency":null,"id":"COSM452456","translation":"ENSP00000288602","allele":"COSMIC_MUTATION","type":"coding_sequence_variant","start":698}]"""
+
+
+class _fake_resp:
+    """The reference's flatteners accept a requests Response (list
+    payloads arrive via .json(), variants.py:674-678)."""
+
+    def __init__(self, data):
+        self._d = data
+
+    def json(self):
+        return self._d
+
+
+def _vars_cell(v, dp=6):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return None if math.isnan(v) else round(v, dp)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        t = tuple(sorted(str(x) for x in v))
+        if not t:
+            return None  # reference: [] stays; ours: [] — both → None
+        # the reference unwraps singleton lists PER ROW
+        # (refactor_key_val_singletons); a Spark column has ONE type, so
+        # ours stays array<> when any row is multi-valued — normalize
+        # singleton containers to their element for comparison
+        return t[0] if len(t) == 1 else t
+    return str(v)
+
+
+def _none_safe_key(t):
+    return tuple((x is None, str(x)) for x in t)
+
+
+def _vars_compare(ref_pdf, spark_df, min_cols):
+    ours = spark_df.toPandas()
+    shared = [c for c in ref_pdf.columns if c in ours.columns]
+    assert len(shared) >= min_cols, shared
+
+    def norm(df):
+        return sorted(
+            (
+                tuple(_vars_cell(r[c]) for c in shared)
+                for _, r in df[shared].iterrows()
+            ),
+            key=_none_safe_key,
+        )
+
+    a, b = norm(ref_pdf), norm(ours)
+    assert len(a) == len(b), (len(a), len(b))
+    assert a == b, (sorted(set(a) - set(b))[:1], sorted(set(b) - set(a))[:1])
+
+
+def _spark_json(spark, tmp_path, payload: str, name: str):
+    import json as _json
+
+    data = _json.loads(payload)
+    p = tmp_path / name
+    if isinstance(data, list):
+        p.write_text("\n".join(_json.dumps(r) for r in data))
+    else:
+        p.write_text(_json.dumps(data))
+    return spark.read.json(str(p))
+
+
+def test_uniprot_variants_flatten_differential(spark, tmp_path):
+    """flatten_uniprot_variants_ebi (proteofav/variants.py:622-661 +
+    flatten_nested_structure/refactor_key_val_singletons,
+    utils.py:310-353) executes live on the reference's own P17612
+    payload and matches our schema-driven flatten_structs pipeline
+    row-for-row — including the duplicate-xref collapse (dbSNP+Ensembl
+    both carrying rs56029020 fold to one row) and the int begin/end vs
+    string begin/end type normalization."""
+    import json as _json
+
+    _, RV, _ = _ref_msas_vars()
+    from proteofav_spark.sources.variants import flatten_uniprot_variants
+
+    ref = RV.flatten_uniprot_variants_ebi(_json.loads(_EBI_VARS_P17612))
+    ours = flatten_uniprot_variants(
+        _spark_json(spark, tmp_path, _EBI_VARS_P17612, "p17612.json")
+    )
+    assert len(ref) == 2
+    _vars_compare(ref, ours, min_cols=15)
+
+
+@pytest.mark.parametrize(
+    "payload,name",
+    [(_ENS_TRANSCRIPT_VARS, "transcript"), (_ENS_SOMATIC_VARS, "somatic")],
+)
+def test_ensembl_variants_flatten_differential(spark, tmp_path, payload, name):
+    """flatten_ensembl_variants (proteofav/variants.py:664-700) live on
+    the reference's own transcript/somatic payloads: the
+    ensembl→uniprot column renames, type constraining, and xrefs_id
+    split/merge round-trip match row-for-row (clinical_significance
+    empty lists and NaN sift/polyphen normalize identically)."""
+    import json as _json
+
+    _, RV, _ = _ref_msas_vars()
+    from proteofav_spark.sources.variants import flatten_ensembl_variants
+
+    ref = RV.flatten_ensembl_variants(_fake_resp(_json.loads(payload)))
+    ours = flatten_ensembl_variants(
+        _spark_json(spark, tmp_path, payload, f"{name}.json")
+    )
+    assert len(ref) == 2
+    _vars_compare(ref, ours, min_cols=12)
+
+
+def test_ensembl_variants_synonymous_filter_differential(spark, tmp_path):
+    """synonymous=False routes through the reference's
+    row_selector(reverse=True) (variants.py:695-698, utils.py:97-126):
+    pandas `!=` keeps NaN consequence rows — pin that OUR filter keeps
+    NULLs too, on a payload with a synonymous, a missense, and a
+    null-consequence record."""
+    import json as _json
+
+    _, RV, _ = _ref_msas_vars()
+    from proteofav_spark.sources.variants import flatten_ensembl_variants
+
+    base = _json.loads(_ENS_TRANSCRIPT_VARS)
+    base[0]["type"] = "synonymous_variant"
+    base[1]["type"] = None
+    payload = _json.dumps(base)
+    ref = RV.flatten_ensembl_variants(
+        _fake_resp(_json.loads(payload)), synonymous=False
+    )
+    ours = flatten_ensembl_variants(
+        _spark_json(spark, tmp_path, payload, "syn.json"), synonymous=False
+    )
+    assert len(ref) == 1  # only the synonymous row drops; NaN row stays
+    _vars_compare(ref, ours, min_cols=12)
+
+
+def test_vars_merger_differential(spark, tmp_path):
+    """Capstone for the variants family: the reference's OWN
+    uniprot_vars_ensembl_vars_merger (proteofav/mergers.py:193-219)
+    composes its two live flatteners, ours composes ours, and the outer
+    7-key merge + xrefs_id collapse match row-for-row."""
+    import json as _json
+
+    _, RV, RMG = _ref_msas_vars()
+    from proteofav_spark.sources.variants import (
+        flatten_ensembl_variants,
+        flatten_uniprot_variants,
+        uniprot_vars_ensembl_vars_merger,
+    )
+
+    # the P17612 payload carries no 'frequency' field and the reference
+    # merger REQUIRES all 7 merge keys (mergers.py:203-216) — inject one
+    # per feature so both engines run the same 7-key outer merge
+    upayload = _json.loads(_EBI_VARS_P17612)
+    for i, feat in enumerate(upayload["features"]):
+        feat["frequency"] = 0.001 * (i + 1)
+    ref_u = RV.flatten_uniprot_variants_ebi(upayload)
+    ref_e = RV.flatten_ensembl_variants(_fake_resp(_json.loads(_ENS_TRANSCRIPT_VARS)))
+    # minor_allele_frequency is all-null in this payload → pandas≥2
+    # leaves an object column of Nones and refuses the float-vs-object
+    # merge key; float-cast restores the contemporary merge behavior
+    ref_e["frequency"] = ref_e["frequency"].astype(float)
+    ref = RMG.uniprot_vars_ensembl_vars_merger(ref_u, ref_e)
+
+    u = flatten_uniprot_variants(
+        _spark_json(spark, tmp_path, _json.dumps(upayload), "u.json")
+    )
+    e = flatten_ensembl_variants(
+        _spark_json(spark, tmp_path, _ENS_TRANSCRIPT_VARS, "e.json")
+    )
+    ours = uniprot_vars_ensembl_vars_merger(u, e)
+    assert len(ref) == 4
+    _vars_compare(ref, ours, min_cols=20)
