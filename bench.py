@@ -213,7 +213,7 @@ def _src_fingerprint(src_dir: str) -> list[list]:
     return out
 
 
-def _ensure_scaled_dirs(spark) -> tuple[str, str]:
+def _ensure_scaled_dirs(spark, with_x20: bool = False) -> tuple[str, str, str | None]:
     """Materialize the synthesized 3x and 10x scale dirs ONCE on disk
     (<repo>/.scale/{x3,x10}, gitignored) and reuse them across rounds —
     VERDICT r7 item #8: the in-process synthesizer ran fresh every
@@ -221,13 +221,20 @@ def _ensure_scaled_dirs(spark) -> tuple[str, str]:
     one scaling number that keeps flagging. A meta marker records the
     source fingerprint + synthesizer version; any mismatch rebuilds.
     Deep-scale points therefore read plain parquet from disk, exactly
-    like every other SF point."""
+    like every other SF point.
+
+    ``with_x20`` (VERDICT r10 #6, opt-in via SPARK_GRAFT_TAU_X20=1) also
+    materializes a 20-copy dir — 2× the deepest sweep point, used only
+    by the τ-falsification probe for the one query with a superlinear
+    history; ~20 s build once per source fingerprint."""
     import shutil
 
     root = os.environ.get("SPARK_GRAFT_SCALE_DIR") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".scale"
     )
     dirs = {"x3": 3, "x10": 10}
+    if with_x20:
+        dirs["x20"] = 20
     want = {
         "src": SF_DIR,
         "version": _SYNTH_VERSION,
@@ -254,7 +261,11 @@ def _ensure_scaled_dirs(spark) -> tuple[str, str]:
             f"{time.perf_counter() - t0:.1f}s ({d})",
             file=sys.stderr,
         )
-    return os.path.join(root, "x3"), os.path.join(root, "x10")
+    return (
+        os.path.join(root, "x3"),
+        os.path.join(root, "x10"),
+        os.path.join(root, "x20") if with_x20 else None,
+    )
 
 
 def _fit_exponent(points: list[tuple[float, float]]) -> float:
@@ -288,7 +299,17 @@ _DEEP_SCALE_TOP_N = 5
 # similarity threshold τ=0.35 — PERF_NOTES.md); the 10x point must track
 # that tail every round even after the synthesizer fix dropped the query
 # out of the top-5-by-cost list (VERDICT r6 item #5)
-_DEEP_SCALE_PINNED = {"dedup_embedding_cosine"}
+_DEEP_SCALE_PINNED = {
+    # superlinear history (r7-r9): keeps its sf1.0x point regardless of
+    # where its warm time ranks
+    "dedup_embedding_cosine",
+    # VERDICT r10 #3: the two index builds whose sidecar stopped at
+    # sf0.3x — the store build is the heaviest in the suite and its
+    # scale exponent was extrapolated from the shallow range; pin both
+    # so 'build.sf1.0x' + full-range exponent_build are recorded
+    "ann_ivf_store_probe",
+    "knn_quantized_rescore",
+}
 
 
 def run_ingest_bench(
@@ -382,7 +403,9 @@ def run_ingest_bench(
 _TAU_PRODUCTION = 0.9
 
 
-def _tau_falsification(spark, x3_dir: str, x10_dir: str) -> dict:
+def _tau_falsification(
+    spark, x3_dir: str, x10_dir: str, x20_dir: str | None = None
+) -> dict:
     """Measure dedup_embedding_cosine's candidate machinery at the
     PRODUCTION threshold τ=0.9 across sf0.1 / 3x / 10x — the
     twice-promised falsification test for the documented τ=0.35
@@ -420,12 +443,17 @@ def _tau_falsification(spark, x3_dir: str, x10_dir: str) -> dict:
                     return None
         return None
 
-    pts, pair_counts, depths = {}, {}, {}
-    for label, d, scale in (
+    points = [
         ("sf0.1", SF_DIR, 0.1),
         ("sf0.3x", x3_dir, 0.3),
         ("sf1.0x", x10_dir, 1.0),
-    ):
+    ]
+    if x20_dir is not None:
+        # opt-in extrapolation point 2× beyond the deepest sweep scale
+        # (VERDICT r10 #6) — the per-segment verdict below covers it
+        points.append(("sf2.0x", x20_dir, 2.0))
+    pts, pair_counts, depths = {}, {}, {}
+    for label, d, scale in points:
         t, n = run(d, _TAU_PRODUCTION)
         _, n_low = run(d, COSINE_DUP_TAU, n_runs=1)
         pts[label] = (scale, t)
@@ -589,7 +617,9 @@ def run_scaling(
             :_DEEP_SCALE_TOP_N
         ]
     ) | (_DEEP_SCALE_PINNED & set(HEADLINE))
-    x3_dir, x10_dir = _ensure_scaled_dirs(spark)
+    x3_dir, x10_dir, x20_dir = _ensure_scaled_dirs(
+        spark, with_x20=bool(os.environ.get("SPARK_GRAFT_TAU_X20"))
+    )
 
     def timed(name: str, sf_dir: str, n_runs: int = 2):
         """(search_sec, build_sec): for index-backed queries run 0 pays
@@ -694,7 +724,7 @@ def run_scaling(
     }
     try:
         payload["tau_falsification"] = _tau_falsification(
-            spark, x3_dir, x10_dir
+            spark, x3_dir, x10_dir, x20_dir
         )
     except Exception as exc:  # must degrade the sidecar, not the sweep
         print(f"# tau-falsification failed: {exc}", file=sys.stderr)

@@ -100,9 +100,10 @@ def test_scaled_dirs_materialize_once_and_rebuild_on_drift(
         lambda spark, s, d, copies: calls.append((d, copies)),
     )
 
-    x3, x10 = bench._ensure_scaled_dirs(spark=None)
+    x3, x10, x20 = bench._ensure_scaled_dirs(spark=None)
     assert [c[1] for c in calls] == [3, 10]
     assert x3.endswith("x3") and x10.endswith("x10")
+    assert x20 is None  # opt-in only (SPARK_GRAFT_TAU_X20)
 
     bench._ensure_scaled_dirs(spark=None)  # markers match: no rebuild
     assert len(calls) == 2
@@ -116,3 +117,8 @@ def test_scaled_dirs_materialize_once_and_rebuild_on_drift(
     monkeypatch.setattr(bench, "_SYNTH_VERSION", bench._SYNTH_VERSION + 1)
     bench._ensure_scaled_dirs(spark=None)
     assert len(calls) == 6
+
+    # opt-in x20 (VERDICT r10 #6): builds ONLY the missing 20-copy dir
+    _, _, x20 = bench._ensure_scaled_dirs(spark=None, with_x20=True)
+    assert x20 is not None and x20.endswith("x20")
+    assert [c[1] for c in calls[6:]] == [20]
