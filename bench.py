@@ -226,29 +226,37 @@ def _ensure_scaled_dirs(spark, with_x20: bool = False) -> tuple[str, str, str | 
     ``with_x20`` (VERDICT r10 #6, opt-in via SPARK_GRAFT_TAU_X20=1) also
     materializes a 20-copy dir — 2× the deepest sweep point, used only
     by the τ-falsification probe for the one query with a superlinear
-    history; ~20 s build once per source fingerprint."""
+    history; ~20 s build once per source fingerprint. An x20 dir that is
+    ALREADY current is reused even without the flag (the probe's two
+    warm runs cost seconds), so one flagged materialization makes every
+    later plain run of the round — including the driver's — carry the
+    sf2.0x point."""
     import shutil
 
     root = os.environ.get("SPARK_GRAFT_SCALE_DIR") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".scale"
     )
-    dirs = {"x3": 3, "x10": 10}
-    if with_x20:
-        dirs["x20"] = 20
     want = {
         "src": SF_DIR,
         "version": _SYNTH_VERSION,
         "fingerprint": _src_fingerprint(SF_DIR),
     }
+
+    def _current(d: str, copies: int) -> bool:
+        try:
+            with open(os.path.join(d, "_meta.json")) as fh:
+                return json.load(fh) == {**want, "copies": copies}
+        except (OSError, json.JSONDecodeError):
+            return False
+
+    x20_path = os.path.join(root, "x20")
+    dirs = {"x3": 3, "x10": 10}
+    if with_x20:
+        dirs["x20"] = 20
     for name, copies in dirs.items():
         d = os.path.join(root, name)
         marker = os.path.join(d, "_meta.json")
-        try:
-            with open(marker) as fh:
-                have = json.load(fh)
-        except (OSError, json.JSONDecodeError):
-            have = None
-        if have == {**want, "copies": copies}:
+        if _current(d, copies):
             continue
         t0 = time.perf_counter()
         shutil.rmtree(d, ignore_errors=True)
@@ -264,7 +272,7 @@ def _ensure_scaled_dirs(spark, with_x20: bool = False) -> tuple[str, str, str | 
     return (
         os.path.join(root, "x3"),
         os.path.join(root, "x10"),
-        os.path.join(root, "x20") if with_x20 else None,
+        x20_path if (with_x20 or _current(x20_path, 20)) else None,
     )
 
 
