@@ -1291,3 +1291,36 @@ def test_sifts_variants_merge_differential(spark, tmp_path):
     assert len(ref) > 300
     assert ref["xrefs_id"].notna().sum() >= 2  # the join hit both variants
     _assert_frames_equal_coerced(ref, ours, dp=4)
+
+
+def test_filter_structures_composed_differential(spark):
+    """The composed filter_structures option set run live on the
+    altloc-heavy fixture (proteofav/structures.py:777-860): first-model
+    select + ATOM lines + altloc removal + partial-residue removal +
+    atom-id reset + res_full + altloc label, all in ONE call — the two
+    removal loops have individual diffs above; this pins their
+    composition ORDER (altlocs drop before the partial-residue run
+    detection sees the table, so a residue completed only across
+    altlocs survives identically on both sides)."""
+    RS, _, _ = _ref()
+    from proteofav_spark.operators.structures import filter_structures
+    from proteofav_spark.sources.structures import parse_mmcif_atoms
+
+    ref = RS.filter_structures(
+        RS.parse_mmcif_atoms(f"{TD}/mmcif/4ibw.cif", excluded_cols=()),
+        models="first",
+        lines=("ATOM",),
+        remove_altloc=True,
+        remove_partial_res=True,
+        add_atom_altloc=True,
+    )
+    ours = filter_structures(
+        parse_mmcif_atoms(spark, f"{TD}/mmcif/4ibw.cif"),
+        models="first",
+        lines=("ATOM",),
+        remove_altloc=True,
+        remove_partial_res=True,
+        add_atom_altloc_col=True,
+    )
+    assert len(ref) > 1000
+    _assert_frames_equal(ref, ours, dp=4)
