@@ -1174,3 +1174,39 @@ def test_embedding_dedup_salt_splits_duplicate_mega_cell(spark, tmp_path):
     assert len(pairs) < all_pairs / 2, (len(pairs), all_pairs)
     # sub-cells keep only mutually-identical members here: exact 1.0
     assert all(r["cosine"] == 1.0 for r in pairs)
+
+
+def test_session_index_tempdir_artifact_evicts_disk(spark, tmp_path):
+    """A TempDirArtifact cached value (e.g. the Z-order lake path) must
+    rmtree its directory when the corpus rewrite evicts it — otherwise
+    every in-place rewrite leaks one temp tree for the session's life
+    (r11, the zlake cache fix)."""
+    import os
+
+    from proteofav_spark.operators import llm_queries as lq
+
+    corpus = str(tmp_path / "corpus")
+    spark.range(5).write.mode("overwrite").parquet(corpus)
+
+    def read():
+        return spark.read.parquet(corpus)
+
+    def build(tag):
+        def _b():
+            d = tmp_path / f"lake_{tag}"
+            d.mkdir()
+            (d / "data").write_text(tag)
+            return lq.TempDirArtifact(str(d))
+
+        return _b
+
+    a1 = lq._session_index(spark, "tdir", read(), build("v1"))
+    assert os.path.isdir(a1.path)
+    # unchanged corpus: cache hit, dir untouched
+    assert lq._session_index(spark, "tdir", read(), build("v1b")) is a1
+    # in-place rewrite: eviction must remove the superseded dir
+    spark.range(7).write.mode("overwrite").parquet(corpus)
+    a2 = lq._session_index(spark, "tdir", read(), build("v2"))
+    assert a2.path != a1.path
+    assert not os.path.exists(a1.path), "evicted lake dir leaked on disk"
+    assert os.path.isdir(a2.path)
