@@ -716,6 +716,42 @@ def run_scaling(
             ),
             file=sys.stderr,
         )
+    # clean sf0.1 build re-measure (r11): the build series' sf0.1 point
+    # previously came from the headline phase's run-0, where the FIRST
+    # index-building query of the session also pays the one-time Arrow
+    # kernel / python-worker ramp (measured: 6.1 s first-of-session vs
+    # 2.4 s rebuilt-later for the IVF store on identical data+code) —
+    # distorting exponent_build for whichever query ran first. Re-measure
+    # every ANN build at the base SF cold-but-late: evict this corpus's
+    # cached artifacts, rebuild, and refit.
+    from proteofav_spark.operators.llm_queries import evict_indexes_for_dir
+
+    for name in HEADLINE:
+        if name not in ANN_INDEXED:
+            continue
+        evict_indexes_for_dir(SF_DIR.rstrip("/"))
+        s0 = time.perf_counter()
+        qs[name](spark, SF_DIR).count()
+        b_clean = round(time.perf_counter() - s0, 3)
+        sec = section[name]
+        sec["build"]["sf0.1_first_of_session"] = sec["build"].get("sf0.1")
+        sec["build"]["sf0.1"] = b_clean
+        b_pts = [
+            (sf_small, sec["build"]["sf0.01"]),
+            (sf_base, b_clean),
+            (3 * sf_base, sec["build"]["sf0.3x"]),
+        ]
+        if "sf1.0x" in sec["build"]:
+            b_pts.append((10 * sf_base, sec["build"]["sf1.0x"]))
+        sec["exponent_build"] = _fit_exponent(b_pts)
+        print(
+            f"# scaling {name}: clean sf0.1 build {b_clean}s "
+            f"(headline-phase run-0 was "
+            f"{sec['build']['sf0.1_first_of_session']}s) -> "
+            f"exponent_build {sec['exponent_build']}",
+            file=sys.stderr,
+        )
+
     if flags:
         print(
             f"# !! SUPERLINEAR (> {SUPERLINEAR_BAR}) queries:",

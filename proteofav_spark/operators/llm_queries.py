@@ -80,6 +80,19 @@ def _release_index(val) -> None:
             _release_index(v)
 
 
+def evict_indexes_for_dir(marker: str) -> int:
+    """Release every cached index artifact whose corpus lives under a
+    directory containing ``marker``; returns the eviction count. Used
+    by the bench's clean-build re-measure (a cached artifact otherwise
+    makes a per-SF 'cold build' unmeasurable at the base SF, whose
+    artifacts were built during the headline phase)."""
+    n = 0
+    for k in [k for k in _INDEX_CACHE if any(marker in d for d in k[1])]:
+        _release_index(_INDEX_CACHE.pop(k)[1])
+        n += 1
+    return n
+
+
 def _session_index(spark: SparkSession, family: str, corpus: DataFrame, build):
     import os
 
@@ -1666,19 +1679,19 @@ def q_ann_ivf_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
 
-    def _build() -> str:
+    def _build() -> TempDirArtifact:
         import tempfile
 
         path = tempfile.mkdtemp(prefix="pfs_ivf_store_")
         ann_store.build_ivf_store(e, path)
-        return path
+        return TempDirArtifact(path)
 
     # cached like every other index artifact: the store is built once
     # per (session, corpus file-listing) and serves all later probes.
-    # The cached value is the store PATH (disk artifacts, no executor
-    # blocks to release on eviction — temp dirs die with the machine's
-    # tmp reaper / session host).
-    path = _session_index(spark, "ivf_store_path", e, _build)
+    # The cached value is a disk artifact, so eviction (an in-place
+    # corpus rewrite) rmtree's the superseded store instead of leaking
+    # one temp tree per rewrite (r11 — same fix as the Z-order lake).
+    path = _session_index(spark, "ivf_store_path", e, _build).path
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
