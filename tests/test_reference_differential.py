@@ -1324,3 +1324,69 @@ def test_filter_structures_composed_differential(spark):
     )
     assert len(ref) > 1000
     _assert_frames_equal(ref, ours, dp=4)
+
+
+def test_chimera_writers_differential(spark):
+    """The Chimera exporters run live (proteofav/visualise.py:14-79):
+    the attribute file's SEMANTIC content — attribute name, match mode,
+    recipient, and the full per-residue (:res, value) assignment set —
+    equals the reference's on the 2w4o chain-A DSSP SS column, and the
+    command file is byte-identical. Header cosmetics differ
+    deliberately (generator banner; the reference's triple-quoted
+    template leaks 4-space indentation into its header lines), so the
+    comparison parses both files instead of diffing raw text."""
+    _, RD, _ = _ref()
+    sys.path.insert(0, "/root/reference")
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import proteofav.visualise as RVIS
+    finally:
+        sys.path.remove("/root/reference")
+    from proteofav_spark.sinks.writers import (
+        make_chimera_attribute_file,
+        make_chimera_command_file,
+    )
+    from proteofav_spark.sources.dssp import filter_dssp, parse_dssp_residues
+
+    d_ref = RD.filter_dssp(
+        RD.parse_dssp_residues(f"{TD}/dssp/2w4o.dssp"), chains=("A",)
+    )
+    col = d_ref.set_index("RES")["SS"]
+    ref_text = RVIS.make_chimera_attribute_file(col)
+
+    d = filter_dssp(
+        parse_dssp_residues(spark, f"{TD}/dssp/2w4o.dssp"), chains=("A",)
+    )
+    our_text = make_chimera_attribute_file(d, value_col="SS", residue_col="RES")
+
+    def parse(text):
+        fields, pairs = {}, []
+        for ln in text.splitlines():
+            s = ln.strip()
+            if s.startswith("#") or not s:
+                continue
+            if ":" in s and not s.startswith(":") and "\t" not in ln:
+                k, _, v = s.partition(":")
+                fields[k.strip()] = v.strip()
+            elif ":" in s:
+                res, _, val = s.lstrip("\t:").partition("\t")
+                pairs.append((res, val))
+        return fields, sorted(pairs)
+
+    rf, rp = parse(ref_text)
+    of, op = parse(our_text)
+    assert rf["attribute"] == "SS" and of["attribute"] == "SS"
+    assert rf["match mode"] == of["match mode"]
+    assert rf["recipient"] == of["recipient"] == "residues"
+    assert len(rp) > 200
+    assert rp == op
+
+    # command file: identical template logic, byte-identical output
+    ref_cmd = RVIS.make_chimera_command_file(
+        "2w4o.cif", content="defattr SS.chimera_attrFile"
+    )
+    our_cmd = make_chimera_command_file(
+        "2w4o.cif", content="defattr SS.chimera_attrFile"
+    )
+    assert ref_cmd == our_cmd
