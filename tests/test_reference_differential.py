@@ -1390,3 +1390,121 @@ def test_chimera_writers_differential(spark):
         "2w4o.cif", content="defattr SS.chimera_attrFile"
     )
     assert ref_cmd == our_cmd
+
+
+# ---------------------------------------------------------------------------
+# randomized differential: the stateful partial-residue loop (the one
+# reference operator where r10's review found two live parity bugs —
+# the dup-seq recurrence and the atom-completeness sets)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_RUN = st.tuples(
+    st.sampled_from(["GLY", "ALA", "SER", "HOH"]),  # HOH: non-AA passthrough
+    st.sampled_from(["1", "2", "3"]),               # small → consecutive dups
+    st.sampled_from(["ATOM", "HETATM"]),
+    # atom subset mask over the residue's 5-atom candidate pool: 0 =>
+    # empty run would vanish, so min 1
+    st.integers(1, 31),
+)
+
+
+@given(runs=st.lists(_RUN, min_size=1, max_size=10))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_remove_partial_residues_property_vs_reference(spark, runs):
+    """Hypothesis-shrunk parity with the reference's OWN
+    _remove_partial_residues loop (proteofav/structures.py:430-480) on
+    tiny adversarial tables: consecutive equal-seq runs (the stateful
+    alternation), missing-atom runs interleaved with complete ones,
+    HETATM and non-AA passthrough rows, and the never-validated final
+    run all arise naturally. The r10 bugs (stateless dup-seq rule;
+    over-strict atom sets) would both fail this within a few examples."""
+    import pandas as _pd
+
+    RS, _, _ = _ref()
+    from proteofav_spark.library import AA_DEFAULT_ATOMS
+    from proteofav_spark.operators.structures import remove_partial_residues
+
+    pool = {
+        "GLY": ["N", "CA", "C", "O", "OXT"],
+        "ALA": ["N", "CA", "C", "O", "CB"],
+        "SER": ["N", "CA", "C", "O", "CB"],  # OG deliberately absent
+        "HOH": ["O", "H1", "H2", "OXT", "CB"],
+    }
+    assert set(AA_DEFAULT_ATOMS["GLY"]) == {"N", "CA", "C", "O"}
+    rows, n = [], 0
+    for comp, seq, group, mask in runs:
+        atoms = [a for i, a in enumerate(pool[comp]) if mask >> i & 1]
+        for atom in atoms:
+            rows.append(("f", n, group, comp, seq, atom))
+            n += 1
+
+    pdf = _pd.DataFrame(
+        rows,
+        columns=[
+            "source_file", "line_no", "group_PDB",
+            "auth_comp_id", "auth_seq_id", "auth_atom_id",
+        ],
+    )
+    ref = RS._remove_partial_residues(pdf.copy())
+    ref_kept = sorted(ref["line_no"].tolist())
+
+    sdf = spark.createDataFrame(
+        rows,
+        ["source_file", "line_no", "group_PDB",
+         "auth_comp_id", "auth_seq_id", "auth_atom_id"],
+    )
+    ours_kept = sorted(
+        r["line_no"] for r in remove_partial_residues(sdf).collect()
+    )
+    assert ours_kept == ref_kept, (rows, ref_kept, ours_kept)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["N", "CA"]),
+            st.sampled_from([".", "A", "B"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_remove_altlocs_property_vs_reference(spark, rows):
+    """Hypothesis-shrunk parity with the reference's OWN
+    _remove_multiple_altlocs loop (proteofav/structures.py:397-427):
+    random interleavings of '.'/'A'/'B' altlocs over two atom names
+    exercise the forward-scan semantics (runs broken by '.' rows or a
+    different atom, chains ending at the table edge where the loop's
+    KeyError break fires) — both the surviving row set AND the final
+    label_alt_id values (every survivor rewritten to '.') must equal."""
+    import pandas as _pd
+
+    RS, _, _ = _ref()
+    from proteofav_spark.operators.structures import remove_multiple_altlocs
+
+    pdf = _pd.DataFrame(
+        [(i, atom, alt) for i, (atom, alt) in enumerate(rows)],
+        columns=["line_no", "label_atom_id", "label_alt_id"],
+    )
+    ref = RS._remove_multiple_altlocs(pdf.copy())
+    ref_out = sorted(zip(ref["line_no"], ref["label_alt_id"]))
+
+    sdf = spark.createDataFrame(
+        [("f", i, atom, alt) for i, (atom, alt) in enumerate(rows)],
+        ["source_file", "line_no", "label_atom_id", "label_alt_id"],
+    )
+    ours = remove_multiple_altlocs(sdf).collect()
+    our_out = sorted((r["line_no"], r["label_alt_id"]) for r in ours)
+    assert our_out == ref_out, (rows, ref_out, our_out)
