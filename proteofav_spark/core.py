@@ -112,12 +112,18 @@ def splitting_up_by_key(df: DataFrame, key: str = "xrefs_id") -> DataFrame:
     """Explode rows whose ``key`` cell is an array into one row per value.
 
     Parity: proteofav/utils.py:223-247. Scalars (non-array key column) pass
-    through unchanged.
+    through unchanged. A NULL cell survives as one NULL-key row (the
+    reference's scalar branch keeps NaN), but an EMPTY list drops the
+    row entirely — the reference's list branch iterates `for v in []`
+    and appends nothing (r11, found by the hypothesis differential:
+    explode_outer alone kept a NULL-key row the reference never emits).
     """
     field = dict(df.dtypes).get(key, "")
     if not field.startswith("array"):
         return df
-    return df.withColumn(key, F.explode_outer(key))
+    return df.filter(
+        F.col(key).isNull() | (F.size(key) > 0)
+    ).withColumn(key, F.explode_outer(key))
 
 
 def merging_down_by_key(df: DataFrame, key: str = "xrefs_id") -> DataFrame:
@@ -132,7 +138,17 @@ def merging_down_by_key(df: DataFrame, key: str = "xrefs_id") -> DataFrame:
     """
     others = [c for c in df.columns if c != key]
     aggs = [F.array_sort(F.collect_set(c)).alias(c) for c in others]
-    collapsed = df.groupBy(key).agg(*aggs)
+    # NULL-key rows never merge — the reference's dup probe is
+    # `table[key] == pid`, and NaN == NaN is False, so every NaN-key row
+    # survives separately (r11, found by the hypothesis differential:
+    # a plain groupBy silently collapsed ALL null-key rows into one).
+    # They pass through unmerged, each cell wrapped as its 0/1-element
+    # value set to align with the collapsed schema.
+    collapsed = df.filter(F.col(key).isNotNull()).groupBy(key).agg(*aggs)
+    passthrough = df.filter(F.col(key).isNull()).select(
+        key, *[F.array_compact(F.array(F.col(c))).alias(c) for c in others]
+    )
+    collapsed = collapsed.unionByName(passthrough)
     # A Spark column has one type, so the reference's mixed scalar/tuple cells
     # become: unwrap a column to its element type when no group is
     # multi-valued, else keep the whole column as an array. One probe pass.

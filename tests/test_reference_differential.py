@@ -974,7 +974,8 @@ def _coerce_cell(v, dp: int = 4):
     if isinstance(v, float) and math.isnan(v):
         return None
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        t = tuple(str(x) for x in v)
+        # sorted: the reference's tuple(set(...)) order is arbitrary
+        t = tuple(sorted(str(x) for x in v))
         if not t:
             return None
         # per-row singleton unwrap vs one-typed Spark column — same
@@ -1508,3 +1509,85 @@ def test_remove_altlocs_property_vs_reference(spark, rows):
     ours = remove_multiple_altlocs(sdf).collect()
     our_out = sorted((r["line_no"], r["label_alt_id"]) for r in ours)
     assert our_out == ref_out, (rows, ref_out, our_out)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            # key cell: None | scalar | list of 0-2 keys (empty list is
+            # the trap: the reference's split loop emits NO row for it)
+            st.one_of(
+                st.none(),
+                st.sampled_from(["x", "y"]),
+                st.lists(st.sampled_from(["x", "y", "z"]), max_size=2),
+            ),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_split_merge_property_vs_reference(spark, rows):
+    """Hypothesis-shrunk parity with the reference's OWN
+    splitting_up_by_key → merging_down_by_key composition
+    (proteofav/utils.py:223-306) on random frames mixing scalar / None /
+    list / EMPTY-list key cells and None values — the value-dedup order,
+    null-dropping-when-multi, and empty-list-drops-the-row semantics all
+    arise. Cells compare under the singleton/sort normalization (the
+    reference's tuple(set(...)) order is arbitrary; ours is sorted)."""
+    import pandas as _pd
+
+    RS, _, _ = _ref()
+    # merging_down_by_key uses DataFrame.append — restore the pandas≥2
+    # removal (same shim _ref_msas_vars installs)
+    if not hasattr(_pd.DataFrame, "append"):
+        _pd.DataFrame.append = lambda self, other, **k: _pd.concat(
+            [self, other]
+        )
+    sys.path.insert(0, "/root/reference")
+    try:
+        import proteofav.utils as RU
+    finally:
+        sys.path.remove("/root/reference")
+    from proteofav_spark.core import merging_down_by_key, splitting_up_by_key
+    from pyspark.sql import types as T
+
+    pdf = _pd.DataFrame(rows, columns=["xrefs_id", "val"])
+    ref = RU.merging_down_by_key(
+        RU.splitting_up_by_key(pdf, key="xrefs_id"), key="xrefs_id"
+    )
+
+    # Spark's one-typed key column: scalars lift to 1-element arrays
+    # (the reference treats scalar and [scalar] identically in split)
+    def lift(v):
+        if v is None:
+            return None
+        return [v] if isinstance(v, str) else list(v)
+
+    schema = T.StructType([
+        T.StructField("xrefs_id", T.ArrayType(T.StringType())),
+        T.StructField("val", T.StringType()),
+    ])
+    sdf = spark.createDataFrame(
+        [(lift(k), v) for k, v in rows], schema
+    )
+    ours = merging_down_by_key(
+        splitting_up_by_key(sdf, key="xrefs_id"), key="xrefs_id"
+    ).toPandas()
+
+    def norm(df):
+        return sorted(
+            (
+                (_coerce_cell(r["xrefs_id"]), _coerce_cell(r["val"]))
+                for _, r in df.iterrows()
+            ),
+            key=_none_safe_key,
+        )
+
+    a, b = norm(ref), norm(ours)
+    assert a == b, (rows, a, b)
