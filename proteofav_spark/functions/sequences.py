@@ -13,7 +13,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from proteofav_spark.functions.derived import aa3to1_expr
-from proteofav_spark.library import CANONICAL_AA1
 
 
 def get_sequence(
@@ -45,13 +44,29 @@ def get_coordinates_col() -> Column:
     )
 
 
-def check_sequence_expr(seq_col: str, gap_symbol: str = "-") -> Column:
-    """Replace non-canonical residue letters with 'X' and remap gaps
-    (parity: proteofav/utils.py:356-372)."""
-    canon = "".join(sorted(CANONICAL_AA1)) + "X"
-    seq = F.upper(F.col(seq_col))
-    seq = F.regexp_replace(seq, r"[\-\.\*]", gap_symbol)
-    return F.regexp_replace(seq, f"[^{canon}{gap_symbol}]", "X")
+def check_sequence_expr(
+    seq_col: str,
+    gap_symbol: str = "-",
+    new_gap_symbol: str = "-",
+    ambiguous: str = "X",
+) -> Column:
+    """Replace residue letters outside the reference's EXTENDED 1-letter
+    alphabet with ``ambiguous``, then remap ``gap_symbol`` →
+    ``new_gap_symbol`` (exact parity: proteofav/utils.py:356-372, keyed
+    on aa_codes_1to3_extended — so B/Z/J/U/O ambiguity codes are KEPT,
+    lowercase is NOT case-folded (→ ambiguous), and '.'/'*' are not in
+    the alphabet so they become ambiguous BEFORE any gap remap; a
+    non-'-' gap_symbol therefore never survives to the remap, exactly
+    like the reference). r11: the old expr uppercased first, dropped
+    the extended codes, and gap-mapped './*' — none of which the
+    reference does (found by the randomized differential)."""
+    extended = "ACDEFGHKILMNPQRSTVYWXBZJUO"
+    seq = F.regexp_replace(
+        F.col(seq_col), f"[^{extended}-]", ambiguous
+    )
+    if gap_symbol != new_gap_symbol:
+        seq = F.replace(seq, F.lit(gap_symbol), F.lit(new_gap_symbol))
+    return seq
 
 
 def count_mismatches_expr(seq_a: str | Column, seq_b: str | Column) -> Column:

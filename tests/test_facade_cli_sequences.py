@@ -107,9 +107,15 @@ def test_sequence_compare(spark):
 
 
 def test_check_sequence(spark):
-    df = spark.createDataFrame([("AC?DZ*-",)], ["s"])
+    df = spark.createDataFrame([("AC?DZ*-ac",)], ["s"])
     out = df.select(check_sequence_expr("s").alias("c")).first()["c"]
-    assert out == "ACXDX--"  # Z (Glx) is non-canonical -> X
+    # reference alphabet (aa_codes_1to3_extended): Z (Glx) KEPT, '?'/'*'
+    # and lowercase -> X, '-' kept
+    assert out == "ACXDZX-XX"
+    out2 = df.select(
+        check_sequence_expr("s", new_gap_symbol=".").alias("c")
+    ).first()["c"]
+    assert out2 == "ACXDZX.XX"
 
 
 def test_parse_uniprot_variants(spark, refdata):

@@ -1591,3 +1591,38 @@ def test_split_merge_property_vs_reference(spark, rows):
 
     a, b = norm(ref), norm(ours)
     assert a == b, (rows, a, b)
+
+
+@given(
+    seq=st.text(
+        alphabet="ACDZzqX?.*-bJU5 ",
+        min_size=0,
+        max_size=24,
+    ),
+    new_gap=st.sampled_from(["-", "."]),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_check_sequence_property_vs_reference(spark, seq, new_gap):
+    """Hypothesis parity with the reference's check_sequence
+    (proteofav/utils.py:356-372) over strings mixing canonical letters,
+    extended ambiguity codes, lowercase, digits, spaces, './*' and gaps
+    — the r11 fix target (the old expr uppercased, dropped B/Z/J/U/O,
+    and gap-mapped './*')."""
+    _ref()  # scipy/requests_cache stubs BEFORE importing utils
+    sys.path.insert(0, "/root/reference")
+    try:
+        import proteofav.utils as RU
+    finally:
+        sys.path.remove("/root/reference")
+    from proteofav_spark.functions.sequences import check_sequence_expr
+
+    ref = RU.check_sequence(seq, new_gap_symbol=new_gap)
+    df = spark.createDataFrame([(seq,)], ["s"])
+    got = df.select(
+        check_sequence_expr("s", new_gap_symbol=new_gap).alias("c")
+    ).first()["c"]
+    assert (got or "") == ref, (seq, new_gap, ref, got)
