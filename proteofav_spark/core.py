@@ -40,9 +40,14 @@ def row_selector(
 
     ``value`` may be a scalar (equality), list/tuple/set (isin) or the
     sentinel ``'first'`` = keep rows equal to the column's first value in
-    file order. ``reverse`` negates. Raises :class:`EmptyTableError` when the
-    result is empty and ``check_empty`` (facade pipelines disable the guard
-    and check once at the end, so lazy plans stay lazy).
+    file order. ``reverse`` negates — with the reference's exact pandas
+    semantics (proteofav/utils.py:97-133, pinned by the r11 hypothesis
+    differential): NULL rows are dropped by ``==``/``isin`` but KEPT by
+    the reverse forms (pandas ``!=``/``~isin`` are True for NaN), and
+    the ``'first'`` branch ignores ``reverse`` entirely (its pandas
+    branch never reads the flag). Raises :class:`EmptyTableError` when
+    the result is empty and ``check_empty`` (facade pipelines disable
+    the guard and check once at the end, so lazy plans stay lazy).
     """
     if value == "first":
         order = F.col(order_col) if order_col in df.columns else F.monotonically_increasing_id()
@@ -50,6 +55,7 @@ def row_selector(
         if first_val is None:
             raise EmptyTableError(f"'{key}': table is empty")
         pred: Column = F.col(key) == F.lit(first_val[0])
+        reverse = False  # reference quirk: 'first' never reverses
     elif isinstance(value, (list, tuple, set, frozenset)):
         # empty collection → no rows (the reference's isin([]) semantic);
         # Spark's isin() with zero arguments raises instead (review r9)
@@ -58,7 +64,9 @@ def row_selector(
     else:
         pred = F.col(key) == F.lit(value)
     if reverse:
-        pred = ~pred
+        # NULL-safe negation: ~(NULL == v) is NULL and would drop the
+        # row; pandas keeps NaN under != / ~isin
+        pred = ~F.coalesce(pred, F.lit(False))
     out = df.filter(pred)
     if check_empty and out.isEmpty():
         raise EmptyTableError(f"filter on {key!r} with {value!r} produced no rows")

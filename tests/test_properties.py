@@ -41,9 +41,10 @@ def test_split_then_merge_roundtrips_value_sets(spark, rows):
         schema="row_id: long, xrefs_id: array<string>",
     )
     split = splitting_up_by_key(df, "xrefs_id")
-    # explode_outer keeps empty-array rows as a null entry, which
-    # collect_set then collapses to an empty array
-    expected = {r[0]: sorted(set(r[1])) for r in rows}
+    # reference parity (r11): an EMPTY list drops the row entirely in
+    # the split (the reference's list branch iterates nothing), so only
+    # rows with values round-trip
+    expected = {r[0]: sorted(set(r[1])) for r in rows if r[1]}
     merged = merging_down_by_key_arrays(split.withColumn(
         "xrefs_id", F.col("xrefs_id")), key="row_id")
     got = {

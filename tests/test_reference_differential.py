@@ -1626,3 +1626,71 @@ def test_check_sequence_property_vs_reference(spark, seq, new_gap):
         check_sequence_expr("s", new_gap_symbol=new_gap).alias("c")
     ).first()["c"]
     assert (got or "") == ref, (seq, new_gap, ref, got)
+
+
+@given(
+    rows=st.lists(
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=8,
+    ),
+    value=st.one_of(
+        st.just("first"),
+        st.sampled_from(["a", "b", "z"]),
+        st.lists(st.sampled_from(["a", "b", "z"]), max_size=2).map(tuple),
+    ),
+    reverse=st.booleans(),
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_row_selector_property_vs_reference(spark, rows, value, reverse):
+    """Hypothesis parity with the reference's row_selector
+    (proteofav/utils.py:97-133) over NaN-bearing columns and every value
+    shape (scalar / tuple / 'first') × reverse — the pandas semantics
+    being pinned: NaN rows are DROPPED by == / isin but KEPT by the
+    reverse (!= / ~isin) forms, and the 'first' branch ignores reverse
+    entirely."""
+    import numpy as _np
+    import pandas as _pd
+
+    RS, _, _ = _ref()
+    sys.path.insert(0, "/root/reference")
+    try:
+        import proteofav.utils as RU
+    finally:
+        sys.path.remove("/root/reference")
+    from proteofav_spark.core import EmptyTableError, row_selector
+
+    pdf = _pd.DataFrame(
+        {"line_no": range(len(rows)),
+         "k": [_np.nan if r is None else r for r in rows]}
+    )
+    if value == "first" and pdf["k"].empty:
+        return
+    try:
+        ref = RU.row_selector(pdf, key="k", value=value, reverse=reverse)
+        ref_kept = sorted(ref["line_no"].tolist())
+    except ValueError:  # the reference's own empty-result guard
+        ref_kept = []
+
+    from pyspark.sql import types as _T
+
+    schema = _T.StructType([
+        _T.StructField("line_no", _T.LongType()),
+        _T.StructField("k", _T.StringType()),
+    ])
+    sdf = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rows)], schema
+    )
+    try:
+        out = row_selector(
+            sdf, "k", value, reverse=reverse,
+            order_col="line_no", check_empty=False,
+        )
+        ours_kept = sorted(r["line_no"] for r in out.collect())
+    except EmptyTableError:
+        ours_kept = []
+    assert ours_kept == ref_kept, (rows, value, reverse, ref_kept, ours_kept)
