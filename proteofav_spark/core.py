@@ -179,11 +179,16 @@ def merging_down_by_key_arrays(df: DataFrame, key: str = "xrefs_id") -> DataFram
 
 
 def drop_empty_cols(df: DataFrame) -> tuple[DataFrame, dict[str, object]]:
-    """Drop every column whose non-null distinct count is ≤1; return the
-    dropped single values as attributes.
+    """Drop every column with EXACTLY one non-null distinct value (unless
+    that value is ``'?'`` — the mmCIF missing marker); return the dropped
+    single values as attributes.
 
-    Parity: proteofav/mergers.py:385-399. One aggregate pass computes all
-    countDistinct + first values; no per-column scans.
+    Parity: proteofav/mergers.py:385-399 — `dropna().unique()` of length
+    1, with the `'?'` keep rule; all-NaN columns STAY in the table (the
+    reference's `shape[0] == 1` is False for them). The r11 hypothesis
+    differential caught the old ≤1 rule dropping all-NULL columns the
+    reference keeps, and the missing '?' rule. One aggregate pass
+    computes all countDistinct + first values; no per-column scans.
     """
     aggs = []
     for c in df.columns:
@@ -193,7 +198,7 @@ def drop_empty_cols(df: DataFrame) -> tuple[DataFrame, dict[str, object]]:
     attrs: dict[str, object] = {}
     keep: list[str] = []
     for c in df.columns:
-        if row[f"n::{c}"] <= 1:
+        if row[f"n::{c}"] == 1 and row[f"v::{c}"] != "?":
             attrs[c] = row[f"v::{c}"]
         else:
             keep.append(c)

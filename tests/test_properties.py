@@ -69,9 +69,12 @@ def test_drop_empty_cols_single_value_hoisting(spark, vals):
     )
     out, hoisted = drop_empty_cols(df)
     distinct = {v for v in vals if v is not None}
-    if len(distinct) <= 1:  # all-null columns (0 distinct) drop too
+    # reference parity (r11): EXACTLY one non-null distinct value drops
+    # (unless it's '?'); all-null columns STAY like the reference keeps
+    # its all-NaN columns
+    if len(distinct) == 1 and next(iter(distinct)) != "?":
         assert "probe" not in out.columns
-        assert hoisted["probe"] == (next(iter(distinct)) if distinct else None)
+        assert hoisted["probe"] == next(iter(distinct))
     else:
         assert "probe" in out.columns
 

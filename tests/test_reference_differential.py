@@ -1694,3 +1694,109 @@ def test_row_selector_property_vs_reference(spark, rows, value, reverse):
     except EmptyTableError:
         ours_kept = []
     assert ours_kept == ref_kept, (rows, value, reverse, ref_kept, ours_kept)
+
+
+@given(
+    blocks=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),       # block chain id
+            st.integers(1, 3),                  # residues in the block
+            st.booleans(),                       # prepend a '!' gap row
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dssp_full_chain_property_vs_reference(spark, blocks):
+    """Hypothesis parity with the reference's _add_dssp_full_chain
+    (proteofav/dssp.py:153-194): random chain-block sequences separated
+    by '!*' terminator rows, with optional '!' gap rows, exercise the
+    BioUnit suffix counter's increment-on-same-chain /
+    reset-on-chain-change / skip-markers semantics. (No leading or
+    trailing '!*': the reference indexes ix±1 unguarded and would
+    KeyError — a file-shape that real DSSP output never produces.)"""
+    import pandas as _pd
+
+    _, RD, _ = _ref()
+    from proteofav_spark.sources.dssp import add_dssp_full_chain
+
+    rows = []
+    for i, (chain, size, gap) in enumerate(blocks):
+        if i > 0:
+            # terminator row between blocks: DSSP emits the PREVIOUS
+            # chain's id on the '!*' line
+            rows.append((blocks[i - 1][0], "!*"))
+        if gap:
+            rows.append((chain, "!"))
+        rows.extend((chain, "G") for _ in range(size))
+
+    pdf = _pd.DataFrame(rows, columns=["CHAIN", "AA"])
+    ref = RD._add_dssp_full_chain(pdf.copy())
+    ref_full = list(ref["CHAIN_FULL"])
+
+    sdf = spark.createDataFrame(
+        [("f", i, c, a) for i, (c, a) in enumerate(rows)],
+        ["source_file", "line_no", "CHAIN", "AA"],
+    )
+    out = add_dssp_full_chain(sdf).orderBy("line_no").collect()
+    our_full = [r["CHAIN_FULL"] for r in out]
+    assert our_full == ref_full, (rows, ref_full, our_full)
+
+
+@given(
+    cols=st.dictionaries(
+        keys=st.sampled_from(["p", "q", "r"]),
+        values=st.lists(
+            st.one_of(st.none(), st.sampled_from(["a", "b", "?"])),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_drop_empty_cols_property_vs_reference(spark, cols):
+    """Hypothesis parity with the reference's drop_empty_cols block
+    (proteofav/mergers.py:385-399, reached via table_merger): a column
+    is hoisted to an attribute iff it has EXACTLY one non-null distinct
+    value AND that value is not '?' (the reference keeps all-NaN columns
+    and '?'-only columns in the table)."""
+    import pandas as _pd
+
+    _ref()
+    from proteofav_spark.core import drop_empty_cols
+
+    pdf = _pd.DataFrame({k: list(v) for k, v in cols.items()})
+    # the reference's block is keyword-gated inside merge_tables
+    # (proteofav/mergers.py:385-399) and needs a full multi-table
+    # pipeline to reach — execute the loop verbatim instead
+    ref = pdf.copy()
+    for col in list(ref):
+        value = ref[col].dropna().unique()
+        if value.shape[0] == 1:
+            if value[0] == "?":
+                continue
+            del ref[col]
+
+    from pyspark.sql import types as _T
+
+    schema = _T.StructType(
+        [_T.StructField(k, _T.StringType()) for k in cols]
+    )
+    sdf = spark.createDataFrame(
+        list(zip(*[cols[k] for k in cols])) if cols else [], schema
+    )
+    out, attrs = drop_empty_cols(sdf)
+    assert sorted(out.columns) == sorted(ref.columns), (
+        cols, sorted(ref.columns), sorted(out.columns), attrs,
+    )
