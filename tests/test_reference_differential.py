@@ -1800,3 +1800,73 @@ def test_drop_empty_cols_property_vs_reference(spark, cols):
     assert sorted(out.columns) == sorted(ref.columns), (
         cols, sorted(ref.columns), sorted(out.columns), attrs,
     )
+
+
+def test_scalar_kit_grid_differential(spark):
+    """Exhaustive grid differential for the three DSSP scalar helpers run
+    live: get_rsa over EVERY 1-letter residue code the reference's
+    extended alphabet knows (plus lowercase/unknown) × all three ASA
+    methods × several ACC values; get_rsa_class incl. the exact 5.0/25.0
+    boundaries; the 8-state→HEC- SS reduction over every DSSP code. The
+    reference returns '' where the typed column yields NULL — normalized
+    here, everything else must match exactly (3-dp RSA values compare
+    under isclose to absorb python banker's-rounding vs Spark HALF_UP on
+    boundary-landing quotients)."""
+    _, RD, _ = _ref()
+    from proteofav_spark.functions.derived import (
+        rsa_class_expr,
+        rsa_expr,
+        ss_reduce_expr,
+    )
+
+    letters = list("ACDEFGHIKLMNPQRSTVWYXBZJUO") + ["a", "?"]
+    accs = [0.0, 10.0, 55.5, 123.4]
+    methods = ["Sander", "Miller", "Wilke"]
+    rows = [
+        (f"{m}:{aa}:{acc}", aa, acc, m)
+        for m in methods for aa in letters for acc in accs
+    ]
+    df = spark.createDataFrame(rows, ["k", "aa", "acc", "m"])
+    for m in methods:
+        got = {
+            r["k"]: r["rsa"]
+            for r in df.filter(F.col("m") == m)
+            .select("k", rsa_expr("acc", "aa", method=m.lower()).alias("rsa"))
+            .collect()
+        }
+        for aa in letters:
+            for acc in accs:
+                ref = RD.get_rsa(acc, aa, method=m)
+                ours = got[f"{m}:{aa}:{acc}"]
+                if ref == "":
+                    assert ours is None, (m, aa, acc, ours)
+                else:
+                    assert ours is not None and abs(ours - ref) < 1e-6, (
+                        m, aa, acc, ref, ours,
+                    )
+
+    rsa_vals = [0.0, 4.999, 5.0, 24.999, 25.0, 100.0, None]
+    df2 = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rsa_vals)], "i: long, rsa: double"
+    )
+    got2 = {
+        r["i"]: r["c"]
+        for r in df2.select("i", rsa_class_expr("rsa").alias("c")).collect()
+    }
+    for i, v in enumerate(rsa_vals):
+        ref = RD.get_rsa_class(v) if v is not None else "-"
+        assert got2[i] == ref, (v, ref, got2[i])
+
+    ss_codes = ["H", "E", "G", "I", "B", "C", "T", "S", "", " ", "Z"]
+    df3 = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(ss_codes)], "i: long, SS: string"
+    )
+    got3 = {
+        r["i"]: r["c"]
+        for r in df3.select("i", ss_reduce_expr("SS").alias("c")).collect()
+    }
+    import pandas as _pd
+
+    ref3 = RD._add_dssp_ss_reduced(_pd.DataFrame({"SS": ss_codes}))
+    for i, want in enumerate(ref3["SS_CLASS"]):
+        assert got3[i] == want, (ss_codes[i], want, got3[i])
