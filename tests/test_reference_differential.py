@@ -1870,3 +1870,58 @@ def test_scalar_kit_grid_differential(spark):
     ref3 = RD._add_dssp_ss_reduced(_pd.DataFrame({"SS": ss_codes}))
     for i, want in enumerate(ref3["SS_CLASS"]):
         assert got3[i] == want, (ss_codes[i], want, got3[i])
+
+
+def test_annotation_aggregation_paths_differential(spark):
+    """annotation_aggregation's other parameter paths run live
+    (proteofav/annotation.py:67-103): group_residues=False (one row per
+    feature-residue) and an explicit query_type filter. The exploded
+    (residue, annotation) pair multiset matches on both paths. DELIBERATE
+    divergence documented here: the reference's UNGROUPED `site` column
+    is `table.index.astype(str)` — the exploded frame's RangeIndex, i.e.
+    the ROW POSITION, not the residue — while ours keeps the residue
+    number; the comparison therefore keys on `idx`, which both sides
+    agree is the residue."""
+    import re as _re
+
+    _, _, RA = _ref()
+    from proteofav_spark.sources.annotation import (
+        annotation_aggregation,
+        parse_gff_features,
+    )
+
+    def _unrepr(s):
+        if not isinstance(s, str):
+            return s
+        s = _re.sub(r"[\[\]']", "", s)
+        return s.replace(" (nan)", "").replace(": nan", "")
+
+    ref_gff = RA.parse_gff_features(f"{TD}/annotation/P00439.gff")
+    gff = parse_gff_features(spark, f"{TD}/annotation/P00439.gff")
+
+    # ungrouped: per feature-residue rows
+    ref_u = RA.annotation_aggregation(
+        ref_gff, identifier="P00439", group_residues=False
+    )
+    ours_u = annotation_aggregation(
+        gff, identifier="P00439", group_residues=False
+    ).collect()
+    a = sorted((int(r["idx"]), _unrepr(r["annotation"])) for _, r in ref_u.iterrows())
+    b = sorted((int(r["idx"]), _unrepr(r["annotation"])) for r in ours_u)
+    assert len(a) == len(b) > 250
+    assert a == b, (a[:2], b[:2])
+
+    # query_type: single feature family selected before the explode
+    ref_q = RA.annotation_aggregation(
+        ref_gff, identifier="P00439", query_type="Natural variant"
+    )
+    ours_q = annotation_aggregation(
+        gff, identifier="P00439", query_type="Natural variant"
+    ).collect()
+    ra = sorted(
+        (str(site), _unrepr(r["annotation"]))
+        for site, r in ref_q.iterrows()
+    )
+    rb = sorted((r["site"], _unrepr(r["annotation"])) for r in ours_q)
+    assert len(ra) == len(rb) > 50
+    assert ra == rb, (ra[:2], rb[:2])
