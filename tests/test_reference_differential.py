@@ -1925,3 +1925,70 @@ def test_annotation_aggregation_paths_differential(spark):
     rb = sorted((r["site"], _unrepr(r["annotation"])) for r in ours_q)
     assert len(ra) == len(rb) > 50
     assert ra == rb, (ra[:2], rb[:2])
+
+
+@given(
+    atoms=st.lists(
+        st.tuples(
+            st.sampled_from(["ATOM", "HETATM"]),
+            st.sampled_from(["N", "CA", "OD1", "HD21"]),  # widths 1-4
+            st.sampled_from([".", "A"]),                   # altloc
+            st.sampled_from(["GLY", "ASN"]),
+            st.sampled_from(["A", "B"]),
+            st.integers(-99, 9999),                        # resseq
+            st.sampled_from(["?", "B"]),                   # ins code
+            st.floats(-999.0, 9999.0, allow_nan=False),
+            st.floats(0.0, 99.99, allow_nan=False),   # occupancy
+            st.floats(0.0, 999.99, allow_nan=False),  # bfactor
+            st.sampled_from(["C", "N", "fe"]),             # element (case)
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pdb_line_property_vs_reference(spark, atoms):
+    """Hypothesis parity with the reference's _get_atom_line
+    (proteofav/structures.py:571-643) under formatting extremes the
+    fixtures never produce: negative and 4-digit residue numbers,
+    coordinates at the %8.3f width edge, >99.99 B-factors (column
+    collision by design, same on both sides), lowercase elements, and
+    every atom-name padding width — BYTE-identical lines."""
+    import pandas as _pd
+
+    RS, _, _ = _ref()
+    from proteofav_spark.sinks.writers import pdb_lines
+
+    cols = [
+        "group_PDB", "auth_atom_id", "label_alt_id", "auth_comp_id",
+        "auth_asym_id", "auth_seq_id", "pdbx_PDB_ins_code",
+        "Cartn_x", "occupancy", "B_iso_or_equiv", "type_symbol",
+    ]
+    rows = []
+    for a in atoms:
+        (grp, nm, alt, comp, ch, seq, ic, x, occ, bf, el) = a
+        rows.append((grp, nm, alt, comp, ch, str(seq), ic,
+                     round(x, 3), round(x / 2, 3), round(x / 3, 3),
+                     round(occ, 2), round(bf, 2), el))
+    pdf = _pd.DataFrame(
+        rows,
+        columns=["group_PDB", "auth_atom_id", "label_alt_id",
+                 "auth_comp_id", "auth_asym_id", "auth_seq_id",
+                 "pdbx_PDB_ins_code", "Cartn_x", "Cartn_y", "Cartn_z",
+                 "occupancy", "B_iso_or_equiv", "type_symbol"],
+    )
+    ref_lines = [
+        RS._get_atom_line(pdf, ix, n + 1).rstrip("\n")
+        for n, ix in enumerate(pdf.index)
+    ]
+
+    sdf = spark.createDataFrame(
+        [("f", i, *r) for i, r in enumerate(rows)],
+        ["source_file", "line_no"] + list(pdf.columns),
+    )
+    ours = [r["value"] for r in pdb_lines(sdf).collect()]
+    assert ours == ref_lines, (rows, ref_lines, ours)
