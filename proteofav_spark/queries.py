@@ -286,66 +286,68 @@ RETIRED: dict[str, str] = {
 }
 
 _PRIORITY: list[str] = [
-    # ------- round-11 rotation (VERDICT r10 item #1) -------
-    # Slots 1-37: the 37 queries whose newest driver row is r8 — two
-    # rounds stale at r11, the oldest signatures in the catalog; all
+    # ------- round-12 rotation (VERDICT r11 item #2) -------
+    # Slots 1-37: the 37 queries whose newest driver row is r9 — two
+    # rounds stale at r12, the oldest signatures in the catalog; all
     # MUST re-attest this round (the freshness tripwire enumerated
-    # exactly this set against CORRECTNESS_r10).
-    "agg_grouping_sets",
-    "approx_distinct_parts_bounds",
-    "dedup_consensus",
-    "events_anomaly_zscore",
-    "events_attribution_last_touch",
-    "events_dau_mau",
-    "events_funnel_conversion",
-    "events_gapfill_interpolate",
-    "events_retention_cohorts",
-    "events_sliding_window",
-    "explode_interval_rollup",
-    "forecast_revenue_change",
-    "join_left_string_keys",
-    "join_outer_collapse",
-    "join_range_interval",
-    "join_semi_anti",
-    "json_flatten_props",
-    "lineitem_below_avg_qty",
-    "metrics_unpivot_long",
-    "nation_market_share",
-    "orders_big_customer_detail",
-    "orders_scd2_snapshot",
-    "probe_round_half_cents",
-    "probe_round_pow2_sixth",
-    "returned_item_top_customers",
-    "set_multiset_ops",
-    "set_union_by_name",
-    "shipclass_priority_counts",
-    "supplier_top_revenue",
-    "supplier_value_share_having",
-    "suppliers_dominant_share",
-    "suppliers_kept_waiting",
-    "text_tfidf_top_terms",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_profit_rollup",
-    "window_ntile_buckets",
-    "window_percent_rank_exact",
-    # Slots 38-50: the riskiest 13 of the 50 r9-signed queries
-    # (similarity / iterative / multi-shuffle / index-building shapes
-    # first — the paths whose plans change most between rounds). The
-    # remaining 37 r9-singles become the mandatory head of the r12
-    # window, continuing the two-round alternation.
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_cc_clusters",
-    "ann_pq_topk",
-    "knn_quantized_rescore",
-    "dedup_semantic_clusters",
-    "graph_pagerank_fixed",
-    "graph_triangle_count",
-    "spatial_contacts_grid",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_exact_hash",
-    "text_bm25_search",
+    # exactly this set against CORRECTNESS_r11).
+    "agg_cube_all_margins",
+    "agg_monthly_revenue",
+    "agg_pivot_status",
+    "agg_pricing_summary",
+    "agg_rollup_hierarchy",
+    "agg_stats_moments",
+    "array_hof_kit",
+    "array_zip_mismatch",
+    "binary_payload_ops",
+    "customer_ltv_cohort",
+    "dedup_crosssource_overlap",
+    "dedup_substring_span",
+    "distinct_scan",
+    "docs_length_histogram",
+    "embedding_dim_stats",
+    "embedding_quantize_int8",
+    "events_tumbling_window",
+    "join_null_safe",
+    "nation_trade_volume",
+    "orders_shipping_priority",
+    "probe_half_up_wide_units",
+    "probe_signed_money_round",
+    "probe_wide_money_sum",
+    "sample_stratified_hash",
+    "sample_weighted_hash",
+    "set_intersect_except",
+    "shard_concat_digest",
+    "source_mixture_rebalance",
+    "split_train_val_test",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_repetition_metrics",
+    "text_token_stats",
+    "text_unigram_logprob",
+    "topk_per_group",
+    "vocab_top_ngrams",
+    "window_moving_avg",
+    # Slots 38-50: the riskiest 13 of the 50 r10-signed queries
+    # (similarity / index-building / iterative / multi-shuffle shapes
+    # first — the paths whose plans change most between rounds; the
+    # embedding-cosine depth-ladder rework this round touches the LSH
+    # banding machinery the ANN family shares). The remaining 37
+    # r10-singles become the mandatory head of the r13 window,
+    # continuing the two-round alternation.
+    "ann_ivf_coarse",
+    "ann_ivf_store_probe",
+    "ann_lsh_bucketed",
+    "knn_cosine_topk",
+    "embedding_kmeans_assign",
+    "fuzzy_name_match_blocked",
+    "curation_pipeline",
+    "contamination_ngram_overlap",
+    "lake_zorder_roundtrip",
+    "join_lake_merge_tree",
+    "join_merge_tree",
+    "tree_rollup_recursive",
+    "events_range_join_bucketed",
 ]
 
 
