@@ -429,13 +429,17 @@ def _tau_falsification(
     )
     from proteofav_spark.queries import load
 
+    def run_once(sf_dir: str, tau: float) -> tuple[float, int]:
+        e = load(spark, sf_dir, "embeddings")
+        t0 = time.perf_counter()
+        n = dedup_embedding_cosine_frame(spark, e, tau=tau).count()
+        return time.perf_counter() - t0, n
+
     def run(sf_dir: str, tau: float, n_runs: int = 2):
         times, n = [], 0
         for _ in range(n_runs):
-            e = load(spark, sf_dir, "embeddings")
-            t0 = time.perf_counter()
-            n = dedup_embedding_cosine_frame(spark, e, tau=tau).count()
-            times.append(time.perf_counter() - t0)
+            t, n = run_once(sf_dir, tau)
+            times.append(t)
         return round(min(times), 3), n
 
     def probed_depth(sf_dir: str) -> int | None:
@@ -461,7 +465,17 @@ def _tau_falsification(
         # (VERDICT r10 #6) — the per-segment verdict below covers it
         points.append(("sf2.0x", x20_dir, 2.0))
     pts, pair_counts, depths = {}, {}, {}
-    for label, d, scale in points:
+    tail_runs: dict[str, list[float]] = {}
+    # the last two points form the JUDGED tail segment: measure them as
+    # three INTERLEAVED warm pairs, min-of-3 each (VERDICT r11 #1b — the
+    # three same-code sf1.0x→sf2.0x measurements to date read segment
+    # 0.206 / 0.839 / 1.753: a single min-of-2 point cannot carry a
+    # committed verdict on a drifting host; alternating the two scales
+    # puts any drift equally on both sides of the ratio). The raw runs
+    # and their spread are committed alongside the verdict so a
+    # one-point flag can't silently become the artifact of record.
+    head, tail = points[:-2], points[-2:]
+    for label, d, scale in head:
         t, n = run(d, _TAU_PRODUCTION)
         _, n_low = run(d, COSINE_DUP_TAU, n_runs=1)
         pts[label] = (scale, t)
@@ -469,6 +483,31 @@ def _tau_falsification(
         depths[label] = probed_depth(d)
         print(
             f"# tau-falsification {label}: {t}s at tau={_TAU_PRODUCTION} "
+            f"(pairs {n} vs {n_low} at tau={COSINE_DUP_TAU}; "
+            f"probed depth {depths[label]})",
+            file=sys.stderr,
+        )
+    tail_pairs: dict[str, tuple[int, int]] = {}
+    for label, d, scale in tail:
+        # untimed warm-up builds the session index (and collects the
+        # synthetic-tau pair count) so every timed run below is warm
+        _, n = run_once(d, _TAU_PRODUCTION)
+        _, n_low = run_once(d, COSINE_DUP_TAU)
+        tail_pairs[label] = (n, n_low)
+        tail_runs[label] = []
+    for _ in range(3):
+        for label, d, scale in tail:
+            t, _n = run_once(d, _TAU_PRODUCTION)
+            tail_runs[label].append(round(t, 3))
+    for label, d, scale in tail:
+        n, n_low = tail_pairs[label]
+        t = round(min(tail_runs[label]), 3)
+        pts[label] = (scale, t)
+        pair_counts[label] = {"tau_prod": n, "tau_synthetic": n_low}
+        depths[label] = probed_depth(d)
+        print(
+            f"# tau-falsification {label}: {t}s (interleaved min-of-3 "
+            f"{tail_runs[label]}) at tau={_TAU_PRODUCTION} "
             f"(pairs {n} vs {n_low} at tau={COSINE_DUP_TAU}; "
             f"probed depth {depths[label]})",
             file=sys.stderr,
@@ -493,6 +532,11 @@ def _tau_falsification(
         "tau_production": _TAU_PRODUCTION,
         "tau_synthetic": COSINE_DUP_TAU,
         "times_sec": {k: v[1] for k, v in pts.items()},
+        "tail_interleaved_runs": tail_runs,
+        "tail_run_spread": {
+            k: (round(max(v) / min(v), 2) if v and min(v) > 0 else None)
+            for k, v in tail_runs.items()
+        },
         "pairs": pair_counts,
         "probed_depths": depths,
         "exponent_hi_tau_prod": exp,

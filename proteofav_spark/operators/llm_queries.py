@@ -20,6 +20,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import math
 from functools import lru_cache
 
 import numpy as np
@@ -866,15 +867,68 @@ DIM = 64
 # standard LSH frontier; both constants are module-level and every
 # consumer (Arrow kernel, Spark fold, DuckDB oracle) regenerates from
 # them.
+#
+# r12 SCALE-AWARE LADDER (VERDICT r11 #1 — the committed SCALING_r11
+# tau probe measured segment exponent 1.753 sf1.0x→sf2.0x with the
+# probe pinned at the old 14-bit cap at BOTH scales: a capped ladder
+# makes candidate pairs grow as n²/cells again, the exact trap the r10
+# re-tuning fixed one tier down). The ladder now runs past the 14-bit
+# recall design point to MAX_BITS = 18, and recall is HELD at the
+# design value R ≈ 0.766 by growing the table count along the frontier
+# L(k) = ceil(ln(1-R)/ln(1-p^k)) — TABLES_FOR_DEPTH below, computed at
+# import so the Arrow kernel, the Spark fold and the DuckDB oracle all
+# inline the same integers (12 tables through depth 14 — the historical
+# behavior, bit-identical — then 17 at depth 16 and 23 at depth 18).
+# Frontier tables past the base 12 cost extra bucket-kernel work and
+# extra candidate volume ONLY when the occupancy probe actually deepens
+# past 14, i.e. only on corpora whose size demands it; the probe itself
+# always runs over the base tables so the depth choice is
+# table-count-independent. At genuine 100 TB (≳2^20 vectors/partition
+# of near-dup scope) raise MAX_BITS further — the frontier formula and
+# the layered plane layout extend without moving any existing plane.
 N_TABLES_DEDUP = 12
-EXTRA_PLANES = 10
-MAX_BITS = PLANES_PER_TABLE + EXTRA_PLANES
-DEPTH_LADDER = (PLANES_PER_TABLE, 6, 8, 10, 12, MAX_BITS)
+BASE_BITS = 14  # the L=12 recall design point (the pre-r12 ladder cap)
+EXTRA_PLANES = BASE_BITS - PLANES_PER_TABLE
+MAX_BITS = 18
+# 1-bit rungs above the design point: the probe picks the shallowest
+# rung whose estimated pairs fit the linear 32·n envelope, so between
+# rungs candidate count grows as n²/cells — 2-bit spacing lets it swing
+# 4× between doubling scales (the residual superlinearity SCALING_r11
+# measured INSIDE the envelope); 1-bit spacing halves the swing at the
+# cost of two more (trivial) probe re-aggregations
+DEPTH_LADDER = (PLANES_PER_TABLE, 6, 8, 10, 12, BASE_BITS, 15, 16, 17, MAX_BITS)
 TARGET_PAIRS_PER_VEC = 32  # occupancy probe target: mean candidate pairs/vector
 
-# low-bit coefficient rows for ALL tables precede every deepening row, so
-# deepening never moves a low-bit plane
+# LSH frontier: per-plane collision probability for a true pair at the
+# production threshold τ=0.9 and the recall achieved by the (depth 14,
+# L 12) design point; deeper rungs grow L to hold that recall.
+_P_DESIGN = 1.0 - math.acos(0.9) / math.pi            # ≈ 0.8564
+_RECALL_DESIGN = 1.0 - (1.0 - _P_DESIGN**BASE_BITS) ** N_TABLES_DEDUP
+TABLES_FOR_DEPTH: dict[int, int] = {
+    d: (
+        N_TABLES_DEDUP
+        if d <= BASE_BITS
+        else max(
+            N_TABLES_DEDUP,
+            math.ceil(
+                math.log1p(-_RECALL_DESIGN) / math.log1p(-(_P_DESIGN**d))
+            ),
+        )
+    )
+    for d in DEPTH_LADDER
+}
+MAX_TABLES = TABLES_FOR_DEPTH[MAX_BITS]
+
+# Layered coefficient-row layout: every historical plane keeps its
+# pre-r12 index — low bits (j < 4) for the base tables first, then the
+# r10 deepening block (4 ≤ j < 14), then the r12 deep block
+# (14 ≤ j < 18), then all planes of the frontier extra tables. Deepening
+# the ladder or growing tables therefore never moves an existing
+# hyperplane: ANN bucket ids (bits 0..3, tables 0..5) and every
+# previously-probed depth's buckets are bit-identical to r10/r11.
 _LOW_BLOCK = N_TABLES_DEDUP * PLANES_PER_TABLE
+_MID_BLOCK = _LOW_BLOCK + N_TABLES_DEDUP * EXTRA_PLANES
+_DEEP_BLOCK = _MID_BLOCK + N_TABLES_DEDUP * (MAX_BITS - BASE_BITS)
 
 
 def _plane_index(table_no: int, j: int) -> int:
@@ -883,14 +937,16 @@ def _plane_index(table_no: int, j: int) -> int:
     layout — tables 0..5 bits 0..3 are rows 0..23 exactly as before the
     r10 re-tuning, so the ANN query's bucket ids are untouched; deepening
     bits allocate fresh rows after the low-bit block of all
-    N_TABLES_DEDUP tables."""
-    if j < PLANES_PER_TABLE:
-        return table_no * PLANES_PER_TABLE + j
-    return (
-        _LOW_BLOCK
-        + table_no * EXTRA_PLANES
-        + (j - PLANES_PER_TABLE)
-    )
+    N_TABLES_DEDUP tables (r10 block for bits 4..13, r12 block for bits
+    14..17), and the frontier extra tables (table_no ≥ 12) allocate all
+    their planes after every base-table row."""
+    if table_no < N_TABLES_DEDUP:
+        if j < PLANES_PER_TABLE:
+            return table_no * PLANES_PER_TABLE + j
+        if j < BASE_BITS:
+            return _LOW_BLOCK + table_no * EXTRA_PLANES + (j - PLANES_PER_TABLE)
+        return _MID_BLOCK + table_no * (MAX_BITS - BASE_BITS) + (j - BASE_BITS)
+    return _DEEP_BLOCK + (table_no - N_TABLES_DEDUP) * MAX_BITS + j
 
 
 def _plane_coef(j: int, d: int) -> int:
@@ -915,13 +971,25 @@ def _plane_coef(j: int, d: int) -> int:
 
 
 def _sql_bucket(table_no: int, col: str = "embedding", bits: int = PLANES_PER_TABLE) -> str:
+    """Bucket id for one LSH table as a DuckDB expression. The projection
+    is ``list_dot_product(CAST(emb AS DOUBLE[]), <coef literal>)`` — a
+    flat list literal instead of the old 64-term unrolled ``CAST*+``
+    chain (r12: the unrolled form's depth-64 AST made DuckDB's binder
+    superlinear once the frontier tables grew the oracle past 400
+    planes; the list form binds ~12× faster). Bit-identity is preserved:
+    ``list_dot_product`` accumulates strictly left-to-right, matching
+    the Arrow kernel's ``np.cumsum`` and the Spark ``aggregate`` fold —
+    pinned over every plane family by
+    tests/test_multimodal_llm.py::test_duckdb_list_dot_bit_identity."""
     terms = " + ".join(
-        "(CASE WHEN round("
-        + " + ".join(
-            f"CAST({col}[{d}] AS DOUBLE) * ({_plane_coef(_plane_index(table_no, j), d)})"
+        "(CASE WHEN round(list_dot_product(CAST("
+        + col
+        + " AS DOUBLE[]), ["
+        + ",".join(
+            str(float(_plane_coef(_plane_index(table_no, j), d)))
             for d in range(1, DIM + 1)
         )
-        + f", 6) > 0 THEN {1 << j} ELSE 0 END)"
+        + f"]::DOUBLE[]), 6) > 0 THEN {1 << j} ELSE 0 END)"
         for j in range(bits)
     )
     return f"CAST({terms} AS BIGINT)"
@@ -954,9 +1022,12 @@ def bucket_col(table_no: int, col: str = "embedding", bits: int = PLANES_PER_TAB
     return total.cast("bigint")
 
 
-def _buckets_udf(bits: int = PLANES_PER_TABLE, n_tables: int = N_TABLES):
-    """Arrow-batched kernel computing all ``n_tables`` bucket ids per vector,
-    ``bits`` sign bits per table. 3× faster than the JVM
+def _buckets_udf(
+    bits: int = PLANES_PER_TABLE, n_tables: int = N_TABLES, first_table: int = 0
+):
+    """Arrow-batched kernel computing bucket ids for tables
+    ``first_table .. n_tables-1`` per vector, ``bits`` sign bits per
+    table. 3× faster than the JVM
     higher-order-function fold (the multiply-adds interpret per element
     in HOF lambdas; numpy vectorizes them), and bit-identical to it: each
     embedding×coefficient product is EXACT in double (24-bit float32
@@ -964,17 +1035,22 @@ def _buckets_udf(bits: int = PLANES_PER_TABLE, n_tables: int = N_TABLES):
     round — and ``np.cumsum`` forces the same left-fold order as
     ``F.aggregate`` and the oracle's left-associated ``+`` chain (np.sum's
     pairwise order would not). Equivalence to :func:`bucket_col` is pinned
-    by a test at both PLANES_PER_TABLE and MAX_BITS depths."""
+    by a test at both PLANES_PER_TABLE and MAX_BITS depths.
+    ``first_table`` lets the frontier path compute ONLY the extra tables
+    the probed depth demands — the base-table bands are already
+    checkpointed by then."""
     from pyspark.sql.functions import pandas_udf
 
+    tables = range(first_table, n_tables)
     coef = np.array(
         [
             [float(_plane_coef(_plane_index(t, j), d)) for d in range(1, DIM + 1)]
-            for t in range(n_tables)
+            for t in tables
             for j in range(bits)
         ]
     )
     weights = np.array([1 << j for j in range(bits)], dtype=np.int64)
+    n_out = len(tables)
 
     @pandas_udf("array<long>")
     def buckets_udf(emb: pd.Series) -> pd.Series:
@@ -984,7 +1060,7 @@ def _buckets_udf(bits: int = PLANES_PER_TABLE, n_tables: int = N_TABLES):
         prod = E[:, None, :] * coef[None, :, :]      # exact products
         dots = np.cumsum(prod, axis=2)[:, :, -1]     # sequential fold
         signs = (np.round(dots, 6) > 0).astype(np.int64)
-        b = signs.reshape(len(E), n_tables, bits) @ weights
+        b = signs.reshape(len(E), n_out, bits) @ weights
         return pd.Series(list(b))
 
     # deterministic in fact, but the flag stops Catalyst inlining the
@@ -994,19 +1070,30 @@ def _buckets_udf(bits: int = PLANES_PER_TABLE, n_tables: int = N_TABLES):
 
 
 def banded_embeddings(
-    e: DataFrame, bits: int = PLANES_PER_TABLE, n_tables: int = N_TABLES
+    e: DataFrame,
+    bits: int = PLANES_PER_TABLE,
+    n_tables: int = N_TABLES,
+    first_table: int = 0,
 ) -> DataFrame:
-    """One row per (vector, LSH table): all ``n_tables`` bucket ids computed
+    """One row per (vector, LSH table): all ``first_table..n_tables-1``
+    bucket ids computed
     in a single Arrow-batched projection (:func:`_buckets_udf`), then
     ``posexplode`` into (tbl, bucket) rows. One scan and one Python eval
     stage instead of an n_tables-way union — the union form would run the
     kernel once per branch."""
     withb = e.select(
         "vec_id", "embedding",
-        _buckets_udf(bits, n_tables)("embedding").alias("bk"),
+        _buckets_udf(bits, n_tables, first_table)("embedding").alias("bk"),
     )
     return withb.select(
-        "vec_id", "embedding", F.posexplode("bk").alias("tbl", "bucket")
+        "vec_id",
+        "embedding",
+        F.posexplode("bk").alias("tbl0", "bucket"),
+    ).select(
+        "vec_id",
+        "embedding",
+        (F.col("tbl0") + F.lit(first_table)).alias("tbl"),
+        "bucket",
     )
 
 
@@ -1121,11 +1208,28 @@ def _emb_dup_sql() -> str:
     :func:`adaptive_bucket_mask` expressed as CTEs, then SALT-SPLIT
     masked cells (the identical vec-id polynomial-hash sub-cell
     arithmetic as the Spark side and the minhash oracle), candidate
-    pairs within sub-cells, and exact cosine ≥ τ."""
+    pairs within sub-cells, and exact cosine ≥ τ. Frontier extra tables
+    (r12): each table past the base N_TABLES_DEDUP is a union branch
+    guarded on the picked mask — DuckDB evaluates its bucket expression
+    only when the probe actually chose the depth whose
+    TABLES_FOR_DEPTH demands that table, exactly mirroring the Spark
+    path's lazy extra-table build."""
     b_union = " UNION ALL ".join(
         f"SELECT vec_id, embedding, {t} AS tbl, "
         f"{_sql_bucket(t, bits=MAX_BITS)} AS bucket FROM embeddings"
         for t in range(N_TABLES_DEDUP)
+    )
+
+    def _guard(t: int) -> int:
+        # smallest ladder mask at which extra table t participates
+        d = min(d for d in DEPTH_LADDER if TABLES_FOR_DEPTH[d] > t)
+        return (1 << d) - 1
+
+    bx_union = " UNION ALL ".join(
+        f"SELECT e.vec_id, e.embedding, {t} AS tbl, "
+        f"{_sql_bucket(t, col='e.embedding', bits=MAX_BITS)} AS bucket "
+        f"FROM embeddings e, pick p WHERE p.mask >= {_guard(t)}"
+        for t in range(N_TABLES_DEDUP, MAX_TABLES)
     )
 
     def est(mask: int) -> str:
@@ -1141,18 +1245,24 @@ def _emb_dup_sql() -> str:
         f"WHEN est{i} <= {TARGET_PAIRS_PER_VEC} * n THEN {m}"
         for i, m in enumerate(masks[:-1])
     )
+    # MATERIALIZED hints: DuckDB inlines CTEs by default, and every one
+    # of the frontier bx branches references pick → cnt → b — without
+    # materialization the binder re-binds the 12 full-depth bucket
+    # expressions once per branch (measured: minutes of bind time;
+    # materialized: ~1 s)
     return f"""
-    WITH b AS ({b_union}),
-    cnt AS (SELECT tbl, bucket, CAST(COUNT(*) AS BIGINT) AS c
+    WITH b AS MATERIALIZED ({b_union}),
+    cnt AS MATERIALIZED (SELECT tbl, bucket, CAST(COUNT(*) AS BIGINT) AS c
             FROM b GROUP BY tbl, bucket),
-    pick AS (
+    pick AS MATERIALIZED (
       SELECT CASE {cases} ELSE {masks[-1]} END AS mask
       FROM (SELECT {est_cols},
                    (SELECT CAST(SUM(c) AS BIGINT) FROM cnt) // {N_TABLES_DEDUP} AS n)
     ),
+    bx AS ({bx_union}),
     mb AS (
       SELECT b.vec_id, b.embedding, b.tbl, b.bucket & p.mask AS bucket
-      FROM b, pick p),
+      FROM (SELECT * FROM b UNION ALL SELECT * FROM bx) b, pick p),
     sz AS (
       SELECT tbl, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM mb
       GROUP BY tbl, bucket
@@ -1232,12 +1342,29 @@ def dedup_embedding_cosine_frame(
     machinery'."""
 
     def _build_index() -> tuple:
-        b = (
+        base = (
             banded_embeddings(e, bits=MAX_BITS, n_tables=N_TABLES_DEDUP)
             .select("vec_id", "tbl", "bucket")
             .localCheckpoint()
         )
-        return b, adaptive_bucket_mask(b)
+        # occupancy probe over the BASE tables only — the depth choice is
+        # table-count-independent, so probing and table growth never feed
+        # back into each other (the oracle's pick CTE mirrors this)
+        mask = adaptive_bucket_mask(base)
+        n_tables = TABLES_FOR_DEPTH[mask.bit_length()]
+        if n_tables <= N_TABLES_DEDUP:
+            return base, mask
+        # the probe deepened past the L=12 recall design point: grow the
+        # table count along the LSH frontier to hold recall — only the
+        # EXTRA tables' buckets are computed here (one more Arrow pass
+        # over the corpus), and only on corpora whose occupancy demanded
+        # the deeper rung
+        extra = banded_embeddings(
+            e, bits=MAX_BITS, n_tables=n_tables, first_table=N_TABLES_DEDUP
+        ).select("vec_id", "tbl", "bucket")
+        b = base.unionByName(extra).localCheckpoint()
+        base.unpersist(blocking=False)  # superseded by the combined bands
+        return b, mask
 
     # full-depth band table + probed depth are LSH-index artifacts —
     # built once per (session, corpus), reused across calls (see

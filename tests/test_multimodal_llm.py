@@ -1210,3 +1210,206 @@ def test_session_index_tempdir_artifact_evicts_disk(spark, tmp_path):
     assert a2.path != a1.path
     assert not os.path.exists(a1.path), "evicted lake dir leaked on disk"
     assert os.path.isdir(a2.path)
+
+
+# ---------------------------------------------------------------------------
+# r12 scale-aware depth ladder (VERDICT r11 #1): frontier table growth,
+# layered plane layout, DuckDB list_dot_product bit-identity, and the
+# deep-rung end-to-end oracle differential
+# ---------------------------------------------------------------------------
+
+
+def test_plane_layout_backward_compat_and_injective():
+    """Every pre-r12 plane keeps its historical coefficient-row index
+    (low bits t*4+j, r10 deepening block 48 + t*10 + (j-4)) so ANN
+    bucket ids and every previously-probed depth's buckets are
+    bit-identical across the r12 ladder extension; the full layout over
+    MAX_TABLES × MAX_BITS is injective (no two planes share a
+    coefficient row)."""
+    from proteofav_spark.operators.llm_queries import (
+        BASE_BITS,
+        MAX_BITS,
+        MAX_TABLES,
+        N_TABLES_DEDUP,
+        PLANES_PER_TABLE,
+        _plane_index,
+    )
+
+    for t in range(N_TABLES_DEDUP):
+        for j in range(PLANES_PER_TABLE):
+            assert _plane_index(t, j) == t * PLANES_PER_TABLE + j
+        for j in range(PLANES_PER_TABLE, BASE_BITS):
+            assert _plane_index(t, j) == (
+                N_TABLES_DEDUP * PLANES_PER_TABLE
+                + t * (BASE_BITS - PLANES_PER_TABLE)
+                + (j - PLANES_PER_TABLE)
+            )
+    idx = [
+        _plane_index(t, j)
+        for t in range(MAX_TABLES)
+        for j in range(MAX_BITS)
+    ]
+    assert len(idx) == len(set(idx)) == MAX_TABLES * MAX_BITS
+
+
+def test_tables_for_depth_holds_design_recall():
+    """TABLES_FOR_DEPTH must keep the modeled candidate recall
+    1-(1-p^k)^L at or above the (depth 14, L 12) design point for every
+    rung past the design depth — the LSH frontier L ≈ ln(1-R)/ln(1-p^k)
+    — and stay at the base table count through the design depth (the
+    historical behavior, so shallower corpora never pay extra tables)."""
+    import math
+
+    from proteofav_spark.operators.llm_queries import (
+        BASE_BITS,
+        DEPTH_LADDER,
+        N_TABLES_DEDUP,
+        TABLES_FOR_DEPTH,
+        _P_DESIGN,
+        _RECALL_DESIGN,
+    )
+
+    assert set(TABLES_FOR_DEPTH) == set(DEPTH_LADDER)
+    prev = 0
+    for d in DEPTH_LADDER:
+        L = TABLES_FOR_DEPTH[d]
+        assert L >= prev, "table count must be nondecreasing in depth"
+        prev = L
+        if d <= BASE_BITS:
+            assert L == N_TABLES_DEDUP
+        else:
+            modeled = 1.0 - (1.0 - _P_DESIGN**d) ** L
+            assert modeled >= _RECALL_DESIGN - 1e-9, (d, L, modeled)
+            # and L is the frontier minimum, not padded
+            modeled_less = 1.0 - (1.0 - _P_DESIGN**d) ** (L - 1)
+            assert modeled_less < _RECALL_DESIGN or L == N_TABLES_DEDUP, (
+                d,
+                L,
+                modeled_less,
+            )
+    assert math.isclose(_RECALL_DESIGN, 0.7667, abs_tol=5e-4)
+
+
+def test_duckdb_list_dot_bit_identity():
+    """The oracle's list_dot_product projection must be bit-identical to
+    the Arrow kernel's np.cumsum left-fold — raw dot values, not just
+    sign bits — across every plane family (base low/deepening/deep
+    blocks AND frontier extra tables) on adversarially-scaled float32
+    vectors. A pairwise/SIMD summation order in either engine would
+    break the round(·, 6) sign agreement only on boundary dots, which
+    fixtures would miss."""
+    import duckdb
+    import numpy as np
+
+    from proteofav_spark.operators.llm_queries import (
+        DIM,
+        MAX_BITS,
+        MAX_TABLES,
+        _plane_coef,
+        _plane_index,
+    )
+
+    rng = np.random.default_rng(1234)
+    # mixed magnitudes force different exponents → order-sensitive sums
+    E = (
+        rng.standard_normal((256, DIM))
+        * (10.0 ** rng.integers(-4, 4, size=(256, DIM)))
+    ).astype(np.float32)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v (id INT, embedding FLOAT[])")
+    con.executemany(
+        "INSERT INTO v VALUES (?, ?)",
+        [(i, [float(x) for x in E[i]]) for i in range(len(E))],
+    )
+    planes = [(t, j) for t in range(MAX_TABLES) for j in range(MAX_BITS)]
+    rng.shuffle(planes)
+    for t, j in planes[:16]:
+        coef = np.array(
+            [float(_plane_coef(_plane_index(t, j), d)) for d in range(1, DIM + 1)]
+        )
+        ref = np.cumsum(E.astype(np.float64) * coef[None, :], axis=1)[:, -1]
+        lst = "[" + ",".join(str(c) for c in coef) + "]::DOUBLE[]"
+        got = np.array(
+            [
+                r[0]
+                for r in con.execute(
+                    "SELECT list_dot_product(CAST(embedding AS DOUBLE[]), "
+                    f"{lst}) FROM v ORDER BY id"
+                ).fetchall()
+            ]
+        )
+        assert (got == ref).all(), (t, j)
+
+
+def test_deep_rung_engages_frontier_tables_and_matches_oracle(spark, tmp_path):
+    """End-to-end differential at a depth past the old 14-bit cap: a
+    duplicate-heavy corpus bottoms the ladder out at MAX_BITS, which
+    engages the frontier extra tables on BOTH sides — the Spark path
+    builds them lazily, the oracle's guarded bx branches activate — and
+    the emitted near-dup pairs must agree exactly."""
+    import duckdb
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from proteofav_spark.operators.llm_queries import (
+        BASE_BITS,
+        DIM,
+        MAX_BITS,
+        N_TABLES_DEDUP,
+        _EMB_DUP_SQL,
+        adaptive_bucket_mask,
+        banded_embeddings,
+        dedup_embedding_cosine_frame,
+    )
+
+    rng = np.random.default_rng(42)
+    clump = rng.standard_normal(DIM)
+    rows = []
+    for i in range(120):  # near-identical clump: every cell collides
+        rows.append((i, (clump + 1e-4 * rng.standard_normal(DIM)).astype(np.float32)))
+    for i in range(120, 200):  # spread tail
+        rows.append((i, rng.standard_normal(DIM).astype(np.float32)))
+    pdf = [(i, [float(x) for x in v]) for i, v in rows]
+    df = spark.createDataFrame(pdf, "vec_id: long, embedding: array<float>")
+    path = str(tmp_path / "emb.parquet")
+    df.repartition(2).write.parquet(path)
+    e = spark.read.parquet(path)
+
+    bands = banded_embeddings(
+        e, bits=MAX_BITS, n_tables=N_TABLES_DEDUP
+    ).select("vec_id", "tbl", "bucket")
+    mask = adaptive_bucket_mask(bands)
+    assert mask.bit_length() > BASE_BITS, (
+        "fixture failed to push the probe past the old cap"
+    )
+
+    got = sorted(
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in dedup_embedding_cosine_frame(spark, e, tau=0.9)
+        .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
+        .collect()
+    )
+    # frontier tables actually participated on the Spark side: the
+    # session-cached index bands must carry table ids past the base 12
+    from proteofav_spark.operators.llm_queries import _INDEX_CACHE
+
+    cached = [
+        v[1][0]
+        for k, v in _INDEX_CACHE.items()
+        if k[0] == "embdup" and any(path in d for d in k[1])
+    ]
+    assert cached, "deep-rung index missing from the session cache"
+    assert (
+        cached[0].agg(F.max("tbl")).first()[0] >= N_TABLES_DEDUP
+    ), "frontier extra tables never engaged"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{path}/*.parquet'"
+    )
+    want = sorted(
+        (a, b, round(c, 4)) for a, b, c in con.execute(_EMB_DUP_SQL).fetchall()
+    )
+    assert got, "deep-rung fixture produced no near-dup pairs"
+    assert got == want
