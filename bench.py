@@ -307,6 +307,13 @@ _DEEP_SCALE_TOP_N = 5
 # similarity threshold τ=0.35 — PERF_NOTES.md); the 10x point must track
 # that tail every round even after the synthesizer fix dropped the query
 # out of the top-5-by-cost list (VERDICT r6 item #5)
+# highest-exponent non-embedding similarity paths: each gets an opt-in
+# sf2.0x point measured interleaved against sf1.0x (VERDICT r11 #7)
+_X20_SEGMENT = {
+    "dedup_minhash_lsh",
+    "dedup_cc_clusters",
+}
+
 _DEEP_SCALE_PINNED = {
     # superlinear history (r7-r9): keeps its sf1.0x point regardless of
     # where its warm time ranks
@@ -795,6 +802,41 @@ def run_scaling(
             f"exponent_build {sec['exponent_build']}",
             file=sys.stderr,
         )
+
+    # sf2.0x segment for the highest-exponent non-embedding similarity
+    # paths (VERDICT r11 #7): dedup_minhash_lsh (exponent_hi 0.223) and
+    # dedup_cc_clusters (0.209) were the only other similarity paths
+    # above 0.1 and neither had a point past sf1.0x. Same interleaved
+    # min-of-3 protocol as the tau probe's judged tail — host drift
+    # lands on both sides of the segment ratio.
+    if x20_dir is not None:
+        for name in sorted(_X20_SEGMENT & set(HEADLINE)):
+            timed(name, x10_dir, n_runs=1)  # warm-up: index/codegen
+            timed(name, x20_dir, n_runs=1)
+            runs10: list[float] = []
+            runs20: list[float] = []
+            for _ in range(3):
+                t, _b = timed(name, x10_dir, n_runs=1)
+                runs10.append(t)
+                t, _b = timed(name, x20_dir, n_runs=1)
+                runs20.append(t)
+            sec = section[name]
+            t10, t20 = min(runs10), min(runs20)
+            seg = _fit_exponent([(1.0, t10), (2.0, t20)])
+            sec["sf2.0x"] = t20
+            sec["sf1.0x_interleaved"] = t10
+            sec["segment_sf1x_sf2x"] = seg
+            sec["x20_interleaved_runs"] = {
+                "sf1.0x": runs10,
+                "sf2.0x": runs20,
+            }
+            if seg > SUPERLINEAR_BAR:
+                flags.append(f"{name}: sf1x->sf2x segment {seg}")
+            print(
+                f"# scaling {name}: x20 segment {seg} "
+                f"(interleaved min-of-3 {runs10} vs {runs20})",
+                file=sys.stderr,
+            )
 
     if flags:
         print(
