@@ -49,12 +49,27 @@ def _left_join_on(
     left_keys: list[str],
     right_keys: list[str],
     broadcast: bool = True,
+    null_safe: bool = True,
 ) -> DataFrame:
+    """``null_safe=True`` (the default for every reference-parity merger)
+    joins with ``<=>``: pandas.merge treats NaN/None join keys as EQUAL
+    values — a NaN-key left row picks up every NaN-key right row — and a
+    NULL-unsafe equi-join silently drops exactly those matches (found
+    live by the r12 merger hypothesis differentials;
+    tests/test_reference_differential.py pins all five mergers).
+    ``EqualNullSafe`` is a supported hash-join key expression, so the
+    plan shape (broadcast/SMJ) is unchanged. ``null_safe=False`` is for
+    the lake tree, where the semantics are ours to define and NULL
+    residue keys must NOT cross-match within an entry."""
     left = _str(left, *left_keys)
     right = _str(_prep_right(right), *right_keys)
     cond = None
     for lk, rk in zip(left_keys, right_keys):
-        clause = left[lk] == right[rk]
+        clause = (
+            left[lk].eqNullSafe(right[rk])
+            if null_safe
+            else (left[lk] == right[rk])
+        )
         cond = clause if cond is None else (cond & clause)
     # broadcast=False is the LAKE-scale path (lake_table_merger): the
     # residue-level sides grow with the lake (~atoms/10) and must
@@ -215,6 +230,14 @@ def sifts_variants_table_merger(
             "Not possible to merge SIFTS and Variants table! "
             "Some of the necessary columns are missing..."
         )
+    # the ONE merger whose right key the reference astype(str)s
+    # (mergers.py:179): NaN `begin` becomes the literal 'nan' STRING, so
+    # a NULL left resnum no longer NaN-matches it (unlike every other
+    # merger) while a literal 'nan' string on the left DOES — replicate
+    # by coalescing the cast to 'nan' (r12 hypothesis differential)
+    variants_table = variants_table.withColumn(
+        "begin", F.coalesce(F.col("begin").cast("string"), F.lit("nan"))
+    )
     return _left_join_on(
         sifts_table,
         variants_table,
@@ -331,9 +354,13 @@ def lake_table_merger(
         # rename so the output keeps exactly ONE (left) entry column
         tag = "__right_entry"
         right = right.withColumnRenamed(entry_col, tag)
+        # null_safe=False is DELIBERATE here (DIVERGENCES.md): the lake
+        # tree has no reference twin, and pandas-style NULL-key matching
+        # would cross-match every unmapped residue of an entry against
+        # every other — a fan-out hazard, not parity
         return _left_join_on(
             left, right, [entry_col, *lkeys], [tag, *rkeys],
-            broadcast=False,
+            broadcast=False, null_safe=False,
         ).drop(tag)
 
     table = mmcif_table

@@ -181,7 +181,21 @@ def uniprot_vars_ensembl_vars_merger(
     e = ensembl_vars.withColumn("begin", F.col("begin").cast("string")).withColumn(
         "end", F.col("end").cast("string")
     )
-    merged = u.join(e, on=VARS_MERGE_KEYS, how="outer")
+    # NULL-SAFE key equality (r12 merger hypothesis differential):
+    # pandas.merge matches NaN join keys as equal values, so two rows
+    # that agree on every non-null key and are both-NaN on the rest DO
+    # pair up in the reference's outer merge — `on=<names>` (null-unsafe)
+    # emitted them as two unmatched rows instead. Keys coalesce to one
+    # output column per name, exactly like the pandas `on=` contract.
+    cond = None
+    for k in VARS_MERGE_KEYS:
+        clause = u[k].eqNullSafe(e[k])
+        cond = clause if cond is None else (cond & clause)
+    merged = u.join(e, on=cond, how="outer").select(
+        *[F.coalesce(u[k], e[k]).alias(k) for k in VARS_MERGE_KEYS],
+        *[u[c] for c in u.columns if c not in VARS_MERGE_KEYS],
+        *[e[c] for c in e.columns if c not in VARS_MERGE_KEYS],
+    )
     return merging_down_by_key(merged, key="xrefs_id")
 
 

@@ -1992,3 +1992,262 @@ def test_pdb_line_property_vs_reference(spark, atoms):
     )
     ours = [r["value"] for r in pdb_lines(sdf).collect()]
     assert ours == ref_lines, (rows, ref_lines, ours)
+
+
+# ---------------------------------------------------------------------------
+# randomized differential: the MERGER family (VERDICT r11 #5 — the r11
+# hypothesis harness covered the generic core ops and found 7 bugs; the
+# join-key edge cases here — NULL keys, duplicate keys multiplying,
+# orig_-chain key selection — have the same silent-divergence risk and
+# the real-fixture tests never stress them)
+# ---------------------------------------------------------------------------
+
+_MKEY = st.sampled_from(["1", "2", "118", "5A", "nan", None])
+_MCHAIN = st.sampled_from(["A", "B", None])
+_MROWS = st.lists(st.tuples(_MKEY, _MCHAIN), min_size=1, max_size=5)
+
+
+def _mnorm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, (list, tuple, set)):
+        # collapsed multi-value cells: reference emits tuple(set(...)) in
+        # arbitrary order, ours a sorted Spark array — compare as sorted
+        # tuples under the same normalization; an EMPTY collapsed cell is
+        # the reference's NaN (same rule the core-op differentials use)
+        t = tuple(sorted((_mnorm_cell(x) for x in v), key=repr))
+        if not t:
+            return None
+        # singleton collapsed cell ≡ the reference's scalar (A4: a Spark
+        # column is uniformly array-typed once ANY group collapses)
+        return t[0] if len(t) == 1 else t
+    return v
+
+
+def _pairs(rows):
+    return sorted(
+        (tuple(_mnorm_cell(v) for v in r) for r in rows), key=repr
+    )
+
+
+@given(left=_MROWS, right=_MROWS, which=st.sampled_from(
+    ["sifts", "validation", "annotation"]
+))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_simple_mergers_property_vs_reference(spark, left, right, which):
+    """The three same-shape left mergers run LIVE on hypothesis tables
+    with NULL keys, duplicate keys and disjoint/overlapping key sets:
+    mmcif⟕sifts (mergers.py:29-62), mmcif⟕validation (:103-138),
+    sifts⟕annotation (:141-164). pandas.merge treats NaN/None join keys
+    as EQUAL values (a NaN-key left row picks up every NaN-key right
+    row), which a NULL-unsafe Spark equi-join silently drops — exactly
+    the divergence class this harness exists to catch."""
+    import pandas as _pd
+
+    _, RMG = _ref_more()
+    from proteofav_spark.plans import mergers as M
+
+    if which == "sifts":
+        lcols = ("auth_seq_id_full", "auth_asym_id")
+        rcols = ("PDB_dbResNum", "PDB_dbChainId")
+        ref_fn, our_fn = (
+            RMG.mmcif_sifts_table_merger, M.mmcif_sifts_table_merger
+        )
+    elif which == "validation":
+        lcols = ("auth_seq_id_full", "auth_asym_id")
+        rcols = ("validation_resnum_full", "validation_chain")
+        ref_fn, our_fn = (
+            RMG.mmcif_validation_table_merger, M.mmcif_validation_table_merger
+        )
+    else:
+        lcols = ("UniProt_dbAccessionId", "UniProt_dbResNum")
+        rcols = ("accession", "site")
+        ref_fn, our_fn = (
+            RMG.sifts_annotation_table_merger, M.sifts_annotation_table_merger
+        )
+
+    lrows = [(k, c, i) for i, (k, c) in enumerate(left)]
+    rrows = [(k, c, 100 + i) for i, (k, c) in enumerate(right)]
+    lp = _pd.DataFrame(lrows, columns=[*lcols, "mv"])
+    rp = _pd.DataFrame(rrows, columns=[*rcols, "dv"])
+    ref = ref_fn(lp.copy(), rp.copy())
+    want = _pairs(ref[["mv", "dv"]].itertuples(index=False))
+
+    ls = spark.createDataFrame(
+        lrows, f"{lcols[0]} string, {lcols[1]} string, mv long"
+    )
+    rs = spark.createDataFrame(
+        rrows, f"{rcols[0]} string, {rcols[1]} string, dv long"
+    )
+    ours = our_fn(ls, rs).select("mv", "dv").collect()
+    got = _pairs((r["mv"], r["dv"]) for r in ours)
+    assert got == want, (which, lrows, rrows, want, got)
+
+
+@given(
+    left=_MROWS,
+    right=_MROWS,
+    orig=st.sampled_from([None, "A", "B", "C"]),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dssp_merger_chain_probe_property_vs_reference(spark, left, right, orig):
+    """mmcif⟕dssp (mergers.py:65-100) with the orig_auth_asym_id column
+    present/absent: the reference picks the ORIGINAL chain key only when
+    the mmCIF and DSSP chain-id SETS differ (the BioUnit probe at
+    :82-84); duplicate and NULL keys ride the same pandas NaN-equality
+    semantics as the simple mergers."""
+    import pandas as _pd
+
+    _, RMG = _ref_more()
+    from proteofav_spark.plans import mergers as M
+
+    lrows = [
+        (k, c, (orig if orig is not None else c), i)
+        for i, (k, c) in enumerate(left)
+    ]
+    rrows = [(k, c, 100 + i) for i, (k, c) in enumerate(right)]
+    lcols = ["auth_seq_id_full", "auth_asym_id", "orig_auth_asym_id", "mv"]
+    if orig is None:  # column absent half the time
+        lrows = [(k, c, i) for i, (k, c) in enumerate(left)]
+        lcols = ["auth_seq_id_full", "auth_asym_id", "mv"]
+    lp = _pd.DataFrame(lrows, columns=lcols)
+    rp = _pd.DataFrame(rrows, columns=["RES_FULL", "CHAIN_FULL", "dv"])
+    ref = RMG.mmcif_dssp_table_merger(lp.copy(), rp.copy())
+    want = _pairs(ref[["mv", "dv"]].itertuples(index=False))
+
+    ls = spark.createDataFrame(
+        lrows, ", ".join(f"{c} string" for c in lcols[:-1]) + ", mv long"
+    )
+    rs = spark.createDataFrame(
+        rrows, "RES_FULL string, CHAIN_FULL string, dv long"
+    )
+    ours = M.mmcif_dssp_table_merger(ls, rs).select("mv", "dv").collect()
+    got = _pairs((r["mv"], r["dv"]) for r in ours)
+    assert got == want, (lrows, rrows, want, got)
+
+
+@given(left=_MROWS, right=_MROWS)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_variants_merger_astype_property_vs_reference(spark, left, right):
+    """sifts⟕variants (mergers.py:167-190) is the one merger whose RIGHT
+    key gets astype(str) in the reference — NaN `begin` becomes the
+    literal 'nan' STRING, so a NULL left resnum no longer NaN-matches it
+    (unlike every other merger) while a literal 'nan' string on the left
+    DOES. The accession key keeps raw pandas NaN-equality."""
+    import pandas as _pd
+
+    _, RMG = _ref_more()
+    from proteofav_spark.plans import mergers as M
+
+    lrows = [(k, c, i) for i, (c, k) in enumerate(left)]
+    rrows = [(k, c, 100 + i) for i, (c, k) in enumerate(right)]
+    lp = _pd.DataFrame(
+        lrows, columns=["UniProt_dbAccessionId", "UniProt_dbResNum", "mv"]
+    )
+    rp = _pd.DataFrame(rrows, columns=["accession", "begin", "dv"])
+    # canonical missing repr: the reference's variants frames come from
+    # json_normalize, where missing is np.nan (astype(str) -> 'nan');
+    # a python None would astype to 'None' — a pandas-only distinction
+    # Spark NULL cannot even represent, so normalize before the live run
+    import numpy as _np
+
+    rp = rp.where(rp.notna(), _np.nan)
+    ref = RMG.sifts_variants_table_merger(lp.copy(), rp.copy())
+    want = _pairs(ref[["mv", "dv"]].itertuples(index=False))
+
+    ls = spark.createDataFrame(
+        lrows, "UniProt_dbAccessionId string, UniProt_dbResNum string, mv long"
+    )
+    rs = spark.createDataFrame(rrows, "accession string, begin string, dv long")
+    ours = M.sifts_variants_table_merger(ls, rs).select("mv", "dv").collect()
+    got = _pairs((r["mv"], r["dv"]) for r in ours)
+    assert got == want, (lrows, rrows, want, got)
+
+
+@given(
+    left=st.lists(
+        st.tuples(_MKEY, st.sampled_from(["x1", "x2", None])), min_size=1,
+        max_size=4,
+    ),
+    right=st.lists(
+        st.tuples(_MKEY, st.sampled_from(["x1", "x2", None])), min_size=1,
+        max_size=4,
+    ),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_uniprot_ensembl_outer_merger_property_vs_reference(spark, left, right):
+    """uniprot_vars_ensembl_vars_merger (mergers.py:193-219) run LIVE:
+    FULL OUTER on the 7-key tuple where pandas matches NaN keys as equal
+    values — two rows agreeing on every non-null key and both-NaN on the
+    rest DO pair up; `on=<names>` null-unsafe joins emitted them as two
+    unmatched rows (fixed r12). Collapse by xrefs_id rides on top, so
+    compare the pre-collapse pairing via the payload columns."""
+    import numpy as _np
+    import pandas as _pd
+
+    _, RMG = _ref_more()
+    # the merger calls merging_down_by_key → DataFrame.append (pandas≥2
+    # removal; same documented shim as the core-op differentials)
+    if not hasattr(_pd.DataFrame, "append"):
+        _pd.DataFrame.append = lambda self, other, **k: _pd.concat(
+            [self, other]
+        )
+    from proteofav_spark.sources.variants import (
+        VARS_MERGE_KEYS,
+        uniprot_vars_ensembl_vars_merger,
+    )
+
+    def frame(rows, payload):
+        data = []
+        for i, (beg, xid) in enumerate(rows):
+            data.append(
+                {
+                    "begin": beg, "end": beg, "xrefs_id": xid,
+                    "frequency": None, "consequenceType": "missense",
+                    "siftScore": None, "polyphenScore": None,
+                    payload: float(i),
+                }
+            )
+        return _pd.DataFrame(data).where(lambda d: d.notna(), _np.nan)
+
+    lp, rp = frame(left, "uv"), frame(right, "ev")
+    ref = RMG.uniprot_vars_ensembl_vars_merger(lp.copy(), rp.copy())
+    want = _pairs(ref[["uv", "ev"]].itertuples(index=False))
+
+    schema = (
+        "begin string, end string, xrefs_id string, frequency double, "
+        "consequenceType string, siftScore double, polyphenScore double, "
+        "{} double"
+    )
+    def rows_of(pdf):
+        # pandas NaN ↔ Spark NULL (str(nan)/'NaN'-double leakage would
+        # manufacture joinable 'nan' keys the reference never has)
+        return [
+            tuple(_mnorm_cell(v) for v in r)
+            for r in pdf.itertuples(index=False)
+        ]
+
+    ls = spark.createDataFrame(rows_of(lp), schema.format("uv"))
+    rs = spark.createDataFrame(rows_of(rp), schema.format("ev"))
+    assert set(VARS_MERGE_KEYS) <= set(ls.columns)
+    ours = uniprot_vars_ensembl_vars_merger(ls, rs).select("uv", "ev").collect()
+    got = _pairs((r["uv"], r["ev"]) for r in ours)
+    assert got == want, (left, right, want, got)
