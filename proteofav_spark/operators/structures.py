@@ -192,20 +192,40 @@ def residues_aggregation(
             df, f"{category}_atom_id", BACKBONE_ATOMS, check_empty=False
         )
         agg_method = "centroid"
+    # pandas groupby(dropna=True): rows whose (model, chain, seq) key has
+    # a NaN component are silently DROPPED by the reference — conform
+    # (r12 hypothesis differential; DIVERGENCES C13)
+    df = df.na.drop(subset=[k for k in keys if k != "source_file"])
     numeric_kinds = ("double", "float", "bigint", "int", "smallint", "tinyint")
     order = F.col("line_no") if "line_no" in df.columns else F.col("id")
+
+    def first_nonnull(c: str) -> Column:
+        # pandas GroupBy.first = first NON-NULL per column in row order
+        # (NOT the value of the first row — r12 hypothesis differential).
+        # min over a struct keyed by the order column skips NULL cells
+        # (the whole struct is NULL) and needs no sort.
+        return F.min(
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(order.alias("_o"), F.col(c).alias("_v")),
+            )
+        )["_v"].alias(c)
+
     aggs: list[Column] = []
     for c, t in df.dtypes:
         if c in keys:
             continue
-        if c == "id" or c == "line_no" or c == "source_file":
+        if c == "id":
+            # reference: columns_to_agg['id'] = 'first' for EVERY method
+            aggs.append(first_nonnull(c))
+        elif c == "line_no" or c == "source_file":
             aggs.append(F.min(c).alias(c))
         elif agg_method in ("centroid", "mean") and t in numeric_kinds:
             aggs.append(F.avg(c).alias(c))
         elif agg_method == "unique":
             aggs.append(F.array_sort(F.collect_set(c)).cast("string").alias(c))
         else:
-            aggs.append(F.min_by(c, order).alias(c))
+            aggs.append(first_nonnull(c))
     agged = df.groupBy(*keys).agg(*aggs)
     if "source_file" in df.columns:
         return agged.repartition("source_file").sortWithinPartitions(

@@ -2251,3 +2251,93 @@ def test_uniprot_ensembl_outer_merger_property_vs_reference(spark, left, right):
     ours = uniprot_vars_ensembl_vars_merger(ls, rs).select("uv", "ev").collect()
     got = _pairs((r["uv"], r["ev"]) for r in ours)
     assert got == want, (left, right, want, got)
+
+
+_AGG_ROW = st.tuples(
+    st.sampled_from(["1", None]),           # pdbx_PDB_model_num
+    st.sampled_from(["A", "B", None]),      # auth_asym_id
+    st.sampled_from(["1", "2", None]),      # auth_seq_id
+    st.sampled_from(["CA", "CB", None]),    # object payload
+    st.sampled_from([1.25, -0.5, None]),    # numeric payload
+)
+
+
+@given(
+    rows=st.lists(_AGG_ROW, min_size=1, max_size=8),
+    ids=st.permutations(list(range(8))),
+    method=st.sampled_from(["centroid", "first"]),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_residues_aggregation_property_vs_reference(spark, rows, ids, method):
+    """residues_aggregation run LIVE on hypothesis atom tables with NULL
+    group keys, NULL payload cells and NON-monotone atom ids — the three
+    surfaces the real-fixture differentials can't stress:
+    - pandas groupby(dropna=True) silently DROPS rows whose (model,
+      chain, seq) key has a NaN component;
+    - pandas GroupBy.first is first NON-NULL per column in row order,
+      not the value of the first row;
+    - the 'id' column aggregates as 'first' (row order), not min().
+    Compare per-group over the payload and id columns."""
+    import numpy as _np
+    import pandas as _pd
+
+    RS, _, _ = _ref()
+    from proteofav_spark.operators.structures import residues_aggregation
+
+    full = [
+        (m, a, s1, obj, num, float(ids[i]), i)
+        for i, (m, a, s1, obj, num) in enumerate(rows)
+    ]
+    cols = [
+        "pdbx_PDB_model_num", "auth_asym_id", "auth_seq_id",
+        "obj", "num", "id", "line_no",
+    ]
+    pdf = _pd.DataFrame(full, columns=cols).drop(columns=["line_no"])
+    pdf = pdf.where(pdf.notna(), _np.nan)
+    ref = RS.residues_aggregation(pdf.copy(), agg_method=method)
+
+    def key(r):
+        return tuple(
+            _mnorm_cell(r[c])
+            for c in ("pdbx_PDB_model_num", "auth_asym_id", "auth_seq_id")
+        )
+
+    def payload(r):
+        num = _mnorm_cell(r["num"])
+        return (
+            _mnorm_cell(r["obj"]),
+            None if num is None else round(float(num), 9),
+            None if _mnorm_cell(r["id"]) is None else int(r["id"]),
+        )
+
+    want = sorted(
+        (key(r), payload(r)) for _, r in ref.iterrows()
+    )
+
+    sdf = spark.createDataFrame(
+        full,
+        "pdbx_PDB_model_num string, auth_asym_id string, auth_seq_id string,"
+        " obj string, num double, id double, line_no long",
+    )
+    ours = residues_aggregation(sdf, agg_method=method).collect()
+    got = sorted(
+        (
+            tuple(
+                _mnorm_cell(r[c])
+                for c in (
+                    "pdbx_PDB_model_num", "auth_asym_id", "auth_seq_id"
+                )
+            ),
+            (
+                _mnorm_cell(r["obj"]),
+                None if r["num"] is None else round(float(r["num"]), 9),
+                None if r["id"] is None else int(r["id"]),
+            ),
+        )
+        for r in ours
+    )
+    assert got == want, (full, method, want, got)
