@@ -74,10 +74,20 @@ def row_selector(
 
 
 def exclude_columns(df: DataFrame, excluded: Iterable[str] | None) -> DataFrame:
-    """Drop listed columns; missing names are ignored (Spark drop is lenient)."""
+    """Drop listed columns — ALL-OR-NOTHING like the reference: when ANY
+    listed name is missing, the ENTIRE drop is a no-op
+    (proteofav/utils.py:203-220 — `table.drop(list(excluded))` under an
+    except-ValueError that old pandas raised for missing labels; pandas≥2
+    raises KeyError, so the reference as-run today would crash — this
+    restores its intended/contemporary behavior, same class as the
+    parse_qs and regex restorations in DIVERGENCES.md; pinned by the r12
+    hypothesis differential)."""
     if not excluded:
         return df
-    return df.drop(*list(excluded))
+    names = list(excluded)
+    if not set(names) <= set(df.columns):
+        return df
+    return df.drop(*names)
 
 
 def constrain_column_types(
@@ -88,31 +98,71 @@ def constrain_column_types(
 ) -> DataFrame:
     """Cast columns to declared types with silent-fallback semantics.
 
-    The reference keeps the original column when a cast fails
-    (proteofav/utils.py:188-192). ``try_cast`` reproduces this per *value*
-    (uncastable cells → NULL) which is stricter per-cell but identical for
-    clean columns; to match the per-column fallback we only apply the cast
-    when it does not null out any previously non-null value — checked lazily
-    per column via a coalesce trick: cast, but fall back to raw string when
-    try_cast is NULL and the raw value is not (keeps the column's declared
-    type only if fully castable is not knowable lazily, so we declare the
-    target type and preserve information by leaving such columns as strings
-    only when the whole cast is hopeless — in practice source columns are
-    homogeneous and this matches the reference).
+    Reference semantics (proteofav/utils.py:184-199, pinned live by the
+    r12 hypothesis differential):
+
+    - ``astype`` is ALL-OR-NOTHING per column: one uncastable cell keeps
+      the whole column as-is. Integer targets additionally fail whenever
+      the column holds ANY NaN (pandas int64 cannot hold NaN — the
+      docstring's "NaNs and Upcasting" note), so a nullable column under
+      an int constraint always stays un-cast. One probe aggregate over
+      ALL constrained columns decides per-column cast-vs-keep in a
+      single pass (the one eager job this op costs; constrain calls sit
+      once per parsed table, never in a per-row hot path).
+    - Order per column: cast, THEN fillna, THEN replace — the replace
+      compares against post-cast, post-fill values.
+    - Deliberate divergences (DIVERGENCES.md): a ``string`` constraint
+      leaves NULLs NULL (pandas astype(str) stamps the literal
+      ``'None'``/``'nan'``), and fills/replacements must be
+      type-coherent with the column (a pandas object column tolerates
+      mixed int-among-strings cells; a Spark column cannot).
     """
     out = df
-    for col_name, t in dtypes.items():
-        if col_name not in out.columns:
+    present = [(c, t) for c, t in dtypes.items() if c in out.columns]
+    if not present:
+        return out
+
+    def _is_int(t: str) -> bool:
+        return t.lower() in ("bigint", "int", "integer", "long",
+                             "smallint", "tinyint", "short", "byte")
+
+    def _never_fails(t: str) -> bool:
+        return t.lower() in ("string", "varchar")
+
+    probes = []
+    for c, t in present:
+        if _never_fails(t):
             continue
+        raw, cast = F.col(c), F.col(c).try_cast(t)
+        bad = raw.isNotNull() & cast.isNull()
+        if _is_int(t):
+            bad = bad | raw.isNull()
+        probes.append(F.max(bad.cast("int")).alias(c))
+    failed: set[str] = set()
+    if probes:
+        row = out.agg(*probes).first()
+        failed = {c for c in row.asDict() if row[c] == 1}
+
+    for col_name, t in present:
+        col_type = dict(out.dtypes)[col_name]
+        if col_name not in failed:
+            out = out.withColumn(col_name, F.col(col_name).try_cast(t))
+            col_type = t
+        if nan_value_dict and col_name in nan_value_dict:
+            fill = F.lit(nan_value_dict[col_name]).try_cast(col_type)
+            out = out.withColumn(
+                col_name,
+                F.when(F.col(col_name).isNull(), fill).otherwise(F.col(col_name)),
+            )
         if replace_value_dict and col_name in replace_value_dict:
             old, new = replace_value_dict[col_name]
             out = out.withColumn(
                 col_name,
-                F.when(F.col(col_name) == F.lit(old), F.lit(new)).otherwise(F.col(col_name)),
+                F.when(
+                    F.col(col_name) == F.lit(old),
+                    F.lit(new).try_cast(col_type),
+                ).otherwise(F.col(col_name)),
             )
-        out = out.withColumn(col_name, F.col(col_name).try_cast(t))
-        if nan_value_dict and col_name in nan_value_dict:
-            out = out.fillna({col_name: nan_value_dict[col_name]})
     return out
 
 

@@ -455,8 +455,10 @@ def q_project_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_type_constrain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """constrain_column_types try-cast semantics: failed casts → NULL,
-    clean casts round-trip (parity: proteofav/utils.py:136-200)."""
+    """The per-value try_cast building block (failed casts → NULL, clean
+    casts round-trip) that constrain_column_types composes with its
+    all-or-nothing per-column probe (parity:
+    proteofav/utils.py:136-200; DIVERGENCES.md C14)."""
     o = load(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",

@@ -1549,6 +1549,7 @@ def test_split_merge_property_vs_reference(spark, rows):
         _pd.DataFrame.append = lambda self, other, **k: _pd.concat(
             [self, other]
         )
+    _ref()  # installs the scipy/requests_cache stubs utils.py imports
     sys.path.insert(0, "/root/reference")
     try:
         import proteofav.utils as RU
@@ -1613,6 +1614,7 @@ def test_check_sequence_property_vs_reference(spark, seq, new_gap):
     — the r11 fix target (the old expr uppercased, dropped B/Z/J/U/O,
     and gap-mapped './*')."""
     _ref()  # scipy/requests_cache stubs BEFORE importing utils
+    _ref()  # installs the scipy/requests_cache stubs utils.py imports
     sys.path.insert(0, "/root/reference")
     try:
         import proteofav.utils as RU
@@ -1657,6 +1659,7 @@ def test_row_selector_property_vs_reference(spark, rows, value, reverse):
     import pandas as _pd
 
     RS, _, _ = _ref()
+    _ref()  # installs the scipy/requests_cache stubs utils.py imports
     sys.path.insert(0, "/root/reference")
     try:
         import proteofav.utils as RU
@@ -2341,3 +2344,117 @@ def test_residues_aggregation_property_vs_reference(spark, rows, ids, method):
         for r in ours
     )
     assert got == want, (full, method, want, got)
+
+
+@given(
+    vals=st.lists(
+        st.sampled_from(["1", "2", "1.5", "5A", None]), min_size=1, max_size=6
+    ),
+    target=st.sampled_from(["int64", "float64"]),
+)
+@settings(
+    max_examples=14,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_constrain_column_types_property_vs_reference(spark, vals, target):
+    """constrain_column_types run LIVE (proteofav/utils.py:184-199):
+    pandas astype is ALL-OR-NOTHING per column — one uncastable cell (or
+    ANY NaN under an int64 target, which pandas int64 cannot hold) keeps
+    the whole column as-is — where a bare per-value try_cast silently
+    nulls the uncastable cells. Cells compare as (kind, value) so a kept
+    string '1' can never pass for a cast bigint 1."""
+    import numpy as _np
+    import pandas as _pd
+
+    _ref()  # installs the scipy/requests_cache stubs utils.py imports
+    sys.path.insert(0, "/root/reference")
+    try:
+        import proteofav.utils as RU
+    finally:
+        sys.path.remove("/root/reference")
+    from proteofav_spark.core import constrain_column_types
+
+    pdf = _pd.DataFrame({"a": vals}).where(lambda d: d.notna(), _np.nan)
+    ref = RU.constrain_column_types(pdf.copy(), {"a": target})
+
+    def kind(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        if isinstance(v, str):
+            return ("str", v)
+        return ("num", float(v))
+
+    want = [kind(v) for v in ref["a"]]
+
+    sdf = spark.createDataFrame([(v,) for v in vals], "a string")
+    t_spark = {"int64": "bigint", "float64": "double"}[target]
+    got_rows = constrain_column_types(sdf, {"a": t_spark}).collect()
+    got = [kind(r["a"]) for r in got_rows]
+    assert sorted(got, key=repr) == sorted(want, key=repr), (
+        vals, target, want, got
+    )
+
+
+def test_constrain_cast_fillna_replace_order_differential(spark):
+    """The reference applies cast → fillna → replace IN THAT ORDER
+    (utils.py:184-199): the replace matches post-cast post-fill values.
+    Run both orders' witnesses live: float cast then fillna(0) then
+    replace(2.0→9.0), and a replace on a cast-KEPT string column."""
+    import numpy as _np
+    import pandas as _pd
+
+    _ref()  # installs the scipy/requests_cache stubs utils.py imports
+    sys.path.insert(0, "/root/reference")
+    try:
+        import proteofav.utils as RU
+    finally:
+        sys.path.remove("/root/reference")
+    from proteofav_spark.core import constrain_column_types
+
+    pdf = _pd.DataFrame({"a": ["1", "2", _np.nan]})
+    ref = RU.constrain_column_types(
+        pdf.copy(), {"a": "float64"},
+        nan_value_dict={"a": 0}, replace_value_dict={"a": (2.0, 9.0)},
+    )
+    assert list(ref["a"]) == [1.0, 9.0, 0.0]
+    sdf = spark.createDataFrame([("1",), ("2",), (None,)], "a string")
+    got = [
+        r["a"]
+        for r in constrain_column_types(
+            sdf, {"a": "double"},
+            nan_value_dict={"a": 0}, replace_value_dict={"a": (2.0, 9.0)},
+        ).collect()
+    ]
+    assert sorted(got) == [0.0, 1.0, 9.0], got
+
+    # replace applies to the KEPT string column when the cast fails
+    pdf2 = _pd.DataFrame({"a": ["1", "x", _np.nan]})
+    ref2 = RU.constrain_column_types(
+        pdf2.copy(), {"a": "float64"}, replace_value_dict={"a": ("1", "9")}
+    )
+    assert list(ref2["a"])[:2] == ["9", "x"]
+    sdf2 = spark.createDataFrame([("1",), ("x",), (None,)], "a string")
+    got2 = [
+        r["a"]
+        for r in constrain_column_types(
+            sdf2, {"a": "double"}, replace_value_dict={"a": ("1", "9")}
+        ).collect()
+    ]
+    assert sorted(got2, key=repr) == sorted(["9", "x", None], key=repr), got2
+
+
+def test_exclude_columns_all_or_nothing_differential(spark):
+    """exclude_columns (utils.py:203-220): the reference's
+    `drop(list(excluded))` under except-ValueError no-ops the ENTIRE
+    drop when any listed name is missing (old pandas raised ValueError
+    for missing labels; pandas≥2 raises KeyError so the reference
+    as-run today crashes — restored like the parse_qs/regex bitrot).
+    Present-only lists still drop."""
+    from proteofav_spark.core import exclude_columns
+
+    df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
+    assert exclude_columns(df, ("b", "zz")).columns == ["a", "b", "c"]
+    assert exclude_columns(df, ("b", "c")).columns == ["a"]
+    assert exclude_columns(df, ()).columns == ["a", "b", "c"]
+    assert exclude_columns(df, None).columns == ["a", "b", "c"]
