@@ -121,9 +121,15 @@ def annotation_aggregation(
     elif drop_types:
         table = table.filter(~F.col("TYPE").isin(*drop_types))
 
+    # range(START, END+1) semantics: a REVERSED interval (START > END)
+    # contributes NO residues in the reference — Spark's sequence()
+    # would descend instead (r12 hypothesis differential)
+    span = F.when(
+        F.col("START") <= F.col("END"), F.sequence(F.col("START"), F.col("END"))
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
     exploded = table.select(
         F.col("line_no"),
-        F.explode(F.sequence(F.col("START"), F.col("END"))).alias("idx"),
+        F.explode(span).alias("idx"),
         _annotation_label().alias("annotation"),
         F.coalesce(F.lit(identifier), F.col("NAME")).alias("accession"),
     )

@@ -2458,3 +2458,91 @@ def test_exclude_columns_all_or_nothing_differential(spark):
     assert exclude_columns(df, ("b", "c")).columns == ["a"]
     assert exclude_columns(df, ()).columns == ["a", "b", "c"]
     assert exclude_columns(df, None).columns == ["a", "b", "c"]
+
+
+_GFF_ROW = st.tuples(
+    st.sampled_from(["Active site", "Chain", "Metal binding"]),
+    st.integers(1, 4),                       # START
+    st.integers(1, 4),                       # END (may be < START)
+    st.sampled_from([(), ("X1",)]),          # ID (parse_qs list)
+    st.sampled_from([(), ("note a",)]),      # Note
+)
+
+
+@given(
+    rows=st.lists(_GFF_ROW, min_size=1, max_size=6),
+    grouped=st.booleans(),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_annotation_aggregation_property_vs_reference(spark, rows, grouped):
+    """annotation_aggregation run LIVE on hypothesis GFF tables with
+    REVERSED intervals (START > END: the reference's range(START, END+1)
+    yields nothing, so the feature contributes zero residues — a naive
+    sequence(START, END) DESCENDS instead), droppable TYPEs, multiple
+    features per residue (',  '-join must follow row order), and
+    absent-ID/Note writer branches. Grouped rows compare on (site,
+    annotation, accession); ungrouped on (idx, annotation) — `site` is
+    the documented A1 RangeIndex divergence there."""
+    import pandas as _pd
+
+    _, _, RA = _ref()
+    from proteofav_spark.core import EmptyTableError
+    from proteofav_spark.sources.annotation import annotation_aggregation
+
+    pdf = _pd.DataFrame(
+        [(t, s1, e, list(i), list(n)) for t, s1, e, i, n in rows],
+        columns=["TYPE", "START", "END", "ID", "Note"],
+    )
+    ref_err, ref = None, None
+    try:
+        ref = RA.annotation_aggregation(
+            pdf.copy(), identifier="P1", group_residues=grouped
+        )
+    except (ValueError, KeyError) as exc:
+        # all-reversed-interval inputs: the reference raises ValueError
+        # on the empty ungrouped frame, and KeyError from
+        # groupby('idx') on the empty COLUMNLESS frame when grouping
+        ref_err = exc
+
+    sdf = spark.createDataFrame(
+        [
+            (t, s1, e, list(i), list(n), "P1", k)
+            for k, (t, s1, e, i, n) in enumerate(rows)
+        ],
+        "TYPE string, START bigint, END bigint, ID array<string>, "
+        "Note array<string>, NAME string, line_no long",
+    )
+    import re as _re
+
+    def _unrepr(s):
+        if not isinstance(s, str):
+            return s
+        return _re.sub(r"[\[\]']", "", s)
+
+    try:
+        ours = annotation_aggregation(
+            sdf, identifier="P1", group_residues=grouped
+        ).collect()
+    except EmptyTableError:
+        assert ref_err is not None, "reference produced rows, ours raised"
+        return
+    assert ref_err is None, "reference raised on empty, ours produced rows"
+
+    if grouped:
+        want = sorted(
+            (str(site), _unrepr(r["annotation"]), r["accession"])
+            for site, r in ref.iterrows()
+        )
+        got = sorted(
+            (r["site"], r["annotation"], r["accession"]) for r in ours
+        )
+    else:
+        want = sorted(
+            (int(r["idx"]), _unrepr(r["annotation"])) for _, r in ref.iterrows()
+        )
+        got = sorted((int(r["idx"]), r["annotation"]) for r in ours)
+    assert got == want, (rows, grouped, want, got)
