@@ -2546,3 +2546,125 @@ def test_annotation_aggregation_property_vs_reference(spark, rows, grouped):
         )
         got = sorted((int(r["idx"]), r["annotation"]) for r in ours)
     assert got == want, (rows, grouped, want, got)
+
+
+@lru_cache(maxsize=1)
+def _filter_grid_tables():
+    """Parse the altloc-heavy fixture ONCE for the randomized
+    filter_structures option grid (reference pdf + values to select on)."""
+    RS, _, _ = _ref()
+    ref = RS.parse_mmcif_atoms(f"{TD}/mmcif/4ibw.cif", excluded_cols=())
+    seqs = [v for v in ref["auth_seq_id"].dropna().unique()[:6]]
+    comps = [v for v in ref["auth_comp_id"].dropna().unique()[:4]]
+    chains = [v for v in ref["auth_asym_id"].dropna().unique()[:2]]
+    return ref, seqs, comps, chains
+
+
+_FILTER_OPTS = st.fixed_dictionaries(
+    {
+        "models": st.sampled_from(["first", None]),
+        "use_chain": st.booleans(),
+        "lines": st.sampled_from([None, ("ATOM",)]),
+        "remove_hydrogens": st.booleans(),
+        "remove_altloc": st.booleans(),
+        "remove_partial_res": st.booleans(),
+        "reset": st.booleans(),
+        "use_res": st.booleans(),
+        "use_comps": st.booleans(),
+        "atoms": st.sampled_from(
+            [None, ("CA", "N"), "centroid", "backbone_centroid"]
+        ),
+        "add_atom_altloc": st.booleans(),
+    }
+)
+
+
+@given(opts=_FILTER_OPTS)
+@settings(
+    max_examples=18,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_filter_structures_option_grid_vs_reference(spark, opts):
+    """filter_structures under RANDOMIZED option combinations run live on
+    the altloc-heavy fixture (proteofav/structures.py:777-894): the
+    composed fixture diff pins ONE option set; this pins the whole
+    option lattice — interaction order (altloc removal forcing atom-id
+    reset, res filters applying AFTER partial-residue removal, the
+    atoms='centroid' aggregation shortcut) is where silent divergence
+    hides. Centroid paths compare non-float columns only (the fixture
+    has mean-on-.5-boundary cells where any fixed-dp rounding splits
+    the engines — the dedicated aggregation diffs compare floats with
+    isclose)."""
+    RS, _, _ = _ref()
+    from proteofav_spark.core import EmptyTableError
+    from proteofav_spark.operators.structures import filter_structures
+    from proteofav_spark.sources.structures import parse_mmcif_atoms
+
+    ref_pdf, seqs, comps, chains = _filter_grid_tables()
+    ours_base = parse_mmcif_atoms(spark, f"{TD}/mmcif/4ibw.cif")
+
+    kw = dict(
+        models=opts["models"],
+        chains=(tuple(str(c) for c in chains[:1]) if opts["use_chain"] else None),
+        lines=opts["lines"],
+        remove_hydrogens=opts["remove_hydrogens"],
+        remove_altloc=opts["remove_altloc"],
+        remove_partial_res=opts["remove_partial_res"],
+        res=(tuple(seqs[:3]) if opts["use_res"] else None),
+        comps=(tuple(comps[:2]) if opts["use_comps"] else None),
+        atoms=opts["atoms"],
+    )
+    # REFERENCE-BUG REGION (DIVERGENCES A6): _remove_multiple_altlocs
+    # drops via table.index[drop_ixs] — LABELS used as POSITIONS — so any
+    # pre-altloc filter that breaks index contiguity (a chains selection
+    # on this fixture: chain-A waters interleave after chain B) makes the
+    # reference crash with IndexError or silently drop the wrong rows.
+    # Our window-based removal has no such precondition; in this region
+    # only assert that OUR pipeline runs.
+    bug_region = opts["remove_altloc"] and opts["use_chain"]
+
+    ref_err = None
+    try:
+        ref = RS.filter_structures(
+            ref_pdf.copy(),
+            add_atom_altloc=opts["add_atom_altloc"],
+            reset_atom_id=opts["reset"],
+            **kw,
+        )
+    except ValueError as exc:
+        ref_err = exc
+    except IndexError:
+        assert bug_region, "reference IndexError outside the known bug region"
+        ref_err = None
+        ref = None
+
+    kw_ours = dict(kw)
+    if kw_ours["res"] is not None:
+        kw_ours["res"] = tuple(str(v) for v in kw_ours["res"])
+    if kw_ours["comps"] is not None:
+        kw_ours["comps"] = tuple(str(v) for v in kw_ours["comps"])
+    try:
+        ours = filter_structures(
+            ours_base,
+            add_atom_altloc_col=opts["add_atom_altloc"],
+            reset_atom_id_flag=opts["reset"],
+            **kw_ours,
+        )
+    except EmptyTableError:
+        assert bug_region or ref_err is not None, (
+            opts, "reference produced rows, ours raised"
+        )
+        return
+    if bug_region:
+        return  # ours ran; reference output is crash-or-corrupt here
+    assert ref_err is None, (opts, "reference raised on empty, ours produced rows")
+
+    agg = opts["atoms"] in ("centroid", "backbone_centroid")
+    skip = ()
+    if agg:
+        skip = tuple(
+            c for c in ref.columns
+            if str(ref[c].dtype).startswith("float") or c == "index"
+        )
+    _assert_frames_equal(ref, ours, dp=4, skip=skip)
