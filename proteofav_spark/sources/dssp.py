@@ -184,8 +184,13 @@ def filter_dssp(
     if add_rsa_class:
         table = table.withColumn("RSA_CLASS", rsa_class_expr("RSA"))
 
-    # drop missing residues ('!') and chain breaks ('!*')
-    table = table.filter(~F.col("AA").isin("!", "!*"))
+    # drop missing residues ('!') and chain breaks ('!*') — NULL AA rows
+    # are KEPT: the reference's pandas `!=` is True for NaN (the same
+    # NaN-comparison quirk as row_selector's reverse — r12 option-grid
+    # differential)
+    table = table.filter(
+        F.col("AA").isNull() | ~F.col("AA").isin("!", "!*")
+    )
 
     if chains is not None:
         table = row_selector(table, "CHAIN", chains, check_empty=False)

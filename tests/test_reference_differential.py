@@ -2668,3 +2668,151 @@ def test_filter_structures_option_grid_vs_reference(spark, opts):
             if str(ref[c].dtype).startswith("float") or c == "index"
         )
     _assert_frames_equal(ref, ours, dp=4, skip=skip)
+
+
+@lru_cache(maxsize=1)
+def _dssp_grid_table():
+    """Reference-parsed 2w4o.dssp plus adversarial synthetic rows: a
+    NULL-AA residue (the pandas `!=` NaN-keep quirk), a '!' missing
+    residue and '!*' chain break, a NULL-SS row (fillna path) and a
+    NULL-ACC row (RSA path)."""
+    import numpy as _np
+    import pandas as _pd
+
+    _, RD, _ = _ref()
+    base = RD.parse_dssp_residues(f"{TD}/dssp/2w4o.dssp")
+    extra = _pd.DataFrame(
+        [
+            {"LINE": 9001, "RES": "900", "CHAIN": "A", "AA": _np.nan,
+             "SS": "H", "ACC": 10},
+            {"LINE": 9002, "RES": "901", "CHAIN": "A", "AA": "!",
+             "SS": "H", "ACC": 10},
+            {"LINE": 9003, "RES": "902", "CHAIN": "A", "AA": "!*",
+             "SS": "H", "ACC": 10},
+            {"LINE": 9004, "RES": "903", "CHAIN": "B", "AA": "G",
+             "SS": _np.nan, "ACC": 12},
+            {"LINE": 9005, "RES": "904", "CHAIN": "B", "AA": "A",
+             "SS": "E", "ACC": _np.nan},
+        ]
+    )
+    pdf = _pd.concat([base, extra], ignore_index=True)
+    return pdf.where(pdf.notna(), _np.nan)
+
+
+_DSSP_OPTS = st.fixed_dictionaries(
+    {
+        "use_chains": st.booleans(),
+        "use_chains_full": st.booleans(),
+        "use_res": st.booleans(),
+        "add_full_chain": st.booleans(),
+        "add_ss_reduced": st.booleans(),
+        "add_rsa": st.booleans(),
+        "rsa_method": st.sampled_from(["Sander", "Miller", "Wilke"]),
+        "add_rsa_class": st.booleans(),
+        "reset_res_id": st.booleans(),
+    }
+)
+
+
+@given(opts=_DSSP_OPTS)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_filter_dssp_option_grid_vs_reference(spark, opts):
+    """filter_dssp under randomized option combinations run live
+    (proteofav/dssp.py:342-411) on the fixture PLUS adversarial rows:
+    NULL AA must survive the '!'/'!*' drop (pandas `!=` keeps NaN — a
+    bare ~isin silently drops it), NULL SS takes the fillna('-') path,
+    NULL ACC rides RSA/RSA_CLASS, and the add_* extensions compose with
+    the chain/res selections in reference order. RSA_CLASS needs RSA:
+    the reference's _add_dssp_rsa_class KeyErrors without it — that
+    combination asserts the crash parity instead."""
+    import numpy as _np
+
+    _, RD, _ = _ref()
+    from proteofav_spark.core import EmptyTableError
+    from proteofav_spark.sources.dssp import filter_dssp
+
+    pdf = _dssp_grid_table().copy()
+    chains = ("A",) if opts["use_chains"] else None
+    # CHAIN_FULL only exists after add_full_chain — without it BOTH
+    # sides refuse (pandas KeyError / Spark unresolved column)
+    chains_full = (
+        ("A",) if opts["use_chains_full"] and opts["add_full_chain"] else None
+    )
+    res = ("900", "903", "904", "10", "11", "12") if opts["use_res"] else None
+
+    kw = dict(
+        chains=chains, chains_full=chains_full, res=res,
+        add_full_chain=opts["add_full_chain"],
+        add_ss_reduced=opts["add_ss_reduced"],
+        add_rsa=opts["add_rsa"],
+        rsa_method=opts["rsa_method"],
+        add_rsa_class=opts["add_rsa_class"],
+        reset_res_id=opts["reset_res_id"],
+    )
+    ref_err = None
+    ref = None
+    try:
+        ref = RD.filter_dssp(pdf.copy(), **kw)
+    except ValueError as exc:
+        ref_err = exc
+    except KeyError:
+        # add_rsa_class without add_rsa: the reference indexes the
+        # missing RSA column
+        assert opts["add_rsa_class"] and not opts["add_rsa"]
+        ref_err = "keyerror"
+    except TypeError:
+        # get_rsa(len(nan)) on the NULL-AA row: the reference CRASHES
+        # computing RSA for a NaN residue; ours emits NULL (A3 family)
+        assert opts["add_rsa"]
+        ref_err = "typeerror"
+
+    rows = [
+        tuple(_mnorm_cell(v) for v in r)
+        for r in pdf.itertuples(index=False)
+    ]
+
+    def spark_type(dt):
+        k = str(dt)
+        if k.startswith("int"):
+            return "long"
+        if k.startswith("float"):
+            return "double"
+        return "string"
+
+    schema = ", ".join(
+        f"{c} {spark_type(pdf[c].dtype)}" for c in pdf.columns
+    )
+    # reader metadata our window helpers key on (parse always adds them)
+    rows = [r + ("t", i) for i, r in enumerate(rows)]
+    schema += ", source_file string, line_no long"
+    sdf = spark.createDataFrame(rows, schema)
+    try:
+        ours = filter_dssp(sdf, **kw)
+        ours_rows = ours.collect()
+    except EmptyTableError:
+        assert ref_err is not None, (opts, "ref produced rows, ours raised")
+        return
+    except Exception:
+        if ref_err == "keyerror":
+            return  # both sides refuse RSA_CLASS without RSA
+        raise
+    if ref_err == "typeerror":
+        return  # ours computed NULL RSA where the reference crashed
+    if ref_err == "keyerror":
+        raise AssertionError(
+            (opts, "reference KeyErrors on RSA_CLASS-without-RSA, ours ran")
+        )
+    assert ref_err is None, (opts, "reference raised on empty, ours produced rows")
+
+    shared = [c for c in ref.columns if c in ours.columns]
+    want = sorted(
+        tuple(_mnorm_cell(r[c]) for c in shared) for _, r in ref.iterrows()
+    )
+    got = sorted(
+        tuple(_mnorm_cell(r[c]) for c in shared) for r in ours_rows
+    )
+    assert got == want, (opts, shared, want[:3], got[:3])
