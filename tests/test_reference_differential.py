@@ -2816,3 +2816,86 @@ def test_filter_dssp_option_grid_vs_reference(spark, opts):
         tuple(_mnorm_cell(r[c]) for c in shared) for r in ours_rows
     )
     assert got == want, (opts, shared, want[:3], got[:3])
+
+
+_DESC_POOL = [
+    "sp|P00439|PH4H_HUMAN Phenylalanine-4-hydroxylase OS=Homo sapiens",
+    "tr|A0A061ACU2|A0A061ACU2_CAEEL Uncharacterized protein",
+    "xx|p00439|ph4h_human lowercase accession never matches uniprot",
+    "sp|P00439|PH4H HUMAN broken name (no underscore run)",
+    "cath|4.1.0|1abcA00/12-300",
+    "cath|4_1_0|12asA00/1-330",
+    "C7P4T5_HALMD/44-372",
+    "B9LRY6_HALLT/1-100 trailing words",
+    "abc123/5-10",
+    "A0A061_AB/-3--1",
+    "X_Y/1-",
+    "/1-2",
+    "hello world no pattern at all",
+    "sp|Q9H0H5|RGAP1_HUMAN",
+    "1abcA00/12-300",
+]
+
+
+@given(
+    descs=st.lists(st.sampled_from(_DESC_POOL), min_size=1, max_size=6),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_msa_description_fuzz_vs_reference(spark, descs):
+    """The six MSA description-parser regex families run LIVE on
+    randomized description strings — valid UniProt/CATH/generic
+    patterns, near-misses (lowercase accessions, broken name runs,
+    half-formed ranges) and garbage — through a synthetic FASTA read on
+    both sides. The fixture differentials pin real files; this pins the
+    regex-boundary behavior fixtures can't reach."""
+    import os
+    import tempfile
+
+    RM, _, _ = _ref_msas_vars()
+    from proteofav_spark.sources.msas import read_msas
+
+    body = "".join(
+        f">{d}\nACDEFGHI\n" for d in descs
+    )
+    fd, path = tempfile.mkstemp(suffix=".fasta")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(body)
+        ref = RM.read_msas(path, get_uniprot_id=False)
+        ours = read_msas(spark, path).toPandas()
+    finally:
+        os.unlink(path)
+
+    shared = [c for c in ref.columns if c in ours.columns]
+    assert "Sequence" in shared, shared
+    # columns only ONE side materialized must be informationless there:
+    # the reference adds columns dynamically as parsers populate them,
+    # ours carries a typed schema — present-with-all-NULLs ≡ absent
+    meta = {"source_file", "line_no", "raw_description"}
+    for c in set(ref.columns) - set(ours.columns):
+        assert ref[c].isna().all() or (ref[c].astype(str) == "nan").all(), (
+            descs, c, "reference-only column carries data")
+    for c in set(ours.columns) - set(ref.columns) - meta:
+        assert ours[c].isna().all(), (descs, c, "ours-only column carries data")
+
+    def norm(df):
+        return sorted(
+            (
+                tuple(_msa_cell(r[c]) for c in shared)
+                for _, r in df[shared].iterrows()
+            ),
+            key=lambda t: tuple((x is None, str(x)) for x in t),
+        )
+
+    a, b = norm(ref), norm(ours)
+    assert len(a) == len(b), (descs, len(a), len(b))
+    assert a == b, (
+        descs,
+        shared,
+        sorted(set(a) - set(b))[:1],
+        sorted(set(b) - set(a))[:1],
+    )
