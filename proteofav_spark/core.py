@@ -195,16 +195,64 @@ def merging_down_by_key(df: DataFrame, key: str = "xrefs_id") -> DataFrame:
     Python tuples).
     """
     others = [c for c in df.columns if c != key]
-    aggs = [F.array_sort(F.collect_set(c)).alias(c) for c in others]
+    # ARRAY-typed cells: a SINGLE-row key group passes its cell VERBATIM
+    # (duplicates intact — the reference merges only `len(dup) > 1`
+    # groups), while a multi-row group merges by FLATTENING: the
+    # reference's collapse loop iterates `for g in v` over tuple/list
+    # cells and dedups through `tuple(set(...))`, so a merged cell holds
+    # the distinct union of the rows' ELEMENTS, never nested lists (r12
+    # flattener fuzz — collect_set over an array column nested them, and
+    # an unconditional dedup rewrote verbatim single-row cells)
+    dtypes = dict(df.dtypes)
+    _n = "__mdbk_rows"
+    arr_others = [c for c in others if dtypes[c].startswith("array")]
+    aggs = [
+        (
+            F.collect_list(c).alias(c)
+            if dtypes[c].startswith("array")
+            else F.array_sort(F.collect_set(c)).alias(c)
+        )
+        for c in others
+    ] + [F.count(F.lit(1)).alias(_n)]
     # NULL-key rows never merge — the reference's dup probe is
     # `table[key] == pid`, and NaN == NaN is False, so every NaN-key row
     # survives separately (r11, found by the hypothesis differential:
     # a plain groupBy silently collapsed ALL null-key rows into one).
     # They pass through unmerged, each cell wrapped as its 0/1-element
-    # value set to align with the collapsed schema.
+    # value set (array cells pass verbatim) to align with the collapsed
+    # schema.
     collapsed = df.filter(F.col(key).isNotNull()).groupBy(key).agg(*aggs)
+    collapsed = collapsed.select(
+        key,
+        *[
+            (
+                F.when(
+                    F.col(_n) == 1, F.try_element_at(F.col(c), F.lit(1))
+                )
+                .otherwise(
+                    F.array_sort(
+                        F.array_distinct(
+                            F.array_compact(F.flatten(F.col(c)))
+                        )
+                    )
+                )
+                .alias(c)
+                if c in arr_others
+                else F.col(c)
+            )
+            for c in others
+        ],
+    )
     passthrough = df.filter(F.col(key).isNull()).select(
-        key, *[F.array_compact(F.array(F.col(c))).alias(c) for c in others]
+        key,
+        *[
+            (
+                F.coalesce(F.col(c), F.expr("array()").cast(dtypes[c])).alias(c)
+                if dtypes[c].startswith("array")
+                else F.array_compact(F.array(F.col(c))).alias(c)
+            )
+            for c in others
+        ],
     )
     collapsed = collapsed.unionByName(passthrough)
     # A Spark column has one type, so the reference's mixed scalar/tuple cells

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from proteofav_spark.core import (
+    EmptyTableError,
     constrain_column_types,
     exclude_columns,
     merging_down_by_key,
@@ -33,14 +34,23 @@ VARS_MERGE_KEYS = [
 ]
 
 
-def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
+def flatten_structs(
+    df: DataFrame, sep: str = "_", distinct_struct_arrays: bool = False
+) -> DataFrame:
     """Recursively flatten struct columns into ``parent_child`` columns and
     project ``array<struct>`` columns into per-subfield arrays
     (``xrefs: array<struct<id,name>>`` → ``xrefs_id``, ``xrefs_name``).
 
     Schema-driven equivalent of the reference's recursive dict flattener
     (proteofav/utils.py:310-336); runs entirely in the JVM.
-    """
+
+    ``distinct_struct_arrays=True`` reproduces the reference flattener's
+    leaf dedup for STRUCT-array projections only: flatten_nested_structure
+    appends a leaf value under its flattened key only `if values not in
+    dictionary[keys]` — three xrefs sharing an id surface as ONE element,
+    first-appearance order — while a plain LIST-of-scalars field is
+    appended as the whole list, duplicates intact (r12 flattener fuzz
+    caught both directions)."""
     while True:
         flat_cols: list[Column] = []
         changed = False
@@ -59,11 +69,10 @@ def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
                 for sub in dtype.elementType.fields:
                     def _getter(s):
                         return lambda x: x.getField(s)
-                    flat_cols.append(
-                        F.transform(F.col(f"`{name}`"), _getter(sub.name)).alias(
-                            f"{name}{sep}{sub.name}"
-                        )
-                    )
+                    proj = F.transform(F.col(f"`{name}`"), _getter(sub.name))
+                    if distinct_struct_arrays:
+                        proj = F.array_distinct(proj)
+                    flat_cols.append(proj.alias(f"{name}{sep}{sub.name}"))
             else:
                 flat_cols.append(F.col(f"`{name}`"))
         if not changed:
@@ -88,7 +97,10 @@ def unwrap_singleton_arrays(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFr
     sizes = df.agg(*[F.max(F.size(c)).alias(c) for c in arr_cols]).first()
     for c in arr_cols:
         if sizes[c] is not None and sizes[c] <= 1:
-            df = df.withColumn(c, F.element_at(c, 1))
+            # try_element_at: an EMPTY array row (max size may still be 1
+            # via another row) must unwrap to NULL, not abort under ANSI
+            # (r12 flattener fuzz)
+            df = df.withColumn(c, F.try_element_at(c, F.lit(1)))
     return df
 
 
@@ -106,7 +118,18 @@ def flatten_uniprot_variants(
     """
     top_cols = [c for c in df.columns if c != "features"]
     df = df.select(*top_cols, F.explode("features").alias("feature"))
-    df = flatten_structs(df)
+    # distinct_struct_arrays: the reference's flattener dedups repeated
+    # STRUCT-array leaf values (three identical xref ids → one element)
+    # while plain scalar-list fields keep raw duplicates — see the
+    # flatten_structs docstring (r12 flattener fuzz)
+    df = flatten_structs(df, distinct_struct_arrays=True)
+    # an EMPTY JSON list never creates its key in the reference flattener
+    # (`for e in []` appends nothing → the cell is NaN, which the
+    # splitting keep-rule treats as a scalar); project [] → NULL per cell
+    # so the absent-vs-empty distinction matches (r12 flattener fuzz)
+    for c, t in df.dtypes:
+        if t.startswith("array"):
+            df = df.withColumn(c, F.when(F.size(c) > 0, F.col(c)))
     # feature_* prefix is an artifact of the explode alias; strip it to match
     # the reference's flat key naming
     renames = {c: c.replace("feature_", "", 1) for c in df.columns if c.startswith("feature_")}
@@ -119,9 +142,17 @@ def flatten_uniprot_variants(
     df = unwrap_singleton_arrays(df)
     df = exclude_columns(df, excluded)
     df = constrain_column_types(df, VARIANT_TYPES)
+    # when NO feature carries xrefs the reference CRASHES (KeyError from
+    # splitting_up_by_key on the absent column) — ours skips the
+    # collapse instead (deliberate divergence, DIVERGENCES A7)
     if collapse and "xrefs_id" in df.columns:
         df = splitting_up_by_key(df, key="xrefs_id")
         df = merging_down_by_key(df, key="xrefs_id")
+    # reference contract (variants.py:657-658): empty output raises
+    if df.isEmpty():
+        raise EmptyTableError(
+            "Variants collapsing resulted in an empty DataFrame..."
+        )
     return df
 
 

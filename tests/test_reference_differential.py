@@ -800,7 +800,7 @@ def _vars_compare(ref_pdf, spark_df, min_cols):
 
     a, b = norm(ref_pdf), norm(ours)
     assert len(a) == len(b), (len(a), len(b))
-    assert a == b, (sorted(set(a) - set(b))[:1], sorted(set(b) - set(a))[:1])
+    assert a == b, (sorted(set(a) - set(b), key=repr)[:1], sorted(set(b) - set(a), key=repr)[:1])
 
 
 def _spark_json(spark, tmp_path, payload: str, name: str):
@@ -2899,3 +2899,90 @@ def test_msa_description_fuzz_vs_reference(spark, descs):
         sorted(set(a) - set(b))[:1],
         sorted(set(b) - set(a))[:1],
     )
+
+
+_VF_XREF = st.fixed_dictionaries(
+    {
+        "name": st.sampled_from(["dbSNP", "Ensembl", "ExAC"]),
+        "id": st.sampled_from(["rs1", "rs2", "COSM1"]),
+    }
+)
+_VF_FEATURE = st.fixed_dictionaries(
+    {
+        "type": st.just("VARIANT"),
+        "begin": st.sampled_from(["41", "252"]),
+        "end": st.sampled_from(["41", "252"]),
+        "wildType": st.sampled_from(["L", "V"]),
+        "consequenceType": st.sampled_from(["missense", "stop_gained"]),
+        "somaticStatus": st.sampled_from([0, 1]),
+    },
+    optional={
+        "ftId": st.sampled_from(["VAR_1", "VAR_2"]),
+        "alternativeSequence": st.sampled_from(["V", "I"]),
+        "polyphenScore": st.sampled_from([0.025, 0.9]),
+        "siftScore": st.just(0.21),
+        "xrefs": st.lists(_VF_XREF, max_size=3),
+        "clinicalSignificances": st.lists(
+            st.sampled_from(["pathogenic", "benign"]), max_size=2
+        ),
+    },
+)
+
+
+@given(features=st.lists(_VF_FEATURE, min_size=0, max_size=4))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_uniprot_variants_flatten_fuzz_vs_reference(spark, features):
+    """flatten_uniprot_variants_ebi on RANDOMIZED feature payloads —
+    optional fields absent per-feature, 0..3 xrefs (empty lists, dup
+    ids triggering the splitting/merging collapse), list-typed
+    clinicalSignificances — against our schema-driven flatten. The
+    fixture differential pins the reference's own recorded payload;
+    this pins the missing-field/empty-list lattice. Zero features:
+    both sides refuse (reference ValueError on the empty collapse, ours
+    EmptyTableError)."""
+    import json as _json
+    import os
+    import tempfile
+
+    _, RV, _ = _ref_msas_vars()
+    from proteofav_spark.core import EmptyTableError
+    from proteofav_spark.sources.variants import flatten_uniprot_variants
+
+    payload = {"accession": "P99999", "taxid": 9606, "features": features}
+    ref_err = None
+    ref = None
+    try:
+        ref = RV.flatten_uniprot_variants_ebi(
+            _json.loads(_json.dumps(payload))
+        )
+    except ValueError as exc:
+        ref_err = exc
+    except KeyError:
+        # NO feature carries xrefs: the reference's splitting_up_by_key
+        # KeyErrors on the absent column; ours skips the collapse
+        # (DIVERGENCES A7) — only assert ours still runs
+        # xrefs absent OR all-empty: either way no xrefs_id column exists
+        assert not any(f.get("xrefs") for f in features)
+        ref_err = "keyerror"
+
+    fd, path = tempfile.mkstemp(suffix=".json")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(_json.dumps(payload))
+        sdf = spark.read.json(path)
+        try:
+            ours = flatten_uniprot_variants(sdf)
+            ours_rows = ours.count()
+        except EmptyTableError:
+            assert ref_err is not None, (features, "ref rows, ours raised")
+            return
+        if ref_err == "keyerror":
+            return  # ours produced a table where the reference crashed
+        assert ref_err is None, (features, "ref raised, ours produced rows")
+        _vars_compare(ref, ours, min_cols=6)
+    finally:
+        os.unlink(path)
