@@ -769,7 +769,10 @@ def _vars_cell(v, dp=6):
     if isinstance(v, float):
         return None if math.isnan(v) else round(v, dp)
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        t = tuple(sorted(str(x) for x in v))
+        # elements recurse through the SAME normalization — a singleton
+        # [0.9] must equal the reference's scalar 0.9, not the string
+        # '0.9' (r12 fuzz caught the str() shortcut here)
+        t = tuple(sorted((_vars_cell(x, dp) for x in v), key=repr))
         if not t:
             return None  # reference: [] stays; ours: [] — both → None
         # the reference unwraps singleton lists PER ROW
