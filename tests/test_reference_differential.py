@@ -2989,3 +2989,81 @@ def test_uniprot_variants_flatten_fuzz_vs_reference(spark, features):
         _vars_compare(ref, ours, min_cols=6)
     finally:
         os.unlink(path)
+
+
+_ENS_VAR = st.fixed_dictionaries(
+    {
+        "feature_type": st.sampled_from(
+            ["transcript_variation", "somatic_transcript_variation"]
+        ),
+        "Parent": st.just("ENST00000288602"),
+        "translation": st.just("ENSP00000288602"),
+        "start": st.sampled_from([246, 622]),
+        "end": st.sampled_from([246, 622]),
+        "id": st.sampled_from(["rs1", "rs2", "COSM1"]),
+        "type": st.sampled_from(["missense_variant", "synonymous_variant"]),
+        "allele": st.sampled_from(["G/C", "COSMIC_MUTATION"]),
+    },
+    optional={
+        "polyphen": st.sampled_from([0.9, None]),
+        "sift": st.sampled_from([0.0, None]),
+        "codons": st.sampled_from(["Cca/Gca", ""]),
+        "residues": st.sampled_from(["P/A", ""]),
+        "clinical_significance": st.lists(
+            st.sampled_from(["pathogenic", "benign"]), max_size=2
+        ),
+        "minor_allele_frequency": st.just(None),
+    },
+)
+
+
+@given(
+    variants=st.lists(_ENS_VAR, min_size=1, max_size=4),
+    synonymous=st.booleans(),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ensembl_variants_flatten_fuzz_vs_reference(spark, variants, synonymous):
+    """flatten_ensembl_variants on RANDOMIZED Ensembl REST payloads —
+    duplicate ids collapsing across variants, null polyphen/sift,
+    empty-string codons/residues, list-typed clinical_significance, and
+    the synonymous filter's NaN/collapsed-cell semantics — against our
+    rename→constrain→split→merge pipeline."""
+    import json as _json
+    import os
+    import tempfile
+
+    _, RV, _ = _ref_msas_vars()
+    from proteofav_spark.sources.variants import flatten_ensembl_variants
+
+    from proteofav_spark.core import EmptyTableError
+
+    ref_err, ref = None, None
+    try:
+        ref = RV.flatten_ensembl_variants(
+            _fake_resp(_json.loads(_json.dumps(variants))),
+            synonymous=synonymous,
+        )
+    except ValueError as exc:
+        # the reference's row_selector raises when the synonymous filter
+        # empties the table
+        ref_err = exc
+
+    fd, path = tempfile.mkstemp(suffix=".json")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write("\n".join(_json.dumps(v) for v in variants))
+        sdf = spark.read.json(path)
+        try:
+            ours = flatten_ensembl_variants(sdf, synonymous=synonymous)
+            ours.count()
+        except EmptyTableError:
+            assert ref_err is not None, (variants, "ref rows, ours raised")
+            return
+        assert ref_err is None, (variants, "ref raised, ours produced rows")
+        _vars_compare(ref, ours, min_cols=6)
+    finally:
+        os.unlink(path)
