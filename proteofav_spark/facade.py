@@ -147,17 +147,49 @@ class GenericSource:
 
 class _MMCIF(GenericSource):
     name, db_attr, ext = "mmcif", "db_mmcif", ".cif"
-    url_kwargs = ("bio_unit",)
+    url_kwargs = ("bio_unit", "bio_unit_id", "bio_unit_preferred")
 
-    def url(self, identifier, bio_unit=False):
-        return fetchers.url_mmcif(identifier, bio_unit=bio_unit)
+    def _assembly_id(self, identifier, bio_unit_id="1", bio_unit_preferred=False):
+        """Resolve the assembly id ONCE per identifier: ``staged_path``
+        and ``url`` both need it, and the preferred lookup is a network
+        round-trip (PDBe summary API) — memoized so a single select
+        fetches the summary exactly once."""
+        if not bio_unit_preferred:
+            return str(bio_unit_id)
+        cache = getattr(self, "_pref_assembly", None)
+        if cache is None:
+            cache = self._pref_assembly = {}
+        if identifier not in cache:
+            cache[identifier] = fetchers.get_preferred_assembly_id(identifier)
+        return cache[identifier]
 
-    def staged_path(self, identifier, bio_unit=False, **url_kwargs):
+    def url(self, identifier, bio_unit=False, bio_unit_id="1",
+            bio_unit_preferred=False):
+        if bio_unit:
+            aid = self._assembly_id(identifier, bio_unit_id, bio_unit_preferred)
+            return fetchers.url_mmcif(identifier, bio_unit=True, bio_unit_id=aid)
+        return fetchers.url_mmcif(identifier)
+
+    def staged_path(self, identifier, bio_unit=False, bio_unit_id="1",
+                    bio_unit_preferred=False, **url_kwargs):
         """Bio units stage as ``<id>_bio.cif`` (parity:
         proteofav/structures.py:756) — a bio-unit select must never
-        read or clobber the asym-unit cache file."""
+        read or clobber the asym-unit cache file. Non-default
+        assemblies stage as ``<id>_bio-assembly-<k>.cif``: the
+        reference keeps ONE ``_bio`` slot for every assembly (two
+        selects with different ``bio_unit_id`` silently share a cache
+        file), which violates this repo's per-artifact-cache invariant
+        (reviews r9/r10) — distinct assemblies are distinct artifacts."""
         cache_dir = getattr(defaults, self.db_attr)
-        stem = f"{identifier}_bio" if bio_unit else identifier
+        if bio_unit:
+            aid = self._assembly_id(identifier, bio_unit_id, bio_unit_preferred)
+            stem = (
+                f"{identifier}_bio"
+                if aid == "1"
+                else f"{identifier}_bio-assembly-{aid}"
+            )
+        else:
+            stem = identifier
         return os.path.join(cache_dir, f"{stem}{self.ext}")
 
     def read(self, filename=None, **kwargs):
@@ -248,6 +280,24 @@ class _Variants(GenericSource):
             self.filename(filename)
         )
         return flatten_uniprot_variants(raw, **kwargs)
+
+    def fetch(self, identifier=None, **kwargs):
+        """Composed 3-source fetch → (uniprot, germline, somatic)
+        (parity: _Variants.fetch, proteofav/variants.py:703-708)."""
+        from proteofav_spark.sources.variants import fetch_variants
+
+        ident = self.identifier(identifier)
+        return fetch_variants(self.spark(), ident, **kwargs)
+
+    def select_all(self, identifier=None, **kwargs):
+        """Composed aggregation → (uniprot_table, ensembl_table)
+        (parity: _Variants.select, proteofav/variants.py:709-715 —
+        named select_all because GenericSource.select keeps the
+        single-table UniProt staging contract this facade always had)."""
+        from proteofav_spark.sources.variants import select_variants
+
+        ident = self.identifier(identifier)
+        return select_variants(self.spark(), ident, **kwargs)
 
 
 class _MSA(GenericSource):

@@ -101,10 +101,40 @@ class Downloader:
 
 # --- URL builders (public endpoints; parity cited in module docstring) ----
 
-def url_mmcif(identifier: str, bio_unit: bool = False) -> str:
+def url_mmcif(
+    identifier: str,
+    bio_unit: bool = False,
+    bio_unit_id: str = "1",
+    bio_unit_preferred: bool = False,
+) -> str:
+    """AsymUnit or BioUnit mmCIF URL (parity: download_structures,
+    proteofav/structures.py:995-1006 — BioUnit fetches
+    ``<id>-assembly-<k>.cif.gz``, where ``k`` is ``bio_unit_id`` or, when
+    ``bio_unit_preferred``, the PDBe summary API's preferred assembly)."""
     if bio_unit:
-        return f"{defaults.bio_fetch}{identifier}-assembly-1.cif.gz"
+        if bio_unit_preferred:
+            bio_unit_id = get_preferred_assembly_id(identifier)
+        return f"{defaults.bio_fetch}{identifier}-assembly-{bio_unit_id}.cif.gz"
     return f"{defaults.pdbe_fetch}{identifier}.cif"
+
+
+def get_preferred_assembly_id(identifier: str) -> str:
+    """Preferred biological-assembly id from the PDBe entry-summary API
+    (parity: proteofav/structures.py:660-687 get_preferred_assembly_id —
+    when >1 assembly, the one flagged ``preferred``; exactly one, its id;
+    ANY failure (network, shape, no preferred flag) falls back to "1")."""
+    import json
+
+    try:
+        data = json.loads(fetch_from_url_or_retry(url_pdbe_summary(identifier)))
+        assemblies = data[identifier][0]["assemblies"]
+        if len(assemblies) > 1:
+            pref = next(e["assembly_id"] for e in assemblies if e["preferred"])
+        else:
+            pref = assemblies[0]["assembly_id"]
+        return str(pref)
+    except Exception:
+        return "1"
 
 
 def url_pdb(identifier: str) -> str:

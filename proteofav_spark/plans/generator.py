@@ -131,22 +131,49 @@ def check_sequence_consistency(
 
 
 def variants_for_accessions(
-    spark: SparkSession, accessions: list[str], overwrite: bool = False
+    spark: SparkSession, accessions: list[str], overwrite: bool = False,
+    ensembl: bool = False, uniprot: bool = True, synonymous: bool = True,
+    fetch=None,
 ) -> DataFrame | None:
     """Stage + flatten UniProt variants for EVERY accession and union them
     (parity: the per-accession loop of legacy merge_tables,
     proteofav/mergers.py:349-382). The loop is driver-side staging over a
     tiny accession list (one REST payload per protein); the resulting
     frame is one relational table, so the downstream join needs no
-    per-accession handling."""
+    per-accession handling.
+
+    ``ensembl=True`` runs the composed select_variants path per
+    accession — UniProt flatten + Ensembl germline+somatic flatten/union
+    — and outer-merges the two sides via uniprot_vars_ensembl_vars_merger
+    exactly as the reference loop does (proteofav/mergers.py:349-372;
+    DIVERGENCES A9: the reference forgets ``id_source`` there and its
+    own path crashes — we pass 'uniprot', the loop's accession kind)."""
     from proteofav_spark import facade
-    from proteofav_spark.sources.variants import flatten_uniprot_variants
+    from proteofav_spark.sources.variants import (
+        flatten_uniprot_variants,
+        select_variants,
+        uniprot_vars_ensembl_vars_merger,
+    )
 
     out: DataFrame | None = None
     for acc in accessions:
-        path = facade.Variants.download(acc, overwrite=overwrite)
-        raw = spark.read.option("multiLine", True).json(path)
-        flat = flatten_uniprot_variants(raw)
+        if ensembl:
+            uni, ens = select_variants(
+                spark, acc, id_source="uniprot", synonymous=synonymous,
+                uniprot_vars=uniprot, fetch=fetch, overwrite=overwrite,
+            )
+            if uni is not None and ens is not None:
+                flat = uniprot_vars_ensembl_vars_merger(uni, ens)
+            elif uni is not None:
+                flat = uni
+            elif ens is not None:
+                flat = ens
+            else:
+                continue
+        else:
+            path = facade.Variants.download(acc, overwrite=overwrite)
+            raw = spark.read.option("multiLine", True).json(path)
+            flat = flatten_uniprot_variants(raw)
         out = flat if out is None else out.unionByName(
             flat, allowMissingColumns=True
         )
@@ -197,6 +224,7 @@ def merge_tables(
     validation: bool = False,
     annotation: bool = False,
     variants: bool = False,
+    ensembl_variants: bool = False,
     residue_agg: bool = False,
     overwrite: bool = False,
     fetch=None,
@@ -238,15 +266,21 @@ def merge_tables(
         residue_agg=residue_agg,
     )
     mmcif_t, dssp_t, sifts_t, validation_t, annotation_t, variants_t = tables
-    if variants or annotation:
+    if variants or ensembl_variants or annotation:
         # per-accession staging loop: EVERY UniProt accession the SIFTS
         # mapping names contributes its variants/annotation (parity:
         # proteofav/mergers.py:349-382), falling back to the requested id
         accs = sifts_accessions(sifts_t) if sifts_t is not None else []
         if not accs and uniprot_id:
             accs = [uniprot_id]
-        if variants and accs:
-            variants_t = variants_for_accessions(spark, accs, overwrite=overwrite)
+        if (variants or ensembl_variants) and accs:
+            # ensembl_variants routes through the composed select_variants
+            # per accession (reference add_ensembl_variants,
+            # mergers.py:349-372); UniProt-only keeps the facade staging
+            variants_t = variants_for_accessions(
+                spark, accs, overwrite=overwrite,
+                ensembl=ensembl_variants, uniprot=variants, fetch=fetch,
+            )
         if annotation and accs:
             annotation_t = annotations_for_accessions(
                 spark, accs, overwrite=overwrite

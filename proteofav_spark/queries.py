@@ -286,68 +286,68 @@ RETIRED: dict[str, str] = {
 }
 
 _PRIORITY: list[str] = [
-    # ------- round-12 rotation (VERDICT r11 item #2) -------
-    # Slots 1-37: the 37 queries whose newest driver row is r9 — two
-    # rounds stale at r12, the oldest signatures in the catalog; all
+    # ------- round-13 rotation (VERDICT r12 item #2) -------
+    # Slots 1-37: the 37 queries whose newest driver row is r10 — two
+    # rounds stale at r13, the oldest signatures in the catalog; all
     # MUST re-attest this round (the freshness tripwire enumerated
-    # exactly this set against CORRECTNESS_r11).
-    "agg_cube_all_margins",
-    "agg_monthly_revenue",
-    "agg_pivot_status",
-    "agg_pricing_summary",
-    "agg_rollup_hierarchy",
-    "agg_stats_moments",
-    "array_hof_kit",
-    "array_zip_mismatch",
-    "binary_payload_ops",
-    "customer_ltv_cohort",
-    "dedup_crosssource_overlap",
-    "dedup_substring_span",
-    "distinct_scan",
-    "docs_length_histogram",
-    "embedding_dim_stats",
-    "embedding_quantize_int8",
-    "events_tumbling_window",
-    "join_null_safe",
-    "nation_trade_volume",
-    "orders_shipping_priority",
-    "probe_half_up_wide_units",
-    "probe_signed_money_round",
-    "probe_wide_money_sum",
-    "sample_stratified_hash",
-    "sample_weighted_hash",
-    "set_intersect_except",
-    "shard_concat_digest",
-    "source_mixture_rebalance",
-    "split_train_val_test",
-    "text_pii_scrub",
-    "text_quality_score",
-    "text_repetition_metrics",
-    "text_token_stats",
-    "text_unigram_logprob",
-    "topk_per_group",
-    "vocab_top_ngrams",
-    "window_moving_avg",
-    # Slots 38-50: the riskiest 13 of the 50 r10-signed queries
-    # (similarity / index-building / iterative / multi-shuffle shapes
-    # first — the paths whose plans change most between rounds; the
-    # embedding-cosine depth-ladder rework this round touches the LSH
-    # banding machinery the ANN family shares). The remaining 37
-    # r10-singles become the mandatory head of the r13 window,
+    # exactly this set against CORRECTNESS_r12).
+    "agg_collapse_by_key",
+    "agg_duplicate_check",
+    "agg_exact_median_groups",
+    "agg_preferred_argmax",
+    "agg_quantiles_value",
+    "agg_residue_rollup",
+    "agg_salted_two_stage",
+    "agg_single_value_probe",
+    "cdc_upsert_apply",
+    "customer_order_distribution",
+    "customers_above_avg_no_orders",
+    "disjunctive_predicate_revenue",
+    "docs_token_chunking",
+    "embedding_label_centroids",
+    "events_merge_asof_tolerance",
+    "events_session_transitions",
+    "events_twap",
+    "filter_first_value",
+    "filter_isin",
+    "join_star_revenue",
+    "orders_exists_semi",
+    "pack_token_shards",
+    "parts_supplier_breadth",
+    "project_exclude_columns",
+    "promo_revenue_share",
+    "scalar_map_lookup",
+    "scalar_string_kit",
+    "sessionize_events_gap",
+    "skew_heavy_hitters",
+    "text_char_entropy",
+    "text_fingerprint",
+    "text_lang_id",
+    "type_constrain_try_cast",
+    "window_carry_forward",
+    "window_dedup_adjacent",
+    "window_reset_id",
+    "window_segment_counter",
+    # Slots 38-50: 13 of the 50 r11-signed queries — the similarity /
+    # clustering / iterative shapes whose plans carry the most risk,
+    # plus knn_quantized_rescore and spatial_contacts_grid (both
+    # regressed >10% in BENCH_r12 on untouched code; VERDICT r12 item
+    # #7 asks for their adjudication loop to close). The remaining 37
+    # r11-singles become the mandatory head of the r14 window,
     # continuing the two-round alternation.
-    "ann_ivf_coarse",
-    "ann_ivf_store_probe",
-    "ann_lsh_bucketed",
-    "knn_cosine_topk",
-    "embedding_kmeans_assign",
-    "fuzzy_name_match_blocked",
-    "curation_pipeline",
-    "contamination_ngram_overlap",
-    "lake_zorder_roundtrip",
-    "join_lake_merge_tree",
-    "join_merge_tree",
-    "tree_rollup_recursive",
-    "events_range_join_bucketed",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_cc_clusters",
+    "dedup_semantic_clusters",
+    "dedup_exact_hash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_consensus",
+    "ann_pq_topk",
+    "knn_quantized_rescore",
+    "spatial_contacts_grid",
+    "graph_pagerank_fixed",
+    "graph_triangle_count",
 ]
 
 

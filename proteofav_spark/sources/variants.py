@@ -174,16 +174,37 @@ def flatten_ensembl_variants(
         df = merging_down_by_key(df, key="xrefs_id")
     if not synonymous and "consequenceType" in df.columns:
         # parity with the pandas `!=` (reference variants.py:695-698):
-        # NULL consequence rows are KEPT (pandas NaN != value is True),
-        # and a collapsed multi-consequence cell — array type after
-        # merging_down_by_key — is kept wholesale (the reference's tuple
-        # cells never equal the string either); only scalar rows equal
-        # to 'synonymous_variant' drop (review r8: the old row_selector
-        # raised DATATYPE_MISMATCH on array cells and dropped NULLs)
-        if not dict(df.dtypes)["consequenceType"].startswith("array"):
+        # NULL consequence rows are KEPT (pandas NaN != value is True)
+        # and a multi-consequence tuple cell never equals the string, so
+        # it is kept; only cells that the reference holds as the SCALAR
+        # 'synonymous_variant' drop. Under the A4 typed-array collapse a
+        # reference scalar is a SINGLETON array whenever the column stays
+        # array-typed (any group collapsed multi-valued), so the scalar
+        # drop becomes size==1 AND [0]=='synonymous_variant' — size-0,
+        # NULL, and multi-element cells all survive (r13 fix: the r8
+        # guard skipped the filter wholesale on array-typed columns).
+        if dict(df.dtypes)["consequenceType"].startswith("array"):
+            df = df.filter(
+                F.col("consequenceType").isNull()
+                | ~(
+                    (F.size("consequenceType") == 1)
+                    & (
+                        F.try_element_at(F.col("consequenceType"), F.lit(1))
+                        == "synonymous_variant"
+                    )
+                )
+            )
+        else:
             df = df.filter(
                 (F.col("consequenceType") != "synonymous_variant")
                 | F.col("consequenceType").isNull()
+            )
+        # reference row_selector contract (utils.py:129-131): an emptied
+        # table raises — same C16 rule the UniProt flattener applies
+        if df.isEmpty():
+            raise EmptyTableError(
+                "Column consequenceType does not contain "
+                "non-'synonymous_variant' value(s)..."
             )
     return df
 
@@ -222,10 +243,16 @@ def uniprot_vars_ensembl_vars_merger(
     for k in VARS_MERGE_KEYS:
         clause = u[k].eqNullSafe(e[k])
         cond = clause if cond is None else (cond & clause)
+    # pandas suffixes shared non-key columns _x/_y (merge default); without
+    # it the select emits DUPLICATE output names and the downstream
+    # collapse fails on ambiguous references (ADVICE r12 low #4)
+    u_payload = [c for c in u.columns if c not in VARS_MERGE_KEYS]
+    e_payload = [c for c in e.columns if c not in VARS_MERGE_KEYS]
+    shared = set(u_payload) & set(e_payload)
     merged = u.join(e, on=cond, how="outer").select(
         *[F.coalesce(u[k], e[k]).alias(k) for k in VARS_MERGE_KEYS],
-        *[u[c] for c in u.columns if c not in VARS_MERGE_KEYS],
-        *[e[c] for c in e.columns if c not in VARS_MERGE_KEYS],
+        *[u[c].alias(f"{c}_x" if c in shared else c) for c in u_payload],
+        *[e[c].alias(f"{c}_y" if c in shared else c) for c in e_payload],
     )
     return merging_down_by_key(merged, key="xrefs_id")
 
@@ -252,3 +279,262 @@ def uniprot_info_table(
     if uniprot_id is not None and "Entry" in df.columns:
         df = df.filter(F.col("Entry") == uniprot_id)
     return df
+
+
+# --------------------------------------------------------------------------
+# ID-mapping getters + the composed variant orchestration
+# (parity: proteofav/variants.py:226-355,520-620 — driver-side REST
+# plumbing over tiny payloads; the RESULT tables are Spark DataFrames)
+# --------------------------------------------------------------------------
+
+def get_ensembl_species_from_uniprot(tab_text: str | bytes) -> str:
+    """Species name from a UniProt organism lookup (tab format) —
+    ``genus_species`` lowercased (parity: proteofav/variants.py:226-236)."""
+    text = tab_text.decode() if isinstance(tab_text, bytes) else tab_text
+    organism = text.split("\n")[1]
+    return "_".join(organism.split()[0:2]).lower()
+
+
+def get_ensembl_protein_id_from_mapping(data) -> list[str]:
+    """Ensembl translation ids from an ``xrefs/symbol/`` mapping payload
+    (parity: proteofav/variants.py:238-252 — dedup, first-seen order)."""
+    ensps: list[str] = []
+    for entry in data:
+        if entry.get("type") == "translation" and "id" in entry:
+            if entry["id"] not in ensps:
+                ensps.append(entry["id"])
+    return ensps
+
+
+def get_uniprot_id_from_mapping(data, full_entry: bool = False,
+                                uniprot_id: str | None = None):
+    """UniProt ids (or full entries) from an ``xrefs/id/`` mapping payload
+    (parity: proteofav/variants.py:255-287 — a requested ``uniprot_id``
+    short-circuits to ITS entry; otherwise SWISSPROT+SPTREMBL rows,
+    deduped, first-seen order)."""
+    uniprots: list = []
+    for entry in data:
+        if "dbname" not in entry or "primary_id" not in entry:
+            continue
+        if uniprot_id is not None and entry["primary_id"] == uniprot_id:
+            return [entry] if full_entry else [entry["primary_id"]]
+        if entry["dbname"] in ("Uniprot/SWISSPROT", "Uniprot/SPTREMBL"):
+            item = entry if full_entry else entry["primary_id"]
+            if (entry if full_entry else entry["primary_id"]) not in uniprots:
+                uniprots.append(item)
+    return uniprots
+
+
+def get_preferred_uniprot_id_from_mapping(data) -> str | None:
+    """Preferred UniProt id from full xrefs/id entries: maximal
+    identity+coverage with ``>=`` keeping the LAST tie and the
+    shortest-id guard nested INSIDE the score branch (parity:
+    proteofav/variants.py:290-319 — the reference's exact loop quirks,
+    driver-side over a handful of entries)."""
+    best_match = None
+    curr_ix = -1
+    prev_identity = 0
+    prev_coverage = 0
+    prev_id = "-" * 100
+    for ix, entry in enumerate(data):
+        if not all(
+            k in entry
+            for k in ("ensembl_identity", "xref_identity", "xref_start", "xref_end")
+        ):
+            continue
+        identity = entry["ensembl_identity"] + entry["xref_identity"]
+        coverage = entry["xref_end"] - entry["xref_start"]
+        if identity + coverage >= prev_identity + prev_coverage:
+            prev_identity = identity
+            prev_coverage = coverage
+            if len(entry["primary_id"]) < len(prev_id):
+                prev_id = entry["primary_id"]
+                curr_ix = ix
+    if curr_ix != -1 and "primary_id" in data[curr_ix]:
+        best_match = data[curr_ix]["primary_id"]
+    return best_match
+
+
+def get_preferred_ensembl_id_from_mapping(
+    identifiers, uniprot_id: str | None = None, fetch=None
+) -> str | None:
+    """Preferred Ensembl id: per candidate ENSP, fetch its xrefs/id
+    mapping and score identity+coverage with ``>`` keeping the FIRST tie
+    (parity: proteofav/variants.py:322-355)."""
+    import json as _json
+
+    from proteofav_spark import fetchers
+
+    if fetch is None:
+        fetch = fetchers.fetch_from_url_or_retry
+    best_match = None
+    curr_ix = -1
+    prev_identity = 0
+    prev_coverage = 0
+    for ix, ensp in enumerate(identifiers):
+        info = _json.loads(fetch(fetchers.url_ensembl_uniprot_xref(ensp)))
+        data = get_uniprot_id_from_mapping(
+            info, full_entry=True, uniprot_id=uniprot_id
+        )
+        for entry in data:
+            if not all(
+                k in entry
+                for k in ("ensembl_identity", "xref_identity",
+                          "xref_start", "xref_end")
+            ):
+                continue
+            identity = entry["ensembl_identity"] + entry["xref_identity"]
+            coverage = entry["xref_end"] - entry["xref_start"]
+            if identity + coverage > prev_identity + prev_coverage:
+                prev_identity = identity
+                prev_coverage = coverage
+                curr_ix = ix
+    if curr_ix != -1:
+        best_match = identifiers[curr_ix]
+    return best_match
+
+
+def _stage_payload(url: str, path: str, fetch, overwrite: bool) -> str:
+    """Driver-side staging of a REST payload to the cache, atomically
+    (same os.replace rule as fetchers.Downloader — review r9)."""
+    import os
+    import tempfile
+
+    if os.path.exists(path) and not overwrite:
+        return path
+    data = fetch(url)
+    if isinstance(data, str):
+        data = data.encode()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(path), prefix=os.path.basename(path) + ".part"
+    )
+    with os.fdopen(fd, "wb") as fh:
+        fh.write(data)
+    os.replace(tmp, path)
+    return path
+
+
+def fetch_variants(
+    spark,
+    identifier: str,
+    id_source: str | None = None,
+    synonymous: bool = True,
+    uniprot_vars: bool = True,
+    ensembl_germline_vars: bool = False,
+    ensembl_somatic_vars: bool = False,
+    fetch=None,
+    overwrite: bool = False,
+):
+    """Fetch + flatten variants from the UniProt Proteins API and the
+    Ensembl REST API → ``(uni, germline, somatic)`` Spark DataFrames
+    (None for absent/failed sources). Parity:
+    proteofav/variants.py:550-620 — including the cross-resolution of the
+    paired id (uniprot→preferred ENSP via species+symbol xrefs;
+    ensembl→preferred UniProt via id xrefs) and the ``return None`` on an
+    invalid-species mapping (normalized to a 3-tuple here so callers can
+    always unpack — the reference's bare ``return None`` makes its own
+    select_variants crash on unpacking)."""
+    import json as _json
+    import os
+
+    from proteofav_spark import fetchers
+    from proteofav_spark.config import defaults
+
+    if fetch is None:
+        fetch = fetchers.fetch_from_url_or_retry
+    supported = ("uniprot", "ensembl")
+    if id_source not in supported:
+        raise ValueError(
+            "The ID source needs to be provided.\n Pass one of '{}'".format(
+                "', '".join(supported)
+            )
+        )
+    if id_source == "uniprot":
+        uniprot_id = identifier
+        species_tab = fetch(fetchers.url_uniprot_species(identifier))
+        species = get_ensembl_species_from_uniprot(species_tab)
+        try:
+            info = _json.loads(
+                fetch(fetchers.url_uniprot_ensembl_xref(identifier, species=species))
+            )
+        except ValueError:
+            return None, None, None
+        ensps = get_ensembl_protein_id_from_mapping(info)
+        ensembl_id = get_preferred_ensembl_id_from_mapping(
+            ensps, uniprot_id=identifier, fetch=fetch
+        )
+    else:
+        ensembl_id = identifier
+        info = _json.loads(fetch(fetchers.url_ensembl_uniprot_xref(identifier)))
+        data = get_uniprot_id_from_mapping(info, full_entry=True)
+        uniprot_id = get_preferred_uniprot_id_from_mapping(data)
+
+    uni = germ = som = None
+    cache = defaults.db_lake
+    if uniprot_id is not None and uniprot_vars:
+        try:
+            path = _stage_payload(
+                fetchers.url_uniprot_variants(uniprot_id),
+                os.path.join(cache, f"{uniprot_id}.json"),
+                fetch, overwrite,
+            )
+            uni = flatten_uniprot_variants(
+                spark.read.option("multiLine", True).json(path)
+            )
+        except (OSError, EmptyTableError):
+            uni = None
+    if ensembl_id is not None:
+        for somatic, wanted in ((False, ensembl_germline_vars),
+                                (True, ensembl_somatic_vars)):
+            if not wanted:
+                continue
+            tag = "somatic" if somatic else "germline"
+            try:
+                path = _stage_payload(
+                    fetchers.url_ensembl_variants(ensembl_id, somatic=somatic),
+                    os.path.join(cache, f"{ensembl_id}_ensembl_{tag}.json"),
+                    fetch, overwrite,
+                )
+                flat = flatten_ensembl_variants(
+                    spark.read.option("multiLine", True).json(path),
+                    synonymous=synonymous,
+                )
+            except (OSError, EmptyTableError):
+                flat = None
+            if somatic:
+                som = flat
+            else:
+                germ = flat
+    return uni, germ, som
+
+
+def select_variants(
+    spark,
+    identifier: str,
+    id_source: str | None = None,
+    synonymous: bool = True,
+    uniprot_vars: bool = True,
+    ensembl_germline_vars: bool = True,
+    ensembl_somatic_vars: bool = True,
+    fetch=None,
+    overwrite: bool = False,
+):
+    """Aggregate variants: fetch+flatten all three sources, then union the
+    two Ensembl sides → ``(uniprot_table, ensembl_table)`` (None where
+    absent). Parity: proteofav/variants.py:520-547 — pd.concat becomes
+    ``unionByName(allowMissingColumns=True)``."""
+    uni, germ, som = fetch_variants(
+        spark, identifier, id_source=id_source, synonymous=synonymous,
+        uniprot_vars=uniprot_vars,
+        ensembl_germline_vars=ensembl_germline_vars,
+        ensembl_somatic_vars=ensembl_somatic_vars,
+        fetch=fetch, overwrite=overwrite,
+    )
+    if germ is not None and som is not None:
+        ens = germ.unionByName(som, allowMissingColumns=True)
+    elif germ is not None:
+        ens = germ
+    else:
+        ens = som
+    return uni, ens

