@@ -137,7 +137,9 @@ _OFFSET_NAMES = {"event_id", "user_id", "doc_id", "vec_id"}
 _FIXED_TABLES = {"region", "nation"}
 
 
-def synthesize_scaled_dir(spark, src_dir: str, out_dir: str, copies: int = 3):
+def synthesize_scaled_dir(
+    spark, src_dir: str, out_dir: str, copies: int = 3, tables=None
+):
     """Materialize a ~copies× scale-up of ``src_dir`` by unioning offset
     copies: entity keys shift by i·OFFSET per copy so key cardinality
     scales with the data (verbatim duplication would triple rows per
@@ -157,10 +159,11 @@ def synthesize_scaled_dir(spark, src_dir: str, out_dir: str, copies: int = 3):
     smooth/low-rank synthetic vectors mutually similar."""
     from pyspark.sql import functions as F
 
-    tables = (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split()
+    if tables is None:
+        tables = (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split()
     os.makedirs(out_dir, exist_ok=True)
     for t in tables:
         df = spark.read.parquet(f"{src_dir}/{t}.parquet")
@@ -213,7 +216,9 @@ def _src_fingerprint(src_dir: str) -> list[list]:
     return out
 
 
-def _ensure_scaled_dirs(spark, with_x20: bool = False) -> tuple[str, str, str | None]:
+def _ensure_scaled_dirs(
+    spark, with_x20: bool = False, with_x40: bool = False
+) -> tuple[str, str, str | None, str | None]:
     """Materialize the synthesized 3x and 10x scale dirs ONCE on disk
     (<repo>/.scale/{x3,x10}, gitignored) and reuse them across rounds —
     VERDICT r7 item #8: the in-process synthesizer ran fresh every
@@ -242,28 +247,44 @@ def _ensure_scaled_dirs(spark, with_x20: bool = False) -> tuple[str, str, str | 
         "fingerprint": _src_fingerprint(SF_DIR),
     }
 
-    def _current(d: str, copies: int) -> bool:
+    def _marker_for(copies: int, tables=None) -> dict:
+        m = {**want, "copies": copies}
+        if tables is not None:
+            m["tables"] = list(tables)
+        return m
+
+    def _current(d: str, copies: int, tables=None) -> bool:
         try:
             with open(os.path.join(d, "_meta.json")) as fh:
-                return json.load(fh) == {**want, "copies": copies}
+                return json.load(fh) == _marker_for(copies, tables)
         except (OSError, json.JSONDecodeError):
             return False
 
     x20_path = os.path.join(root, "x20")
-    dirs = {"x3": 3, "x10": 10}
+    # x40 (VERDICT r12 #5): 4× the deepest sweep scale, EMBEDDINGS ONLY —
+    # the tau probe is its sole consumer and the depth-ladder census puts
+    # the depth-15 crossover near ~4×; a committed point must show the
+    # occupancy probe actually choosing a deep rung on driver-run data
+    _X40_TABLES = ("embeddings",)
+    x40_path = os.path.join(root, "x40")
+    dirs: dict[str, tuple[int, tuple | None]] = {
+        "x3": (3, None), "x10": (10, None)
+    }
     if with_x20:
-        dirs["x20"] = 20
-    for name, copies in dirs.items():
+        dirs["x20"] = (20, None)
+    if with_x40:
+        dirs["x40"] = (40, _X40_TABLES)
+    for name, (copies, tables) in dirs.items():
         d = os.path.join(root, name)
         marker = os.path.join(d, "_meta.json")
-        if _current(d, copies):
+        if _current(d, copies, tables):
             continue
         t0 = time.perf_counter()
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
-        synthesize_scaled_dir(spark, SF_DIR, d, copies=copies)
+        synthesize_scaled_dir(spark, SF_DIR, d, copies=copies, tables=tables)
         with open(marker, "w") as fh:
-            json.dump({**want, "copies": copies}, fh)
+            json.dump(_marker_for(copies, tables), fh)
         print(
             f"# scaling: materialized {name} dir in "
             f"{time.perf_counter() - t0:.1f}s ({d})",
@@ -273,6 +294,7 @@ def _ensure_scaled_dirs(spark, with_x20: bool = False) -> tuple[str, str, str | 
         os.path.join(root, "x3"),
         os.path.join(root, "x10"),
         x20_path if (with_x20 or _current(x20_path, 20)) else None,
+        x40_path if (with_x40 or _current(x40_path, 40, _X40_TABLES)) else None,
     )
 
 
@@ -419,7 +441,8 @@ _TAU_PRODUCTION = 0.9
 
 
 def _tau_falsification(
-    spark, x3_dir: str, x10_dir: str, x20_dir: str | None = None
+    spark, x3_dir: str, x10_dir: str, x20_dir: str | None = None,
+    x40_dir: str | None = None,
 ) -> dict:
     """Measure dedup_embedding_cosine's candidate machinery at the
     PRODUCTION threshold τ=0.9 across sf0.1 / 3x / 10x — the
@@ -471,6 +494,13 @@ def _tau_falsification(
         # opt-in extrapolation point 2× beyond the deepest sweep scale
         # (VERDICT r10 #6) — the per-segment verdict below covers it
         points.append(("sf2.0x", x20_dir, 2.0))
+    if x40_dir is not None:
+        # opt-in 4× point (VERDICT r12 #5): the depth-ladder census puts
+        # the depth-15 crossover near ~4× — this point exists to show
+        # the occupancy probe CHOOSING a rung past the old 14-bit cap on
+        # committed data, with the judged tail segment still under the
+        # bar (the embeddings-only x40 dir feeds exactly this probe)
+        points.append(("sf4.0x", x40_dir, 4.0))
     pts, pair_counts, depths = {}, {}, {}
     tail_runs: dict[str, list[float]] = {}
     # the last two points form the JUDGED tail segment: measure them as
@@ -676,8 +706,10 @@ def run_scaling(
             :_DEEP_SCALE_TOP_N
         ]
     ) | (_DEEP_SCALE_PINNED & set(HEADLINE))
-    x3_dir, x10_dir, x20_dir = _ensure_scaled_dirs(
-        spark, with_x20=bool(os.environ.get("SPARK_GRAFT_TAU_X20"))
+    x3_dir, x10_dir, x20_dir, x40_dir = _ensure_scaled_dirs(
+        spark,
+        with_x20=bool(os.environ.get("SPARK_GRAFT_TAU_X20")),
+        with_x40=bool(os.environ.get("SPARK_GRAFT_TAU_X40")),
     )
 
     def timed(name: str, sf_dir: str, n_runs: int = 2):
@@ -854,7 +886,7 @@ def run_scaling(
     }
     try:
         payload["tau_falsification"] = _tau_falsification(
-            spark, x3_dir, x10_dir, x20_dir
+            spark, x3_dir, x10_dir, x20_dir, x40_dir
         )
     except Exception as exc:  # must degrade the sidecar, not the sweep
         print(f"# tau-falsification failed: {exc}", file=sys.stderr)

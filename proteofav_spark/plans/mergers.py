@@ -99,7 +99,15 @@ def mmcif_sifts_table_merger(
     codes (the condition that made the reference's pandas merge raise and
     fall into its except-branch: ins-coded mmCIF rows or non-integer
     SIFTS resnums) fall back to the composite seq-id+ins-code key. The
-    probe is two cheap filter-counts on the (broadcast-small) inputs."""
+    probe is two cheap filter-counts on the (broadcast-small) inputs.
+
+    Orientation follows the reference's two branches EXACTLY (found by
+    the r13 legacy sequence-check differential, 335 vs 329 rows on 2pah):
+    the try-branch puts SIFTS on the LEFT (`sifts_table.merge(table,
+    how='left')`, mergers.py:312-314 — unmatched SIFTS residues, e.g.
+    unresolved in the structure, SURVIVE), while the ins-code
+    except-branch puts mmCIF on the left (mergers.py:317-322). The
+    modern default key stays mmCIF-left."""
     seq, asym, orig = (
         f"{category}_seq_id_full", f"{category}_asym_id", f"orig_{category}_asym_id"
     )
@@ -130,7 +138,10 @@ def mmcif_sifts_table_merger(
             ).limit(1).count() > 0
         )
         if not (ins_coded_mmcif or ins_coded_sifts) and plain in mmcif_table.columns:
-            left_res_key = plain
+            return _left_join_on(
+                sifts_table, mmcif_table,
+                ["PDB_dbResNum", "PDB_dbChainId"], [plain, chain_key],
+            )
     return _left_join_on(
         mmcif_table, sifts_table,
         [left_res_key, chain_key], ["PDB_dbResNum", "PDB_dbChainId"],

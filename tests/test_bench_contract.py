@@ -97,13 +97,14 @@ def test_scaled_dirs_materialize_once_and_rebuild_on_drift(
     monkeypatch.setattr(
         bench,
         "synthesize_scaled_dir",
-        lambda spark, s, d, copies: calls.append((d, copies)),
+        lambda spark, s, d, copies, tables=None: calls.append((d, copies)),
     )
 
-    x3, x10, x20 = bench._ensure_scaled_dirs(spark=None)
+    x3, x10, x20, x40 = bench._ensure_scaled_dirs(spark=None)
     assert [c[1] for c in calls] == [3, 10]
     assert x3.endswith("x3") and x10.endswith("x10")
     assert x20 is None  # opt-in only (SPARK_GRAFT_TAU_X20)
+    assert x40 is None  # opt-in only (SPARK_GRAFT_TAU_X40)
 
     bench._ensure_scaled_dirs(spark=None)  # markers match: no rebuild
     assert len(calls) == 2
@@ -119,6 +120,11 @@ def test_scaled_dirs_materialize_once_and_rebuild_on_drift(
     assert len(calls) == 6
 
     # opt-in x20 (VERDICT r10 #6): builds ONLY the missing 20-copy dir
-    _, _, x20 = bench._ensure_scaled_dirs(spark=None, with_x20=True)
+    _, _, x20, _ = bench._ensure_scaled_dirs(spark=None, with_x20=True)
     assert x20 is not None and x20.endswith("x20")
     assert [c[1] for c in calls[6:]] == [20]
+
+    # opt-in x40 (VERDICT r12 #5): embeddings-only deep-tau dir
+    _, _, _, x40 = bench._ensure_scaled_dirs(spark=None, with_x40=True)
+    assert x40 is not None and x40.endswith("x40")
+    assert [c[1] for c in calls[7:]] == [40]

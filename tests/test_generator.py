@@ -98,8 +98,11 @@ def test_merge_tables_from_bare_uniprot_id(spark, refdata, tmp_path, monkeypatch
     """Legacy merge_tables auto-resolution end to end under mocks: a bare
     UniProt accession resolves to its top best-structure (canned PDBe
     JSON), sources stage through the facade downloaders (file:// mmCIF +
-    SIFTS, pre-staged DSSP), and the fixed merge tree runs — 2w4o chain A
-    CA == 278 rows, the reference-pinned count."""
+    SIFTS, pre-staged DSSP), and the fixed merge tree runs. r13: the
+    legacy plain-key branch is SIFTS-left like the reference's
+    (mergers.py:312-314), so every chain-A SIFTS residue survives —
+    including those without a resolved CA atom — and exactly 278 of them
+    (the reference-pinned CA count) carry atom columns."""
     import json
 
     from proteofav_spark.config import defaults
@@ -137,8 +140,11 @@ def test_merge_tables_from_bare_uniprot_id(spark, refdata, tmp_path, monkeypatch
         atoms=("CA",), lines=("ATOM",), dssp=True, sifts=True,
         fetch=fake_fetch,
     )
-    assert merged.count() == 278
-    assert merged.filter(F.col("label_asym_id") != "A").count() == 0
+    assert merged.filter(F.col("auth_seq_id").isNotNull()).count() == 278
+    assert merged.count() == 349  # all chain-A SIFTS residues (sifts-left)
+    assert merged.filter(
+        F.col("label_asym_id").isNotNull() & (F.col("label_asym_id") != "A")
+    ).count() == 0
 
 
 def test_merge_tables_per_accession_variants(spark, refdata, tmp_path, monkeypatch):

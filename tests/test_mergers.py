@@ -144,8 +144,14 @@ def test_merge_3mn5_insertion_code_fallback(spark, refdata):
 
 def test_merge_2pah_legacy_plain_key(spark, refdata):
     """2pah has no insertion codes anywhere, so the legacy option keeps
-    the reference's primary plain-resnum key — and still produces the
-    same merge as the composite key."""
+    the reference's primary plain-resnum key — and (r13) the reference's
+    try-branch ORIENTATION: SIFTS drives the left join
+    (proteofav/mergers.py:312-314, `sifts_table.merge(table,
+    how='left')`), so every SIFTS residue survives — including residues
+    with no matching CA atom — while the modern tree stays mmCIF-left.
+    Pinned live by tests/test_reference_differential.py::
+    test_legacy_merge_tables_sequence_check_differential (335 vs 329 on
+    chain A)."""
     from proteofav_spark.plans.mergers import mmcif_sifts_table_merger
 
     mmcif = select_structures(
@@ -155,10 +161,12 @@ def test_merge_2pah_legacy_plain_key(spark, refdata):
     sifts = select_sifts(spark, f"{refdata}/sifts/2pah.xml")
     modern = mmcif_sifts_table_merger(mmcif, sifts)
     legacy = mmcif_sifts_table_merger(mmcif, sifts, legacy_resnum_key=True)
-    assert legacy.count() == modern.count()
-    matched = legacy.filter(F.col("PDB_dbResNum").isNotNull()).count()
-    assert matched == modern.filter(F.col("PDB_dbResNum").isNotNull()).count()
-    assert matched > 0
+    assert legacy.count() == sifts.count()  # sifts-left keeps all residues
+    assert modern.count() == mmcif.count()  # mmcif-left keeps all atoms
+    # the MATCHED pairs are identical between the two orientations
+    matched_legacy = legacy.filter(F.col("auth_seq_id").isNotNull()).count()
+    matched_modern = modern.filter(F.col("PDB_dbResNum").isNotNull()).count()
+    assert matched_legacy == matched_modern > 0
 
 
 def test_lake_table_merger_scopes_by_entry(spark, refdata):

@@ -3318,3 +3318,262 @@ def test_variants_for_accessions_composed_merge(spark, tmp_path, monkeypatch):
     # a uniprot-side column and an ensembl-side column both survive
     assert "wildType" in cols or "alternativeSequence" in cols
     assert any(c.startswith("translation") or c == "allele" for c in cols)
+
+
+# --- table_merger source-presence lattice differential (VERDICT r12 #8) --
+
+def test_table_merger_presence_lattice_differential(spark):
+    """The conditional merge tree (proteofav/mergers.py:403-446) over the
+    ENTIRE 2^6 source-presence lattice, reference executed live per mask:
+    which pairwise mergers fire, which sources are silently ignored
+    (annotation/variants without SIFTS, dssp/validation without mmCIF),
+    the <2-tables refusal (the reference raises accidentally — pandas
+    truthiness ValueError from ``mmcif_table or sifts_table`` — ours a
+    deliberate TableMergerError), and the all-absent → None return. Per
+    mask the row count and each source's join-hit count (non-null marker
+    column) must agree; the full-cell equality of every pairwise merger
+    and of the flagship 3-table path is pinned by the dedicated
+    differentials above."""
+    import itertools
+    import json as _json
+
+    RS, RD, RA = _ref()
+    RVA, RMG = _ref_more()
+    _, RV, _ = _ref_msas_vars()
+    sys.path.insert(0, "/root/reference")
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import proteofav.sifts as RSI
+    finally:
+        sys.path.remove("/root/reference")
+
+    from proteofav_spark.operators.structures import filter_structures
+    from proteofav_spark.plans.mergers import table_merger
+    from proteofav_spark.sources.annotation import (
+        filter_annotation,
+        parse_gff_features,
+    )
+    from proteofav_spark.sources.dssp import filter_dssp, parse_dssp_residues
+    from proteofav_spark.sources.sifts import filter_sifts, parse_sifts_residues
+    from proteofav_spark.sources.structures import parse_mmcif_atoms
+    from proteofav_spark.sources.validation import (
+        filter_validation,
+        parse_validation_residues,
+    )
+    from proteofav_spark.sources.variants import flatten_uniprot_variants
+
+    # --- build all six 2pah tables once, both sides -----------------------
+    m_ref = RS.filter_structures(
+        RS.parse_mmcif_atoms(f"{TD}/mmcif/2pah.cif", excluded_cols=()),
+        chains=("A",), atoms=("CA",),
+    )
+    d_ref = RD.filter_dssp(
+        RD.parse_dssp_residues(f"{TD}/dssp/2pah.dssp"), chains=("A",)
+    )
+    s_ref = RSI.filter_sifts(
+        RSI.parse_sifts_residues(f"{TD}/sifts/2pah.xml", excluded_cols=()),
+        chains=("A",),
+    )
+    v_raw = RVA.parse_validation_residues(f"{TD}/validation/2pah_validation.xml")
+    v_raw["validation_icode"] = v_raw["validation_icode"].replace({"": "?", " ": "?"})
+    v_raw["validation_altcode"] = v_raw["validation_altcode"].replace({"": ".", " ": "."})
+    v_ref = RVA.filter_validation(v_raw, chains=("A",))
+    a_ref = RA.filter_annotation(
+        RA.parse_gff_features(f"{TD}/annotation/P00439.gff"),
+        identifier="P00439", annotation_agg=True,
+    )
+    payload = _json.loads(_EBI_VARS_P17612)
+    payload["accession"] = "P00439"
+    for feat, begin in zip(payload["features"], ("118", "120")):
+        feat["begin"] = begin
+        feat["end"] = begin
+    var_ref = RV.flatten_uniprot_variants_ebi(_json.loads(_json.dumps(payload)))
+
+    m = filter_structures(
+        parse_mmcif_atoms(spark, f"{TD}/mmcif/2pah.cif"),
+        chains=("A",), atoms=("CA",),
+    )
+    d = filter_dssp(parse_dssp_residues(spark, f"{TD}/dssp/2pah.dssp"), chains=("A",))
+    s = filter_sifts(parse_sifts_residues(spark, f"{TD}/sifts/2pah.xml"), chains=("A",))
+    v = filter_validation(
+        parse_validation_residues(spark, f"{TD}/validation/2pah_validation.xml"),
+        chains=("A",),
+    )
+    a = filter_annotation(
+        parse_gff_features(spark, f"{TD}/annotation/P00439.gff"),
+        identifier="P00439", annotation_agg=True,
+    )
+    var = _spark_json(spark, __import__("pathlib").Path(
+        __import__("tempfile").mkdtemp()), _json.dumps(payload), "vars.json")
+    var = flatten_uniprot_variants(var)
+    # cache the Spark inputs: 64 masks re-plan from these six frames
+    m, d, s, v, a, var = (t.localCheckpoint(eager=True) for t in (m, d, s, v, a, var))
+
+    # marker column per source: its non-null count in the merged frame
+    # counts that source's surviving join hits
+    markers = {
+        "dssp": "SS", "validation": "validation_rsrz",
+        "annotation": "annotation", "variants": "xrefs_id",
+    }
+    mismatches = []
+    for mask in itertools.product((False, True), repeat=6):
+        has_m, has_d, has_s, has_v, has_a, has_var = mask
+        kw_ref = dict(
+            mmcif_table=m_ref if has_m else None,
+            dssp_table=d_ref if has_d else None,
+            sifts_table=s_ref if has_s else None,
+            validation_table=v_ref if has_v else None,
+            annotation_table=a_ref if has_a else None,
+            variants_table=var_ref if has_var else None,
+        )
+        kw_ours = dict(
+            mmcif_table=m if has_m else None,
+            dssp_table=d if has_d else None,
+            sifts_table=s if has_s else None,
+            validation_table=v if has_v else None,
+            annotation_table=a if has_a else None,
+            variants_table=var if has_var else None,
+        )
+        ref_err = ref_out = None
+        try:
+            ref_out = RMG.table_merger(**kw_ref)
+        except Exception as exc:  # noqa: BLE001 — the lattice includes raises
+            ref_err = exc
+        our_err = our_out = None
+        try:
+            our_out = table_merger(**kw_ours)
+        except Exception as exc:  # noqa: BLE001
+            our_err = exc
+        tag = "".join("mdsvaV"[i] for i in range(6) if mask[i]) or "-"
+        if (ref_err is None) != (our_err is None):
+            mismatches.append((tag, f"raise mismatch: ref={ref_err!r} ours={our_err!r}"))
+            continue
+        if ref_err is not None:
+            continue  # both refused this mask
+        if (ref_out is None) != (our_out is None):
+            mismatches.append((tag, f"None mismatch: ref={type(ref_out)} ours={type(our_out)}"))
+            continue
+        if ref_out is None:
+            continue  # both: no merge possible, silently None
+        ours_pd = our_out.toPandas()
+        if len(ref_out) != len(ours_pd):
+            mismatches.append((tag, f"rows ref={len(ref_out)} ours={len(ours_pd)}"))
+            continue
+        for src, col in markers.items():
+            in_ref = col in ref_out.columns
+            in_ours = col in ours_pd.columns
+            if in_ref != in_ours:
+                mismatches.append((tag, f"{src}: column {col} ref={in_ref} ours={in_ours}"))
+                continue
+            if in_ref and ref_out[col].notna().sum() != ours_pd[col].notna().sum():
+                mismatches.append(
+                    (tag, f"{src}: hits ref={ref_out[col].notna().sum()} "
+                          f"ours={ours_pd[col].notna().sum()}")
+                )
+    assert mismatches == [], mismatches[:5]
+
+
+def test_legacy_merge_tables_sequence_check_differential(spark, monkeypatch):
+    """The legacy merge_tables' inline sequence checks
+    (proteofav/mergers.py:286-339: lowercase-Cys fold, NULL/'X' masking,
+    raise-vs-warn) executed live with its select_* layer monkeypatched to
+    the 2pah fixture tables, against our table_merger +
+    check_sequence_consistency composition: clean input passes both, a
+    corrupted DSSP AA column raises on both in 'raise' mode, still
+    merges on both in 'warn' mode, and atoms=None skips the check on
+    both sides even when corrupted."""
+    RS, RD, _ = _ref()
+    _, RMG = _ref_more()
+    sys.path.insert(0, "/root/reference")
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import proteofav.sifts as RSI
+    finally:
+        sys.path.remove("/root/reference")
+
+    from proteofav_spark.operators.structures import filter_structures
+    from proteofav_spark.plans.generator import (
+        SequenceCheckError,
+        check_sequence_consistency,
+    )
+    from proteofav_spark.plans.mergers import table_merger
+    from proteofav_spark.sources.dssp import filter_dssp, parse_dssp_residues
+    from proteofav_spark.sources.sifts import filter_sifts, parse_sifts_residues
+    from proteofav_spark.sources.structures import parse_mmcif_atoms
+
+    m_ref = RS.filter_structures(
+        RS.parse_mmcif_atoms(f"{TD}/mmcif/2pah.cif", excluded_cols=()),
+        chains=("A",), atoms=("CA",),
+    )
+    d_ref = RD.filter_dssp(
+        RD.parse_dssp_residues(f"{TD}/dssp/2pah.dssp"), chains=("A",)
+    )
+    s_ref = RSI.filter_sifts(
+        RSI.parse_sifts_residues(f"{TD}/sifts/2pah.xml", excluded_cols=()),
+        chains=("A",),
+    )
+    d_bad_ref = d_ref.copy()
+    # corrupt every real residue letter to 'W' except actual Trp — a
+    # sequence the mmCIF side cannot match
+    d_bad_ref.loc[d_bad_ref["AA"].notna() & (d_bad_ref["AA"] != "W"), "AA"] = "W"
+
+    tables = {"m": m_ref, "d": d_ref, "s": s_ref}
+
+    def run_ref(sequence_check, corrupted, atoms="CA"):
+        monkeypatch.setattr(
+            RMG, "select_structures", lambda *a, **k: tables["m"].copy()
+        )
+        monkeypatch.setattr(
+            RMG, "select_dssp",
+            lambda *a, **k: (d_bad_ref if corrupted else d_ref).copy(),
+        )
+        monkeypatch.setattr(RMG, "select_sifts", lambda *a, **k: s_ref.copy())
+        return RMG.merge_tables(
+            pdb_id="2pah", chain="A", atoms=atoms,
+            sequence_check=sequence_check,
+        )
+
+    m = filter_structures(
+        parse_mmcif_atoms(spark, f"{TD}/mmcif/2pah.cif"),
+        chains=("A",), atoms=("CA",),
+    )
+    d = filter_dssp(parse_dssp_residues(spark, f"{TD}/dssp/2pah.dssp"), chains=("A",))
+    s = filter_sifts(parse_sifts_residues(spark, f"{TD}/sifts/2pah.xml"), chains=("A",))
+    d_bad = d.withColumn(
+        "AA",
+        F.when(F.col("AA").isNotNull() & (F.col("AA") != "W"), F.lit("W"))
+        .otherwise(F.col("AA")),
+    )
+
+    def run_ours(sequence_check, corrupted, atoms="CA"):
+        merged = table_merger(
+            m, d_bad if corrupted else d, s, legacy_resnum_key=True
+        )
+        if atoms is not None and sequence_check in ("raise", "warn"):
+            check_sequence_consistency(merged, "dssp", sequence_check)
+            check_sequence_consistency(merged, "sifts", sequence_check)
+        return merged
+
+    # clean + raise: both succeed, same cardinality
+    ref_clean = run_ref("raise", corrupted=False)
+    ours_clean = run_ours("raise", corrupted=False)
+    assert len(ref_clean) == ours_clean.count() > 300
+
+    # corrupted + raise: both refuse
+    with pytest.raises(ValueError, match="different sequences"):
+        run_ref("raise", corrupted=True)
+    with pytest.raises(SequenceCheckError, match="different sequences"):
+        run_ours("raise", corrupted=True)
+
+    # corrupted + warn: both merge anyway, same cardinality
+    ref_warn = run_ref("warn", corrupted=True)
+    ours_warn = run_ours("warn", corrupted=True)
+    assert len(ref_warn) == ours_warn.count() > 300
+
+    # corrupted + atoms=None: the check is skipped on both sides
+    # (reference: 'sequence check not support for multiple atoms')
+    ref_skip = run_ref("raise", corrupted=True, atoms=None)
+    ours_skip = run_ours("raise", corrupted=True, atoms=None)
+    assert len(ref_skip) == ours_skip.count() > 300
