@@ -119,7 +119,7 @@ def constrain_column_types(
     """
     out = df
     present = [(c, t) for c, t in dtypes.items() if c in out.columns]
-    if not present:
+    if not present and not nan_value_dict and not replace_value_dict:
         return out
 
     def _is_int(t: str) -> bool:
@@ -144,25 +144,33 @@ def constrain_column_types(
         failed = {c for c in row.asDict() if row[c] == 1}
 
     for col_name, t in present:
-        col_type = dict(out.dtypes)[col_name]
         if col_name not in failed:
             out = out.withColumn(col_name, F.col(col_name).try_cast(t))
-            col_type = t
-        if nan_value_dict and col_name in nan_value_dict:
-            fill = F.lit(nan_value_dict[col_name]).try_cast(col_type)
-            out = out.withColumn(
-                col_name,
-                F.when(F.col(col_name).isNull(), fill).otherwise(F.col(col_name)),
-            )
-        if replace_value_dict and col_name in replace_value_dict:
-            old, new = replace_value_dict[col_name]
-            out = out.withColumn(
-                col_name,
-                F.when(
-                    F.col(col_name) == F.lit(old),
-                    F.lit(new).try_cast(col_type),
-                ).otherwise(F.col(col_name)),
-            )
+    # fills/replacements walk EVERY table column, independent of dtypes
+    # membership — the reference's for-col loop (utils.py:184-199)
+    # applies fillna/replace to any column named in the dicts whether or
+    # not col_type_dict constrains it (ADVICE r12 low: the old loop only
+    # visited constrained columns and returned early without them)
+    if nan_value_dict or replace_value_dict:
+        col_types = dict(out.dtypes)
+        for col_name in out.columns:
+            col_type = col_types[col_name]
+            if nan_value_dict and col_name in nan_value_dict:
+                fill = F.lit(nan_value_dict[col_name]).try_cast(col_type)
+                out = out.withColumn(
+                    col_name,
+                    F.when(F.col(col_name).isNull(), fill)
+                    .otherwise(F.col(col_name)),
+                )
+            if replace_value_dict and col_name in replace_value_dict:
+                old, new = replace_value_dict[col_name]
+                out = out.withColumn(
+                    col_name,
+                    F.when(
+                        F.col(col_name) == F.lit(old),
+                        F.lit(new).try_cast(col_type),
+                    ).otherwise(F.col(col_name)),
+                )
     return out
 
 
@@ -247,7 +255,13 @@ def merging_down_by_key(df: DataFrame, key: str = "xrefs_id") -> DataFrame:
         key,
         *[
             (
-                F.coalesce(F.col(c), F.expr("array()").cast(dtypes[c])).alias(c)
+                # NULL array cells pass through as NULL — the reference
+                # keeps NaN verbatim, and the collapsed branch's
+                # try_element_at over an empty collect_list agrees
+                # (ADVICE r12 low: the old coalesce-to-empty-array made
+                # the two paths disagree with each other and with the
+                # reference)
+                F.col(c).alias(c)
                 if dtypes[c].startswith("array")
                 else F.array_compact(F.array(F.col(c))).alias(c)
             )

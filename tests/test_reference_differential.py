@@ -3577,3 +3577,52 @@ def test_legacy_merge_tables_sequence_check_differential(spark, monkeypatch):
     ref_skip = run_ref("raise", corrupted=True, atoms=None)
     ours_skip = run_ours("raise", corrupted=True, atoms=None)
     assert len(ref_skip) == ours_skip.count() > 300
+
+
+def test_constrain_fill_replace_unconstrained_columns_differential(spark):
+    """The reference's for-col loop (proteofav/utils.py:184-199) applies
+    nan_value_dict / replace_value_dict to ANY table column — membership
+    in col_type_dict is irrelevant, and fills still run when NO column is
+    constrained at all (ADVICE r12 low: ours only visited constrained
+    columns and returned early without them). Run the reference live on
+    both witnesses."""
+    import numpy as _np
+    import pandas as _pd
+
+    _ref()
+    sys.path.insert(0, "/root/reference")
+    try:
+        import proteofav.utils as RU
+    finally:
+        sys.path.remove("/root/reference")
+    from proteofav_spark.core import constrain_column_types
+
+    # witness 1: 'b' is filled+replaced though only 'a' is constrained
+    pdf = _pd.DataFrame({"a": ["1", "2"], "b": ["x", _np.nan]})
+    ref = RU.constrain_column_types(
+        pdf.copy(), {"a": "int64"},
+        nan_value_dict={"b": "filled"},
+        replace_value_dict={"b": ("x", "y")},
+    )
+    assert list(ref["b"]) == ["y", "filled"]
+    sdf = spark.createDataFrame([("1", "x"), ("2", None)], "a string, b string")
+    ours = constrain_column_types(
+        sdf, {"a": "bigint"},
+        nan_value_dict={"b": "filled"},
+        replace_value_dict={"b": ("x", "y")},
+    )
+    rows = {r["a"]: r["b"] for r in ours.collect()}
+    assert rows == {1: "y", 2: "filled"}
+
+    # witness 2: no constrained column present at all — fills still run
+    ref2 = RU.constrain_column_types(
+        _pd.DataFrame({"b": ["x", _np.nan]}), {"zzz": "int64"},
+        nan_value_dict={"b": "filled"},
+    )
+    assert list(ref2["b"]) == ["x", "filled"]
+    ours2 = constrain_column_types(
+        spark.createDataFrame([("x",), (None,)], "b string"),
+        {"zzz": "bigint"},
+        nan_value_dict={"b": "filled"},
+    )
+    assert sorted(r["b"] for r in ours2.collect()) == ["filled", "x"]

@@ -195,3 +195,28 @@ def test_read_msas_fasta_cath(spark, refdata):
     assert first["Start"] == 27 and first["End"] == 338
     assert first["Seq_Format"] == "fasta"
     assert "-" in first["Sequence"]
+
+
+def test_merging_down_null_array_cells_stay_null(spark):
+    """ADVICE r12 low: the NULL-key passthrough must leave a NULL array
+    cell NULL (the reference keeps NaN verbatim), agreeing with the
+    single-row non-null-key group (try_element_at over an empty
+    collect_list → NULL). Both paths, same frame."""
+    from pyspark.sql import Row, types as T
+
+    schema = T.StructType([
+        T.StructField("xrefs_id", T.StringType()),
+        T.StructField("vals", T.ArrayType(T.StringType())),
+    ])
+    df = spark.createDataFrame(
+        [
+            Row(xrefs_id=None, vals=None),      # NULL-key passthrough
+            Row(xrefs_id="a", vals=None),       # single-row group
+            Row(xrefs_id="b", vals=["x", "y"]),  # keeps the column array
+        ],
+        schema,
+    )
+    out = {r["xrefs_id"]: r["vals"] for r in merging_down_by_key(df, "xrefs_id").collect()}
+    assert out[None] is None
+    assert out["a"] is None
+    assert sorted(out["b"]) == ["x", "y"]
