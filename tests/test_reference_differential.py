@@ -3626,3 +3626,212 @@ def test_constrain_fill_replace_unconstrained_columns_differential(spark):
         nan_value_dict={"b": "filled"},
     )
     assert sorted(r["b"] for r in ours2.collect()) == ["filled", "x"]
+
+
+# --- filter_sifts / filter_validation option grids (r13, extending the
+# r12 dssp/structures grid family to the remaining per-source filters) --
+
+def _grid_cell(v):
+    """Comparator for the r13 filter grids: the Spark frame is built from
+    the reference-parsed pandas table under a coarse string/long/double
+    schema, so mixed-object cells (int-typed entityIds, tuple-valued
+    region aggregates) need canonicalizing — numbers compare as %.6g on
+    both sides, tuples by their (already sorted) str form; exact typed
+    cell parity is pinned by the per-source parse differentials."""
+    v = _mnorm_cell(v)
+    if isinstance(v, tuple):
+        return str(v)
+    if isinstance(v, (int, float)):
+        return format(float(v), ".6g")
+    if isinstance(v, str):
+        try:
+            return format(float(v), ".6g")
+        except ValueError:
+            return v
+    return v
+
+
+@lru_cache(maxsize=1)
+def _sifts_grid_pdf():
+    """Reference-parsed 2pah SIFTS residues + adversarial rows: NULL in
+    every selector key (row_selector's isin drops NULLs, C2) and an
+    off-catalog chain that only the entityId selector can reach."""
+    import numpy as _np
+
+    _ref_more()  # scipy/requests_cache stubs + lxml shim + json_normalize
+    sys.path.insert(0, "/root/reference")
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import proteofav.sifts as RSI
+    finally:
+        sys.path.remove("/root/reference")
+    pdf = RSI.parse_sifts_residues(f"{TD}/sifts/2pah.xml", excluded_cols=())
+    extra = pdf.iloc[:3].copy()
+    extra.loc[:, "PDB_entityId"] = [None, "Z", "A"]
+    extra.loc[:, "PDB_dbChainId"] = ["A", None, "A"]
+    extra.loc[:, "PDB_dbResNum"] = ["118", "119", None]
+    extra.loc[:, "UniProt_dbAccessionId"] = [None, "P99999", "P00439"]
+    extra.loc[:, "UniProt_dbResNum"] = ["118", None, "120"]
+    out = pdf._append(extra, ignore_index=True) if hasattr(pdf, "_append") else pdf.append(extra, ignore_index=True)
+    return out.where(out.notna(), _np.nan)
+
+
+_SIFTS_GRID = st.fixed_dictionaries(
+    {
+        "chains": st.sampled_from([None, ("A",), ("Z",), ("NOPE",)]),
+        "chain_auth": st.sampled_from([None, ("A",)]),
+        "res": st.sampled_from([None, ("118", "119", "120"), ("99999",)]),
+        "uniprot": st.sampled_from([None, ("P00439",), ("P99999",)]),
+        "site": st.sampled_from([None, ("118", "120")]),
+        "excluded": st.sampled_from([(), ("UniProt_dbResName",)]),
+    }
+)
+
+
+@given(opts=_SIFTS_GRID)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_filter_sifts_option_grid_vs_reference(spark, opts):
+    """filter_sifts under randomized selector combinations run live
+    (proteofav/sifts.py:378-421) on the parsed 2pah residues PLUS
+    adversarial NULL-key rows: the five row_selector stages compose in
+    reference order, NULL keys drop through isin (C2), excluded_cols
+    rides through, and a selection that empties the table raises on
+    BOTH sides."""
+    pdf = _sifts_grid_pdf().copy()  # installs the shims + module
+    sys.path.insert(0, "/root/reference")
+    try:
+        import proteofav.sifts as RSI
+    finally:
+        sys.path.remove("/root/reference")
+    from proteofav_spark.core import EmptyTableError
+    from proteofav_spark.sources.sifts import filter_sifts
+
+    kw = dict(
+        chains=opts["chains"], chain_auth=opts["chain_auth"],
+        res=opts["res"], uniprot=opts["uniprot"], site=opts["site"],
+        excluded_cols=opts["excluded"],
+    )
+    ref_err = ref = None
+    try:
+        ref = RSI.filter_sifts(pdf.copy(), **kw)
+    except ValueError as exc:
+        ref_err = exc
+
+    def spark_type(dt):
+        k = str(dt)
+        if k.startswith("int"):
+            return "long"
+        if k.startswith("float"):
+            return "double"
+        return "string"
+
+    schema = ", ".join(f"`{c}` {spark_type(pdf[c].dtype)}" for c in pdf.columns)
+    rows = [
+        tuple(_mnorm_cell(v) for v in r) for r in pdf.itertuples(index=False)
+    ]
+    sdf = spark.createDataFrame(rows, schema)
+    try:
+        ours = filter_sifts(sdf, **kw)
+        ours_rows = ours.collect()
+    except EmptyTableError:
+        assert ref_err is not None, (opts, "ref produced rows, ours raised")
+        return
+    assert ref_err is None, (opts, "reference raised on empty, ours produced rows")
+    shared = [c for c in ref.columns if c in ours.columns]
+    assert len(shared) == len(ref.columns)
+    want = sorted(
+        (tuple(_grid_cell(r[c]) for c in shared) for _, r in ref.iterrows()),
+        key=repr,
+    )
+    got = sorted(
+        (tuple(_grid_cell(r[c]) for c in shared) for r in ours_rows), key=repr
+    )
+    assert got == want, (opts, want[:2], got[:2])
+
+
+@lru_cache(maxsize=1)
+def _validation_grid_pdf():
+    import numpy as _np
+
+    RVA, _ = _ref_more()
+    pdf = RVA.parse_validation_residues(f"{TD}/validation/2pah_validation.xml")
+    # same pandas≥2 str.replace bitrot restoration the parse differential
+    # documents — res_full needs the intended '?' placeholders
+    pdf["validation_icode"] = pdf["validation_icode"].replace({"": "?", " ": "?"})
+    pdf["validation_altcode"] = pdf["validation_altcode"].replace({"": ".", " ": "."})
+    extra = pdf.iloc[:2].copy()
+    extra.loc[:, "validation_chain"] = [None, "A"]
+    extra.loc[:, "validation_resnum"] = ["118", None]
+    out = pdf._append(extra, ignore_index=True) if hasattr(pdf, "_append") else pdf.append(extra, ignore_index=True)
+    return out.where(out.notna(), _np.nan)
+
+
+_VALIDATION_GRID = st.fixed_dictionaries(
+    {
+        "chains": st.sampled_from([None, ("A",), ("NOPE",)]),
+        "res": st.sampled_from([None, ("118", "119"), ("99999",)]),
+        "add_res_full": st.booleans(),
+        "excluded": st.sampled_from([(), ("validation_rsr",)]),
+    }
+)
+
+
+@given(opts=_VALIDATION_GRID)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_filter_validation_option_grid_vs_reference(spark, opts):
+    """filter_validation under randomized option combinations run live
+    (proteofav/validation.py:142-175): res_full composition before the
+    selectors, NULL-key drops, exclusion pass-through, and the
+    empty-result raise — both sides, same classification."""
+    RVA, _ = _ref_more()
+    from proteofav_spark.core import EmptyTableError
+    from proteofav_spark.sources.validation import filter_validation
+
+    pdf = _validation_grid_pdf().copy()
+    kw = dict(
+        chains=opts["chains"], res=opts["res"],
+        add_res_full=opts["add_res_full"], excluded_cols=opts["excluded"],
+    )
+    ref_err = ref = None
+    try:
+        ref = RVA.filter_validation(pdf.copy(), **kw)
+    except ValueError as exc:
+        ref_err = exc
+
+    def spark_type(dt):
+        k = str(dt)
+        if k.startswith("int"):
+            return "long"
+        if k.startswith("float"):
+            return "double"
+        return "string"
+
+    schema = ", ".join(f"`{c}` {spark_type(pdf[c].dtype)}" for c in pdf.columns)
+    rows = [
+        tuple(_mnorm_cell(v) for v in r) for r in pdf.itertuples(index=False)
+    ]
+    sdf = spark.createDataFrame(rows, schema)
+    try:
+        ours_rows = filter_validation(sdf, **kw).collect()
+    except EmptyTableError:
+        assert ref_err is not None, (opts, "ref produced rows, ours raised")
+        return
+    assert ref_err is None, (opts, "reference raised on empty, ours produced rows")
+    shared = [c for c in ref.columns if c in ours_rows[0].asDict()]
+    want = sorted(
+        (tuple(_grid_cell(r[c]) for c in shared) for _, r in ref.iterrows()),
+        key=repr,
+    )
+    got = sorted(
+        (tuple(_grid_cell(r[c]) for c in shared) for r in ours_rows), key=repr
+    )
+    assert got == want, (opts, want[:2], got[:2])
