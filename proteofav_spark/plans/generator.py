@@ -300,6 +300,30 @@ class TablesGenerator:
         self.tables: tuple = (None,) * 6
         self.table: DataFrame | None = None
 
+    def merge(
+        self,
+        mmcif: DataFrame | None = None,
+        dssp: DataFrame | None = None,
+        sifts: DataFrame | None = None,
+        validation: DataFrame | None = None,
+        annotation: DataFrame | None = None,
+        variants: DataFrame | None = None,
+    ) -> DataFrame | None:
+        """Merge the provided tables AND remember them: each call updates
+        only the sources it names, keeping every previously-stored one,
+        then re-runs the fixed merge tree over the accumulated set —
+        ``merge(mmcif=m, dssp=d)`` followed by ``merge(sifts=s)`` merges
+        all three (parity: _Tables.merge, proteofav/mergers.py:586-604)."""
+        stored = list(self.tables)
+        for i, t in enumerate(
+            (mmcif, dssp, sifts, validation, annotation, variants)
+        ):
+            if t is not None:
+                stored[i] = t
+        self.tables = tuple(stored)
+        self.table = table_merger(*self.tables)
+        return self.table
+
     def generate(
         self,
         paths: SourcePaths,

@@ -208,3 +208,33 @@ def test_sequence_check_masks_unknown_residues(spark):
         "label_comp_id: string, AA: string",
     )
     assert check_sequence_consistency(merged, "dssp", "raise") == 0
+
+
+def test_tables_merge_accumulates_sources(spark, refdata):
+    """TablesGenerator.merge parity with the reference's _Tables.merge
+    (proteofav/mergers.py:586-604): each call updates only the sources it
+    names and re-merges the ACCUMULATED set — a later merge(sifts=...)
+    reuses the mmcif/dssp stored by the earlier call."""
+    from proteofav_spark.operators.structures import filter_structures
+    from proteofav_spark.plans.generator import TablesGenerator
+    from proteofav_spark.sources.dssp import filter_dssp, parse_dssp_residues
+    from proteofav_spark.sources.sifts import filter_sifts, parse_sifts_residues
+    from proteofav_spark.sources.structures import parse_mmcif_atoms
+
+    m = filter_structures(
+        parse_mmcif_atoms(spark, f"{refdata}/mmcif/2w4o.cif"),
+        chains=("A",), atoms=("CA",),
+    )
+    d = filter_dssp(
+        parse_dssp_residues(spark, f"{refdata}/dssp/2w4o.dssp"), chains=("A",)
+    )
+    s = filter_sifts(
+        parse_sifts_residues(spark, f"{refdata}/sifts/2w4o.xml"), chains=("A",)
+    )
+    g = TablesGenerator(spark)
+    two = g.merge(mmcif=m, dssp=d)
+    assert two.count() == m.count()  # mmcif ⟕ dssp keeps every atom
+    assert "SS" in two.columns and "PDB_dbResNum" not in two.columns
+    three = g.merge(sifts=s)  # reuses the stored mmcif + dssp
+    assert "SS" in three.columns and "PDB_dbResNum" in three.columns
+    assert three.count() == 278  # the reference-pinned flagship merge
