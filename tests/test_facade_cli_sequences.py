@@ -198,7 +198,11 @@ def test_cli_identifier_mode(spark, refdata, tmp_path, monkeypatch):
     assert files
     header = open(files[0]).readline()
     assert "RES_FULL" in header and "PDB_dbResNum" in header
-    assert sum(1 for _ in open(files[0])) - 1 == 278
+    # identifier mode routes through the LEGACY merge_tables, whose
+    # plain-key branch is SIFTS-left like the reference's (C17, r13):
+    # all 349 chain-A SIFTS residues survive, vs the path-mode modern
+    # tree's 278 CA atoms (test_cli_end_to_end below)
+    assert sum(1 for _ in open(files[0])) - 1 == 349
 
 
 def test_cli_end_to_end(spark, refdata, tmp_path):

@@ -3835,3 +3835,108 @@ def test_filter_validation_option_grid_vs_reference(spark, opts):
         (tuple(_grid_cell(r[c]) for c in shared) for r in ours_rows), key=repr
     )
     assert got == want, (opts, want[:2], got[:2])
+
+
+# --- mmCIF atom-tokenizer fuzz differential (r13) ------------------------
+
+_CIF_FIELDS = [
+    "group_PDB", "id", "type_symbol", "label_atom_id", "label_alt_id",
+    "label_comp_id", "label_asym_id", "label_entity_id", "label_seq_id",
+    "pdbx_PDB_ins_code", "Cartn_x", "Cartn_y", "Cartn_z", "occupancy",
+    "B_iso_or_equiv", "auth_seq_id", "auth_comp_id", "auth_asym_id",
+    "auth_atom_id", "pdbx_PDB_model_num",
+]
+
+# per-column token pools: realistic mmCIF values plus the quoting corner
+# cases — double-quoted primes (ribose atoms), single-quoted tokens,
+# '?'/'.' placeholders, negative/exponent floats, HETATM groups
+_CIF_POOLS = {
+    "group_PDB": ["ATOM", "HETATM"],
+    "id": ["1", "2", "9999999"],
+    "type_symbol": ["C", "N", "O", "FE"],
+    "label_atom_id": ["CA", '"C1\'"', '"O5\'"', "'N9'", "OXT"],
+    "label_alt_id": [".", "A", "B"],
+    "label_comp_id": ["VAL", "HOH", "A", "DA"],
+    "label_asym_id": ["A", "B", "AA"],
+    "label_entity_id": ["1", "2"],
+    "label_seq_id": ["1", "118", "."],
+    "pdbx_PDB_ins_code": ["?", "A"],
+    "Cartn_x": ["-7.069", "0.000", "1.5e2", "-0.001"],
+    "Cartn_y": ["21.943", "-21.943"],
+    "Cartn_z": ["18.770", "100.0"],
+    "occupancy": ["1.0", "0.50"],
+    "B_iso_or_equiv": ["56.51", "-1.00"],
+    "auth_seq_id": ["118", "1", "-5"],
+    "auth_comp_id": ["VAL", "HOH"],
+    "auth_asym_id": ["A", "'B'"],
+    "auth_atom_id": ["CA", '"C2\'"'],
+    "pdbx_PDB_model_num": ["1", "2"],
+}
+
+
+@given(
+    rows=st.lists(
+        st.fixed_dictionaries(
+            {c: st.sampled_from(_CIF_POOLS[c]) for c in _CIF_FIELDS}
+        ),
+        min_size=1, max_size=8,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mmcif_tokenizer_fuzz_vs_reference(spark, rows):
+    """parse_mmcif_atoms on RANDOMIZED _atom_site loops — double-quoted
+    prime atom names ("C1'"), single-quoted tokens, '?'/'.' placeholders,
+    exponent/negative floats, HETATM groups — the reference's pandas
+    delim_whitespace+quotechar parse run live vs our quote-aware
+    tokenizer. ONE deliberate normalization: pandas' quotechar is '\"'
+    only, so the reference KEEPS single-quote characters in cells ('B' →
+    \"'B'\") while ours strips both quote kinds per the CIF token rules —
+    the comparator strips outer single quotes from the reference cells
+    (the CIF-correct reading; fixtures never carry spaced single-quoted
+    values so the fixture differentials cannot see this corner)."""
+    import os
+    import tempfile
+
+    RS, _, _ = _ref()
+    from proteofav_spark.sources.structures import parse_mmcif_atoms
+
+    body = "\n".join(
+        " ".join(r[c] for c in _CIF_FIELDS) for r in rows
+    )
+    text = (
+        "data_test\n#\nloop_\n"
+        + "\n".join(f"_atom_site.{c}" for c in _CIF_FIELDS)
+        + "\n" + body + "\n#\n"
+    )
+    fd, path = tempfile.mkstemp(suffix=".cif")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(text)
+        ref = RS.parse_mmcif_atoms(path, excluded_cols=())
+        ours = parse_mmcif_atoms(spark, path).toPandas()
+    finally:
+        os.unlink(path)
+
+    shared = [c for c in ref.columns if c in ours.columns]
+    assert len(shared) >= len(_CIF_FIELDS)
+
+    def cell(v):
+        v = _grid_cell(v)
+        if isinstance(v, str) and len(v) >= 2 and v[0] == v[-1] == "'":
+            return v[1:-1]
+        return v
+
+    want = sorted(
+        (tuple(cell(r[c]) for c in shared) for _, r in ref.iterrows()),
+        key=repr,
+    )
+    got = sorted(
+        (tuple(cell(r[c]) for c in shared) for _, r in ours.iterrows()),
+        key=repr,
+    )
+    assert len(want) == len(got) == len(rows)
+    assert want == got, (want[:2], got[:2])
