@@ -37,9 +37,20 @@ ATTR_KEYS = ("ID", "Note", "Ontology_term", "evidence", "Dbxref")
 def _attr_expr(key: str) -> Column:
     """Extract a GFF attribute: elements of ``split(GROUP, ';')`` that start
     with ``key=``, value URL-decoded. Returns array<string> (parse_qs keeps
-    lists); empty array when absent."""
+    lists); empty array when absent.
+
+    parse_qs drop rules replicated exactly (r13 GFF fuzz differential):
+    a BLANK raw value (``Note=``) is dropped (keep_blank_values=False
+    skips it before decoding — ``Note=%20`` survives, its raw value is
+    non-empty) and a BARE key token without ``=`` (``;Note;``) never
+    matches (parse_qsl discards pairs with no separator)."""
     kvs = F.split(F.coalesce(F.col("GROUP"), F.lit("")), ";")
-    matches = F.filter(kvs, lambda kv: F.split(kv, "=").getItem(0) == key)
+    matches = F.filter(
+        kvs,
+        lambda kv: (F.split(kv, "=").getItem(0) == key)
+        & kv.contains("=")
+        & (F.regexp_replace(kv, "^[^=]*=", "") != ""),
+    )
     # value = text after the FIRST '='; literal '+' is preserved (escaped
     # before url_decode, which would otherwise turn it into a space)
     return F.transform(
