@@ -418,3 +418,62 @@ def test_write_mmcif_quotes_roundtrip_hostile_tokens(spark, tmp_path):
     )
     with _pytest.raises(Exception):
         write_mmcif_from_table(bad, str(tmp_path / "bad.cif"), overwrite=True)
+
+
+def test_write_mmcif_roundtrip_fuzz(spark, tmp_path):
+    """Randomized write→read round-trip over the CIF quoting alphabet
+    (r13): any value whose characters come from quotes / whitespace /
+    comment chars / brackets either round-trips EXACTLY or (both quote
+    kinds + whitespace — no single-line CIF spelling) aborts loudly.
+    Extends the fixed hostile-token cases with the full combination
+    space."""
+    import itertools
+
+    from py4j.protocol import Py4JJavaError
+
+    from proteofav_spark.sources.structures import parse_mmcif_atoms
+
+    # every <=3-char string over the hostile alphabet + a few longer ones
+    alphabet = ["'", '"', " ", "#", ";", "[", "x"]
+    vals = [
+        "".join(t)
+        for n in (1, 2, 3)
+        for t in itertools.product(alphabet, repeat=n)
+    ] + ["a'b\" c", "  ", "don't", 'say "hi"', "_tag", "?", "."]
+    cols = ["group_PDB", "id", "label_atom_id"]
+    for i in range(0, len(vals), 40):
+        chunk = vals[i : i + 40]
+        rows = [("ATOM", j, v) for j, v in enumerate(chunk)]
+        df = spark.createDataFrame(rows, cols)
+        out = str(tmp_path / f"fuzz_{i}.cif")
+        def needs_quoting(v):
+            import re as _re
+
+            return (
+                v == ""
+                or _re.search(r"\s", v) is not None
+                or (v and v[0] in "'\";#$[]")
+            )
+
+        unwritable = [
+            v for v in chunk
+            if needs_quoting(v) and "'" in v and '"' in v
+        ]
+        if unwritable:
+            import pytest as _pytest
+
+            with _pytest.raises((Py4JJavaError, Exception)):
+                write_mmcif_from_table(df, out, overwrite=True)
+            # the writable remainder must still round-trip on its own
+            rows = [("ATOM", j, v) for j, v in enumerate(chunk)
+                    if not (needs_quoting(v) and "'" in v and '"' in v)]
+            if not rows:
+                continue
+            df = spark.createDataFrame(rows, cols)
+            write_mmcif_from_table(df, out, overwrite=True)
+        else:
+            write_mmcif_from_table(df, out, overwrite=True)
+        back = parse_mmcif_atoms(spark, out, excluded_cols=())
+        got = {int(r["id"]): r["label_atom_id"] for r in back.collect()}
+        want = {j: v for (_g, j, v) in rows}
+        assert got == want, (i, {k: (want.get(k), got.get(k)) for k in set(want) | set(got) if want.get(k) != got.get(k)})
