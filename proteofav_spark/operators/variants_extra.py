@@ -42,33 +42,58 @@ def flatten_icgc_variants(raw: DataFrame, identifier: str) -> DataFrame:
     array<struct{id, mutation, affectedDonorCountTotal, transcripts}>).
     The reference json_normalizes + index-joins (variants.py:900-915);
     here it is two explodes and a struct flatten, all lazy.
-    """
+
+    Exact reference column contract (r13 differential against the live
+    `_fetch_icgc_variants`, json_normalize restored to its
+    dict-cell-preserving ``max_level=0`` era behavior): ``id`` is the
+    HIT (mutation) id — the transcript id, constant == ``identifier``
+    after the filter, is DROPPED; the json_normalize meta columns keep
+    their underscore prefix (``_mutation``,
+    ``_affectedDonorCountTotal``); consequence fields expand UNPREFIXED,
+    with ``_protein`` suffixed only on collision with a transcript-level
+    column (``consequence.apply(pd.Series)`` + ``join(rsuffix=
+    '_protein')``); unmatched transition groups are NULL (pandas
+    str.extract NaN), never empty strings."""
     hits = raw.select(F.explode("hits").alias("hit"))
     tr = hits.select(
         F.col("hit.id").alias("id"),
-        F.col("hit.mutation").alias("mutation"),
-        F.col("hit.affectedDonorCountTotal").alias("affectedDonorCountTotal"),
+        F.col("hit.mutation").alias("_mutation"),
+        F.col("hit.affectedDonorCountTotal").alias("_affectedDonorCountTotal"),
         F.explode("hit.transcripts").alias("transcript"),
     )
-    tr = tr.filter(F.col("transcript.id") == identifier).drop("id")
-    flat = flatten_structs(tr)
-    renames = {
-        c: c.replace("transcript_", "", 1)
-        for c in flat.columns
-        if c.startswith("transcript_")
-    }
-    for old, new in renames.items():
-        # consequence fields joined with suffix in the reference
-        target = new if new not in flat.columns else f"{new}_protein"
-        flat = flat.withColumnRenamed(old, target)
-    if "consequence_aaMutation" in flat.columns:
-        flat = flat.withColumnRenamed("consequence_aaMutation", "aaMutation")
+    tr = tr.filter(F.col("transcript.id") == identifier)
+    # transcript-level fields, minus the (constant) transcript id and the
+    # consequence struct expanded separately below
+    t_fields = [
+        f.name
+        for f in tr.schema["transcript"].dataType.fields
+        if f.name not in ("id", "consequence")
+    ]
+    has_consequence = any(
+        f.name == "consequence" for f in tr.schema["transcript"].dataType.fields
+    )
+    cols = [
+        F.col(f"transcript.`{f}`").alias(f) for f in t_fields
+    ] + [F.col("id"), F.col("_mutation"), F.col("_affectedDonorCountTotal")]
+    flat = tr.select(*cols, *(
+        [F.col("transcript.consequence").alias("__conseq")]
+        if has_consequence
+        else []
+    ))
+    if has_consequence:
+        taken = set(t_fields) | {"id", "_mutation", "_affectedDonorCountTotal"}
+        for f in flat.schema["__conseq"].dataType.fields:
+            target = f.name if f.name not in taken else f"{f.name}_protein"
+            flat = flat.withColumn(target, F.col(f"__conseq.`{f.name}`"))
+        flat = flat.drop("__conseq")
     if "aaMutation" in flat.columns:
-        flat = (
-            flat.withColumn("ref", F.regexp_extract("aaMutation", AA_MUTATION_RE, 1))
-            .withColumn("position", F.regexp_extract("aaMutation", AA_MUTATION_RE, 2))
-            .withColumn("new", F.regexp_extract("aaMutation", AA_MUTATION_RE, 3))
-        )
+        for i, part in enumerate(("ref", "position", "new"), start=1):
+            flat = flat.withColumn(
+                part,
+                F.nullif(
+                    F.regexp_extract("aaMutation", AA_MUTATION_RE, i), F.lit("")
+                ),
+            )
     return flat
 
 

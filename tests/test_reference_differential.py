@@ -4051,3 +4051,74 @@ def test_gff_group_attrs_fuzz_vs_reference(spark, groups):
             if n
         ]
         assert any("Ca2+binding" == n for n in notes), notes
+
+
+# --- ICGC flatten differential (r13) -------------------------------------
+
+_ICGC_PAYLOAD = {
+    "hits": [
+        {"id": "MU1", "mutation": "G>A", "affectedDonorCountTotal": 3,
+         "transcripts": [
+            {"id": "ENST1", "functionalImpact": "High",
+             "consequence": {"aaMutation": "A262V", "geneAffectedId": "ENSG1",
+                             "functionalImpact": "High"}},
+            {"id": "ENST2", "consequence": {"aaMutation": "A100*"}},
+         ]},
+        {"id": "MU2", "mutation": "C>T", "affectedDonorCountTotal": 7,
+         "transcripts": [
+            {"id": "ENST1", "consequence": {"aaMutation": "R43"}},
+         ]},
+    ]
+}
+
+
+def test_icgc_flatten_differential(spark, tmp_path, monkeypatch):
+    """flatten_icgc_variants vs the reference's _fetch_icgc_variants
+    (proteofav/variants.py:887-918) run live on a canned protein-endpoint
+    payload, with ONE bitrot restoration: modern json_normalize flattens
+    nested record dicts into dotted columns, breaking the reference's
+    own `data.pop('consequence')` — `max_level=0` restores the dict-cell
+    era behavior its code was written for. Pins the exact column
+    contract: id = HIT id (transcript id dropped), underscore-prefixed
+    meta (_mutation, _affectedDonorCountTotal), unprefixed consequence
+    fields with `_protein` only on collision, NULL (not '') unmatched
+    transition groups — all four were live divergences before r13."""
+    import json as _json
+
+    import pandas as _pd
+    import pandas.io.json as _pij
+
+    from proteofav_spark.operators.variants_extra import flatten_icgc_variants
+
+    _, RV, _ = _ref_msas_vars()  # installs pij.json_normalize first
+    _orig = _pd.json_normalize
+    monkeypatch.setattr(
+        _pij, "json_normalize", lambda *a, **k: _orig(*a, max_level=0, **k)
+    )
+
+    class _resp:
+        def json(self):
+            return _json.loads(_json.dumps(_ICGC_PAYLOAD))
+
+    monkeypatch.setattr(
+        RV, "fetch_from_url_or_retry", lambda url, **kw: _resp()
+    )
+    ref = RV._fetch_icgc_variants("ENST1")
+
+    p = tmp_path / "icgc.json"
+    p.write_text(_json.dumps(_ICGC_PAYLOAD))
+    raw = spark.read.option("multiLine", True).json(str(p))
+    ours = flatten_icgc_variants(raw, "ENST1").toPandas()
+
+    assert set(ref.columns) == set(ours.columns), (
+        sorted(ref.columns), sorted(ours.columns)
+    )
+    shared = sorted(ref.columns)
+
+    def norm(df):
+        return sorted(
+            (tuple(_mnorm_cell(r[c]) for c in shared) for _, r in df.iterrows()),
+            key=repr,
+        )
+
+    assert norm(ref) == norm(ours), (norm(ref), norm(ours))
