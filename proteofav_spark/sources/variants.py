@@ -310,8 +310,12 @@ def get_uniprot_id_from_mapping(data, full_entry: bool = False,
                                 uniprot_id: str | None = None):
     """UniProt ids (or full entries) from an ``xrefs/id/`` mapping payload
     (parity: proteofav/variants.py:255-287 — a requested ``uniprot_id``
-    short-circuits to ITS entry; otherwise SWISSPROT+SPTREMBL rows,
-    deduped, first-seen order)."""
+    short-circuits to ITS entry; otherwise SWISSPROT+SPTREMBL rows in
+    first-seen order). Dedup quirk replicated exactly (r13 randomized
+    differential): the reference's guard is ``primary_id not in
+    uniprots`` against the accumulating LIST — in scalar mode that
+    dedups by id, but in full-entry mode the list holds dicts, the id
+    never matches, and duplicate entries are ALL kept."""
     uniprots: list = []
     for entry in data:
         if "dbname" not in entry or "primary_id" not in entry:
@@ -319,9 +323,8 @@ def get_uniprot_id_from_mapping(data, full_entry: bool = False,
         if uniprot_id is not None and entry["primary_id"] == uniprot_id:
             return [entry] if full_entry else [entry["primary_id"]]
         if entry["dbname"] in ("Uniprot/SWISSPROT", "Uniprot/SPTREMBL"):
-            item = entry if full_entry else entry["primary_id"]
-            if (entry if full_entry else entry["primary_id"]) not in uniprots:
-                uniprots.append(item)
+            if entry["primary_id"] not in uniprots:
+                uniprots.append(entry if full_entry else entry["primary_id"])
     return uniprots
 
 

@@ -4122,3 +4122,82 @@ def test_icgc_flatten_differential(spark, tmp_path, monkeypatch):
         )
 
     assert norm(ref) == norm(ours), (norm(ref), norm(ours))
+
+
+# --- id-mapping getter differentials (r13, the select_variants chain) ----
+
+_MAP_ENTRY = st.fixed_dictionaries(
+    {
+        "primary_id": st.sampled_from(["P1", "P22", "Q333", "A0A0A0"]),
+        "dbname": st.sampled_from(
+            ["Uniprot/SWISSPROT", "Uniprot/SPTREMBL", "RefSeq"]
+        ),
+    },
+    optional={
+        "ensembl_identity": st.sampled_from([90.0, 99.5, 100.0]),
+        "xref_identity": st.sampled_from([90.0, 99.5]),
+        "xref_start": st.sampled_from([1, 10]),
+        "xref_end": st.sampled_from([100, 350]),
+    },
+)
+
+
+@given(data=st.lists(_MAP_ENTRY, min_size=0, max_size=6))
+@settings(max_examples=50, deadline=None)
+def test_preferred_uniprot_id_mapping_differential(data):
+    """get_uniprot_id_from_mapping + get_preferred_uniprot_id_from_mapping
+    vs the live reference (proteofav/variants.py:255-319) on randomized
+    xrefs/id entries — the `>=` keeps-last tie rule, the shortest-id
+    guard NESTED inside the score branch, missing-field skips, and the
+    SWISSPROT/SPTREMBL dbname gate (dedup by full entry) all replicated
+    exactly."""
+    import json as _json
+
+    _, RV, _ = _ref_msas_vars()
+    from proteofav_spark.sources.variants import (
+        get_preferred_uniprot_id_from_mapping,
+        get_uniprot_id_from_mapping,
+    )
+
+    payload = _json.loads(_json.dumps(data))
+    for full in (False, True):
+        ref = RV.get_uniprot_id_from_mapping(payload, full_entry=full)
+        ours = get_uniprot_id_from_mapping(payload, full_entry=full)
+        assert ref == ours, (data, full, ref, ours)
+    ref_best = RV.get_preferred_uniprot_id_from_mapping(
+        RV.get_uniprot_id_from_mapping(payload, full_entry=True)
+    )
+    our_best = get_preferred_uniprot_id_from_mapping(
+        get_uniprot_id_from_mapping(payload, full_entry=True)
+    )
+    assert ref_best == our_best, (data, ref_best, our_best)
+
+
+@given(
+    data=st.lists(
+        st.fixed_dictionaries(
+            {},
+            optional={
+                "type": st.sampled_from(["translation", "transcript", "gene"]),
+                "id": st.sampled_from(["ENSP1", "ENSP2", "ENST1"]),
+            },
+        ),
+        min_size=0, max_size=6,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_ensembl_protein_id_mapping_differential(data):
+    """get_ensembl_protein_id_from_mapping vs the live reference
+    (proteofav/variants.py:238-252): translation-type gate, missing-key
+    skips, first-seen dedup order."""
+    import json as _json
+
+    _, RV, _ = _ref_msas_vars()
+    from proteofav_spark.sources.variants import (
+        get_ensembl_protein_id_from_mapping,
+    )
+
+    payload = _json.loads(_json.dumps(data))
+    assert RV.get_ensembl_protein_id_from_mapping(payload) == (
+        get_ensembl_protein_id_from_mapping(payload)
+    ), data
