@@ -4201,3 +4201,52 @@ def test_ensembl_protein_id_mapping_differential(data):
     assert RV.get_ensembl_protein_id_from_mapping(payload) == (
         get_ensembl_protein_id_from_mapping(payload)
     ), data
+
+
+@given(
+    table=st.dictionaries(
+        st.sampled_from(["ENSP1", "ENSP2", "ENSP3"]),
+        st.lists(_MAP_ENTRY, min_size=0, max_size=3),
+        min_size=0, max_size=3,
+    ),
+    uniprot_id=st.sampled_from([None, "P1", "P22"]),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_preferred_ensembl_id_mapping_differential(table, uniprot_id, monkeypatch):
+    """get_preferred_ensembl_id_from_mapping vs the live reference
+    (proteofav/variants.py:322-355) with the per-ENSP xref fetch
+    patched to a randomized mapping table on both sides — the strict
+    `>` keeps-FIRST tie rule (vs the uniprot getter's `>=` keeps-last)
+    and the per-candidate fetch composition."""
+    import json as _json
+
+    _, RV, _ = _ref_msas_vars()
+    from proteofav_spark import fetchers
+    from proteofav_spark.sources.variants import (
+        get_preferred_ensembl_id_from_mapping,
+    )
+
+    payload = _json.loads(_json.dumps(table))
+    identifiers = sorted(payload)
+
+    monkeypatch.setattr(
+        RV, "fetch_ensembl_uniprot_mapping",
+        lambda ensp, **kw: _fake_resp(payload.get(ensp, [])),
+    )
+    ref = RV.get_preferred_ensembl_id_from_mapping(
+        identifiers, uniprot_id=uniprot_id
+    )
+
+    def fetch(url):
+        ensp = url.rstrip("/").rsplit("/", 1)[-1]
+        assert url == fetchers.url_ensembl_uniprot_xref(ensp)
+        return _json.dumps(payload.get(ensp, [])).encode()
+
+    ours = get_preferred_ensembl_id_from_mapping(
+        identifiers, uniprot_id=uniprot_id, fetch=fetch
+    )
+    assert ref == ours, (table, uniprot_id, ref, ours)
