@@ -97,12 +97,15 @@ def parse_dssp_residues(
     text = with_line_no(spark.read.text(filename)).withColumn(
         "source_file", F.input_file_name()
     )
-    # rows after the per-file header sentinel: running count of sentinels > 0
+    # rows strictly after the FIRST per-file header sentinel. The reference
+    # appends-then-flags (dssp.py:70-75), so a LATER "  #"-prefixed line is
+    # kept as a (junk) data row — only the first sentinel is consumed; the
+    # running-sentinel count must exceed this row's own contribution
     sentinel = F.col("value").startswith("  #").cast("int")
     seen = F.sum(sentinel).over(_file_w().rowsBetween(W.unboundedPreceding, 0))
     body = (
         text.withColumn("_hdr_seen", seen)
-        .filter((F.col("_hdr_seen") > 0) & ~F.col("value").startswith("  #"))
+        .filter(F.col("_hdr_seen") > sentinel)
         .drop("_hdr_seen")
         .filter(F.length(F.trim(F.col("value"))) > 0)
     )

@@ -4250,3 +4250,185 @@ def test_preferred_ensembl_id_mapping_differential(table, uniprot_id, monkeypatc
         identifiers, uniprot_id=uniprot_id, fetch=fetch
     )
     assert ref == ours, (table, uniprot_id, ref, ours)
+
+
+# --- DSSP residue-record fuzz differential (r13) -------------------------
+
+# field spans of the DSSP fixed-width residue record (0-based, end-excl) —
+# the same public layout both parsers read (proteofav/dssp.py:85-90)
+_DSSP_PAINT = {
+    "LINE": (0, 5), "RES": (5, 10), "INSCODE": (10, 11), "CHAIN": (11, 12),
+    "SS": (16, 17), "STRUCTURE": (17, 25),
+    "BP1": (25, 29), "BP2": (29, 33), "BP2_CHAIN": (33, 34), "ACC": (34, 38),
+    "TCO": (85, 91), "KAPPA": (91, 97), "ALPHA": (97, 103),
+    "PHI": (103, 109), "PSI": (109, 115),
+    "XCA": (115, 123), "YCA": (123, 130), "ZCA": (130, 137),
+}
+
+_DSSP_HDR = (
+    "  #  RESIDUE AA STRUCTURE BP1 BP2  ACC     N-H-->O    O-->H-N    "
+    "N-H-->O    O-->H-N    TCO  KAPPA ALPHA  PHI   PSI    X-CA   Y-CA   Z-CA"
+)
+
+
+def _dssp_paint_line(r) -> str:
+    """Render one fuzzed residue record into the fixed-width layout."""
+    buf = [" "] * 137
+    def put(span, text):
+        a, b = _DSSP_PAINT[span]
+        text = str(text)[: b - a]
+        for i, ch in enumerate(text.rjust(b - a)):
+            buf[a + i] = ch
+    put("LINE", r["line"])
+    put("RES", r["res"])
+    put("INSCODE", r["inscode"])
+    put("CHAIN", r["chain"])
+    # AA is a 1-2 char code painted LEFT at col 13 ('!*' spans 13-14)
+    for i, ch in enumerate(str(r["aa"])[:2]):
+        buf[13 + i] = ch
+    put("SS", r["ss"])
+    a, b = _DSSP_PAINT["STRUCTURE"]
+    for i, ch in enumerate(str(r["structure"])[: b - a]):
+        buf[a + i] = ch
+    put("BP1", r["bp1"])
+    put("BP2", r["bp2"])
+    put("BP2_CHAIN", r["bp2_chain"])
+    put("ACC", r["acc"])
+    # hbond quads — excluded by default on both sides; realistic filler
+    for a0 in (38, 50, 61, 72):
+        txt = "   0, 0.0"
+        for i, ch in enumerate(txt):
+            buf[a0 + i] = ch
+    put("TCO", f"{r['tco']:6.3f}")
+    for k in ("KAPPA", "ALPHA", "PHI", "PSI"):
+        put(k, f"{r[k.lower()]:6.1f}")
+    put("XCA", f"{r['xca']:8.1f}")
+    put("YCA", f"{r['yca']:7.1f}")
+    put("ZCA", f"{r['zca']:7.1f}")
+    line = "".join(buf)
+    if r["kind"] == "shortres":
+        line = line[: r["cut"]]
+    return line
+
+
+_DSSP_ROW = st.fixed_dictionaries({
+    "kind": st.sampled_from(
+        ["res"] * 6 + ["break", "break_star", "header2", "blank", "shortres"]
+    ),
+    "line": st.integers(1, 99999),
+    "res": st.integers(-99, 99999),
+    "inscode": st.sampled_from([" ", "A", "B"]),
+    "chain": st.sampled_from(["A", "B", "H", " "]),
+    "aa": st.sampled_from(["M", "R", "K", "G", "a", "b", "X", "!"]),
+    "ss": st.sampled_from([" ", "H", "E", "T", "G", "S", "B", "I"]),
+    "structure": st.sampled_from(["", " +", " -XZ", "<", "3<<S+"]),
+    "bp1": st.integers(0, 9999),
+    "bp2": st.integers(0, 9999),
+    "bp2_chain": st.sampled_from([" ", "W"]),
+    "acc": st.one_of(st.integers(0, 9999), st.sampled_from(["bad", ""])),
+    "tco": st.floats(-1, 1, allow_nan=False, width=32),
+    "kappa": st.floats(-360, 360, allow_nan=False, width=32),
+    "alpha": st.floats(-360, 360, allow_nan=False, width=32),
+    "phi": st.floats(-360, 360, allow_nan=False, width=32),
+    "psi": st.floats(-360, 360, allow_nan=False, width=32),
+    "xca": st.floats(-999, 999, allow_nan=False, width=32),
+    "yca": st.floats(-999, 999, allow_nan=False, width=32),
+    "zca": st.floats(-999, 999, allow_nan=False, width=32),
+    "cut": st.integers(12, 136),
+})
+
+
+@given(rows=st.lists(_DSSP_ROW, min_size=1, max_size=10))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dssp_parse_fuzz_vs_reference(spark, rows):
+    """parse_dssp_residues on RANDOMIZED residue records — negative and
+    insertion-coded residue numbers, lowercase SS-bridged cysteines,
+    '!'/'!*' break rows, truncated lines, blank lines, non-numeric ACC
+    cells (all-or-nothing cast poisoning), and LATER '  #'-prefixed lines
+    (the reference appends-then-flags, so only the FIRST sentinel is
+    consumed and later ones become junk data rows) — the reference's
+    read_fwf path run live vs our substring projection."""
+    import os
+    import tempfile
+
+    _, RD, _ = _ref()
+    from proteofav_spark.core import EmptyTableError
+    from proteofav_spark.sources.dssp import parse_dssp_residues
+
+    body_lines = ["==== Secondary Structure Definition ====", _DSSP_HDR]
+    for r in rows:
+        if r["kind"] == "blank":
+            body_lines.append("   ")
+        elif r["kind"] == "header2":
+            body_lines.append("  #  RESIDUE AA STRUCTURE BP1 BP2  ACC")
+        elif r["kind"] in ("break", "break_star"):
+            aa = "!" if r["kind"] == "break" else "!*"
+            body_lines.append(_dssp_paint_line({
+                **r, "res": "", "inscode": " ", "chain": " ", "aa": aa,
+                "ss": " ", "structure": "", "bp1": 0, "bp2": 0,
+                "bp2_chain": " ", "acc": 0, "tco": 0.0, "kappa": 360.0,
+                "alpha": 360.0, "phi": 360.0, "psi": 360.0,
+                "xca": 0.0, "yca": 0.0, "zca": 0.0, "kind": "res",
+            }))
+        else:
+            body_lines.append(_dssp_paint_line(r))
+
+    fd, path = tempfile.mkstemp(suffix=".dssp")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write("\n".join(body_lines) + "\n")
+        ref_err = ref = None
+        try:
+            ref = RD.parse_dssp_residues(path)
+        except ValueError as exc:
+            ref_err = exc
+        try:
+            ours = parse_dssp_residues(spark, path)
+        except EmptyTableError:
+            assert ref_err is not None, "ref produced rows, ours raised"
+            return
+        assert ref_err is None, "reference raised on empty, ours produced rows"
+        _assert_frames_equal(ref, ours)
+    finally:
+        os.unlink(path)
+
+
+def test_dssp_parse_keeps_later_header_sentinel_rows(spark):
+    """Pinned regression (r13): a SECOND '  #'-prefixed line in the body is
+    a junk DATA row on both sides — the reference's append-then-flag loop
+    (proteofav/dssp.py:70-75) consumes only the first sentinel, and the
+    junk row poisons the numeric casts to keep ACC/TCO string-typed
+    (all-or-nothing)."""
+    import os
+    import tempfile
+
+    _, RD, _ = _ref()
+    from proteofav_spark.sources.dssp import parse_dssp_residues
+
+    body = "\n".join([
+        "==== Secondary Structure Definition ====",
+        _DSSP_HDR,
+        "    1    1 A M              0   0  127      0, 0.0   345,-0.1"
+        "     0, 0.0     3,-0.1   0.000 360.0 360.0 360.0 162.0  -18.7"
+        "   21.6  -55.4",
+        "  #  RESIDUE AA STRUCTURE BP1 BP2  ACC",
+        "    2    2 A R        +     0   0  117      1,-0.1    28,-0.4"
+        "   343,-0.1     2,-0.3   0.455 360.0  81.5-136.8 -28.7  -17.0"
+        "   22.3  -52.1",
+    ]) + "\n"
+    fd, path = tempfile.mkstemp(suffix=".dssp")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(body)
+        ref = RD.parse_dssp_residues(path)
+        ours = parse_dssp_residues(spark, path)
+        assert len(ref) == 3
+        _assert_frames_equal(ref, ours)
+        out = {r["RES"]: r["ACC"] for r in ours.collect()}
+        assert out["RESID"] == "ACC" and out["1"] == "127"
+    finally:
+        os.unlink(path)
