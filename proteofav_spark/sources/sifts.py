@@ -139,47 +139,99 @@ def parse_sifts_xml(
                 resnum = int(resnum_s)
             except (TypeError, ValueError):
                 resnum = None
-            rec: dict = {"PDB_entityId": entity_id}
-            multi: dict[str, list[str]] = {}
+            # cells hold scalar-or-list, exactly like the reference's
+            # OrderedDict accumulator (sifts.py:268-324)
+            rec: dict = {}
 
-            def put(key: str, val: str) -> None:
-                vals = multi.setdefault(key, [])
-                if val not in vals:
-                    vals.append(val)
+            def ref_add(key: str, val) -> None:
+                # the reference's try/except add (sifts.py:296-310):
+                # - absent key → scalar set (KeyError branch)
+                # - scalar cell: `v in cell` is SUBSTRING containment
+                #   ('A' after 'VAL' silently dropped); a non-contained
+                #   value grows a 2-list (AttributeError branch) — except
+                #   PDB_Annotation, which is overwritten scalar-to-scalar
+                # - list cell: exact membership; append (or overwrite for
+                #   PDB_Annotation)
+                # - None on either side of `in` → TypeError branch →
+                #   overwrite with val
+                if key not in rec:
+                    rec[key] = val
+                    return
+                cur = rec[key]
+                if isinstance(cur, list):
+                    if val in cur:
+                        return
+                    if key != "PDB_Annotation":
+                        cur.append(val)
+                    else:
+                        rec[key] = val
+                    return
+                try:
+                    contained = val in cur
+                except TypeError:
+                    rec[key] = val
+                    return
+                if contained:
+                    return
+                if key != "PDB_Annotation":
+                    rec[key] = [cur, val]
+                else:
+                    rec[key] = val
 
             for child in residue:
                 tag = _local_name(child.tag)
                 if tag == "crossRefDb":
                     source = child.get("dbSource")
                     if source in excluded_sources:
-                        continue
-                    for k, v in child.attrib.items():
+                        # the reference leaves the raw attrib names
+                        # un-prefixed for excluded sources, and none contain
+                        # '_', so no cell is ever added — but the
+                        # per-annotation defaults below still fire
+                        source = None
+                    for k, v in (
+                        child.attrib.items() if source is not None else ()
+                    ):
                         if k in ("dbSource", "dbCoordSys"):
                             continue
                         if source not in ("PDB", "UniProt") and k in (
                             "dbResName", "dbResNum", "dbChainId"
                         ):
                             continue
-                        if k == "dbAccessionId" and add_dbs and source in dbs:
+                        # the reference stamps dbVersion on EVERY surviving
+                        # attrib iteration, not just dbAccessionId
+                        # (sifts.py:286-291)
+                        if add_dbs and source in dbs:
                             rec[f"{source}_dbVersion"] = dbs[source]
                         if k == "dbAccessionId" and add_regions and resnum is not None:
                             src_regions = ent_regions.get(source, {})
+                            # no break: the reference scans every region and
+                            # the LAST containing match wins (sifts.py:266-284)
                             for ordinal, entry in src_regions.items():
                                 if entry["acc"] == v and entry["start"] <= resnum <= entry["end"]:
                                     rec[f"{source}_regionId"] = ordinal
                                     rec[f"{source}_regionStart"] = entry["start"]
                                     rec[f"{source}_regionEnd"] = entry["end"]
                                     rec[f"{source}_regionResNum"] = resnum_s
-                                    break
-                        put(f"{source}_{k}", v)
+                        ref_add(f"{source}_{k}", v)
                 elif tag == "residueDetail":
-                    prop = child.get("property")
-                    if prop:
-                        rec[f"PDB_{prop}"] = child.text
-            if "PDB_Annotation" not in rec:
-                rec["PDB_Annotation"] = "Observed"
-            for k, vals in multi.items():
-                rec[k] = ",".join(vals)
+                    if "PDB" not in excluded_sources:
+                        prop = child.get("property")
+                        if prop:
+                            # the reference re-derives (k, v) once per raw
+                            # attrib (dbSource, property) and feeds BOTH
+                            # through the generic add — the second is a
+                            # self-dedup no-op, so one ref_add suffices
+                            ref_add(f"PDB_{prop}", child.text)
+                # per-annotation defaults (sifts.py:312-319): they fire after
+                # each child, so a residue with ZERO children gets NEITHER —
+                # its row is entirely empty
+                if "PDB" not in excluded_sources and "PDB_Annotation" not in rec:
+                    rec["PDB_Annotation"] = "Observed"
+                if "PDB_entityId" not in rec:
+                    rec["PDB_entityId"] = entity_id
+            for k, vals in list(rec.items()):
+                if isinstance(vals, list):
+                    rec[k] = ",".join(str(x) for x in vals)
             rec["line_no"] = line_no
             rec["source_file"] = source_file
             line_no += 1
@@ -233,6 +285,23 @@ def parse_sifts_residues(
                 f"{src}_{suffix}", F.coalesce(F.col(f"{src}_{suffix}"), F.lit(0))
             )
     table = exclude_columns(table, excluded_cols)
+    # reference contract (sifts.py:346-348): an empty parse raises. The
+    # reference's frame is built from per-residue dicts, so "empty" also
+    # covers the zero-COLUMN case — every residue childless, every payload
+    # cell absent (pd.DataFrame([{}, {}]).empty is True)
+    payload = [
+        F.col(c).isNotNull()
+        for c in table.columns
+        if c not in ("line_no", "source_file")
+        and not c.endswith(("_regionId", "_regionStart", "_regionEnd"))
+    ]
+    has_payload = payload[0]
+    for expr in payload[1:]:
+        has_payload = has_payload | expr
+    if table.filter(has_payload).isEmpty():
+        raise EmptyTableError(
+            f"SIFTS file {path} resulted in an empty DataFrame"
+        )
     return table
 
 

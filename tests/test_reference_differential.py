@@ -4432,3 +4432,225 @@ def test_dssp_parse_keeps_later_header_sentinel_rows(spark):
         assert out["RESID"] == "ACC" and out["1"] == "127"
     finally:
         os.unlink(path)
+
+
+# --- SIFTS XML fuzz differential (r13) -----------------------------------
+
+_SIFTS_NS = "http://www.ebi.ac.uk/pdbe/docs/sifts/eFamily.xsd"
+_SIFTS_SRC = ["PDB", "UniProt", "CATH", "SCOP", "NCBI", "InterPro"]
+# accession pool with substring pairs ('1.10' ⊂ '1.10.800.10') to drive the
+# reference's scalar-state SUBSTRING dedup
+_SIFTS_ACC = ["2pah", "P00439", "1.10.800.10", "1.10", "42581", "9606"]
+
+_SIFTS_XREF = st.fixed_dictionaries({
+    "src": st.sampled_from(_SIFTS_SRC),
+    "acc": st.sampled_from(_SIFTS_ACC),
+    "rn": st.sampled_from(["118", "11", "1", "null"]),
+    "rname": st.sampled_from(["VAL", "V", "A", "ALA"]),
+    "chain": st.sampled_from(["A", "B", None]),
+})
+_SIFTS_DETAIL = st.fixed_dictionaries({
+    "prop": st.sampled_from(
+        ["codeSecondaryStructure", "nameSecondaryStructure", "Annotation"]
+    ),
+    "text": st.sampled_from(["T", "loop", "Not_Observed", ""]),
+})
+_SIFTS_RESIDUE = st.fixed_dictionaries({
+    "resnum": st.integers(1, 30),
+    "xrefs": st.lists(_SIFTS_XREF, max_size=4),
+    "details": st.lists(_SIFTS_DETAIL, max_size=2),
+})
+_SIFTS_REGION = st.fixed_dictionaries({
+    "start": st.integers(1, 20),
+    "span": st.integers(0, 15),
+    "src": st.sampled_from(["PDB", "UniProt", "CATH", "SCOP", "Pfam", "GO"]),
+    "acc": st.sampled_from(_SIFTS_ACC),
+})
+_SIFTS_ENTITY = st.fixed_dictionaries({
+    "etype": st.sampled_from(["protein", "protein", "protein", "DNA"]),
+    "regions": st.lists(_SIFTS_REGION, max_size=3),
+    "residues": st.lists(_SIFTS_RESIDUE, min_size=1, max_size=3),
+})
+
+
+def _sifts_doc(entities) -> str:
+    ents = []
+    for ei, e in enumerate(entities):
+        regions = "".join(
+            f'<mapRegion start="{r["start"]}" end="{r["start"] + r["span"]}">'
+            f'<db dbSource="{r["src"]}" dbCoordSys="PDBresnum"'
+            f' dbAccessionId="{r["acc"]}"/></mapRegion>'
+            for r in e["regions"]
+        )
+        residues = []
+        for res in e["residues"]:
+            kids = []
+            for x in res["xrefs"]:
+                chain = f' dbChainId="{x["chain"]}"' if x["chain"] else ""
+                kids.append(
+                    f'<crossRefDb dbSource="{x["src"]}" dbCoordSys="PDBresnum"'
+                    f' dbAccessionId="{x["acc"]}" dbResNum="{x["rn"]}"'
+                    f' dbResName="{x["rname"]}"{chain}/>'
+                )
+            for d in res["details"]:
+                kids.append(
+                    f'<residueDetail dbSource="PDBe" property="{d["prop"]}">'
+                    f'{d["text"]}</residueDetail>'
+                )
+            residues.append(
+                f'<residue dbSource="PDBe" dbCoordSys="PDBe"'
+                f' dbResNum="{res["resnum"]}" dbResName="VAL">'
+                + "".join(kids) + "</residue>"
+            )
+        eid = "ABCD"[ei % 4]
+        ents.append(
+            f'<entity type="{e["etype"]}" entityId="{eid}">'
+            f'<segment segId="x_{eid}_1" start="1" end="50">'
+            f"<listMapRegion>{regions}</listMapRegion>"
+            f'<listResidue>{"".join(residues)}</listResidue>'
+            "</segment></entity>"
+        )
+    return (
+        "<?xml version='1.0' encoding='UTF-8'?>"
+        f'<entry xmlns="{_SIFTS_NS}" dbSource="PDBe" dbAccessionId="2pah">'
+        + "".join(ents) + "</entry>"
+    )
+
+
+def _sifts_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, list):
+        return ",".join(str(x) for x in v)
+    try:
+        return round(float(v), 4)
+    except (TypeError, ValueError):
+        return str(v)
+
+
+@given(entities=st.lists(_SIFTS_ENTITY, min_size=1, max_size=2))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sifts_parse_fuzz_vs_reference(spark, entities):
+    """parse_sifts_residues on RANDOMIZED SIFTS XML — substring-pair
+    accessions (the reference's scalar-state dedup is `v in cell`
+    SUBSTRING containment), repeated residueDetail properties (list
+    growth then ','-join), empty detail text (None-overwrite TypeError
+    branch), overlapping same-accession regions (LAST match wins, no
+    break), non-protein entities, childless residues (all-NaN rows; a
+    document of ONLY those is the reference's zero-column empty raise) —
+    the reference run live vs our mapInPandas parser. Shared-column
+    comparison (the wrapper's schema materializes the default-visible
+    surface; same convention as the fixture differential)."""
+    import os
+    import tempfile
+    import pandas as _pd
+    import pandas.io.json as _pij
+
+    _ref()
+    if not hasattr(_pij, "json_normalize"):
+        _pij.json_normalize = _pd.json_normalize
+    _lxml_shim()
+    sys.path.insert(0, "/root/reference")
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import proteofav.sifts as RSI
+    finally:
+        sys.path.remove("/root/reference")
+
+    from proteofav_spark.core import EmptyTableError
+    from proteofav_spark.sources.sifts import parse_sifts_residues
+
+    doc = _sifts_doc(entities)
+    fd, path = tempfile.mkstemp(suffix=".xml")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(doc)
+        ref_err = ref = None
+        try:
+            ref = RSI.parse_sifts_residues(path, excluded_cols=())
+        except ValueError as exc:
+            ref_err = exc
+        try:
+            ours = parse_sifts_residues(
+                spark, path, excluded_sources=()
+            ).toPandas()
+        except EmptyTableError:
+            assert ref_err is not None, "ref produced rows, ours raised"
+            return
+        assert ref_err is None, "reference raised on empty, ours produced rows"
+        shared = [c for c in ref.columns if c in ours.columns]
+        want = sorted(
+            (tuple(_sifts_cell(r[c]) for c in shared) for _, r in ref.iterrows()),
+            key=repr,
+        )
+        got = sorted(
+            (tuple(_sifts_cell(r[c]) for c in shared) for _, r in ours.iterrows()),
+            key=repr,
+        )
+        assert len(want) == len(got), (len(want), len(got), shared)
+        assert want == got, (
+            shared,
+            sorted(set(want) - set(got), key=repr)[:1],
+            sorted(set(got) - set(want), key=repr)[:1],
+        )
+    finally:
+        os.unlink(path)
+
+
+def test_sifts_scalar_substring_dedup_pinned(spark):
+    """Pinned regression (r13): while a residue's accumulated cell is a
+    scalar string the reference dedups by SUBSTRING containment
+    (sifts.py:296-310) — a CATH accession '1.10' arriving after
+    '1.10.800.10' is silently dropped; a third non-contained value grows
+    a list with exact membership from then on."""
+    import os
+    import tempfile
+    import pandas as _pd
+    import pandas.io.json as _pij
+
+    _ref()
+    if not hasattr(_pij, "json_normalize"):
+        _pij.json_normalize = _pd.json_normalize
+    _lxml_shim()
+    sys.path.insert(0, "/root/reference")
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            import proteofav.sifts as RSI
+    finally:
+        sys.path.remove("/root/reference")
+    from proteofav_spark.sources.sifts import parse_sifts_residues
+
+    doc = _sifts_doc([{
+        "etype": "protein",
+        "regions": [],
+        "residues": [{
+            "resnum": 1,
+            "xrefs": [
+                {"src": "CATH", "acc": "1.10.800.10", "rn": "1",
+                 "rname": "VAL", "chain": "A"},
+                {"src": "CATH", "acc": "1.10", "rn": "1",
+                 "rname": "VAL", "chain": "A"},
+                {"src": "CATH", "acc": "42581", "rn": "1",
+                 "rname": "VAL", "chain": "A"},
+            ],
+            "details": [],
+        }],
+    }])
+    fd, path = tempfile.mkstemp(suffix=".xml")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(doc)
+        ref = RSI.parse_sifts_residues(path, excluded_cols=())
+        ours = parse_sifts_residues(spark, path, excluded_sources=()).toPandas()
+        assert list(ref["CATH_dbAccessionId"]) == [["1.10.800.10", "42581"]]
+        assert list(ours["CATH_dbAccessionId"]) == ["1.10.800.10,42581"]
+    finally:
+        os.unlink(path)
