@@ -74,8 +74,11 @@ def parse_validation_residues(
             for xml_text, fname in zip(pdf["value"], pdf["source_file"]):
                 root = ET.fromstring(xml_text)
                 i = 0
-                for el in root.iter():
-                    if not el.tag.endswith("ModelledSubgroup"):
+                # direct children only: the reference's relative
+                # iterfind('ModelledSubgroup') does not recurse
+                # (validation.py:43)
+                for el in root:
+                    if el.tag != "ModelledSubgroup":
                         continue
                     rec = {
                         f"validation_{k.replace('-', '_')}": v

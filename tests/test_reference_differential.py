@@ -4654,3 +4654,109 @@ def test_sifts_scalar_substring_dedup_pinned(spark):
         assert list(ours["CATH_dbAccessionId"]) == ["1.10.800.10,42581"]
     finally:
         os.unlink(path)
+
+
+# --- Validation XML fuzz differential (r13) ------------------------------
+
+_VAL_ATTR_POOLS = {
+    "model": ["1", "2"],
+    "chain": ["A", "B"],
+    "resnum": ["118", "-5", "7"],
+    "resname": ["VAL", "HOH", "DA"],
+    "icode": [" ", "", "A", "?"],
+    "altcode": [" ", "", "A", "?", "."],
+    "rsr": ["0.12", "1.5", "bad"],
+    "rsrz": ["-0.5", "2.1"],
+    "rscc": ["0.95", "0.1"],
+    "rama": ["Favored", "OUTLIER"],
+    "rota": ["m-40", "OUTLIER"],
+    "phi": ["-60.4", "175.0"],
+    "psi": ["120.1", "-45.9"],
+    "avgoccu": ["1.00", "0.50"],
+    "owab": ["25.1", "90.7"],
+    "NatomsEDS": ["7", "12", "x"],
+    "seq": ["1", "118"],
+    "said": ["1", "2"],
+    "ent": ["1", "2"],
+    "cis_peptide": ["yes"],
+}
+_VAL_KEYS = list(_VAL_ATTR_POOLS)
+
+_VAL_ELEMENT = st.dictionaries(
+    keys=st.sampled_from(_VAL_KEYS),
+    values=st.integers(0, 3),
+    min_size=0, max_size=12,
+).map(
+    lambda d: {
+        k: _VAL_ATTR_POOLS[k][i % len(_VAL_ATTR_POOLS[k])]
+        for k, i in d.items()
+    }
+)
+
+
+@given(elements=st.lists(_VAL_ELEMENT, min_size=1, max_size=8))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_validation_parse_fuzz_vs_reference(spark, elements):
+    """parse_validation_residues on RANDOMIZED ModelledSubgroup attribute
+    sets — ragged attribute presence (the reference unions keys into a
+    header set and None-fills), blank/'?' icode/altcode values,
+    non-numeric cells poisoning the all-or-nothing casts — the reference
+    run live vs our mapInPandas parser over the shared columns. Two
+    documented normalizations: (a) the first element always carries
+    icode+altcode (the reference's _fix helpers hard-index those columns
+    and KeyError on files where no element has them — pandas≥2 bitrot the
+    real corpus never triggers); (b) the reference's icode/altcode
+    `str.replace('\\ |…')` regexes are no-ops under pandas≥2, so the ref
+    cells are pre-normalized to the documented intent (''/' '→'?' resp.
+    ''/' '/'?'→'.') exactly as the fixture differential does."""
+    import os
+    import tempfile
+
+    RVA, _ = _ref_more()
+    from proteofav_spark.core import EmptyTableError
+    from proteofav_spark.sources.validation import parse_validation_residues
+
+    elements = [dict(e) for e in elements]
+    elements[0].setdefault("icode", " ")
+    elements[0].setdefault("altcode", " ")
+    body = "".join(
+        "<ModelledSubgroup "
+        + " ".join(f'{k}="{v}"' for k, v in e.items())
+        + "/>"
+        for e in elements
+    )
+    doc = (
+        "<?xml version='1.0' encoding='UTF-8'?>"
+        '<wwPDB-validation-information><Entry pdbid="2pah"/>'
+        + body + "</wwPDB-validation-information>"
+    )
+    fd, path = tempfile.mkstemp(suffix=".xml")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(doc)
+        ref_err = ref = None
+        try:
+            ref = RVA.parse_validation_residues(path)
+        except ValueError as exc:
+            ref_err = exc
+        try:
+            ours = parse_validation_residues(spark, path)
+        except EmptyTableError:
+            assert ref_err is not None, "ref produced rows, ours raised"
+            return
+        assert ref_err is None, "reference raised on empty, ours produced rows"
+        if "validation_icode" in ref.columns:
+            ref["validation_icode"] = ref["validation_icode"].replace(
+                {"": "?", " ": "?"}
+            )
+        if "validation_altcode" in ref.columns:
+            ref["validation_altcode"] = ref["validation_altcode"].replace(
+                {"": ".", " ": ".", "?": "."}
+            )
+        _assert_frames_equal_coerced(ref, ours, min_shared=1)
+    finally:
+        os.unlink(path)
