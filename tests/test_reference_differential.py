@@ -4760,3 +4760,166 @@ def test_validation_parse_fuzz_vs_reference(spark, elements):
         _assert_frames_equal_coerced(ref, ours, min_shared=1)
     finally:
         os.unlink(path)
+
+
+# --- PDB ATOM-record fuzz differential (r13) -----------------------------
+
+def _pdb_atom_line(r) -> str:
+    """Render one fuzzed ATOM/HETATM record in the standard 80-col layout."""
+    name = r["name"] if len(r["name"]) == 4 else f" {r['name']:<3s}"
+    return (
+        f"{r['group']:<6s}{r['serial']:>5d} {name:<4s}{r['alt']:1s}"
+        f"{r['resname']:>3s} {r['chain']:1s}{r['resseq']:>4d}{r['icode']:1s}"
+        f"   {r['x']:8.3f}{r['y']:8.3f}{r['z']:8.3f}{r['occ']:6.2f}"
+        f"{r['b']:6.2f}          {r['element']:>2s}"
+    )
+
+
+_PDB_ROW = st.fixed_dictionaries({
+    "kind": st.sampled_from(["atom"] * 6 + ["model", "ter", "remark", "junk"]),
+    "group": st.sampled_from(["ATOM", "HETATM"]),
+    "serial": st.integers(0, 99999),
+    "name": st.sampled_from(["N", "CA", "OXT", "1HB2", "C1'", "FE"]),
+    "alt": st.sampled_from([" ", "A", "B"]),
+    "resname": st.sampled_from(["VAL", "HOH", "DA", "MSE"]),
+    "chain": st.sampled_from(["A", "B", " "]),
+    "resseq": st.integers(-99, 9999),
+    "icode": st.sampled_from([" ", "A"]),
+    "x": st.floats(-999, 999, allow_nan=False, width=32),
+    "y": st.floats(-999, 999, allow_nan=False, width=32),
+    "z": st.floats(-999, 999, allow_nan=False, width=32),
+    "occ": st.floats(0, 1, allow_nan=False, width=32),
+    "b": st.floats(0, 99, allow_nan=False, width=32),
+    "element": st.sampled_from(["N", "C", "O", "FE", "H"]),
+    "model": st.integers(1, 9),
+})
+
+
+@given(rows=st.lists(_PDB_ROW, min_size=1, max_size=10))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pdb_parse_fuzz_vs_reference(spark, rows):
+    """parse_pdb_atoms on RANDOMIZED ATOM/HETATM records — negative and
+    4-digit residue numbers, insertion codes, altlocs, blank chains,
+    primed atom names, MODEL switches (single-digit: the reference's
+    append-at-col-78 artifact is ledgered separately), TER/REMARK noise,
+    and an 'ATOMIC' junk line (the reference's startswith('ATOM') prefix
+    match picks it up as a data row) — the reference's read_fwf path run
+    live vs our substring projection. Ref-side normalization: the
+    intended ''→'?' ins-code / ''→'.' altloc fixes (regex no-ops under
+    pandas≥2), same as the fixture differential."""
+    import os
+    import tempfile
+
+    RS, _, _ = _ref()
+    from proteofav_spark.core import EmptyTableError
+    from proteofav_spark.sources.structures import parse_pdb_atoms
+
+    lines = ["HEADER    FUZZ"]
+    n_atoms = 0
+    for r in rows:
+        if r["kind"] == "model":
+            lines.append(f"MODEL     {r['model']:>4d}")
+        elif r["kind"] == "ter":
+            lines.append("TER")
+        elif r["kind"] == "remark":
+            lines.append("REMARK 350 SOME TEXT")
+        elif r["kind"] == "junk":
+            # startswith('ATOM') prefix-matches this junk record on both
+            # sides (reference structures.py:152-156)
+            lines.append("ATOMIC FUZZ LINE" + " " * 60 + " X")
+            n_atoms += 1
+        else:
+            lines.append(_pdb_atom_line(r))
+            n_atoms += 1
+    body = "\n".join(lines) + "\n"
+
+    fd, path = tempfile.mkstemp(suffix=".pdb")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(body)
+        ref_err = ref = None
+        try:
+            ref = RS.parse_pdb_atoms(path, excluded_cols=())
+        except ValueError as exc:
+            ref_err = exc
+        try:
+            ours = parse_pdb_atoms(spark, path)
+        except EmptyTableError:
+            assert ref_err is not None or n_atoms == 0, (
+                "ref produced rows, ours raised"
+            )
+            return
+        assert ref_err is None, "reference raised on empty, ours produced rows"
+        ref = ref.copy()
+        ref["pdbx_PDB_ins_code"] = ref["pdbx_PDB_ins_code"].replace({"": "?"})
+        ref["label_alt_id"] = ref["label_alt_id"].replace({"": "."})
+        _assert_frames_equal(ref, ours)
+    finally:
+        os.unlink(path)
+
+
+def test_pdb_model_append_artifact_divergence():
+    """DIVERGENCE pin (ledgered A13): the reference appends the running
+    MODEL number at column 78 of each 78-clipped record and reads span
+    (78,79) — so a multi-digit model id keeps only its FIRST digit
+    ('12'→'1', colliding with model 1), and a record whose rstripped
+    length is under 78 (no element column) hides the digit entirely
+    (model '' for every atom). Our MODEL carry is a per-file
+    last-over-window on the parsed marker, which keeps the full id in
+    both cases — the CIF-correct reading."""
+    import os
+    import tempfile
+
+    RS, _, _ = _ref()
+
+    body = "\n".join([
+        "MODEL       12",
+        "ATOM      1  N   VAL A 118      -7.069  21.943  18.770  1.00 56.51"
+        "           N",
+        "ENDMDL",
+        "MODEL       13",
+        "ATOM      2  CA  VAL A 118      -7.077  21.688  20.244  1.00 59.09",
+    ]) + "\n"
+    fd, path = tempfile.mkstemp(suffix=".pdb")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(body)
+        ref = RS.parse_pdb_atoms(path, excluded_cols=())
+        # first digit only; elementless record loses the digit entirely
+        assert list(ref["pdbx_PDB_model_num"]) == ["1", ""]
+    finally:
+        os.unlink(path)
+
+
+def test_pdb_model_full_id_ours(spark):
+    """Companion pin for A13: our parser keeps '12'/'13' verbatim for the
+    same file the reference collapses to '1'/''."""
+    import os
+    import tempfile
+
+    from proteofav_spark.sources.structures import parse_pdb_atoms
+
+    body = "\n".join([
+        "MODEL       12",
+        "ATOM      1  N   VAL A 118      -7.069  21.943  18.770  1.00 56.51"
+        "           N",
+        "ENDMDL",
+        "MODEL       13",
+        "ATOM      2  CA  VAL A 118      -7.077  21.688  20.244  1.00 59.09",
+    ]) + "\n"
+    fd, path = tempfile.mkstemp(suffix=".pdb")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(body)
+        out = parse_pdb_atoms(spark, path)
+        got = sorted(
+            (str(r["id"]), r["pdbx_PDB_model_num"])
+            for r in out.select("id", "pdbx_PDB_model_num").collect()
+        )
+        assert got == [("1", "12"), ("2", "13")]
+    finally:
+        os.unlink(path)
