@@ -70,7 +70,7 @@ def build(out_dir: str, seed: int = 42, src: str = "/root/testdata/sf0.001"):
     ]), sample=None)
     copy("part", ", ".join([
         "p_partkey", "p_name", "p_brand", "p_type", "p_size",
-        "CAST(" + _j("p_retailprice", "p_partkey", seed)
+        "CAST(" + _null(_j("p_retailprice", "p_partkey", seed), "p_partkey", seed)
         + " AS DOUBLE) AS p_retailprice",
     ]))
     copy("orders", ", ".join([
@@ -80,7 +80,7 @@ def build(out_dir: str, seed: int = 42, src: str = "/root/testdata/sf0.001"):
         # shift by up to ±3 days, microsecond precision preserved
         "o_orderdate + INTERVAL (CAST(hash(o_orderkey * 31 + " + str(seed)
         + ") % 518400 AS BIGINT) - 259200) SECOND AS o_orderdate",
-        "o_orderpriority",
+        _null("o_orderpriority", "o_orderkey", seed, one_in=40) + " AS o_orderpriority",
     ]))
     copy("lineitem", ", ".join([
         "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
@@ -88,8 +88,9 @@ def build(out_dir: str, seed: int = 42, src: str = "/root/testdata/sf0.001"):
         + ") AS DOUBLE) AS l_quantity",
         "CAST(" + _j("l_extendedprice", "l_orderkey * 10 + l_linenumber", seed)
         + " AS DOUBLE) AS l_extendedprice",
-        "CAST(round(" + _j("l_discount", "l_orderkey + 3 * l_linenumber", seed,
-                           0.5, 1.5) + ", 2) AS DOUBLE) AS l_discount",
+        "CAST(" + _null("round(" + _j("l_discount", "l_orderkey + 3 * l_linenumber", seed,
+                           0.5, 1.5) + ", 2)", "l_orderkey + 3 * l_linenumber", seed)
+        + " AS DOUBLE) AS l_discount",
         "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
     ]))
     copy("events", ", ".join([
@@ -97,7 +98,7 @@ def build(out_dir: str, seed: int = 42, src: str = "/root/testdata/sf0.001"):
         "ts + INTERVAL (CAST(hash(event_id * 17 + " + str(seed)
         + ") % 7200 AS BIGINT) - 3600) SECOND AS ts",
         "user_id", "event_type",
-        "CAST(" + _j("value", "event_id", seed) + " AS DOUBLE) AS value",
+        "CAST(" + _null(_j("value", "event_id", seed), "event_id", seed) + " AS DOUBLE) AS value",
         "props",
     ]))
     # corpus tables: subsample only — the dedup/ANN operator contracts
