@@ -1260,7 +1260,8 @@ def q_scalar_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           round(SUM(value), 2) AS total_value
+           CAST(round(CAST(SUM(value) AS DECIMAL(30, 6)), 2) AS DOUBLE)
+             AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -1279,7 +1280,17 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_bucket", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # decimal-stabilized 2-dp round (r13): DuckDB's double round()
+            # scales by 10^d first, so a sum within 1 ULP of a half
+            # boundary (13.594999999999999 × 100 == exactly 1359.5) rounds
+            # UP while Spark's BigDecimal path rounds DOWN — found by the
+            # randomized-input oracle sweep at sf0.01 scale. Rounding
+            # through a 6-digit decimal first collapses the ULP
+            # neighborhood identically on both engines before the 2-dp
+            # round; output stays DOUBLE for the driver's type gate
+            F.round(F.sum("value").cast("decimal(30,6)"), 2)
+            .cast("double")
+            .alias("total_value"),
         )
     )
 

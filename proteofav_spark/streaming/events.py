@@ -62,7 +62,12 @@ def tumbling_counts(
         .groupBy(F.window("event_ts", window).alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # same decimal-stabilized round as the batch twin
+            # (queries.py events_tumbling_window) so the value-parity
+            # check holds on rounding-boundary sums
+            F.round(F.sum("value").cast("decimal(30,6)"), 2)
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),

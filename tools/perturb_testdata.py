@@ -101,10 +101,39 @@ def build(out_dir: str, seed: int = 42, src: str = "/root/testdata/sf0.001"):
         "CAST(" + _null(_j("value", "event_id", seed), "event_id", seed) + " AS DOUBLE) AS value",
         "props",
     ]))
-    # corpus tables: subsample only — the dedup/ANN operator contracts
-    # assume non-null text/vectors, and jittering text would break the
-    # shingle/embedding structure both sides must see identically
-    copy("documents", "*")
+    # corpus tables: subsample, then INJECT fresh near-duplicates — ~1 in 8
+    # surviving docs re-appears under a NEW doc_id with a token-level
+    # mutation (first word dropped / ' the' suffix, hash-chosen), so the
+    # dedup family (MinHash/SimHash/n-gram/exact) faces duplicate
+    # structure the fixed tables never had; fresh ids keep tie-breaks
+    # deterministic. Text beyond the mutation is untouched: both engines
+    # must see byte-identical shingle input
+    con.execute(
+        f"""
+        COPY (
+          WITH base AS (
+            SELECT * FROM '{src}/documents.parquet'
+            USING SAMPLE 80 PERCENT (bernoulli, {seed})
+          ),
+          mx AS (SELECT max(doc_id) AS m FROM base)
+          SELECT * FROM base
+          UNION ALL
+          SELECT
+            mx.m + 1 + row_number() OVER (ORDER BY b.doc_id) AS doc_id,
+            CASE WHEN hash(b.doc_id * 131 + {seed}) % 2 = 0
+                 THEN b.text || ' the'
+                 ELSE regexp_replace(b.text, '^[^ ]+ ', '')
+            END AS text,
+            b.lang, b.source,
+            CAST(length(CASE WHEN hash(b.doc_id * 131 + {seed}) % 2 = 0
+                 THEN b.text || ' the'
+                 ELSE regexp_replace(b.text, '^[^ ]+ ', '')
+            END) AS BIGINT) AS n_chars
+          FROM base b, mx
+          WHERE hash(b.doc_id * 977 + {seed}) % 8 = 0
+        ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
     # the PQ codebook trains on the fixed vec_id range [100, 116) — a
     # corpus contract ann_pq_topk guards loudly (first seed42 sweep:
     # "expects vec_ids [100, 116) present; found 11 of 16"); keep those
