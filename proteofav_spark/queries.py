@@ -389,7 +389,8 @@ def all_oracles(include_retired: bool = False) -> dict[str, str]:
     "filter_isin",
     """
     SELECT o_orderkey, o_orderstatus, o_orderpriority,
-           round(o_totalprice, 2) AS totalprice
+           CAST(round(CAST(o_totalprice AS DECIMAL(30, 6)), 2) AS DOUBLE)
+             AS totalprice
     FROM orders
     WHERE o_orderstatus IN ('F','O') AND o_orderpriority <> '3-MEDIUM'
           AND o_totalprice > 50000
@@ -405,7 +406,11 @@ def q_filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > 50000)
         .select(
             "o_orderkey", "o_orderstatus", "o_orderpriority",
-            F.round("o_totalprice", 2).alias("totalprice"),
+            # decimal-stabilized 2-dp round — same cross-engine ULP
+            # rationale as events_tumbling_window (r13)
+            F.round(F.col("o_totalprice").cast("decimal(30,6)"), 2)
+            .cast("double")
+            .alias("totalprice"),
         )
     )
 
@@ -977,7 +982,9 @@ def q_agg_duplicate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT g.o_custkey, f.best_order, g.best_price
     FROM (
-      SELECT o_custkey, round(MAX(o_totalprice), 2) AS best_price
+      SELECT o_custkey,
+             CAST(round(CAST(MAX(o_totalprice) AS DECIMAL(30, 6)), 2)
+                  AS DOUBLE) AS best_price
       FROM orders GROUP BY o_custkey) g
     JOIN (
       SELECT o_custkey AS k, o_orderkey AS best_order,
@@ -995,7 +1002,10 @@ def q_agg_preferred_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(
             "o_orderkey", F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")))
         ).alias("best_order"),
-        F.round(F.max("o_totalprice"), 2).alias("best_price"),
+        # decimal-stabilized 2-dp round (r13, see events_tumbling_window)
+        F.round(F.max("o_totalprice").cast("decimal(30,6)"), 2)
+        .cast("double")
+        .alias("best_price"),
     )
 
 
@@ -1630,7 +1640,8 @@ def q_spatial_contacts_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT win_start_hour, event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           round(SUM(value), 2) AS total_value
+           CAST(round(CAST(SUM(value) AS DECIMAL(30, 6)), 2) AS DOUBLE)
+             AS total_value
     FROM ex GROUP BY win_start_hour, event_type
     """,
 )
@@ -1648,7 +1659,11 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("win_start_hour", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # decimal-stabilized 2-dp round — same cross-engine ULP
+            # rationale as events_tumbling_window (r13)
+            F.round(F.sum("value").cast("decimal(30,6)"), 2)
+            .cast("double")
+            .alias("total_value"),
         )
     )
 
