@@ -1406,6 +1406,15 @@ def test_chimera_writers_differential(spark):
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
+# soak knob: the randomized differentials default to small example counts
+# for suite speed; export PROTEOFAV_SPARK_FUZZ_SCALE=5 (etc.) to multiply
+# every fuzz family's budget for an out-of-band soak run
+_FUZZ_SCALE = int(os.environ.get("PROTEOFAV_SPARK_FUZZ_SCALE", "1"))
+
+
+def _ex(n: int) -> int:
+    return n * _FUZZ_SCALE
+
 _RUN = st.tuples(
     st.sampled_from(["GLY", "ALA", "SER", "HOH"]),  # HOH: non-AA passthrough
     st.sampled_from(["1", "2", "3"]),               # small → consecutive dups
@@ -1418,7 +1427,7 @@ _RUN = st.tuples(
 
 @given(runs=st.lists(_RUN, min_size=1, max_size=10))
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1482,7 +1491,7 @@ def test_remove_partial_residues_property_vs_reference(spark, runs):
     )
 )
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1532,7 +1541,7 @@ def test_remove_altlocs_property_vs_reference(spark, rows):
     )
 )
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1607,7 +1616,7 @@ def test_split_merge_property_vs_reference(spark, rows):
     new_gap=st.sampled_from(["-", "."]),
 )
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1648,7 +1657,7 @@ def test_check_sequence_property_vs_reference(spark, seq, new_gap):
     reverse=st.booleans(),
 )
 @settings(
-    max_examples=20,
+    max_examples=_ex(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1715,7 +1724,7 @@ def test_row_selector_property_vs_reference(spark, rows, value, reverse):
     )
 )
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1768,7 +1777,7 @@ def test_dssp_full_chain_property_vs_reference(spark, blocks):
     )
 )
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1954,7 +1963,7 @@ def test_annotation_aggregation_paths_differential(spark):
     )
 )
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2043,7 +2052,7 @@ def _pairs(rows):
     ["sifts", "validation", "annotation"]
 ))
 @settings(
-    max_examples=12,
+    max_examples=_ex(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2103,7 +2112,7 @@ def test_simple_mergers_property_vs_reference(spark, left, right, which):
     orig=st.sampled_from([None, "A", "B", "C"]),
 )
 @settings(
-    max_examples=12,
+    max_examples=_ex(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2145,7 +2154,7 @@ def test_dssp_merger_chain_probe_property_vs_reference(spark, left, right, orig)
 
 @given(left=_MROWS, right=_MROWS)
 @settings(
-    max_examples=12,
+    max_examples=_ex(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2196,7 +2205,7 @@ def test_variants_merger_astype_property_vs_reference(spark, left, right):
     ),
 )
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2275,7 +2284,7 @@ _AGG_ROW = st.tuples(
     method=st.sampled_from(["centroid", "first"]),
 )
 @settings(
-    max_examples=12,
+    max_examples=_ex(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2357,7 +2366,7 @@ def test_residues_aggregation_property_vs_reference(spark, rows, ids, method):
     target=st.sampled_from(["int64", "float64"]),
 )
 @settings(
-    max_examples=14,
+    max_examples=_ex(14),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2478,7 +2487,7 @@ _GFF_ROW = st.tuples(
     grouped=st.booleans(),
 )
 @settings(
-    max_examples=12,
+    max_examples=_ex(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2585,7 +2594,7 @@ _FILTER_OPTS = st.fixed_dictionaries(
 
 @given(opts=_FILTER_OPTS)
 @settings(
-    max_examples=18,
+    max_examples=_ex(18),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2720,7 +2729,7 @@ _DSSP_OPTS = st.fixed_dictionaries(
 
 @given(opts=_DSSP_OPTS)
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2845,7 +2854,7 @@ _DESC_POOL = [
     descs=st.lists(st.sampled_from(_DESC_POOL), min_size=1, max_size=6),
 )
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2935,7 +2944,7 @@ _VF_FEATURE = st.fixed_dictionaries(
 
 @given(features=st.lists(_VF_FEATURE, min_size=0, max_size=4))
 @settings(
-    max_examples=12,
+    max_examples=_ex(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -3691,7 +3700,7 @@ _SIFTS_GRID = st.fixed_dictionaries(
 
 @given(opts=_SIFTS_GRID)
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -3783,7 +3792,7 @@ _VALIDATION_GRID = st.fixed_dictionaries(
 
 @given(opts=_VALIDATION_GRID)
 @settings(
-    max_examples=12,
+    max_examples=_ex(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -3883,7 +3892,7 @@ _CIF_POOLS = {
     )
 )
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -3962,7 +3971,7 @@ _GFF_GROUPS = [
     groups=st.lists(st.sampled_from(_GFF_GROUPS), min_size=1, max_size=6),
 )
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -4143,7 +4152,7 @@ _MAP_ENTRY = st.fixed_dictionaries(
 
 
 @given(data=st.lists(_MAP_ENTRY, min_size=0, max_size=6))
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=_ex(50), deadline=None)
 def test_preferred_uniprot_id_mapping_differential(data):
     """get_uniprot_id_from_mapping + get_preferred_uniprot_id_from_mapping
     vs the live reference (proteofav/variants.py:255-319) on randomized
@@ -4185,7 +4194,7 @@ def test_preferred_uniprot_id_mapping_differential(data):
         min_size=0, max_size=6,
     )
 )
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_ex(30), deadline=None)
 def test_ensembl_protein_id_mapping_differential(data):
     """get_ensembl_protein_id_from_mapping vs the live reference
     (proteofav/variants.py:238-252): translation-type gate, missing-key
@@ -4212,7 +4221,7 @@ def test_ensembl_protein_id_mapping_differential(data):
     uniprot_id=st.sampled_from([None, "P1", "P22"]),
 )
 @settings(
-    max_examples=30,
+    max_examples=_ex(30),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -4340,7 +4349,7 @@ _DSSP_ROW = st.fixed_dictionaries({
 
 @given(rows=st.lists(_DSSP_ROW, min_size=1, max_size=10))
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -4532,7 +4541,7 @@ def _sifts_cell(v):
 
 @given(entities=st.lists(_SIFTS_ENTITY, min_size=1, max_size=2))
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -4696,7 +4705,7 @@ _VAL_ELEMENT = st.dictionaries(
 
 @given(elements=st.lists(_VAL_ELEMENT, min_size=1, max_size=8))
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -4797,7 +4806,7 @@ _PDB_ROW = st.fixed_dictionaries({
 
 @given(rows=st.lists(_PDB_ROW, min_size=1, max_size=10))
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
