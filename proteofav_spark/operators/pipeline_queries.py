@@ -226,7 +226,10 @@ def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         q_dedup_minhash_lsh(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        # lazy: the seed's first action (the pre-loop star-forest test)
+        # materializes this in the same job — an eager checkpoint here
+        # was a whole extra LSH pair-generation pass (r13 optimization)
+        .localCheckpoint(eager=False)
     )
     return star_components(pairs)
 
@@ -307,16 +310,6 @@ def star_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     Output: one row per vertex —
     (doc_id, cluster_id, cluster_size, is_canonical).
     """
-    from pyspark.sql import Observation
-
-    def _observed_checkpoint(e: DataFrame) -> tuple[DataFrame, int]:
-        """Materialize the edge frame (localCheckpoint) and collect its
-        row count IN THE SAME JOB via ``observe`` — one action per
-        round, no second counting pass."""
-        obs = Observation()
-        out = e.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
-        return out, obs.get["n"]
-
     def _is_star_forest(e: DataFrame) -> bool:
         """Exact fixed-point test for the star loop. A canonically
         oriented (doc_a > doc_b) edge set is a star forest iff every
@@ -358,7 +351,9 @@ def star_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         sym.groupBy("u")
         .agg(F.min("v").alias("mv"))
         .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
-        .localCheckpoint()  # reused 3×: both relabel joins + final labels
+        # reused 3× (both relabel joins + final labels); lazy — the
+        # seed's star-forest test is the first action and materializes it
+        .localCheckpoint(eager=False)
     )
     contracted = (
         canonical.join(
@@ -385,9 +380,17 @@ def star_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     # the seed + one tiny test job. The test is a fraction of a star
     # round's 2-groupBy/2-join price, so even when it fails the round
     # it buys back later is pure profit.
-    edges, n = _observed_checkpoint(contracted)
+    # LAZY localCheckpoint (r13 optimization): the star-forest test that
+    # follows every (re)build of the edge set is itself an action whose
+    # shuffle map side scans every edge partition, so it doubles as the
+    # checkpoint materializer — the former eager-materialize-then-test
+    # scheme paid one extra full pass over the edges per round (and at
+    # the seed) purely to checkpoint them. The observed row count the
+    # old scheme collected is subsumed by the test: an empty edge set IS
+    # a star forest (guide §1.2 — remove passes, don't speed them up).
+    edges = contracted.localCheckpoint(eager=False)
     rounds = 0
-    while not (n == 0 or _is_star_forest(edges)):
+    while not _is_star_forest(edges):
         if rounds >= max_rounds:
             raise RuntimeError(
                 "large-star/small-star did not reach a fixed point in "
@@ -398,7 +401,7 @@ def star_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         # input twice, so an untruncated logical plan quadruples in size
         # per round and driver-side analysis time explodes — the
         # checkpoint resets the tree to a leaf.
-        edges, n = _observed_checkpoint(_small_star(_large_star(edges)))
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         rounds += 1
     # converged edge set maps contracted label → component-min; compose
     # with the seed labels: v → m(v) → cluster. Roots have no out-edge.

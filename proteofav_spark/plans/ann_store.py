@@ -41,6 +41,57 @@ TOPK_DEFAULT = 5
 PREFILTER_M_DEFAULT = 50  # quantized-prefilter survivors per query
 
 
+# ---------------------------------------------------------------------------
+# Store-scan resolution (r13 optimization): every `spark.read.parquet` on a
+# store subdir re-lists the path and re-reads parquet footers — ~100-200 ms
+# of single-threaded driver work PER PROBE, and at production scale the
+# lists tree has K partition directories to re-list on every search. The
+# scan DataFrame is immutable plan metadata, so it is resolved once per
+# (session, store-subdir) exactly like the catalog-style table resolution
+# in queries.load(). Every store MUTATOR (build/append/compact/rebalance/
+# backfill) calls _evict_store_scans alongside its existing
+# catalog.refreshByPath — a stale plan would otherwise chase deleted files.
+# ---------------------------------------------------------------------------
+
+_STORE_SCAN_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def _store_scan(spark: SparkSession, path: str, part: str) -> DataFrame:
+    key = (path, part)
+    hit = _STORE_SCAN_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = spark.read.parquet(f"{path}/{part}")
+    _STORE_SCAN_CACHE[key] = (spark, df)
+    return df
+
+
+def _evict_store_scans(path: str) -> None:
+    for key in [k for k in list(_STORE_SCAN_CACHE) if k[0] == path]:
+        _STORE_SCAN_CACHE.pop(key, None)
+
+
+def _store_centroids_local(spark: SparkSession, path: str) -> DataFrame:
+    """The K-row centroid table as a session-cached LOCAL relation.
+
+    The store contract already reads the centroids whole at search time
+    (they are bounded index metadata — K rows regardless of corpus
+    size); collecting them once per (session, store) and probing against
+    a LocalTableScan removes a parquet scan stage AND its broadcast-
+    exchange materialization from EVERY probe call — two driver round
+    trips per search batch, which at 100 TB is pure driver/scheduler
+    relief on the hot path (guide §5: the driver should do almost no
+    per-query work). Evicted with the scan cache on any store mutation."""
+    key = (path, "centroids_local")
+    hit = _STORE_SCAN_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    src = _store_scan(spark, path, "centroids")
+    df = spark.createDataFrame(src.collect(), src.schema)
+    _STORE_SCAN_CACHE[key] = (spark, df)
+    return df
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -162,6 +213,7 @@ def build_ivf_store(embeddings: DataFrame, path: str) -> None:
     # rewrite would otherwise chase deleted part-files
     embeddings.sparkSession.catalog.refreshByPath(f"{path}/lists")
     embeddings.sparkSession.catalog.refreshByPath(f"{path}/centroids")
+    _evict_store_scans(path)
 
 
 _EMBED_TYPE_CACHE: dict[str, str] = {}
@@ -305,6 +357,7 @@ def append_ivf_store(spark: SparkSession, path: str, batch: DataFrame) -> None:
         "list_label"
     ).parquet(f"{path}/lists")
     spark.catalog.refreshByPath(f"{path}/lists")
+    _evict_store_scans(path)
 
 
 def ivf_file_stats(path: str) -> dict[int, tuple[int, int]]:
@@ -405,6 +458,7 @@ def compact_ivf_store(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     spark.catalog.refreshByPath(f"{path}/lists")
+    _evict_store_scans(path)
 
     after = ivf_file_stats(path)
     return {
@@ -680,6 +734,7 @@ def rebalance_ivf_store(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     spark.catalog.refreshByPath(f"{path}/lists")
+    _evict_store_scans(path)
 
     return _with_compaction({
         "split": {old: new_label_of[old] for old in sorted(split_ok)},
@@ -745,7 +800,7 @@ def _probe_selection(
     micro-batches (|Q|=2000 → 8,000-row Python round-trip per batch)
     for a literalness the prune never needed — the prune only needs the
     label SET."""
-    cents = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    cents = F.broadcast(_store_centroids_local(spark, path))
     q = queries.select(
         "qid", "qvec", _norm(F.col("qvec")).alias("qnorm")
     )
@@ -765,15 +820,18 @@ def _probe_selection(
     # materialize the tiny (|queries|·nprobe-row) selection ONCE: the
     # distinct-labels collect below and the scoring join both read the
     # checkpointed blocks instead of each re-running the crossJoin +
-    # window (review r8). Per-batch frames go unreferenced after the
-    # batch, so the ContextCleaner reclaims the blocks — unlike the
-    # session-lifetime _INDEX_CACHE artifacts, nothing pins them.
-    probes = probes.localCheckpoint()
+    # window (review r8). LAZY checkpoint (r13): the collect right below
+    # is the materializing action — eager paid a separate whole-frame
+    # pass per probe call just to checkpoint it. Per-batch frames go
+    # unreferenced after the batch, so the ContextCleaner reclaims the
+    # blocks — unlike the session-lifetime _INDEX_CACHE artifacts,
+    # nothing pins them.
+    probes = probes.localCheckpoint(eager=False)
     labels = sorted(
         r["list_label"]
         for r in probes.select("list_label").distinct().collect()
     )  # bounded by K (the centroid count) regardless of batch size
-    lists = spark.read.parquet(f"{path}/lists").where(
+    lists = _store_scan(spark, path, "lists").where(
         F.col("list_label").isin(labels)  # static partition prune
     )
     return q, lists, probes
@@ -963,6 +1021,7 @@ def backfill_codes(spark: SparkSession, path: str) -> None:
     ).write.mode("overwrite").parquet(f"{path}/meta")
     _STORE_CODES_CACHE[path] = True
     spark.catalog.refreshByPath(f"{path}/lists")
+    _evict_store_scans(path)
     spark.catalog.refreshByPath(f"{path}/meta")
 
 
