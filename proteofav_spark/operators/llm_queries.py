@@ -1695,11 +1695,19 @@ def q_ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= NPROBE)
         .select(F.col("vec_id").alias("qid"), "label")
     )
+    # probe is ≤ |Q|·NPROBE rows by construction (rn ≤ NPROBE) — broadcast
+    # it so the inverted lists never shuffle (the planner picked a
+    # SortMergeJoin here: `assign` is a checkpointed RDD with no stats, so
+    # without the hint BOTH sides paid an exchange + sort for a ≤24-row
+    # build side). No distinct needed: `assign` has exactly one label per
+    # vec_id and probe's (qid, label) rows are unique, so a (qid, vec_id)
+    # pair can arise from at most one (label) match — count semantics are
+    # identical with the dedup exchange removed (same argument as the
+    # minhash pair stage's dropped distinct-expand).
     cand = (
-        probe.join(assign, on="label")
+        assign.join(F.broadcast(probe), on="label")
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
-        .distinct()
     )
     # re-rank: only the (tiny) query vectors broadcast — never the corpus —
     # and each side's norm is the one already computed per vector in ev
@@ -2171,31 +2179,28 @@ def _py_codes(vec: list) -> list[int]:
     return [int(math.floor(float(v) * 127 + 0.5)) for v in vec]
 
 
-TOPK_SALT = 32  # local top-k salt buckets per query (two-phase top-k)
-
-
 def _topk_per_query(scored: DataFrame, k: int, order: list) -> DataFrame:
-    """Two-phase per-query top-k over a corpus-wide scored frame. A window
-    partitioned only by qid funnels ALL N·|Q| scored rows into |Q| sort
-    partitions — the one per-query global sort that wouldn't survive 100 TB.
-    Phase 1 takes a LOCAL top-k inside (qid, salt) buckets (deterministic
-    hash salt, every sort bounded to N/TOPK_SALT rows); phase 2's per-qid
-    window then sees at most |Q|·TOPK_SALT·k rows. Output-identical to the
-    single-window form: the global top-k of a union is contained in the
-    union of per-bucket top-ks, and both phases share one total ordering
-    (tie-break vec_id), so ``prk`` matches the oracle's ROW_NUMBER exactly.
-    Same two-stage discipline as agg_salted_two_stage."""
-    salted = scored.withColumn(
-        "_salt", F.pmod(F.xxhash64("vec_id"), F.lit(TOPK_SALT))
-    )
-    w_loc = W.partitionBy("qid", "_salt").orderBy(*order)
-    local = (
-        salted.withColumn("_lrk", F.row_number().over(w_loc))
-        .filter(F.col("_lrk") <= k)
-        .drop("_salt", "_lrk")
-    )
+    """Per-query top-k over a corpus-wide scored frame: ONE window
+    partitioned by qid, with the rank filter fused into the plan.
+
+    Scale shape (r13 re-adjudication of the r8 salted two-phase form):
+    Spark's rank-limit pushdown (SPARK-37099, on by default via
+    ``spark.sql.optimizer.windowGroupLimitThreshold``) plants a
+    ``WindowGroupLimit … Partial`` below the exchange — every map task
+    keeps only its local top-k per qid BEFORE shuffling, so the per-qid
+    sort partition receives ≤ #map_tasks·k rows, never the corpus. The
+    hand-rolled salt phase this replaces duplicated exactly that map-side
+    prune at the price of a whole extra Exchange + two Sorts per call —
+    and, because the partial limit applies per (qid, salt) bucket, its
+    phase-1 exchange shipped up to TOPK_SALT× MORE rows per task than the
+    single window does. Napkin math at 100 TB (guide §1.3): 1 GB splits →
+    ~10⁵ map tasks; k ≤ 100 → ≤ 10⁷ rows ≈ 200 MB per qid partition — one
+    ordinary task-sized spillable sort. Measured at sf0.1 (the r8 A/B,
+    tools/ab_topk_salt.py): the salt exchange cost ~68 ms/query (~10%).
+    Ordering contract unchanged: one total order (tie-break vec_id), so
+    ``prk`` matches the oracle's ROW_NUMBER exactly."""
     w_glob = W.partitionBy("qid").orderBy(*order)
-    return local.withColumn("prk", F.row_number().over(w_glob)).filter(
+    return scored.withColumn("prk", F.row_number().over(w_glob)).filter(
         F.col("prk") <= k
     )
 

@@ -370,16 +370,12 @@ def test_round_half_up_integer_identity(a, b):
 )
 @settings(**SETTINGS)
 def test_two_phase_topk_equals_single_window(spark, rows, k):
-    """_topk_per_query (salted local top-k, then per-qid global) must be
-    OUTPUT-IDENTICAL to the single per-qid window it replaces — including
-    duplicate (qid, vec_id) rows and score ties, where the shared
-    (score, vec_id) ordering makes both forms deterministic only up to
-    duplicate-row interchangeability, so we compare as multisets of
-    (qid, vec_id, score, rank)."""
-    from collections import Counter
-
+    """_topk_per_query (r13: one per-qid window, rank-limit pushdown
+    supplying the map-side prune) must match a driver-side Python
+    reference ranking exactly — the engine-independent oracle also
+    covers the salted two-phase form this replaced, so the rewrite is
+    pinned to the same output contract."""
     from proteofav_spark.operators.llm_queries import _topk_per_query
-    from pyspark.sql import Window as W
 
     # dedup (qid, vec_id) so the tie-break key is unique per partition —
     # the production contract (vec_id is a primary key)
@@ -393,18 +389,20 @@ def test_two_phase_topk_equals_single_window(spark, rows, k):
         return
     df = spark.createDataFrame(uniq, "qid int, vec_id int, score int")
     order = [F.desc("score"), F.asc("vec_id")]
-    got = Counter(
+    got = sorted(
         (r["qid"], r["vec_id"], r["score"], r["prk"])
         for r in _topk_per_query(df, k, order).collect()
     )
-    w = W.partitionBy("qid").orderBy(*order)
-    ref = Counter(
-        (r["qid"], r["vec_id"], r["score"], r["prk"])
-        for r in df.withColumn("prk", F.row_number().over(w))
-        .filter(F.col("prk") <= k)
-        .collect()
-    )
-    assert got == ref
+    ref = []
+    by_q: dict[int, list] = {}
+    for q, v, s in uniq:
+        by_q.setdefault(q, []).append((v, s))
+    for q, vs in by_q.items():
+        for rk, (v, s) in enumerate(
+            sorted(vs, key=lambda t: (-t[1], t[0]))[:k], start=1
+        ):
+            ref.append((q, v, s, rk))
+    assert got == sorted(ref)
 
 
 # ---------------------------------------------------------------------------

@@ -1,16 +1,19 @@
-"""Interleaved same-session A/B for the salted two-phase top-k in
-ann_ivf_coarse (VERDICT r7 item #3): the r7 uniform two-phase rollout
-regressed the query 0.884 -> 1.193 s at sf0.1, the only headline query
-that got slower, and the cost of the new salt exchange was asserted
-("zero at sf0.1") from the two NEW retrieval queries rather than
-measured on this one.
+"""Interleaved same-session A/B for the per-query top-k stage.
+
+History: r7 rolled the salted two-phase top-k into every retrieval
+prefilter; the r8 A/B (this tool, arms then inverted) measured the salt
+exchange at ~68 ms/query (~10%) at sf0.1 and ACCEPTED it for the
+bounded-final-sort argument. r13 re-adjudicated: Spark's rank-limit
+pushdown (SPARK-37099, WindowGroupLimit Partial below the exchange)
+already provides the map-side prune the salt bought, at zero extra
+exchanges — so `_topk_per_query` is now the single per-qid window, and
+this tool's B arm monkeypatches the OLD salted two-phase form back in to
+keep the decision measurable.
 
 Protocol: ONE session (the IVF index artifacts are built once and shared
-by both arms, so the diff isolates exactly the top-k stage), the B arm
-monkeypatches _topk_per_query with the single-phase window it replaced
-(one per-qid window over the full candidate set), arms interleaved
-A,B,A,B,... so host-load drift hits both equally. Warm runs only (one
-untimed build run first).
+by both arms, so the diff isolates exactly the top-k stage), arms
+interleaved A,B,A,B,... so host-load drift hits both equally. Warm runs
+only (one untimed build run first).
 
 Usage: python tools/ab_topk_salt.py [sf_dir] [pairs]
 Prints one JSON line with per-arm samples + medians.
@@ -24,6 +27,8 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+TOPK_SALT = 32  # salt buckets of the retired two-phase form
 
 
 def main() -> None:
@@ -41,13 +46,22 @@ def main() -> None:
     qs = all_queries(include_retired=True)
     fn = qs["ann_ivf_coarse"]
 
-    salted = lq._topk_per_query
+    single_phase = lq._topk_per_query
 
-    def single_phase(scored, k, order):
-        # the exact pre-r7 shape: one window partitioned only by qid —
-        # every scored row for a query lands in ONE sort partition
-        w = W.partitionBy("qid").orderBy(*order)
-        return scored.withColumn("prk", F.row_number().over(w)).filter(
+    def salted(scored, k, order):
+        # the exact r7-r12 shape: local top-k inside (qid, salt) buckets,
+        # then the per-qid global window
+        s = scored.withColumn(
+            "_salt", F.pmod(F.xxhash64("vec_id"), F.lit(TOPK_SALT))
+        )
+        w_loc = W.partitionBy("qid", "_salt").orderBy(*order)
+        local = (
+            s.withColumn("_lrk", F.row_number().over(w_loc))
+            .filter(F.col("_lrk") <= k)
+            .drop("_salt", "_lrk")
+        )
+        w_glob = W.partitionBy("qid").orderBy(*order)
+        return local.withColumn("prk", F.row_number().over(w_glob)).filter(
             F.col("prk") <= k
         )
 
@@ -61,21 +75,21 @@ def main() -> None:
 
     a, b = [], []
     for _ in range(pairs):
-        lq._topk_per_query = salted
-        a.append(run())
         lq._topk_per_query = single_phase
+        a.append(run())
+        lq._topk_per_query = salted
         b.append(run())
-    lq._topk_per_query = salted
+    lq._topk_per_query = single_phase
 
     out = {
         "query": "ann_ivf_coarse",
         "sf_dir": sf_dir,
-        "salted_sec": a,
-        "single_phase_sec": b,
-        "salted_median": round(statistics.median(a), 3),
-        "single_phase_median": round(statistics.median(b), 3),
+        "single_phase_sec": a,
+        "salted_sec": b,
+        "single_phase_median": round(statistics.median(a), 3),
+        "salted_median": round(statistics.median(b), 3),
         "salt_cost_ms": round(
-            (statistics.median(a) - statistics.median(b)) * 1000
+            (statistics.median(b) - statistics.median(a)) * 1000
         ),
     }
     print(json.dumps(out))
