@@ -597,20 +597,74 @@ def q_shard_concat_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stands in for the shard payload so the oracle compares content, not
     multi-KB strings). Order inside ``collect_list`` is not guaranteed,
     so members collect as (doc_id, text) structs and ``array_sort``
-    imposes the order before joining — the aggregation stays a single
-    shuffle; no window re-sort."""
-    packed = packed_documents(spark, sf_dir)
+    imposes the order before joining.
+
+    r13 restructure (guide §2.3/§2.4, §8: one pass over the payload,
+    decisions on small rows). Composing ``packed_documents`` with the
+    shard groupBy planned the corpus subtree TWICE (its ``local`` frame
+    feeds both the per-stream offsets rollup and the output join): two
+    full document scans, the whitespace tokenizer run twice over every
+    text, two corpus-wide (lang, stream) window sorts — and ``text``
+    crossed two exchanges (the window exchange, then again inside
+    ``collect_list`` partial buffers to the (lang, shard_id) agg).
+    Since no shard spans a stream, (lang, shard_id) ≡ (lang, stream,
+    local_shard), so the member aggregation can run directly on the
+    window's (lang, stream) partitioning — zero new exchanges, text
+    moves exactly once — and the per-stream/offset rollup runs on the
+    AGGREGATED one-row-per-shard frame instead of the corpus. The tiny
+    shard frame is lazily localCheckpoint'ed because it is consumed
+    twice (offsets rollup + output join); that single materialization
+    is what removes the second corpus pass. shard_id = off + local_shard
+    exactly as in ``packed_documents`` (n_shards = max(local_shard)+1
+    per stream has the same value on the shard frame as on the doc
+    frame), so the output is row-identical to the composed form."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", "text",
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+        F.expr(f"doc_id div {PACK_STREAM_STRIDE}").alias("stream"),
+    )
+    w = (
+        W.partitionBy("lang", "stream")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = t.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "local_shard", F.expr(f"(cum - n_tokens) div {SHARD_CAP_TOKENS}")
+    )
     members = F.array_sort(
         F.collect_list(F.struct("doc_id", "text"))
     )
-    return packed.groupBy("lang", "shard_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("shard_tokens"),
-        F.md5(
-            F.array_join(
-                F.transform(members, lambda m: m["text"]), "\x1e"
-            )
-        ).alias("shard_md5"),
+    shards = (
+        local.groupBy("lang", "stream", "local_shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(members, lambda m: m["text"]), "\x1e"
+                )
+            ).alias("shard_md5"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    streams = shards.groupBy("lang", "stream").agg(
+        (F.max("local_shard") + 1).alias("n_shards")
+    )
+    ow = (
+        W.partitionBy("lang")
+        .orderBy("stream")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = streams.withColumn(
+        "off", F.sum("n_shards").over(ow) - F.col("n_shards")
+    ).select("lang", "stream", "off")
+    return shards.join(F.broadcast(offsets), ["lang", "stream"]).select(
+        "lang",
+        (F.col("off") + F.col("local_shard")).alias("shard_id"),
+        "n_docs",
+        "shard_tokens",
+        "shard_md5",
     )
 
 

@@ -194,6 +194,59 @@ def test_shard_digest_covers_all_docs(spark):
     assert got == expected
 
 
+def test_shard_digest_matches_composed_form_with_cap_spanning_doc(
+    spark, tmp_path
+):
+    """The r13 single-pass q_shard_concat_digest must be row-identical to
+    the packed_documents-composed aggregation it replaced — pinned on a
+    synthetic corpus whose oversized document spans several caps, so
+    local_shard values have GAPS (empty shards): the subtle step in the
+    equivalence proof is that per-stream n_shards = max(local_shard)+1
+    computes the same value on the one-row-per-shard frame as on the
+    per-document frame, which gaps would break if the rollup counted
+    shards instead of taking the max."""
+    docs = []
+    # lang 'en', stream 0: doc 1 small, doc 2 spans ~3 caps, doc 3 small
+    docs.append((1, "w " * 50, "en"))
+    docs.append((2, "w " * (SHARD_CAP_TOKENS * 3), "en"))
+    docs.append((3, "w " * 40, "en"))
+    # lang 'en', a later stream (doc_id div 256 == 2): offsets must skip
+    # the gap shards allocated to stream 0
+    docs.append((600, "w " * 30, "en"))
+    docs.append((601, "w " * 30, "en"))
+    # second lang
+    docs.append((5, "w " * 10, "fr"))
+    d = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    sf_dir = str(tmp_path)
+    d.write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        (r["lang"], r["shard_id"]): (
+            r["n_docs"], r["shard_tokens"], r["shard_md5"]
+        )
+        for r in q_shard_concat_digest(spark, sf_dir).collect()
+    }
+    packed = packed_documents(spark, sf_dir)
+    members = F.array_sort(F.collect_list(F.struct("doc_id", "text")))
+    composed = packed.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.md5(
+            F.array_join(F.transform(members, lambda m: m["text"]), "\x1e")
+        ).alias("shard_md5"),
+    )
+    want = {
+        (r["lang"], r["shard_id"]): (
+            r["n_docs"], r["shard_tokens"], r["shard_md5"]
+        )
+        for r in composed.collect()
+    }
+    assert got == want
+    # the oversized doc really produced a shard-id gap (empty shards)
+    en_ids = sorted(sid for lang, sid in got if lang == "en")
+    assert en_ids != list(range(len(en_ids)))
+
+
 def test_stratified_sample_is_deterministic_subset(spark):
     d = spark.read.parquet(f"{SF}/documents.parquet")
     s1 = q_sample_stratified_hash(spark, SF)

@@ -237,14 +237,19 @@ EXCHANGE_BUDGET = {
     "dedup_simhash": 1,
     "text_token_stats": 0,
     "text_fingerprint": 0,
-    # 2 keyed (salted local top-k + per-qid global) + 1 broadcast (queries)
-    "knn_cosine_topk": 3,
-    "ann_lsh_bucketed": 6,   # +1: salted local top-k before the per-qid window
-    "ann_ivf_coarse": 10,   # +1: salted local top-k before the per-qid window
-    # 2 keyed (salted local top-M + per-qid global) + 4 broadcast (query
-    # codes/LUTs, candidate list into the rescore, query vectors)
-    "knn_quantized_rescore": 6,
-    "ann_pq_topk": 6,
+    # r13: the salted local-top-k exchange is gone from every retrieval
+    # query — _topk_per_query is one per-qid window whose map-side prune
+    # comes from Spark's rank-limit pushdown (WindowGroupLimit Partial),
+    # so each consumer's budget drops by one keyed exchange
+    "knn_cosine_topk": 2,    # 1 keyed (per-qid window) + 1 broadcast
+    "ann_lsh_bucketed": 5,
+    # r13: probe side broadcast (was a 2-exchange SortMergeJoin) and the
+    # provably-redundant candidate distinct dropped: 10 -> 7
+    "ann_ivf_coarse": 7,
+    # 1 keyed top-M + 1 keyed global + broadcasts (query codes/LUTs,
+    # candidate list into the rescore, query vectors)
+    "knn_quantized_rescore": 5,
+    "ann_pq_topk": 5,
     "dedup_embedding_cosine": 4,
     "spatial_contacts_grid": 2,
     "sessionize_events_gap": 1,
@@ -252,7 +257,10 @@ EXCHANGE_BUDGET = {
     "events_merge_asof_tolerance": 2,  # right-dedup agg + the asof window
     "events_range_join_bucketed": 3,
     "dedup_cc_clusters": 3,
-    "shard_concat_digest": 5,
+    # r13 single-pass restructure: member agg reuses the (lang, stream)
+    # window partitioning; the corpus subtree sits behind a lazy
+    # localCheckpoint, leaving the tiny offsets rollup + broadcast join
+    "shard_concat_digest": 3,
     "text_repetition_metrics": 0,
     "contamination_ngram_overlap": 5,
     # non-headline, budget-pinned after PLANS.md recorded a statistics-
