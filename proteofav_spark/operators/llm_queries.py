@@ -411,21 +411,48 @@ def _minhash_static_cols() -> tuple:
     return th_expr, sh_expr, sig_cols, bucket_arr
 
 
+def _minhash_signatures_jvm(d: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh11): token char-fold poly hash → shingle combine →
+    12 affine min-hashes, as JVM expressions. The higher-order-function
+    lambdas evaluate interpreted per array element (HOFs sit outside
+    whole-stage codegen) — measured ~0.5 s of the dedup stage at
+    sf0.1/local[32] — but this is still the right arm HERE:
+
+    - r12 rejected an Arrow token-hash kernel (JVM fold 0.21 s vs kernel
+      0.44 s at 32-way — dispatch dominated the one step it replaced);
+    - r13 re-adjudicated with a WHOLE-pipeline vectorized numpy kernel
+      (tools/ab_minhash_kernel.py, equality-gated row-identical): the
+      kernel computes a 5000-doc batch in 0.17 s single-threaded, yet
+      LOSES end-to-end — noop-timed dedup_minhash_lsh medians 1.486 s
+      (kernel) vs 1.256 s (JVM) at local[32], 1.170 vs 1.158 at local[8],
+      and on a 32×-inflated corpus (1.5 MB text/task) 11.2 s vs 2.6 s,
+      degrading run-over-run. A trivial mapInArrow PASSTHROUGH costs
+      ~1.7 s over the bare scan at 32 tasks in this sandbox: the
+      JVM↔Python boundary (socket syscalls + fresh-page faults under the
+      VM's lazily-faulted snapshot memory) prices every Arrow crossing
+      at ~50 ms/task, so no kernel, however fast, can win until per-task
+      payloads are orders of magnitude larger than this bench's. Keep
+      the decision measurable with the A/B tool before flipping."""
+    # materialize token hashes once per doc, then combine into shingle
+    # hashes — two projection steps so nothing re-evaluates per element.
+    th_expr, sh_expr, sig_cols, _ = _minhash_static_cols()
+    th = d.select("doc_id", th_expr)
+    sh = th.select("doc_id", sh_expr)
+    return sh.select("doc_id", *sig_cols)
+
+
+# hot-path binding (A/B-swappable; see tools/ab_minhash_kernel.py)
+_minhash_signatures = _minhash_signatures_jvm
+
+
 def minhash_band_buckets(d: DataFrame) -> DataFrame:
     """(doc_id, band, bucket) rows for a frame with (doc_id, text):
     token polynomial hashes → 3-token shingle hashes → 12 affine
     min-hashes → 4 banded bucket keys, posexploded. Every step is a
     map-only projection, so this works identically on batch frames and
     Structured-Streaming frames (see streaming/corpus.py)."""
-    # materialize token hashes once per doc, then combine into shingle
-    # hashes — two projection steps so nothing re-evaluates per element.
-    # (An Arrow token-hash kernel was measured here and REJECTED: at 32-way
-    # parallelism the JVM HOF fold runs 0.21s vs the kernel's 0.44s at
-    # sf0.1 — Python worker dispatch dominates once the scan fans out.)
-    th_expr, sh_expr, sig_cols, bucket_arr = _minhash_static_cols()
-    th = d.select("doc_id", th_expr)
-    sh = th.select("doc_id", sh_expr)
-    sig = sh.select("doc_id", *sig_cols)
+    _, _, _, bucket_arr = _minhash_static_cols()
+    sig = _minhash_signatures(d)
     # all band buckets in ONE projection + posexplode: the signature
     # pipeline (token hash → shingle hash → 12 min-hashes) evaluates once
     # per document — a band-wise union would re-evaluate it per branch.
