@@ -253,10 +253,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on the shingle (inverted index), so only documents sharing a
     shingle ever meet — no N² comparison."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    sh = d.select(
-        "doc_id", F.explode(F.array_distinct(shingles_col())).alias("shingle")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # one shingle evaluation for the whole query (guide §1.2): the doc →
+    # distinct-shingle-array projection materializes once (lazy
+    # localCheckpoint; the first consumer's action computes it), and BOTH
+    # the inverted index and the two size sides read the materialized
+    # arrays. The former shape re-derived the shingle HOF from the scan
+    # three times (pairs path + each aliased broadcast side — ReuseExchange
+    # cannot unify them because the rename projects sit inside the
+    # BroadcastExchange subtrees), costing 3 scans + 3 shingle passes.
+    sh_arr = d.select(
+        "doc_id", F.array_distinct(shingles_col()).alias("sh")
+    ).localCheckpoint(eager=False)
+    sh = sh_arr.select("doc_id", F.explode("sh").alias("shingle"))
+    # n_sh = |distinct shingles| = size of the materialized array: the
+    # former explode + groupBy(doc_id) count (one exchange per aliased
+    # side) becomes a map-only projection. Docs with zero shingles gain a
+    # n_sh=0 row the old groupBy never emitted; both consumers are inner
+    # joins against pair-generating docs (≥1 shared shingle), so the extra
+    # rows cannot reach the output.
+    sizes = sh_arr.select("doc_id", F.size("sh").cast("long").alias("n_sh"))
     # inverted index: groupBy(shingle) + in-array pair combination — one
     # shuffle on the shingle key and the shingle expressions evaluate once,
     # where a self-join would re-derive them on both sides.
