@@ -257,10 +257,21 @@ def add_contacts(df: DataFrame, dist: float = 5.0) -> DataFrame:
         F.col("Cartn_x").alias("_lx"), F.col("Cartn_y").alias("_ly"),
         F.col("Cartn_z").alias("_lz"), *cell,
     )
+    # half-neighborhood fan-out (r13 optimization, guide §2.3/§3.3 — same
+    # rewrite as spatial_contacts_grid): the probe explodes to the 14
+    # offsets with (dx,dy,dz) lexicographically ≥ (0,0,0) instead of all
+    # 27, so every unordered in-radius pair is generated exactly once
+    # (same-cell pairs halved by _pos ≤ _rpos; ≤ keeps the self-contact
+    # this operator includes) and then symmetrized inline through one
+    # Generate. The doubled (a,a) row a self-pair produces is absorbed by
+    # the collect_set. Half the probe-side join input and half the
+    # distance evaluations; output row-identical.
     offsets = F.expr(
-        "flatten(transform(sequence(-1,1), dx -> "
+        "filter(flatten(transform(sequence(-1,1), dx -> "
         "flatten(transform(sequence(-1,1), dy -> "
-        "transform(sequence(-1,1), dz -> struct(dx, dy, dz))))))"
+        "transform(sequence(-1,1), dz -> struct(dx, dy, dz)))))), "
+        "o -> o.dx > 0 or (o.dx = 0 and (o.dy > 0 or "
+        "(o.dy = 0 and o.dz >= 0))))"
     )
     probe = (
         base.select(
@@ -272,6 +283,8 @@ def add_contacts(df: DataFrame, dist: float = 5.0) -> DataFrame:
         .withColumn("_off", F.explode(offsets))
         .select(
             *part_keys, "_rpos", "_rx", "_ry", "_rz",
+            ((F.col("_off.dx") == 0) & (F.col("_off.dy") == 0)
+             & (F.col("_off.dz") == 0)).alias("_same"),
             (F.col("_cx") + F.col("_off.dx")).alias("_cx"),
             (F.col("_cy") + F.col("_off.dy")).alias("_cy"),
             (F.col("_cz") + F.col("_off.dz")).alias("_cz"),
@@ -285,7 +298,28 @@ def add_contacts(df: DataFrame, dist: float = 5.0) -> DataFrame:
     )
     pairs = (
         left.join(probe, on=join_keys)
-        .filter(d2 <= F.lit(dist * dist))
+        .filter(
+            (~F.col("_same") | (F.col("_pos") <= F.col("_rpos")))
+            & (d2 <= F.lit(dist * dist))
+        )
+        .select(
+            *part_keys,
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("_pos").alias("a"), F.col("_rpos").alias("b")
+                    ),
+                    F.struct(
+                        F.col("_rpos").alias("a"), F.col("_pos").alias("b")
+                    ),
+                )
+            ).alias("_p"),
+        )
+        .select(
+            *part_keys,
+            F.col("_p.a").alias("_pos"),
+            F.col("_p.b").alias("_rpos"),
+        )
         .groupBy(*part_keys, "_pos")
         .agg(
             F.concat_ws(

@@ -1593,10 +1593,23 @@ def q_spatial_contacts_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col(c) / F.lit(CONTACT_R)).alias(f"_c{c}") for c in ("x", "y", "z")
     ]
     left = pts.select("vec_id", "x", "y", "z", *cell)
+    # half-neighborhood fan-out (r13 optimization, guide §2.3/§3.3 —
+    # explode multiplies the join input): the probe explodes to the 14
+    # offsets with (dx,dy,dz) lexicographically ≥ (0,0,0) instead of all
+    # 27, so every unordered in-radius pair is generated exactly ONCE
+    # (cell(a) − cell(b) = off has a unique solution, and only one of
+    # ±off is in the half-space; the off = 0 same-cell case is halved by
+    # vec_id < _rid). The found-pair frame — tiny next to the candidate
+    # stream — is then symmetrized back to both orientations before the
+    # per-point rollup, which is row-identical to the former 27-cell
+    # both-orientations join: ~half the probe-side join input and half
+    # the distance evaluations at any scale.
     offsets = F.expr(
-        "flatten(transform(sequence(-1,1), dx -> "
+        "filter(flatten(transform(sequence(-1,1), dx -> "
         "flatten(transform(sequence(-1,1), dy -> "
-        "transform(sequence(-1,1), dz -> struct(dx, dy, dz))))))"
+        "transform(sequence(-1,1), dz -> struct(dx, dy, dz)))))), "
+        "o -> o.dx > 0 or (o.dx = 0 and (o.dy > 0 or "
+        "(o.dy = 0 and o.dz >= 0))))"
     )
     probe = (
         pts.select(
@@ -1607,6 +1620,8 @@ def q_spatial_contacts_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_off", F.explode(offsets))
         .select(
             "_rid", "_rx", "_ry", "_rz",
+            ((F.col("_off.dx") == 0) & (F.col("_off.dy") == 0)
+             & (F.col("_off.dz") == 0)).alias("_same"),
             (F.col("_cx") + F.col("_off.dx")).alias("_cx"),
             (F.col("_cy") + F.col("_off.dy")).alias("_cy"),
             (F.col("_cz") + F.col("_off.dz")).alias("_cz"),
@@ -1617,10 +1632,32 @@ def q_spatial_contacts_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.col("y") - F.col("_ry")) * (F.col("y") - F.col("_ry"))
         + (F.col("z") - F.col("_rz")) * (F.col("z") - F.col("_rz"))
     )
-    return (
+    sym = (
         left.join(probe, on=["_cx", "_cy", "_cz"])
-        .filter((F.col("vec_id") != F.col("_rid")) & (dd <= CONTACT_R * CONTACT_R))
-        .groupBy("vec_id")
+        .filter(
+            (F.col("vec_id") != F.col("_rid"))
+            & (~F.col("_same") | (F.col("vec_id") < F.col("_rid")))
+            & (dd <= CONTACT_R * CONTACT_R)
+        )
+        # symmetrize inline (a found pair yields both orientations via one
+        # Generate) so the whole candidate stream stays a single pipelined
+        # stage into the rollup shuffle — no second pass over the join
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("vec_id").alias("a"), F.col("_rid").alias("b")
+                    ),
+                    F.struct(
+                        F.col("_rid").alias("a"), F.col("vec_id").alias("b")
+                    ),
+                )
+            ).alias("_p")
+        )
+        .select(F.col("_p.a").alias("vec_id"), F.col("_p.b").alias("_rid"))
+    )
+    return (
+        sym.groupBy("vec_id")
         .agg(
             F.count(F.lit(1)).alias("n_contacts"),
             F.concat_ws(",", F.array_sort(F.collect_list("_rid"))).alias(

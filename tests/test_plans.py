@@ -232,7 +232,11 @@ EXCHANGE_BUDGET = {
     "window_dedup_adjacent": 1,
     "events_tumbling_window": 1,
     "dedup_exact_hash": 1,
-    "dedup_ngram_jaccard": 6,
+    # r13 single-eval restructure: the doc -> distinct-shingle-array frame
+    # materializes once (lazy localCheckpoint) and n_sh = size(sh), so the
+    # two aliased size-side groupBy exchanges are gone: 6 -> 4
+    # (inverted-index groupBy + pair agg + the two size broadcasts)
+    "dedup_ngram_jaccard": 4,
     "dedup_minhash_lsh": 3,
     "dedup_simhash": 1,
     "text_token_stats": 0,
