@@ -68,8 +68,10 @@ SCALE_NOTES = {
         "left joins cannot fan out."
     ),
     "spatial_contacts_grid": (
-        "27-cell grid equi-join replaces the N-squared theta join; the cell "
-        "key partitions the shuffle and AQE splits skewed cells."
+        "half-neighborhood grid equi-join replaces the N-squared theta join: "
+        "the probe explodes to 14 (not 27) neighbor cells so each unordered "
+        "pair is generated once and symmetrized inline (r13); the cell key "
+        "partitions the shuffle and AQE splits skewed cells."
     ),
     "ann_lsh_bucketed": (
         "bucket equi-join against a broadcast query set; the corpus "
@@ -95,8 +97,9 @@ SCALE_NOTES = {
         "(session, corpus) — repeat searches scan the compact codes "
         "(persisted as an int8 projection in production: 4× smaller than "
         "float32), never the float store; prefilter is an exact integer "
-        "dot against a broadcast query set, JVM codegen; top-M is a salted "
-        "two-phase top-k (no per-query global sort over the corpus); only "
+        "dot against a broadcast query set, JVM codegen; top-M is one "
+        "rank-limited per-qid window (Spark 4 WindowGroupLimit map-side "
+        "prune — r13 replaced the salted two-phase form); only "
         "the |Q|×50 survivors touch the full-precision store, via broadcast "
         "joins of the tiny candidate list, with norms over survivors only."
     ),
@@ -105,8 +108,8 @@ SCALE_NOTES = {
         "(session, corpus) (Arrow-batched numpy encode — see "
         "_pq_assign_udf's rationale); repeat searches scan (vec_id, 8 "
         "cells) rows (NSUB bytes/vector in production — 32× compression) "
-        "with a LUT-sum per row and a salted two-phase top-k (no per-query "
-        "global sort), zero joins until the |Q|×100 rerank candidates "
+        "with a LUT-sum per row and one rank-limited per-qid window (Spark 4 "
+        "WindowGroupLimit map-side prune — r13), zero joins until the |Q|×100 rerank candidates "
         "broadcast back to the full-precision store. Codebook and "
         "per-query LUTs are bounded driver metadata (16 + |Q| rows), "
         "also session-cached."
