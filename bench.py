@@ -80,6 +80,15 @@ ANN_INDEXED = {
     "ann_pq_topk",             # PQ assignment artifact + codebook LUTs
 }
 
+# queries that take the tie-breaking third run UNCONDITIONALLY: their
+# sf0.1 seconds straddle the >1 s heavy-query trigger run-to-run (AQE
+# broadcast-timing swings of ±1.3 s observed for join_lake_merge_tree
+# across r12/r13), so whether they got a third sample was itself noise.
+# Additive only — min-of-runs semantics and every other query's run
+# count are unchanged; the extra run's spread lands in the stderr
+# telemetry and the "noise" block like any other warm run.
+NOISY_TIEBREAK = {"join_lake_merge_tree"}
+
 
 def _recorded_rounds() -> list[tuple[int, str]]:
     """(round, path) for every recorded BENCH_r{N}.json next to this
@@ -940,8 +949,9 @@ def main() -> None:
             df = fn(spark, SF_DIR)
             n = df.count()
             runs.append(round(time.perf_counter() - t0, 3))
-        if min(runs) > 0 and (
-            max(runs) / min(runs) > 1.3 or min(runs) > 1.0
+        if name in NOISY_TIEBREAK or (
+            min(runs) > 0
+            and (max(runs) / min(runs) > 1.3 or min(runs) > 1.0)
         ):
             # take a tie-breaking third run when the two runs disagree
             # badly (GC pause, compilation, OS noise) OR the query is

@@ -1099,8 +1099,19 @@ def _buckets_udf(
         if len(emb) == 0:
             return pd.Series([], dtype=object)  # np.stack raises on empty
         E = np.stack(emb.values).astype(np.float64)
-        prod = E[:, None, :] * coef[None, :, :]      # exact products
-        dots = np.cumsum(prod, axis=2)[:, :, -1]     # sequential fold
+        # Sequential left-fold accumulated per DIMENSION: acc_d =
+        # acc_{d-1} + E[:, d]·coef[:, d] runs the SAME additions in the
+        # SAME order as the old cumsum form (and as F.aggregate / the
+        # oracle's left-associated chain), so the dots are bit-identical
+        # — but the [batch, planes, DIM] float64 intermediate the cumsum
+        # materialized (≈ batch·planes·8·DIM bytes; >1 GB per 10k-row
+        # batch at the 216-plane dedup depth) shrinks to one
+        # [batch, planes] accumulator, ~DIM× less memory traffic
+        # (guide §4.2 — batch kernels should be vectorized AND bounded).
+        coefT = np.ascontiguousarray(coef.T)         # [DIM, planes]
+        dots = E[:, 0, None] * coefT[0][None, :]     # exact products, d = 0
+        for dd in range(1, E.shape[1]):
+            dots += E[:, dd, None] * coefT[dd][None, :]
         signs = (np.round(dots, 6) > 0).astype(np.int64)
         b = signs.reshape(len(E), n_out, bits) @ weights
         return pd.Series(list(b))
@@ -1218,29 +1229,50 @@ def adaptive_bucket_mask(
     mirrored verbatim in the DuckDB oracle's ``pick`` CTE. Corpora that
     are genuinely duplicate-heavy bottom out at the deepest depth with
     exactly the pair count their duplicate structure demands."""
-    cnt = (
-        bands.groupBy("tbl", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
-    )
-    stats = cnt.agg(
-        F.sum("c").alias("total"), F.countDistinct("tbl").alias("L")
-    ).first()
-    n = int(stats["total"] or 0) // max(int(stats["L"] or 1), 1)
-    target = target_pairs_per_vec * max(n, 1)
+    cnt = bands.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    # ONE probe job (r14 — guide §1.2/§5): the former scheme materialized
+    # cnt (one job), collected the corpus stats (one job), then walked the
+    # ladder with one sequential driver round-trip PER RUNG — up to 11
+    # jobs before any pair work starts, and at 100 TB up to 10 re-reads
+    # of the cell-count frame. Exploding each cell row to every rung and
+    # re-aggregating per (depth, tbl, masked bucket) computes every
+    # rung's estimate AND the stats in a single pass; the rung sums are
+    # integer/decimal arithmetic identical to the per-rung form, so the
+    # shallowest-depth choice is unchanged. The explode is over the
+    # ALREADY-aggregated cell counts (≤ |cells| rows), never the corpus.
     k = F.col("k").cast("decimal(38,0)")
-    for depth in DEPTH_LADDER:
-        mask = (1 << depth) - 1
-        est = (
-            cnt.groupBy(
-                "tbl", F.col("bucket").bitwiseAND(F.lit(mask)).alias("b")
-            )
-            .agg(F.sum("c").alias("k"))
-            .agg(F.sum(k * (k - 1) / 2).alias("est"))
-            .first()["est"]
+    per_rung = (
+        cnt.select(
+            "tbl",
+            "bucket",
+            "c",
+            F.explode(F.array(*[F.lit(d) for d in DEPTH_LADDER])).alias("depth"),
         )
+        .groupBy(
+            "depth",
+            "tbl",
+            # mask = 2^depth - 1, depth ≤ MAX_BITS so int arithmetic
+            F.col("bucket").bitwiseAND(F.expr("shiftleft(1, depth) - 1")).alias("b"),
+        )
+        .agg(F.sum("c").alias("k"))
+        .groupBy("depth")
+        .agg(
+            F.sum(k * (k - 1) / 2).alias("est"),
+            F.sum("k").alias("total"),
+            F.countDistinct("tbl").alias("L"),
+        )
+        .collect()
+    )
+    rows = {int(r["depth"]): r for r in per_rung}
+    if not rows:
+        return (1 << MAX_BITS) - 1  # empty corpus: same terminal mask as before
+    any_row = rows[next(iter(rows))]
+    n = int(any_row["total"] or 0) // max(int(any_row["L"] or 1), 1)
+    target = target_pairs_per_vec * max(n, 1)
+    for depth in DEPTH_LADDER:
+        est = rows[depth]["est"] if depth in rows else None
         if est is not None and int(est) <= target:
-            return mask
+            return (1 << depth) - 1
     return (1 << MAX_BITS) - 1
 
 

@@ -292,3 +292,32 @@ def test_headline_exchange_budgets(spark):
         if n > budget:
             over[name] = (n, budget)
     assert over == {}, f"shuffle-count regressions (got, budget): {over}"
+
+
+# The r13 single-window top-k restructure made every retrieval query's
+# scale safety depend on Spark's rank-limit pushdown (SPARK-37099): the
+# map-side prune the retired salted two-phase form provided explicitly
+# now comes from the WindowGroupLimit physical rule. EXCHANGE_BUDGET
+# cannot see that distinction (same exchange count either way), so pin
+# the node itself — a disabled rule (windowGroupLimitThreshold <= 0) or
+# a Spark version without it would silently plan unbounded per-qid
+# sorts.
+RANK_LIMITED = [
+    "knn_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf_coarse",
+    "ann_ivf_store_probe",
+    "knn_quantized_rescore",
+    "ann_pq_topk",
+]
+
+
+def test_retrieval_rank_limit_pushdown(spark):
+    missing = []
+    for name in RANK_LIMITED:
+        phys = _full_plan(spark, name).split("== Physical Plan ==")[-1]
+        if "WindowGroupLimit" not in phys:
+            missing.append(name)
+    assert missing == [], (
+        f"rank-limit pushdown (WindowGroupLimit) absent from: {missing}"
+    )

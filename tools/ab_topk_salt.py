@@ -84,6 +84,10 @@ def main() -> None:
     out = {
         "query": "ann_ivf_coarse",
         "sf_dir": sf_dir,
+        # arm A (single_phase) is PRODUCTION; arm B (salted) is the
+        # RETIRED r12 form monkeypatched back in. salt_cost_ms = B - A,
+        # i.e. positive means the retired salt is slower.
+        "production_arm": "single_phase",
         "single_phase_sec": a,
         "salted_sec": b,
         "single_phase_median": round(statistics.median(a), 3),
