@@ -126,43 +126,49 @@ def _codes_i8(a: Column) -> Column:
 
 
 def _assign_to_centroids(vectors: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment shared by build/append: max(struct)
-    argmax over the broadcast K-row centroid table — map-side combine
-    reduces each vector's K scores before the exchange, no window sort.
-    ``vectors`` must carry (vec_id, embedding, enorm); returns the same
-    plus ``list_label``. Ties (equal rounded cosine) break to the
-    SMALLER label on every path, so a re-appended vector always lands
-    in the list the original build chose."""
-    assigned = (
-        vectors.crossJoin(F.broadcast(cents))
+    """Nearest-centroid assignment shared by build/append — MAP-ONLY:
+    the K-row centroid table collapses to a single broadcast row
+    carrying an array<struct(label, cvec, cnorm)>, each vector scores
+    the array in place (``transform``), and ``array_max`` takes the
+    argmax. The former shape (crossJoin ×K → partial agg →
+    Exchange(vec_id) → max(struct)) shuffled the ENTIRE corpus —
+    embeddings included — once per build/append purely to reduce K
+    scores per vector that were computed side by side on the same row;
+    at 100 TB that exchange was the build's only corpus-wide shuffle
+    (guide §2.4). ``array_max`` uses the same struct ordering as the
+    row-wise ``max(struct(cc, nl))``, so assignment is unchanged:
+    ties (equal rounded cosine) break to the SMALLER label on every
+    path, and a re-appended vector always lands in the list the
+    original build chose. ``vectors`` must carry (vec_id, embedding,
+    enorm) with unique vec_ids — the batch contract; returns the same
+    plus ``list_label``. Empty centroid table ⇒ empty result (the
+    ``size(_cents) > 0`` filter, matching the old inner crossJoin —
+    and, because it references only the broadcast array rather than
+    the scored argmax, Catalyst cannot inline the heavy transform into
+    a second per-row evaluation the way a filter on the computed label
+    would)."""
+    carr = cents.agg(
+        F.collect_list(F.struct("list_label", "cvec", "cnorm")).alias("_cents")
+    )
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            _cosine(
+                F.col("embedding"), c["cvec"], F.col("enorm"), c["cnorm"]
+            ).alias("cc"),
+            (-c["list_label"]).alias("nl"),
+        ),
+    )
+    return (
+        vectors.crossJoin(F.broadcast(carr))
+        .filter(F.size("_cents") > 0)
         .select(
             "vec_id",
             "embedding",
             "enorm",
-            "list_label",
-            _cosine(
-                F.col("embedding"), F.col("cvec"), F.col("enorm"), F.col("cnorm")
-            ).alias("cc"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("cc"),
-                    (-F.col("list_label")).alias("nl"),
-                    F.col("embedding"),
-                    F.col("enorm"),
-                )
-            ).alias("m")
-        )
-        .select(
-            "vec_id",
-            F.col("m.embedding").alias("embedding"),
-            F.col("m.enorm").alias("enorm"),
-            (-F.col("m.nl")).alias("list_label"),
+            (-F.array_max(scored)["nl"]).alias("list_label"),
         )
     )
-    return assigned
 
 
 def build_ivf_store(embeddings: DataFrame, path: str) -> None:
