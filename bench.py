@@ -355,6 +355,12 @@ _DEEP_SCALE_PINNED = {
     # so 'build.sf1.0x' + full-range exponent_build are recorded
     "ann_ivf_store_probe",
     "knn_quantized_rescore",
+    # VERDICT r13 #4: the two r13 restructures that materialize a lazy
+    # localCheckpoint (doc→shingle frame; packed corpus) — their
+    # materialization cost must be MEASURED at the ~10× point, not
+    # argued from the sf0.1 fixed-overhead regime
+    "dedup_ngram_jaccard",
+    "shard_concat_digest",
 }
 
 

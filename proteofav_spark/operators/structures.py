@@ -234,6 +234,41 @@ def residues_aggregation(
     return agged.orderBy("id")
 
 
+# the 14 neighbor-cell offsets with (dx,dy,dz) lexicographically
+# ≥ (0,0,0) — the half-space that generates every unordered cell pair
+# exactly once (cell(a) − cell(b) = off has a unique solution and only
+# one of ±off is in the half-space). Enumerated in the same dx-outer /
+# dy-middle / dz-inner order the retired SQL HOF chain produced.
+HALF_SPACE_OFFSETS = [
+    (dx, dy, dz)
+    for dx in (-1, 0, 1)
+    for dy in (-1, 0, 1)
+    for dz in (-1, 0, 1)
+    if dx > 0 or (dx == 0 and (dy > 0 or (dy == 0 and dz >= 0)))
+]
+
+
+def half_space_offsets_lit() -> Column:
+    """:data:`HALF_SPACE_OFFSETS` as one literal
+    ``array<struct<dx:int,dy:int,dz:int>>``. The former
+    ``filter(flatten(transform(sequence(...))))`` SQL expression built
+    and filtered the 27-struct array PER PROBE ROW — higher-order
+    functions are not constant-folded by Catalyst, so every row paid
+    the interpreted allocation chain (guide §1.2 per-task work). A
+    literal array of literal structs folds to a single cached value;
+    the explode then just iterates it."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(dz).alias("dz"),
+            )
+            for dx, dy, dz in HALF_SPACE_OFFSETS
+        ]
+    )
+
+
 def add_contacts(df: DataFrame, dist: float = 5.0) -> DataFrame:
     """Spatial self-join: for every atom, the 0-based row positions of all
     atoms within ``dist`` Å (self included), as a ','-joined string column
@@ -266,13 +301,7 @@ def add_contacts(df: DataFrame, dist: float = 5.0) -> DataFrame:
     # Generate. The doubled (a,a) row a self-pair produces is absorbed by
     # the collect_set. Half the probe-side join input and half the
     # distance evaluations; output row-identical.
-    offsets = F.expr(
-        "filter(flatten(transform(sequence(-1,1), dx -> "
-        "flatten(transform(sequence(-1,1), dy -> "
-        "transform(sequence(-1,1), dz -> struct(dx, dy, dz)))))), "
-        "o -> o.dx > 0 or (o.dx = 0 and (o.dy > 0 or "
-        "(o.dy = 0 and o.dz >= 0))))"
-    )
+    offsets = half_space_offsets_lit()
     probe = (
         base.select(
             *part_keys,

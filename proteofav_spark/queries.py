@@ -1603,14 +1603,12 @@ def q_spatial_contacts_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream — is then symmetrized back to both orientations before the
     # per-point rollup, which is row-identical to the former 27-cell
     # both-orientations join: ~half the probe-side join input and half
-    # the distance evaluations at any scale.
-    offsets = F.expr(
-        "filter(flatten(transform(sequence(-1,1), dx -> "
-        "flatten(transform(sequence(-1,1), dy -> "
-        "transform(sequence(-1,1), dz -> struct(dx, dy, dz)))))), "
-        "o -> o.dx > 0 or (o.dx = 0 and (o.dy > 0 or "
-        "(o.dy = 0 and o.dz >= 0))))"
-    )
+    # the distance evaluations at any scale. r14: the offsets come as a
+    # constant-folded literal array instead of a per-row HOF chain
+    # (see half_space_offsets_lit).
+    from proteofav_spark.operators.structures import half_space_offsets_lit
+
+    offsets = half_space_offsets_lit()
     probe = (
         pts.select(
             F.col("vec_id").alias("_rid"),
