@@ -286,68 +286,66 @@ RETIRED: dict[str, str] = {
 }
 
 _PRIORITY: list[str] = [
-    # ------- round-13 rotation (VERDICT r12 item #2) -------
-    # Slots 1-37: the 37 queries whose newest driver row is r10 — two
-    # rounds stale at r13, the oldest signatures in the catalog; all
+    # ------- round-14 rotation (continuing the two-round alternation) -------
+    # Slots 1-37: the 37 queries whose newest driver row is r11 — two
+    # rounds stale at r14, the oldest signatures in the catalog; all
     # MUST re-attest this round (the freshness tripwire enumerated
-    # exactly this set against CORRECTNESS_r12).
-    "agg_collapse_by_key",
-    "agg_duplicate_check",
-    "agg_exact_median_groups",
-    "agg_preferred_argmax",
-    "agg_quantiles_value",
-    "agg_residue_rollup",
-    "agg_salted_two_stage",
-    "agg_single_value_probe",
-    "cdc_upsert_apply",
-    "customer_order_distribution",
-    "customers_above_avg_no_orders",
-    "disjunctive_predicate_revenue",
-    "docs_token_chunking",
-    "embedding_label_centroids",
-    "events_merge_asof_tolerance",
-    "events_session_transitions",
-    "events_twap",
-    "filter_first_value",
-    "filter_isin",
-    "join_star_revenue",
-    "orders_exists_semi",
-    "pack_token_shards",
-    "parts_supplier_breadth",
-    "project_exclude_columns",
-    "promo_revenue_share",
-    "scalar_map_lookup",
-    "scalar_string_kit",
-    "sessionize_events_gap",
-    "skew_heavy_hitters",
-    "text_char_entropy",
-    "text_fingerprint",
-    "text_lang_id",
-    "type_constrain_try_cast",
-    "window_carry_forward",
-    "window_dedup_adjacent",
-    "window_reset_id",
-    "window_segment_counter",
-    # Slots 38-50: 13 of the 50 r11-signed queries — the similarity /
-    # clustering / iterative shapes whose plans carry the most risk,
-    # plus knn_quantized_rescore and spatial_contacts_grid (both
-    # regressed >10% in BENCH_r12 on untouched code; VERDICT r12 item
-    # #7 asks for their adjudication loop to close). The remaining 37
-    # r11-singles become the mandatory head of the r14 window,
-    # continuing the two-round alternation.
+    # exactly this set against CORRECTNESS_r13).
+    "agg_grouping_sets",
+    "approx_distinct_parts_bounds",
+    "events_anomaly_zscore",
+    "events_attribution_last_touch",
+    "events_dau_mau",
+    "events_funnel_conversion",
+    "events_gapfill_interpolate",
+    "events_retention_cohorts",
+    "events_sliding_window",
+    "explode_interval_rollup",
+    "forecast_revenue_change",
+    "join_left_string_keys",
+    "join_outer_collapse",
+    "join_range_interval",
+    "join_semi_anti",
+    "json_flatten_props",
+    "lineitem_below_avg_qty",
+    "metrics_unpivot_long",
+    "nation_market_share",
+    "orders_big_customer_detail",
+    "orders_scd2_snapshot",
+    "probe_round_half_cents",
+    "probe_round_pow2_sixth",
+    "returned_item_top_customers",
+    "set_multiset_ops",
+    "set_union_by_name",
+    "shipclass_priority_counts",
+    "supplier_top_revenue",
+    "supplier_value_share_having",
+    "suppliers_dominant_share",
+    "suppliers_kept_waiting",
+    "text_bm25_search",
+    "text_tfidf_top_terms",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_profit_rollup",
+    "window_ntile_buckets",
+    "window_percent_rank_exact",
+    # Slots 38-50: the similarity / clustering / retrieval shapes whose
+    # code the r13/r14 optimization rounds touched (LSH bucket kernel,
+    # IVF store assignment, rank-limited top-k, half-space grid join,
+    # single-pass shard digest, star-components checkpointing) — the
+    # driver must attest the CHANGED plans, not only the stale ones.
     "dedup_embedding_cosine",
+    "ann_lsh_bucketed",
+    "dedup_semantic_clusters",
+    "dedup_consensus",
+    "ann_ivf_store_probe",
+    "ann_ivf_coarse",
+    "knn_cosine_topk",
+    "knn_quantized_rescore",
+    "ann_pq_topk",
     "dedup_minhash_lsh",
     "dedup_cc_clusters",
-    "dedup_semantic_clusters",
-    "dedup_exact_hash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_consensus",
-    "ann_pq_topk",
-    "knn_quantized_rescore",
     "spatial_contacts_grid",
-    "graph_pagerank_fixed",
-    "graph_triangle_count",
+    "shard_concat_digest",
 ]
 
 

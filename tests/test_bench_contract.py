@@ -64,12 +64,10 @@ def test_payload_line_fits_capture_window_at_worst_case():
 def test_scaling_sidecar_names_the_current_round(tmp_path, monkeypatch):
     # with BENCH_r01..r05 on disk the sidecar for the in-flight round is
     # SCALING_r06.json
-    here = os.path.dirname(os.path.abspath(bench.__file__))
-    rounds = sorted(
-        int(p.split("BENCH_r")[1].split(".json")[0])
-        for p in os.listdir(here)
-        if p.startswith("BENCH_r") and p.endswith(".json")
-    )
+    # use bench's own record parser — the ONE place that knows the
+    # naming (a naive filename split chokes on the driver's low-core
+    # sidecar records like BENCH_r13_c8.json, which are not rounds)
+    rounds = [n for n, _ in bench._recorded_rounds()]
     assert rounds, "driver bench records missing from repo root"
     expect = f"SCALING_r{rounds[-1] + 1:02d}.json"
     assert os.path.basename(bench._scaling_sidecar_path()) == expect

@@ -169,3 +169,34 @@ def test_remove_partial_residues_null_seq_starts_new_run(spark):
     assert out.filter(F.col("auth_seq_id").isNull()).count() == 0
     kept = sorted(r["auth_seq_id"] for r in out.collect())
     assert kept == ["10"] * 4 + ["11"] * 4
+
+
+def test_half_space_offsets_literal_matches_retired_hof_chain(spark):
+    """r14 optimization pin: the constant-folded literal offset array
+    (half_space_offsets_lit) must stay element-for-element identical —
+    same structs, same order — to the retired per-row SQL HOF chain it
+    replaced, so the grid-join candidate stream cannot drift."""
+    from proteofav_spark.operators.structures import (
+        HALF_SPACE_OFFSETS,
+        half_space_offsets_lit,
+    )
+
+    retired = F.expr(
+        "filter(flatten(transform(sequence(-1,1), dx -> "
+        "flatten(transform(sequence(-1,1), dy -> "
+        "transform(sequence(-1,1), dz -> struct(dx, dy, dz)))))), "
+        "o -> o.dx > 0 or (o.dx = 0 and (o.dy > 0 or "
+        "(o.dy = 0 and o.dz >= 0))))"
+    )
+    row = spark.range(1).select(
+        retired.alias("old"), half_space_offsets_lit().alias("new")
+    ).first()
+    old = [(o["dx"], o["dy"], o["dz"]) for o in row["old"]]
+    new = [(o["dx"], o["dy"], o["dz"]) for o in row["new"]]
+    assert old == new == HALF_SPACE_OFFSETS
+    # exactly one representative per unordered offset pair: the half
+    # space contains (0,0,0) and exactly one of ±off for the other 13
+    assert len(new) == 14
+    assert (0, 0, 0) in new
+    negs = {(-dx, -dy, -dz) for (dx, dy, dz) in new if (dx, dy, dz) != (0, 0, 0)}
+    assert negs.isdisjoint(set(new))
