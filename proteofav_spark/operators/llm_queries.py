@@ -830,7 +830,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the (tiny) query set, map-side
-    dot products via zip_with/aggregate, then a salted two-phase top-k per
+    dot products via zip_with/aggregate, then a rank-limited top-k per
     query (_topk_per_query — the per-qid window never sorts the whole
     scored corpus). This is the exact baseline the IVF/LSH/SQ8/PQ variants
     approximate."""
@@ -2503,7 +2503,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query rows, same contract as the k-means seeds) the corpus pass is
     MAP-ONLY — encode + NSUB LUT lookups per row, zero joins, scanning NSUB
     bytes/vector in production (32× compression over float32) — followed by
-    a salted two-phase top-PQ_RERANK per query (_topk_per_query — no
+    a rank-limited top-PQ_RERANK per query (_topk_per_query — no
     per-query global sort over the corpus) and a broadcast join of the
     tiny candidate list back to the full-precision store. This is the missing
     compression tier between ann_lsh_bucketed (bucket pruning) and

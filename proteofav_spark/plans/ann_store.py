@@ -779,8 +779,9 @@ def probe_ivf_store(
             ).alias("cosine"),
         )
     )
-    # salted two-phase top-k: a probed cell is ~corpus/K rows — a window
-    # partitioned by qid alone would globally sort it per query
+    # rank-limited top-k (r13): WindowGroupLimit prunes each map task to
+    # its local top-k per qid before the exchange, so the per-qid sort
+    # never sees the ~corpus/K rows of a probed cell
     return _topk_per_query(
         scored, topk, [F.desc("cosine"), F.asc("vec_id")]
     ).withColumnRenamed("prk", "rk")
@@ -857,7 +858,7 @@ def probe_ivf_store_quantized(
     the partition column only — Parquet column pruning keeps the float
     embedding and norm bytes on disk for that stage). The exact-integer
     dot prefilter keeps ``prefilter_m`` candidates per query via the
-    salted two-phase top-k (no per-query global sort). The rescore
+    rank-limited top-k (no per-query global sort). The rescore
     stage is ADAPTIVE on the survivor bound |queries|·prefilter_m:
 
     - point-query path (bound ≤ _ISIN_PUSHDOWN_CAP): survivors are
